@@ -1,0 +1,23 @@
+"""lucene_spark — a PySpark-native inverted-index + BM25 full-text engine.
+
+A from-scratch re-expression (NOT a port) of the query/data-processing
+capabilities of the reference Lucene fork at /root/reference:
+
+- analysis chain (StandardTokenizer-equivalent UAX#29 ASCII word-break,
+  lowercase, code-aware word-delimiter splitting) as vectorized pandas/Arrow
+  functions — ``lucene_spark.analysis``
+- Lucene-exact norm quantization (SmallFloat intToByte4/byte4ToInt) —
+  ``lucene_spark.smallfloat``
+- FOR/PFOR delta block codec for posting lists — ``lucene_spark.codec``
+- distributed index build (segments, postings blocks, impacts, term stats)
+  via DataFrame ops + applyInPandas — ``lucene_spark.build``
+- BM25 (k1=1.2, b=0.75) scoring, float32 op-order identical to
+  BM25Similarity.java — ``lucene_spark.bm25``
+- query AST + rewrites + classic-syntax parser — ``lucene_spark.query``
+- top-k search execution with block-max (WAND-style) pruning —
+  ``lucene_spark.search``
+- training-data pipeline ops (dedup, similarity search, text stats,
+  multimodal plumbing) — ``lucene_spark.functions``
+"""
+
+__version__ = "0.1.0"

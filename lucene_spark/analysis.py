@@ -1,0 +1,139 @@
+"""Analysis chain: StandardTokenizer-equivalent word-break + lowercase +
+code-aware word-delimiter splitting — vectorized, no per-row Python objects.
+
+The tokenizer is an ASCII specialization of the UAX#29 word-break grammar the
+reference uses (lucene/core/src/java/org/apache/lucene/analysis/standard/
+StandardTokenizerImpl.jflex:229-265):
+
+- ALPHANUM/NUM spans over [A-Za-z0-9] with
+  * ``_`` = ExtendNumLet (joins: ``snake_case``, ``a_1`` are single tokens)
+  * ``.`` = MidNumLet, ``,;`` = MidNum, ``:`` = MidLetter (Unicode 9.0),
+    ``'`` = Single_Quote
+  so ``O'Reilly``, ``21.35``, ``216.239.63.104``, ``B2B`` are single tokens
+  while ``ac/dc`` splits (verified against the reference's
+  core/src/test/.../standard/TestStandardAnalyzer.java:404-421 expectations).
+- Tokens longer than 255 chars are chopped into 255-char pieces
+  (StandardAnalyzer.java:37 maxTokenLength + jflex %buffer 255 behavior).
+- LowerCaseFilter equivalent: per-codepoint lowercase
+  (analysis/LowerCaseFilter.java:36-42); identical to ``str.lower`` on ASCII.
+
+``TOKEN_RE`` is engine-portable: the same pattern runs under Python ``re``,
+Java regex (Spark ``regexp_extract_all``) and RE2 (DuckDB
+``regexp_extract_all``), which is what makes DuckDB oracle parity possible.
+
+The code-aware chain adds a WordDelimiterGraphFilter-style splitter
+(analysis/common/.../miscellaneous/WordDelimiterGraphFilter.java:93-144
+flags GENERATE_WORD_PARTS | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS):
+``camelCaseId`` -> [camel, case, id], ``snake_case`` -> [snake, case],
+``num2mixed3`` -> [num, 2, mixed, 3]. Our filter emits parts at consecutive
+positions (no overlaps), a documented simplification of the graph filter.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List, Tuple
+
+import numpy as np
+import pandas as pd
+
+MAX_TOKEN_LENGTH = 255
+
+# ASCII UAX#29 word span (see module docstring). NUM rule listed first in the
+# reference grammar, but a single alternation covers both because the combined
+# span is the maximal munch either way.
+_NUM_RUN = r"[0-9](?:(?:_*|[.,;'])[0-9])*"
+_ALPHA_RUN = r"[A-Za-z](?:(?:_*|[:.'])[A-Za-z])*"
+TOKEN_RE = r"(?:_*(?:" + _NUM_RUN + r"|" + _ALPHA_RUN + r"))+_*"
+
+_TOKEN_PATTERN = re.compile(TOKEN_RE)
+
+# Word-delimiter sub-part: runs of same-case letters (allowing trailing
+# lowercase after one uppercase = camelCase hump) or runs of digits.
+_WDF_PART = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+|[0-9]+")
+
+
+def duckdb_token_re() -> str:
+    """TOKEN_RE with single quotes escaped for embedding in a SQL literal."""
+    return TOKEN_RE.replace("'", "''")
+
+
+def _chop(tok: str) -> Iterable[str]:
+    if len(tok) <= MAX_TOKEN_LENGTH:
+        yield tok
+    else:
+        for i in range(0, len(tok), MAX_TOKEN_LENGTH):
+            yield tok[i : i + MAX_TOKEN_LENGTH]
+
+
+def tokenize(text: str) -> List[str]:
+    """StandardTokenizer-equivalent: ordered token texts (original case)."""
+    out: List[str] = []
+    for m in _TOKEN_PATTERN.finditer(text):
+        out.extend(_chop(m.group()))
+    return out
+
+
+def standard_analyze(text: str) -> List[str]:
+    """StandardAnalyzer chain: tokenize -> lowercase (empty stopset, as the
+    9.x default — StandardAnalyzer.java:85-96)."""
+    return [t.lower() for t in tokenize(text)]
+
+
+def word_delimiter_parts(token: str) -> List[str]:
+    """Code-aware sub-parts of one (already lowercase-preserving) token."""
+    parts = _WDF_PART.findall(token)
+    return parts if parts else [token]
+
+
+def code_analyze(text: str) -> List[str]:
+    """Code-aware chain: tokenize -> word-delimiter split -> lowercase."""
+    out: List[str] = []
+    for tok in tokenize(text):
+        for p in word_delimiter_parts(tok):
+            out.append(p.lower())
+    return out
+
+
+def analyze_series(texts: pd.Series, chain: str = "standard") -> pd.Series:
+    """Vectorized analysis of a pandas Series of strings -> Series of
+    list[str] token arrays. This is the Arrow-UDF entry point."""
+    fn = standard_analyze if chain == "standard" else code_analyze
+    # pd.Series.map over a C-regex finditer; no Python object churn beyond
+    # the token lists themselves (which are the output).
+    return texts.fillna("").map(fn)
+
+
+def terms_with_positions(tokens: List[str]) -> List[Tuple[str, int]]:
+    """(term, position) pairs; positions are consecutive (no stopword holes —
+    default stopset is empty; StopFilter hole semantics live in
+    :func:`stop_filter`)."""
+    return [(t, i) for i, t in enumerate(tokens)]
+
+
+def stop_filter(
+    tokens: List[str], stopset: frozenset
+) -> List[Tuple[str, int]]:
+    """StopFilter with position-increment holes: dropped stopwords advance
+    the position counter (analysis/StopFilter.java via
+    FilteringTokenFilter.incrementToken)."""
+    out = []
+    for pos, t in enumerate(tokens):
+        if t not in stopset:
+            out.append((t, pos))
+    return out
+
+
+def analyze_to_tokens_udf(chain: str = "standard"):
+    """Factory for a pandas-UDF-compatible fn: Series[str] -> Series[list[str]]."""
+
+    def _fn(s: pd.Series) -> pd.Series:
+        return analyze_series(s, chain=chain)
+
+    return _fn
+
+
+def doc_lengths(token_lists: pd.Series) -> np.ndarray:
+    """Field length per doc = number of tokens (no overlaps emitted, so
+    length - numOverlap == length; IndexingChain.java:1096-1112)."""
+    return token_lists.map(len).to_numpy(dtype=np.int64)

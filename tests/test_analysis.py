@@ -1,0 +1,111 @@
+"""Analyzer parity tests. Expected token sequences mirror the reference's own
+expectations in core/src/test/.../standard/TestStandardAnalyzer.java
+(assertAnalyzesTo calls) restricted to the ASCII envelope we support."""
+
+import pandas as pd
+import pytest
+
+from lucene_spark.analysis import (
+    MAX_TOKEN_LENGTH,
+    TOKEN_RE,
+    analyze_series,
+    code_analyze,
+    standard_analyze,
+    stop_filter,
+    tokenize,
+    word_delimiter_parts,
+)
+
+
+# (input, expected) — drawn from TestStandardAnalyzer.java:394-439 and
+# TestSearch.java-style plain text
+CASES = [
+    ("testing 1234", ["testing", "1234"]),
+    ("B2B", ["b2b"]),
+    ("2B", ["2b"]),
+    ("ac/dc", ["ac", "dc"]),
+    ("O'Reilly", ["o'reilly"]),
+    ("you're", ["you're"]),
+    ("O'Reilly's", ["o'reilly's"]),
+    ("21.35", ["21.35"]),
+    ("R2D2 C3PO", ["r2d2", "c3po"]),
+    ("216.239.63.104", ["216.239.63.104"]),
+    ('"QUOTED" word', ["quoted", "word"]),
+    ("", []),
+    (".", []),
+    (" ", []),
+    ("snake_case_id", ["snake_case_id"]),  # _ = ExtendNumLet joins
+    ("a_1", ["a_1"]),
+    ("__init__", ["__init__"]),
+    ("foo.bar", ["foo.bar"]),  # . = MidNumLet between letters joins
+    ("foo..bar", ["foo", "bar"]),  # double punctuation breaks
+    ("1,234", ["1,234"]),
+    ("1, 234", ["1", "234"]),
+    ("a-b", ["a", "b"]),  # hyphen always breaks
+    ("x=y+z;", ["x", "y", "z"]),
+    ("don't stop", ["don't", "stop"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", CASES)
+def test_standard_analyze(text, expected):
+    assert standard_analyze(text) == expected
+
+
+def test_max_token_length_chop():
+    long = "a" * 600
+    toks = tokenize(long)
+    assert toks == ["a" * 255, "a" * 255, "a" * 90]
+    assert all(len(t) <= MAX_TOKEN_LENGTH for t in toks)
+
+
+def test_vectorized_matches_scalar():
+    texts = pd.Series([c[0] for c in CASES])
+    out = analyze_series(texts, chain="standard")
+    for got, (_, expected) in zip(out, CASES):
+        assert got == expected
+
+
+WDF_CASES = [
+    ("camelCaseId", ["camel", "case", "id"]),
+    ("snake_case", ["snake", "case"]),
+    ("num2mixed3", ["num", "2", "mixed", "3"]),
+    ("HTTPServer", ["http", "server"]),
+    ("getX", ["get", "x"]),
+    ("plain", ["plain"]),
+    ("__dunder__", ["dunder"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", WDF_CASES)
+def test_code_analyze(text, expected):
+    assert code_analyze(text) == expected
+
+
+def test_word_delimiter_parts_case_preserved_until_lowercase():
+    assert word_delimiter_parts("HTTPServer") == ["HTTP", "Server"]
+
+
+def test_stop_filter_holes_advance_positions():
+    toks = standard_analyze("the quick the fox")
+    kept = stop_filter(toks, frozenset({"the"}))
+    assert kept == [("quick", 1), ("fox", 3)]
+
+
+def test_regex_is_cross_engine_safe():
+    # no backreferences / lookbehind — portable to RE2 (DuckDB) + Java regex
+    assert "\\1" not in TOKEN_RE and "(?<" not in TOKEN_RE and "(?=" not in TOKEN_RE
+
+
+def test_duckdb_and_spark_regex_agree():
+    import duckdb
+
+    from lucene_spark.analysis import duckdb_token_re
+
+    texts = [c[0] for c in CASES if c[0].strip()]
+    for t in texts:
+        got = duckdb.sql(
+            "select regexp_extract_all(lower(?), '" + duckdb_token_re() + "')",
+            params=[t],
+        ).fetchone()[0]
+        assert got == standard_analyze(t), t
