@@ -1,0 +1,366 @@
+"""Distributed inverted-index build.
+
+Spark-first re-expression of the reference's indexing chain
+(index/IndexingChain.java PerField.invert + FreqProxTermsWriter flush +
+Lucene90PostingsWriter block encode — see SURVEY.md §3.1):
+
+  corpus --mapInPandas (invert: per-doc tf + positions + norm)-->
+         --ONE shuffle: groupBy(segment_id).applyInPandas (segment writer:
+           sort terms, 128-posting blocks, delta/FOR/PFOR encode, impacts)-->
+         postings blocks    (+ separate cheap aggs for terms stats / docs)
+
+Scale design notes (100 TB / 1000 executors):
+- doc_id assignment is the only global coordination: a two-pass
+  range-partition + per-partition offset scheme (no single-partition window,
+  no monotonically_increasing_id nondeterminism).
+- the invert step does per-doc aggregation inside the Arrow batch (map-side
+  combine), so the only full shuffle is the segment grouping; its key
+  (segment_id) is uniform by construction — segments are fixed-size doc_id
+  ranges, which is also the hot-term salting story: a term with docFreq 10^9
+  lands in ~10^9/seg_size independently-encoded groups.
+- term statistics use partial aggregation (groupBy(term).agg) — Catalyst
+  map-side combines; no skew because values are tiny counters.
+- postings are written sorted by term so Parquet row-group min/max prune
+  term lookups at query time (the role of Lucene's term-dictionary seek).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import codec
+from .analysis import analyze_series, stop_filter
+from .bm25 import CollectionStats
+from .config import IndexConfig
+from .smallfloat import int_to_byte4
+
+TF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("segment_id", IntegerType()),
+        StructField("term", StringType()),
+        StructField("freq", IntegerType()),
+        StructField("norm", IntegerType()),
+        StructField("positions", ArrayType(IntegerType())),
+    ]
+)
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("segment_id", IntegerType()),
+        StructField("block_id", IntegerType()),
+        StructField("base_doc", LongType()),
+        StructField("count", IntegerType()),
+        StructField("last_doc", LongType()),
+        StructField("docs_enc", BinaryType()),
+        StructField("freqs_enc", BinaryType()),
+        StructField("norms_enc", BinaryType()),
+        StructField("imp_freqs", ArrayType(IntegerType())),
+        StructField("imp_norms", ArrayType(IntegerType())),
+        StructField("pos_enc", BinaryType()),
+    ]
+)
+
+
+def assign_doc_ids(
+    df: DataFrame, order_cols: List[str], num_partitions: int = 32
+) -> DataFrame:
+    """Deterministic dense doc_id by global (order_cols) order, without a
+    single-partition window (scales to arbitrary row counts).
+
+    Equivalent to Lucene's ingest-order docID assignment
+    (index/DocumentsWriterPerThread.java:239) when ingest order is the
+    canonical sort order. order_cols must be a unique key.
+    """
+    from pyspark.sql.window import Window
+
+    ranged = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    out = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", F.row_number().over(w) + F.col("_offset") - 1)
+        .drop("_pid", "_offset")
+    )
+    return out
+
+
+def _invert_fn(config: IndexConfig, content_col: str):
+    """mapInPandas fn: corpus batches -> per-(doc, term) tf rows.
+
+    This is PerField.invert (IndexingChain.java:1121-1260) re-expressed
+    batch-at-a-time: token stream -> positions -> per-doc term freqs + norm
+    (norm byte = intToByte4(length), IndexingChain.java:1096-1112)."""
+    chain, stopwords = config.chain, config.stopwords
+    seg_size, with_pos = config.seg_size, config.with_positions
+
+    def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tokens = analyze_series(pdf[content_col], chain=chain)
+            out_doc, out_term, out_freq, out_norm, out_pos = [], [], [], [], []
+            for doc_id, toks in zip(pdf["doc_id"].to_numpy(), tokens):
+                if stopwords:
+                    pairs = stop_filter(toks, stopwords)
+                    terms = [t for t, _ in pairs]
+                    positions = [p for _, p in pairs]
+                else:
+                    terms = toks
+                    positions = None  # consecutive; reconstruct below
+                n = len(terms)
+                norm = int(int_to_byte4(n))
+                if n == 0:
+                    continue
+                s = pd.Series(
+                    positions if positions is not None else np.arange(n),
+                    index=terms,
+                )
+                grp = s.groupby(level=0, sort=True)
+                uniq = grp.count()
+                out_doc.append(np.full(len(uniq), doc_id, dtype=np.int64))
+                out_term.append(uniq.index.to_numpy())
+                out_freq.append(uniq.to_numpy(dtype=np.int32))
+                out_norm.append(np.full(len(uniq), norm, dtype=np.int32))
+                if with_pos:
+                    out_pos.extend(
+                        np.sort(g.to_numpy()).astype(np.int32)
+                        for _, g in grp
+                    )
+                else:
+                    out_pos.extend([None] * len(uniq))
+            if not out_doc:
+                continue
+            doc_ids = np.concatenate(out_doc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "segment_id": (doc_ids // seg_size).astype(np.int32),
+                    "term": np.concatenate(out_term),
+                    "freq": np.concatenate(out_freq),
+                    "norm": np.concatenate(out_norm),
+                    "positions": out_pos,
+                }
+            )
+
+    return invert
+
+
+def _segment_writer_fn(config: IndexConfig):
+    """applyInPandas fn over one segment's tf rows -> encoded postings blocks.
+
+    The Spark analog of FreqProxTermsWriter.flush + Lucene90PostingsWriter
+    (sorted term replay, 128-int blocks, skip/impact metadata per block)."""
+    block_size, with_pos = config.block_size, config.with_positions
+
+    def write_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        rows = []
+        seg = int(pdf["segment_id"].iloc[0])
+        for term, g in pdf.groupby("term", sort=True):
+            doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
+            freqs = g["freq"].to_numpy(dtype=np.int64)
+            norms = g["norm"].to_numpy(dtype=np.int64)
+            pos_lists = g["positions"].tolist() if with_pos else None
+            for b0 in range(0, len(doc_ids), block_size):
+                b1 = min(b0 + block_size, len(doc_ids))
+                d, f, n = doc_ids[b0:b1], freqs[b0:b1], norms[b0:b1]
+                base = int(doc_ids[b0 - 1]) if b0 else -1
+                imp_f, imp_n = codec.pareto_impacts(f, n)
+                if with_pos:
+                    pcat = (
+                        np.concatenate([np.asarray(p) for p in pos_lists[b0:b1]])
+                        if b1 > b0
+                        else np.array([], dtype=np.int64)
+                    )
+                    pos_enc = codec.encode_positions(pcat, f)
+                else:
+                    pos_enc = None
+                rows.append(
+                    (
+                        term,
+                        seg,
+                        b0 // block_size,
+                        base,
+                        int(b1 - b0),
+                        int(d[-1]),
+                        codec.delta_encode_docs(d, base),
+                        codec.pfor_encode(f.astype(np.uint32)),
+                        n.astype(np.uint8).tobytes(),
+                        imp_f.astype(np.int32).tolist(),
+                        imp_n.astype(np.int32).tolist(),
+                        pos_enc,
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[f.name for f in POSTINGS_SCHEMA.fields],
+        )
+
+    return write_segment
+
+
+@dataclass
+class Index:
+    """A built index: the reader-side view (SURVEY.md §1.1 table mapping)."""
+
+    docs: DataFrame  # doc_id, length, norm, <store_cols>
+    terms: DataFrame  # term, doc_freq, total_term_freq, singleton_*
+    postings: DataFrame  # POSTINGS_SCHEMA
+    stats: CollectionStats
+    config: IndexConfig
+
+    def persist(self) -> "Index":
+        self.docs.persist()
+        self.terms.persist()
+        self.postings.persist()
+        return self
+
+    def unpersist(self) -> "Index":
+        for df in (self.docs, self.terms, self.postings):
+            df.unpersist()
+        return self
+
+
+def build_index(
+    corpus: DataFrame,
+    config: IndexConfig = IndexConfig(),
+    content_col: Optional[str] = None,
+    doc_id_col: Optional[str] = None,
+    order_cols: Optional[List[str]] = None,
+    num_partitions: Optional[int] = None,
+) -> Index:
+    """Build the full index from a corpus DataFrame.
+
+    Either ``doc_id_col`` names an existing dense unique long column, or
+    ``order_cols`` defines the canonical ingest order for doc_id assignment.
+    """
+    spark = corpus.sparkSession
+    content_col = content_col or config.field
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 4)
+
+    if doc_id_col is not None:
+        df = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+    else:
+        assert order_cols, "need doc_id_col or order_cols"
+        df = assign_doc_ids(corpus, order_cols, num_partitions)
+
+    tf = df.select("doc_id", content_col).mapInPandas(
+        _invert_fn(config, content_col), schema=TF_SCHEMA
+    )
+
+    # ONE wide shuffle: group whole segments for the block writer
+    postings = tf.groupBy("segment_id").applyInPandas(
+        _segment_writer_fn(config), schema=POSTINGS_SCHEMA
+    )
+
+    # term stats: partial-agg-friendly; singleton (pulsing) info captured via
+    # min/max trick — only meaningful when doc_freq == 1
+    terms = tf.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("freq").alias("total_term_freq"),
+        F.min("doc_id").alias("singleton_doc_id"),
+        F.max("freq").alias("singleton_freq"),
+        F.max("norm").alias("singleton_norm"),
+    )
+
+    # docs / norms: lightweight second analysis-free pass is avoided by
+    # deriving length from tf (sum of freqs); docs with zero tokens keep norm 0
+    lengths = tf.groupBy("doc_id").agg(F.sum("freq").alias("length"))
+    docs = (
+        df.select("doc_id", *config.store_cols)
+        .join(lengths, "doc_id", "left")
+        .fillna({"length": 0})
+    )
+    norm_udf = F.pandas_udf(
+        lambda s: pd.Series(int_to_byte4(s.to_numpy(dtype=np.int64))), "int"
+    )
+    docs = docs.withColumn("norm", norm_udf(F.col("length")))
+
+    row = docs.agg(
+        F.count("*").alias("n"), F.sum("length").alias("sttf")
+    ).collect()[0]
+    stats = CollectionStats(doc_count=int(row["n"]), sum_total_term_freq=int(row["sttf"] or 0))
+    return Index(docs=docs, terms=terms, postings=postings, stats=stats, config=config)
+
+
+def write_index(index: Index, path: str) -> dict:
+    """Persist index tables as Parquet + manifest (commit point: the analog of
+    SegmentInfos/segments_N — SURVEY.md §2.1). Returns manifest dict.
+
+    Postings are sorted by (term) within segment partitions so Parquet
+    row-group stats prune term seeks."""
+    t0 = time.time()
+    (
+        index.postings.repartition("segment_id")
+        .sortWithinPartitions("term", "block_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "postings"))
+    )
+    index.terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
+    index.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    manifest = {
+        "generation": int(time.time()),
+        "doc_count": index.stats.doc_count,
+        "sum_total_term_freq": index.stats.sum_total_term_freq,
+        "config": {
+            "chain": index.config.chain,
+            "seg_size": index.config.seg_size,
+            "block_size": index.config.block_size,
+            "with_positions": index.config.with_positions,
+            "k1": index.config.k1,
+            "b": index.config.b,
+        },
+        "build_wall_sec": round(time.time() - t0, 3),
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
+def read_index(spark: SparkSession, path: str) -> Index:
+    """Open a written index (DirectoryReader.open analog)."""
+    with open(os.path.join(path, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    cfg = IndexConfig(**{k: v for k, v in manifest["config"].items()})
+    return Index(
+        docs=spark.read.parquet(os.path.join(path, "docs")),
+        terms=spark.read.parquet(os.path.join(path, "terms")),
+        postings=spark.read.parquet(os.path.join(path, "postings")),
+        stats=CollectionStats(
+            doc_count=manifest["doc_count"],
+            sum_total_term_freq=manifest["sum_total_term_freq"],
+        ),
+        config=cfg,
+    )

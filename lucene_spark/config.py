@@ -1,0 +1,35 @@
+"""Engine configuration (the reference's IndexWriterConfig / FieldType /
+Similarity knobs, collapsed to what our single-text-field engine needs)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Optional, Tuple
+
+from .bm25 import B_DEFAULT, K1_DEFAULT
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Analyzer + layout + scoring knobs.
+
+    - ``chain``: 'standard' (StandardAnalyzer-equivalent) or 'code' (adds
+      WordDelimiterGraph-style splitting) — SURVEY.md §2.2.
+    - ``seg_size``: docs per segment; segments are contiguous doc_id ranges
+      (segment_id = doc_id // seg_size), the Spark analog of DWPT flushes.
+      Doubles as the skew salt: hot terms split across segments, so no
+      groupBy group exceeds one segment's postings.
+    - ``block_size``: postings per encoded block (Lucene's 128).
+    - ``with_positions``: store position streams (phrase queries).
+    """
+
+    chain: str = "standard"
+    seg_size: int = 1 << 16
+    block_size: int = 128
+    with_positions: bool = True
+    k1: float = K1_DEFAULT
+    b: float = B_DEFAULT
+    store_cols: Tuple[str, ...] = ()
+    field: str = "content"
+    # stopwords: empty by default, like 9.x StandardAnalyzer
+    stopwords: frozenset = dc_field(default_factory=frozenset)

@@ -1,0 +1,389 @@
+"""Query AST (logical operators), rewrite rules and a classic-syntax parser.
+
+AST mirrors the reference's Query tree (SURVEY.md §2.4); rewrites mirror
+BooleanQuery.rewrite simplifications (search/BooleanQuery.java:238-340) and
+the multi-term constant-score rewrite (search/MultiTermQuery.java). The parser
+is a small recursive-descent implementation of the classic QueryParser
+grammar subset (queryparser/.../classic/QueryParser.jj:313-372): terms,
+AND/OR/NOT/+/-, quoted phrases (~slop), wildcards, fuzzy ~n, ranges
+[a TO b], boosts ^f, grouping parens.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from enum import Enum
+from typing import List, Optional, Tuple
+
+
+class Occur(Enum):
+    MUST = "MUST"
+    SHOULD = "SHOULD"
+    FILTER = "FILTER"
+    MUST_NOT = "MUST_NOT"
+
+
+@dataclass(frozen=True)
+class Query:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str = ""
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: Tuple[str, ...] = ()
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    terms: Tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str = ""
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str = ""  # * = any run, ? = any single char
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    regexp: str = ""
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str = ""
+    max_edits: int = 2
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: Optional[str] = None
+    upper: Optional[str] = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    terms: Tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    reason: str = ""
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Optional[Query] = None
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: Query
+    occur: Occur
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: Tuple[BooleanClause, ...] = ()
+    minimum_should_match: int = 0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    disjuncts: Tuple[Query, ...] = ()
+    tie_breaker: float = 0.0
+
+
+def bool_query(
+    must=(), should=(), filter=(), must_not=(), msm: int = 0, boost: float = 1.0
+) -> BooleanQuery:
+    clauses = (
+        tuple(BooleanClause(q, Occur.MUST) for q in must)
+        + tuple(BooleanClause(q, Occur.SHOULD) for q in should)
+        + tuple(BooleanClause(q, Occur.FILTER) for q in filter)
+        + tuple(BooleanClause(q, Occur.MUST_NOT) for q in must_not)
+    )
+    return BooleanQuery(boost=boost, clauses=clauses, minimum_should_match=msm)
+
+
+# ---------------------------------------------------------------------------
+# Rewrites (IndexSearcher.rewrite fixpoint, search/IndexSearcher.java:765-774)
+# ---------------------------------------------------------------------------
+
+
+def rewrite(q: Query) -> Query:
+    prev = None
+    while prev != q:
+        prev, q = q, _rewrite_once(q)
+    return q
+
+
+def _rewrite_once(q: Query) -> Query:
+    if isinstance(q, BooleanQuery):
+        clauses = tuple(
+            BooleanClause(_rewrite_once(c.query), c.occur) for c in q.clauses
+        )
+        # drop MatchNoDocs SHOULD clauses; MatchNoDocs MUST/FILTER => no match
+        kept = []
+        for c in clauses:
+            if isinstance(c.query, MatchNoDocsQuery):
+                if c.occur in (Occur.MUST, Occur.FILTER):
+                    return MatchNoDocsQuery(reason="MUST clause matches nothing")
+                continue  # SHOULD / MUST_NOT of nothing: drop
+            kept.append(c)
+        # dedup FILTER and MUST_NOT clauses (BooleanQuery.java:288-310)
+        seen = set()
+        deduped = []
+        for c in kept:
+            key = (c.occur, c.query) if c.occur in (Occur.FILTER, Occur.MUST_NOT) else id(c)
+            if key in seen:
+                continue
+            seen.add(key)
+            deduped.append(c)
+        kept = deduped
+        # a query that is both MUST and MUST_NOT matches nothing (:318-330)
+        neg = {c.query for c in kept if c.occur == Occur.MUST_NOT}
+        if any(c.query in neg for c in kept if c.occur in (Occur.MUST, Occur.FILTER)):
+            return MatchNoDocsQuery(reason="MUST ∩ MUST_NOT")
+        pos = [c for c in kept if c.occur != Occur.MUST_NOT]
+        if not pos:
+            return MatchNoDocsQuery(reason="pure negation")
+        # single positive clause, no msm constraint: unwrap (:238-264)
+        if (
+            len(kept) == 1
+            and kept[0].occur in (Occur.MUST, Occur.SHOULD)
+            and q.minimum_should_match <= 1
+            and q.boost == 1.0
+        ):
+            return kept[0].query
+        return BooleanQuery(
+            boost=q.boost, clauses=tuple(kept), minimum_should_match=q.minimum_should_match
+        )
+    if isinstance(q, ConstantScoreQuery) and isinstance(q.query, ConstantScoreQuery):
+        return ConstantScoreQuery(boost=q.boost, query=q.query.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        djs = tuple(_rewrite_once(d) for d in q.disjuncts)
+        djs = tuple(d for d in djs if not isinstance(d, MatchNoDocsQuery))
+        if not djs:
+            return MatchNoDocsQuery(reason="empty dismax")
+        if len(djs) == 1 and q.boost == 1.0:
+            return djs[0]
+        return DisjunctionMaxQuery(boost=q.boost, disjuncts=djs, tie_breaker=q.tie_breaker)
+    if isinstance(q, PhraseQuery) and len(q.terms) == 1:
+        return TermQuery(boost=q.boost, term=q.terms[0])
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Classic query parser (subset)
+# ---------------------------------------------------------------------------
+
+_TOKEN_SPEC = [
+    ("LPAREN", r"\("),
+    ("RPAREN", r"\)"),
+    ("AND", r"AND\b|&&"),
+    ("OR", r"OR\b|\|\|"),
+    ("NOT", r"NOT\b"),
+    ("PLUS", r"\+"),
+    ("MINUS", r"-"),
+    ("PHRASE", r'"[^"]*"'),
+    ("RANGE", r"\[[^\]]+ TO [^\]]+\]"),
+    ("BOOST", r"\^\d+(?:\.\d+)?"),
+    ("TERM", r"[^\s()+\-\"\[\]^]+"),
+    ("WS", r"\s+"),
+]
+_TOKEN_RE = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC))
+_BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+_FUZZY_RE = re.compile(r"~(\d?)$")
+
+
+def _lex(s: str):
+    for m in _TOKEN_RE.finditer(s):
+        if m.lastgroup != "WS":
+            yield m.lastgroup, m.group()
+
+
+def _analyze_term(raw: str, analyze) -> str:
+    # Analyzer.normalize analog (StandardAnalyzer.java:99-103): lowercase
+    toks = analyze(raw)
+    return toks[0] if toks else raw.lower()
+
+
+def parse(query: str, analyze=None) -> Query:
+    """Parse classic syntax into the AST. ``analyze`` normalizes bare terms
+    (defaults to the standard chain)."""
+    if analyze is None:
+        from .analysis import standard_analyze
+
+        analyze = standard_analyze
+    tokens = list(_lex(query))
+    pos = [0]
+
+    def peek():
+        return tokens[pos[0]] if pos[0] < len(tokens) else (None, None)
+
+    def advance():
+        t = tokens[pos[0]]
+        pos[0] += 1
+        return t
+
+    def parse_atom() -> Tuple[Query, Optional[Occur]]:
+        kind, text = peek()
+        occur = None
+        while kind in ("PLUS", "MINUS", "NOT"):
+            advance()
+            occur = Occur.MUST if kind == "PLUS" else Occur.MUST_NOT
+            kind, text = peek()
+        boost = 1.0
+        if kind == "LPAREN":
+            advance()
+            inner = parse_or()
+            k, _ = peek()
+            if k == "RPAREN":
+                advance()
+            k, t = peek()
+            if k == "BOOST":
+                advance()
+                inner = _with_boost(inner, float(t[1:]))
+            return inner, occur
+        if kind == "PHRASE":
+            advance()
+            body = text[1:-1]
+            slop = 0
+            k, t = peek()
+            if k == "TERM" and t.startswith("~"):
+                advance()
+                slop = int(t[1:] or 0)
+            terms = tuple(analyze(body))
+            q: Query = (
+                PhraseQuery(terms=terms, slop=slop)
+                if len(terms) != 1
+                else TermQuery(term=terms[0])
+            )
+            return q, occur
+        if kind == "RANGE":
+            advance()
+            body = text[1:-1]
+            lo, hi = [x.strip() for x in body.split(" TO ")]
+            return (
+                TermRangeQuery(
+                    lower=None if lo == "*" else _analyze_term(lo, analyze),
+                    upper=None if hi == "*" else _analyze_term(hi, analyze),
+                ),
+                occur,
+            )
+        if kind == "TERM":
+            advance()
+            raw = text
+            k2, t2 = peek()
+            if k2 == "BOOST":
+                advance()
+                boost = float(t2[1:])
+            fz = _FUZZY_RE.search(raw)
+            if fz:
+                max_edits = int(fz.group(1) or 2)
+                raw = raw[: fz.start()]
+                return FuzzyQuery(boost=boost, term=_analyze_term(raw, analyze), max_edits=max_edits), occur
+            if "*" in raw or "?" in raw:
+                if raw.endswith("*") and "*" not in raw[:-1] and "?" not in raw:
+                    return PrefixQuery(boost=boost, prefix=raw[:-1].lower()), occur
+                return WildcardQuery(boost=boost, pattern=raw.lower()), occur
+            term = _analyze_term(raw, analyze)
+            return TermQuery(boost=boost, term=term), occur
+        # fallthrough: unexpected token
+        advance()
+        return MatchNoDocsQuery(), occur
+
+    def parse_and() -> Query:
+        left, occ = parse_atom()
+        clauses = [(left, occ)]
+        while True:
+            kind, _ = peek()
+            if kind == "AND":
+                advance()
+                nxt, occ2 = parse_atom()
+                clauses.append((nxt, occ2))
+            else:
+                break
+        if len(clauses) == 1:
+            q, occ = clauses[0]
+            if occ == Occur.MUST_NOT:
+                return bool_query(must_not=[q])
+            return q
+        must = [q for q, o in clauses if o != Occur.MUST_NOT]
+        must_not = [q for q, o in clauses if o == Occur.MUST_NOT]
+        return bool_query(must=must, must_not=must_not)
+
+    def parse_or() -> Query:
+        parts: List[Query] = [parse_and()]
+        explicit_or = False
+        while True:
+            kind, _ = peek()
+            if kind == "OR":
+                advance()
+                explicit_or = True
+                parts.append(parse_and())
+            elif kind in ("TERM", "PHRASE", "PLUS", "MINUS", "NOT", "LPAREN", "RANGE"):
+                # implicit OR (default operator SHOULD), with +/- occurs
+                nxt, occ = parse_atom()
+                parts.append(_occurred(nxt, occ))
+            else:
+                break
+        if len(parts) == 1:
+            return parts[0]
+        # merge: plain parts become SHOULD; pre-occurred boolean parts merge in
+        must, should, must_not = [], [], []
+        for p in parts:
+            if isinstance(p, _Occurred):
+                if p.occur == Occur.MUST:
+                    must.append(p.query)
+                elif p.occur == Occur.MUST_NOT:
+                    must_not.append(p.query)
+                else:
+                    should.append(p.query)
+            else:
+                should.append(p)
+        return bool_query(must=must, should=should, must_not=must_not)
+
+    q = parse_or()
+    if isinstance(q, _Occurred):
+        if q.occur == Occur.MUST_NOT:
+            return rewrite(bool_query(must_not=[q.query]))
+        q = q.query
+    return rewrite(q)
+
+
+@dataclass(frozen=True)
+class _Occurred:
+    query: Query
+    occur: Occur
+
+
+def _occurred(q: Query, occ: Optional[Occur]):
+    if occ is None:
+        return q
+    return _Occurred(q, occ)
+
+
+def _with_boost(q: Query, boost: float) -> Query:
+    import dataclasses
+
+    return dataclasses.replace(q, boost=boost)

@@ -1,0 +1,479 @@
+"""Query execution: the reference's IndexSearcher / Weight / Scorer stack
+re-expressed set-at-a-time as DataFrame ops + Arrow-batch decoders.
+
+Pipeline per query (SURVEY.md §3.2 mapping):
+1. rewrite(query)                      — driver-side AST fixpoint
+2. stats lookup (terms table, tiny)    — global stats like IndexSearcher.java:938-957
+3. per-term scorer (idf + norm cache)  — BM25Similarity.scorer
+4. postings decode + vectorized score  — mapInPandas over block rows
+   (PostingsEnum bulk decode; Spark's batch model replaces the iterator)
+5. boolean algebra as joins/groupBy    — Boolean2ScorerSupplier analogs:
+   MUST=intersection via grouped counts, SHOULD=sum, FILTER=semi join,
+   MUST_NOT=anti join, minimumShouldMatch=HAVING count
+6. top-k: orderBy(score desc, doc_id asc).limit(k)
+   == per-partition heap + TopDocs.merge (TakeOrderedAndProject), ties by
+   ascending doc_id (TopScoreDocCollector.java:27-29)
+
+Block-max pruning (WAND analog) lives in prune.py and is used by
+``Searcher.search`` for term/disjunction/conjunction-of-terms tops-k when
+``prune=True``; correctness never depends on it (equivalence-tested).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import codec
+from .bm25 import BM25Scorer, CollectionStats, idf, idf_sum, make_scorer
+from .build import Index
+from .query import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    rewrite,
+)
+
+MATCH_SCHEMA = "doc_id long, score double"
+MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount default
+
+
+@dataclass(frozen=True)
+class TermStats:
+    doc_freq: int
+    total_term_freq: int
+    singleton_doc_id: int
+    singleton_freq: int
+    singleton_norm: int
+
+
+class Searcher:
+    def __init__(self, index: Index, dtype=np.float32):
+        self.index = index
+        self.dtype = dtype
+        self.spark = index.docs.sparkSession
+
+    # ---------------- public API ----------------
+
+    def search(self, q: Query, k: int = 10, prune: bool = True) -> DataFrame:
+        """Top-k (doc_id, score), ordered by score desc then doc_id asc."""
+        q = rewrite(q)
+        if prune:
+            from .prune import try_pruned_topk
+
+            pruned = try_pruned_topk(self, q, k)
+            if pruned is not None:
+                return pruned
+        return self._topk(self.matches(q), k)
+
+    def matches(self, q: Query) -> DataFrame:
+        """Exhaustive (doc_id, score) for every matching doc."""
+        return self._eval(rewrite(q), needs_scores=True)
+
+    def count(self, q: Query) -> int:
+        """TotalHitCountCollector analog."""
+        return self._eval(rewrite(q), needs_scores=False).count()
+
+    def _topk(self, matches: DataFrame, k: int) -> DataFrame:
+        return matches.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # ---------------- stats / scorers ----------------
+
+    def term_stats(self, terms: Sequence[str]) -> Dict[str, TermStats]:
+        terms = list(dict.fromkeys(terms))
+        if not terms:
+            return {}
+        rows = self.index.terms.filter(F.col("term").isin(terms)).collect()
+        return {
+            r["term"]: TermStats(
+                int(r["doc_freq"]),
+                int(r["total_term_freq"]),
+                int(r["singleton_doc_id"]),
+                int(r["singleton_freq"]),
+                int(r["singleton_norm"]),
+            )
+            for r in rows
+        }
+
+    def term_scorer(self, term_idf: float, boost: float = 1.0) -> BM25Scorer:
+        cfg = self.index.config
+        return make_scorer(
+            boost, term_idf, self.index.stats, k1=cfg.k1, b=cfg.b, dtype=self.dtype
+        )
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], MATCH_SCHEMA)
+
+    # ---------------- decoders ----------------
+
+    def _postings_for(self, terms: Sequence[str]) -> DataFrame:
+        return self.index.postings.filter(F.col("term").isin(list(terms)))
+
+    def decode_scored(
+        self, scorers: Dict[str, BM25Scorer], keep_term: bool = False
+    ) -> DataFrame:
+        """Decode + score postings of the given terms: (term?, doc_id, score)."""
+        schema = ("term string, " if keep_term else "") + MATCH_SCHEMA
+        scorer_map = scorers
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    n = int(row.count)
+                    docs = codec.delta_decode_docs(bytes(row.docs_enc), n, int(row.base_doc))
+                    freqs = codec.pfor_decode(bytes(row.freqs_enc), n)
+                    norms = np.frombuffer(bytes(row.norms_enc), dtype=np.uint8)
+                    sc = scorer_map[row.term].score(freqs, norms).astype(np.float64)
+                    d = {"doc_id": docs, "score": sc}
+                    if keep_term:
+                        d = {"term": np.repeat(row.term, n), **d}
+                    outs.append(pd.DataFrame(d))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return self._postings_for(list(scorer_map)).mapInPandas(run, schema=schema)
+
+    def decode_raw(
+        self, terms: Sequence[str], with_positions: bool = False
+    ) -> DataFrame:
+        """Decode postings to (term, doc_id, freq, norm[, positions])."""
+        schema = "term string, doc_id long, freq int, norm int"
+        if with_positions:
+            schema += ", positions array<int>"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    n = int(row.count)
+                    docs = codec.delta_decode_docs(bytes(row.docs_enc), n, int(row.base_doc))
+                    freqs = codec.pfor_decode(bytes(row.freqs_enc), n).astype(np.int32)
+                    norms = np.frombuffer(bytes(row.norms_enc), dtype=np.uint8).astype(np.int32)
+                    d = {
+                        "term": np.repeat(row.term, n),
+                        "doc_id": docs,
+                        "freq": freqs,
+                        "norm": norms,
+                    }
+                    if with_positions:
+                        pos = codec.decode_positions(bytes(row.pos_enc), freqs)
+                        bounds = np.cumsum(freqs)[:-1]
+                        d["positions"] = [a.astype(np.int32) for a in np.split(pos, bounds)]
+                    outs.append(pd.DataFrame(d))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return self._postings_for(terms).mapInPandas(run, schema=schema)
+
+    def decode_docs_only(self, terms: Sequence[str]) -> DataFrame:
+        """Just matching doc_ids (distinct) — FILTER / constant-score path."""
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = [
+                    codec.delta_decode_docs(
+                        bytes(r.docs_enc), int(r.count), int(r.base_doc)
+                    )
+                    for r in pdf.itertuples(index=False)
+                ]
+                if outs:
+                    yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+
+        return (
+            self._postings_for(terms)
+            .mapInPandas(run, schema="doc_id long")
+            .distinct()
+        )
+
+    # ---------------- evaluation ----------------
+
+    def _eval(self, q: Query, needs_scores: bool) -> DataFrame:
+        if isinstance(q, MatchNoDocsQuery):
+            return self._empty()
+        if isinstance(q, MatchAllDocsQuery):
+            return self.index.docs.select(
+                "doc_id", (F.lit(float(np.float32(q.boost)))).alias("score")
+            )
+        if isinstance(q, TermQuery):
+            return self._eval_term(q, needs_scores)
+        if isinstance(q, SynonymQuery):
+            return self._eval_synonym(q)
+        if isinstance(q, BooleanQuery):
+            return self._eval_bool(q, needs_scores)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._eval_dismax(q)
+        if isinstance(q, PhraseQuery):
+            return self._eval_phrase(q)
+        if isinstance(q, ConstantScoreQuery):
+            inner = self._eval(q.query, needs_scores=False)
+            return inner.select("doc_id").distinct().withColumn(
+                "score", F.lit(float(np.float32(q.boost)))
+            )
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, TermInSetQuery, FuzzyQuery)):
+            return self._eval_multi_term(q)
+        raise NotImplementedError(type(q).__name__)
+
+    def _eval_term(self, q: TermQuery, needs_scores: bool) -> DataFrame:
+        st = self.term_stats([q.term]).get(q.term)
+        if st is None:
+            return self._empty()
+        if not needs_scores:
+            return self.decode_docs_only([q.term]).withColumn("score", F.lit(1.0))
+        scorer = self.term_scorer(
+            float(idf(st.doc_freq, self.index.stats.doc_count, dtype=self.dtype)),
+            boost=q.boost,
+        )
+        if st.doc_freq == 1:
+            # singleton pulsing fast path: posting inlined in the terms table
+            score = float(
+                scorer.score(np.array([st.singleton_freq]), np.array([st.singleton_norm]))[0]
+            )
+            return self.spark.createDataFrame(
+                [(st.singleton_doc_id, score)], MATCH_SCHEMA
+            )
+        return self.decode_scored({q.term: scorer})
+
+    def _eval_synonym(self, q: SynonymQuery) -> DataFrame:
+        """SynonymQuery: terms scored as one pseudo-term — max docFreq for idf,
+        per-doc summed tf (search/SynonymQuery.java)."""
+        stats = self.term_stats(q.terms)
+        if not stats:
+            return self._empty()
+        df_blend = max(s.doc_freq for s in stats.values())
+        scorer = self.term_scorer(
+            float(idf(df_blend, self.index.stats.doc_count, dtype=self.dtype)), boost=q.boost
+        )
+        raw = self.decode_raw(list(stats))
+        agg = raw.groupBy("doc_id").agg(
+            F.sum("freq").alias("freq"), F.first("norm").alias("norm")
+        )
+        return self._score_freq_norm(agg, scorer)
+
+    def _score_freq_norm(self, df: DataFrame, scorer: BM25Scorer) -> DataFrame:
+        @F.pandas_udf("double")
+        def sc(freq: pd.Series, norm: pd.Series) -> pd.Series:
+            return pd.Series(
+                scorer.score(freq.to_numpy(np.float64), norm.to_numpy(np.int64)).astype(
+                    np.float64
+                )
+            )
+
+        return df.select("doc_id", sc(F.col("freq"), F.col("norm")).alias("score"))
+
+    def _eval_bool(self, q: BooleanQuery, needs_scores: bool) -> DataFrame:
+        must = [c.query for c in q.clauses if c.occur == Occur.MUST]
+        should = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
+        filters = [c.query for c in q.clauses if c.occur == Occur.FILTER]
+        must_not = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
+        msm = q.minimum_should_match
+
+        parts = []
+        for sq in must:
+            parts.append(
+                self._eval(sq, True).select(
+                    "doc_id", "score", F.lit(1).alias("is_must")
+                )
+            )
+        for sq in should:
+            parts.append(
+                self._eval(sq, needs_scores).select(
+                    "doc_id", "score", F.lit(0).alias("is_must")
+                )
+            )
+        base: Optional[DataFrame] = None
+        if parts:
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            agg = u.groupBy("doc_id").agg(
+                F.sum("score").alias("score"),
+                F.sum("is_must").alias("n_must"),
+                F.count("*").alias("n_clauses"),
+            )
+            cond = F.col("n_must") == len(must)
+            n_should = F.col("n_clauses") - F.col("n_must")
+            if must:
+                if msm > 0:
+                    cond = cond & (n_should >= msm)
+            else:
+                cond = cond & (n_should >= max(msm, 1))
+            base = agg.filter(cond).select("doc_id", "score")
+        elif filters:
+            base = self._eval(filters[0], False).select("doc_id").distinct().withColumn(
+                "score", F.lit(1.0)
+            )
+            filters = filters[1:]
+        else:
+            return self._empty()
+
+        for sq in filters:
+            base = base.join(
+                self._eval(sq, False).select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+        for nq in must_not:
+            base = base.join(
+                self._eval(nq, False).select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+        if q.boost != 1.0:
+            base = base.withColumn("score", F.col("score") * F.lit(float(q.boost)))
+        return base
+
+    def _eval_dismax(self, q: DisjunctionMaxQuery) -> DataFrame:
+        parts = [self._eval(d, True) for d in q.disjuncts]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        tie = float(q.tie_breaker)
+        agg = u.groupBy("doc_id").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm")
+        )
+        score = F.col("mx") + F.lit(tie) * (F.col("sm") - F.col("mx"))
+        if q.boost != 1.0:
+            score = score * F.lit(float(q.boost))
+        return agg.select("doc_id", score.alias("score"))
+
+    def _eval_phrase(self, q: PhraseQuery) -> DataFrame:
+        """Exact phrase (slop=0): positional intersection; Lucene-parity
+        scoring with freq = phrase frequency and idf summed over terms
+        (search/PhraseQuery.java, ExactPhraseMatcher). slop>0 uses an
+        order-preserving window match (documented approximation of
+        SloppyPhraseMatcher; freq = number of ordered windows with total
+        displacement <= slop)."""
+        terms = list(q.terms)
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return self._empty()
+        n_terms = len(terms)
+        scorer = self.term_scorer(
+            float(
+                idf_sum(
+                    [stats[t].doc_freq for t in terms],
+                    self.index.stats.doc_count,
+                    dtype=self.dtype,
+                )
+            ),
+            boost=q.boost,
+        )
+        raw = self.decode_raw(sorted(set(terms)), with_positions=True)
+        slop = int(q.slop)
+        offsets = {t: [i for i, tt in enumerate(terms) if tt == t] for t in set(terms)}
+
+        @F.pandas_udf("int")
+        def phrase_freq(plist: pd.Series) -> pd.Series:
+            out = np.zeros(len(plist), dtype=np.int32)
+            for i, entries in enumerate(plist):
+                pos_by_term = {e["term"]: np.asarray(e["positions"]) for e in entries}
+                cands: Optional[np.ndarray] = None
+                ok = True
+                for t, offs in offsets.items():
+                    p = pos_by_term.get(t)
+                    if p is None:
+                        ok = False
+                        break
+                    for off in offs:
+                        shifted = p - off
+                        cands = shifted if cands is None else np.intersect1d(cands, shifted)
+                if not ok or cands is None:
+                    continue
+                if slop == 0:
+                    out[i] = len(cands[cands >= 0])
+                else:
+                    out[i] = _sloppy_freq(pos_by_term, terms, slop)
+            return pd.Series(out)
+
+        grouped = (
+            raw.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("nt"),
+                F.first("norm").alias("norm"),
+                F.collect_list(F.struct("term", "positions")).alias("plist"),
+            )
+            .filter(F.col("nt") == len(set(terms)))
+        )
+        scored = grouped.withColumn("freq", phrase_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
+
+    def _eval_multi_term(self, q: Query) -> DataFrame:
+        """MultiTermQuery family via terms-table expansion then
+        CONSTANT_SCORE_REWRITE (search/MultiTermQuery.java): matching docs get
+        score == boost."""
+        expanded = self.expand_terms(q)
+        if not expanded:
+            return self._empty()
+        docs = self.decode_docs_only(expanded)
+        return docs.withColumn("score", F.lit(float(np.float32(q.boost))))
+
+    def expand_terms(self, q: Query) -> List[str]:
+        t = self.index.terms
+        if isinstance(q, PrefixQuery):
+            cond = F.col("term").startswith(q.prefix)
+        elif isinstance(q, WildcardQuery):
+            pat = "".join(
+                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                for ch in q.pattern
+            )
+            cond = F.col("term").rlike("^(?:" + pat + ")$")
+        elif isinstance(q, RegexpQuery):
+            cond = F.col("term").rlike("^(?:" + q.regexp + ")$")
+        elif isinstance(q, TermRangeQuery):
+            cond = F.lit(True)
+            if q.lower is not None:
+                cond = cond & (
+                    F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+                )
+            if q.upper is not None:
+                cond = cond & (
+                    F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+                )
+        elif isinstance(q, TermInSetQuery):
+            cond = F.col("term").isin(list(q.terms))
+        elif isinstance(q, FuzzyQuery):
+            cond = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+        else:
+            raise NotImplementedError(type(q).__name__)
+        rows = t.filter(cond).select("term").limit(MAX_CLAUSE_COUNT).collect()
+        return sorted(r["term"] for r in rows)
+
+
+def _sloppy_freq(pos_by_term: Dict[str, np.ndarray], terms: List[str], slop: int) -> int:
+    """Ordered sloppy match count: windows where term i appears at
+    p_0 <= p_1 <= ... with sum of (p_i - p_0 - i) <= slop. Simplified,
+    deterministic; NOT rank-identical to SloppyPhraseMatcher (documented)."""
+    first = pos_by_term[terms[0]]
+    count = 0
+    for p0 in first.tolist():
+        cur = p0
+        total = 0
+        ok = True
+        for i, t in enumerate(terms[1:], start=1):
+            arr = pos_by_term[t]
+            nxt = arr[arr > cur]
+            if len(nxt) == 0:
+                ok = False
+                break
+            cur = int(nxt[0])
+            total += cur - p0 - i
+        if ok and total <= slop:
+            count += 1
+    return count

@@ -1,0 +1,28 @@
+"""SparkSession factory with engine-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "lucene_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "4g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

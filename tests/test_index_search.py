@@ -1,0 +1,264 @@
+"""End-to-end: build index on Spark, run every query operator, assert
+rank+score identity (float32-exact) against the brute-force oracle.
+
+Mirrors the reference's layered strategy (SURVEY.md §5): deterministic golden
+corpus (TestSearch.java style), randomized corpora, CheckHits-style score
+re-derivation, and pruned ≡ unpruned equivalence."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.build import IndexConfig, build_index, read_index, write_index
+from lucene_spark.query import (
+    FuzzyQuery,
+    PhraseQuery,
+    PrefixQuery,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    bool_query,
+)
+from lucene_spark.search import Searcher
+
+from oracle import BruteForceIndex, make_corpus
+
+VOCAB = [
+    "the", "a", "of", "return", "if", "def", "import", "value", "data",
+    "index", "query", "term", "doc", "score", "merge", "block", "spark",
+    "lucene", "search", "rank", "freq", "norm", "byte", "code", "test",
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "rarez",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    docs = make_corpus(240, VOCAB, seed=7, min_len=1, max_len=50)
+    # guarantee a singleton term and an empty-ish doc
+    docs[100] = docs[100] + " singletonword"
+    docs[5] = "the"
+    return docs
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus):
+    # small segments + tiny blocks to exercise multi-segment/multi-block paths
+    cfg = IndexConfig(seg_size=64, block_size=16, with_positions=True)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, content string"
+    )
+    idx = build_index(df, cfg, doc_id_col="doc_id").persist()
+    yield idx
+    idx.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return BruteForceIndex(corpus)
+
+
+@pytest.fixture(scope="module")
+def searcher(built):
+    return Searcher(built, dtype=np.float32)
+
+
+def assert_topk_equal(spark_df, expected, k=10):
+    got = [(int(r["doc_id"]), np.float32(r["score"])) for r in spark_df.collect()]
+    exp = [(d, np.float32(s)) for d, s in expected[:k]]
+    assert got == exp, f"\ngot: {got}\nexp: {exp}"
+
+
+# ---------------- stats / structure invariants (CheckIndex analog) ----------
+
+
+def test_stats_match(built, oracle):
+    assert built.stats.doc_count == oracle.doc_count
+    assert built.stats.sum_total_term_freq == oracle.sum_ttf
+
+
+def test_terms_table_matches_oracle(built, oracle):
+    rows = {r["term"]: r for r in built.terms.collect()}
+    vocab = {t for tf in oracle.tfs for t in tf}
+    assert set(rows) == vocab
+    for t in ["the", "rarez", "singletonword"]:
+        if t in vocab:
+            assert rows[t]["doc_freq"] == oracle.doc_freq(t)
+    st = rows["singletonword"]
+    assert st["doc_freq"] == 1 and st["singleton_doc_id"] == 100
+
+
+def test_postings_invariants(built):
+    import pandas as pd
+
+    from lucene_spark import codec
+
+    pdf = built.postings.toPandas()
+    assert (pdf["count"] > 0).all()
+    for row in pdf.itertuples(index=False):
+        docs = codec.delta_decode_docs(bytes(row.docs_enc), row.count, row.base_doc)
+        assert np.all(np.diff(docs) > 0)  # strictly increasing
+        assert docs[-1] == row.last_doc
+        seg = row.segment_id
+        assert np.all(docs // 64 == seg)  # doc in its segment
+        freqs = codec.pfor_decode(bytes(row.freqs_enc), row.count)
+        assert np.all(freqs >= 1)
+        # impacts are a pareto frontier over the block's (freq, norm) pairs
+        assert len(row.imp_freqs) >= 1
+        assert all(np.diff(row.imp_freqs) > 0) and all(np.diff(row.imp_norms) > 0)
+
+
+def test_norms_match_oracle(built, oracle):
+    rows = {r["doc_id"]: r["norm"] for r in built.docs.collect()}
+    for d in range(oracle.doc_count):
+        assert rows[d] == oracle.norms[d], d
+
+
+# ---------------- query parity ----------------
+
+
+@pytest.mark.parametrize("term", ["the", "spark", "rarez", "singletonword", "absentzz"])
+def test_term_query(searcher, oracle, term):
+    exp = BruteForceIndex.topk(oracle.score_term(term), 10)
+    assert_topk_equal(searcher.search(TermQuery(term=term), 10, prune=False), exp)
+    assert_topk_equal(searcher.search(TermQuery(term=term), 10, prune=True), exp)
+
+
+def test_term_query_boost(searcher, oracle):
+    exp = BruteForceIndex.topk(oracle.score_term("spark", boost=2.5), 10)
+    assert_topk_equal(searcher.search(TermQuery(term="spark", boost=2.5), 10), exp)
+
+
+@pytest.mark.parametrize(
+    "must,should,must_not,filters,msm",
+    [
+        (["spark", "index"], [], [], [], 0),          # pure conjunction
+        ([], ["spark", "merge", "rarez"], [], [], 0),  # pure disjunction (WAND)
+        (["query"], ["spark", "merge"], [], [], 0),    # ReqOpt
+        (["query"], [], ["spark"], [], 0),             # ReqExcl
+        ([], ["spark", "merge", "block"], [], [], 2),  # minimumShouldMatch
+        (["the"], [], [], ["spark"], 0),               # FILTER clause
+        (["the", "a", "of"], [], [], [], 0),           # 3-clause AND, hot terms
+        ([], ["rarez", "singletonword"], [], [], 0),   # rare disjunction
+    ],
+)
+def test_boolean_query(searcher, oracle, must, should, must_not, filters, msm):
+    exp = BruteForceIndex.topk(
+        oracle.score_bool(must, should, must_not, filters, msm), 10
+    )
+    q = bool_query(
+        must=[TermQuery(term=t) for t in must],
+        should=[TermQuery(term=t) for t in should],
+        must_not=[TermQuery(term=t) for t in must_not],
+        filter=[TermQuery(term=t) for t in filters],
+        msm=msm,
+    )
+    assert_topk_equal(searcher.search(q, 10, prune=False), exp)
+    assert_topk_equal(searcher.search(q, 10, prune=True), exp)
+
+
+def test_pruned_equals_unpruned_many_ks(searcher, oracle):
+    q = bool_query(should=[TermQuery(term=t) for t in ["the", "spark", "merge"]])
+    for k in (1, 3, 10, 50):
+        exp = BruteForceIndex.topk(oracle.score_bool(should=["the", "spark", "merge"]), k)
+        assert_topk_equal(searcher.search(q, k, prune=True), exp, k)
+
+
+def test_phrase_query(searcher, oracle, corpus):
+    # find a phrase that actually occurs: first two tokens of doc 0
+    w = corpus[0].split()[:2]
+    exp = BruteForceIndex.topk(oracle.score_phrase(w), 10)
+    assert len(exp) > 0
+    got = searcher.search(PhraseQuery(terms=tuple(w)), 10)
+    assert_topk_equal(got, exp)
+
+
+def test_synonym_query(searcher, oracle):
+    # max docFreq idf + summed tf
+    terms = ("spark", "merge")
+    import math
+
+    n = max(oracle.doc_freq(t) for t in terms)
+    w = np.float32(math.log(1.0 + (oracle.doc_count - n + 0.5) / (n + 0.5)))
+    exp_scores = {}
+    for d, tf in enumerate(oracle.tfs):
+        freq = sum(tf.get(t, 0) for t in terms)
+        if freq:
+            inv = oracle.cache[oracle.norms[d]]
+            exp_scores[d] = np.float32(w - w / (np.float32(1.0) + np.float32(freq) * inv))
+    exp = BruteForceIndex.topk(exp_scores, 10)
+    assert_topk_equal(searcher.search(SynonymQuery(terms=terms), 10), exp)
+
+
+def test_prefix_query_constant_score(searcher, oracle):
+    got = searcher.search(PrefixQuery(prefix="de"), 1000)
+    exp_docs = {d for d, tf in enumerate(oracle.tfs) if any(t.startswith("de") for t in tf)}
+    rows = got.collect()
+    assert {int(r["doc_id"]) for r in rows} == exp_docs
+    assert all(np.float32(r["score"]) == np.float32(1.0) for r in rows)
+
+
+def test_wildcard_and_regexp_and_range_and_set(searcher, oracle):
+    from lucene_spark.query import RegexpQuery
+
+    def docs_of(pred):
+        return {d for d, tf in enumerate(oracle.tfs) if any(pred(t) for t in tf)}
+
+    cases = [
+        (WildcardQuery(pattern="*ar*"), lambda t: "ar" in t),
+        (RegexpQuery(regexp="[ab].*a"), lambda t: __import__("re").fullmatch("[ab].*a", t)),
+        (TermRangeQuery(lower="query", upper="spark"), lambda t: "query" <= t <= "spark"),
+        (TermInSetQuery(terms=("spark", "merge", "nope")), lambda t: t in ("spark", "merge")),
+    ]
+    for q, pred in cases:
+        got = {int(r["doc_id"]) for r in searcher.search(q, 10_000).collect()}
+        assert got == docs_of(pred), q
+
+
+def test_fuzzy_query(searcher, oracle):
+    got = {int(r["doc_id"]) for r in searcher.search(FuzzyQuery(term="spar", max_edits=1), 10_000).collect()}
+
+    def within1(a, b):
+        import difflib
+
+        # quick levenshtein
+        if abs(len(a) - len(b)) > 1:
+            return False
+        # dp
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb] <= 1
+
+    exp = {d for d, tf in enumerate(oracle.tfs) if any(within1("spar", t) for t in tf)}
+    assert got == exp
+
+
+def test_count_and_match_all(searcher, oracle):
+    from lucene_spark.query import MatchAllDocsQuery
+
+    assert searcher.count(MatchAllDocsQuery()) == oracle.doc_count
+    assert searcher.count(TermQuery(term="the")) == oracle.doc_freq("the")
+    q = bool_query(must=[TermQuery(term="spark"), TermQuery(term="merge")])
+    exp = len(oracle.score_bool(must=["spark", "merge"]))
+    assert searcher.count(q) == exp
+
+
+def test_write_read_round_trip(tmp_path, spark, built, oracle):
+    path = str(tmp_path / "idx")
+    write_index(built, path)
+    idx2 = read_index(spark, path)
+    s2 = Searcher(idx2)
+    exp = BruteForceIndex.topk(oracle.score_term("spark"), 10)
+    assert_topk_equal(s2.search(TermQuery(term="spark"), 10), exp)
+
+
+def test_searcher_f64_mode_ranks_match(searcher, built, oracle):
+    s64 = Searcher(built, dtype=np.float64)
+    exp = [d for d, _ in BruteForceIndex.topk(oracle.score_term("spark"), 10)]
+    got = [int(r["doc_id"]) for r in s64.search(TermQuery(term="spark"), 10).collect()]
+    assert got == exp
