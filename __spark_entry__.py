@@ -1,38 +1,549 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2,
+running the lucene_spark engine over the ``documents`` table of the given
+sf_dir; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL. Both sides:
+
+- tokenize with the SAME cross-engine regex (lucene_spark.analysis.TOKEN_RE),
+- quantize doc lengths through the SAME SmallFloat intToByte4/byte4ToInt math
+  (expressed as integer SQL on the oracle side),
+- compute BM25 in float64 with the same formula/op order,
+- round float outputs to 6 decimals and rank with (score DESC, doc_id ASC).
+
+The engine's Lucene-float32-exact mode is exercised by tests/ (brute-force
+oracle); here float64 is used so Spark and DuckDB agree to ~1e-15.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from lucene_spark.analysis import duckdb_token_re
+from lucene_spark.build import IndexConfig, build_index
+from lucene_spark.query import (
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    bool_query,
+)
+from lucene_spark.search import Searcher
+
+K1, B = 1.2, 0.75
+_CACHE: dict[str, Searcher] = {}
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    key = sf_dir
+    if key not in _CACHE:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        cfg = IndexConfig(
+            chain="standard",
+            seg_size=1 << 12,
+            block_size=128,
+            with_positions=True,
+            store_cols=("lang", "source", "n_chars"),
+        )
+        idx = build_index(docs, cfg, content_col="text", doc_id_col="doc_id").persist()
+        _CACHE[key] = Searcher(idx, dtype=np.float64)
+    return _CACHE[key]
+
+
+def _topk_df(s: Searcher, q: Query, k: int = 10) -> DataFrame:
+    top = s.search(q, k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.round(F.col("score"), 6).alias("score"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _docs_df(s: Searcher, q: Query) -> DataFrame:
+    """Constant-score matches: sorted doc_ids."""
+    return (
+        s.matches(q)
+        .select(F.col("doc_id").cast("long"))
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL scaffolding
+# --------------------------------------------------------------------------
+
+_TOKRE = duckdb_token_re()
+
+# shared CTE prefix: tokens, tf, doc length, SmallFloat norm byte + decoded
+# quantized length, collection stats (doc_count = all rows, matching the
+# engine), per-term docFreq
+_PRELUDE = f"""
+WITH tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKRE}') AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM tokarr
+),
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM tokarr
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY 1),
+nrm AS (
+  SELECT doc_id, len,
+    CASE WHEN len < 24 THEN len
+         WHEN (len - 24) < 8 THEN len
+         ELSE 24 + ((((len - 24) >> (length(format('{{:b}}', len - 24)) - 4)) & 7)
+                    | ((length(format('{{:b}}', len - 24)) - 3) << 3))
+    END AS nb
+  FROM dl
+),
+dlq AS (
+  SELECT doc_id, nb,
+    (CASE WHEN nb < 24 THEN nb
+          WHEN ((nb - 24) >> 3) = 0 THEN nb
+          ELSE 24 + ((((nb - 24) & 7) | 8) << (((nb - 24) >> 3) - 1))
+     END)::DOUBLE AS dlq
+  FROM nrm
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len), 0) FROM dl)::DOUBLE AS sttf
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+"""
+
+# BM25 building blocks (float64, same op order as the engine's f64 mode)
+_IDF = "ln(1 + (s.n - {df} + 0.5) / ({df} + 0.5))"
+_INV = "(1.0 / ({k1} * ((1 - {b}) + {b} * q.dlq / (s.sttf / s.n))))"
+
+
+def _scored_cte(terms: list[str], boosts: dict[str, float] | None = None) -> str:
+    """CTE `sc`: per-(doc, term) BM25 score for the given query terms."""
+    boosts = boosts or {}
+    lits = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    boost_case = "1.0"
+    if boosts:
+        cases = " ".join(
+            f"WHEN tf.term = '{t}' THEN {v}" for t, v in boosts.items()
+        )
+        boost_case = f"CASE {cases} ELSE 1.0 END"
+    idf = _IDF.format(df="d.df")
+    inv = _INV.format(k1=K1, b=B)
+    return f"""
+, sc AS (
+  SELECT tf.doc_id, tf.term,
+         ({boost_case} * {idf}) - ({boost_case} * {idf}) / (1 + tf.freq * {inv}) AS score
+  FROM tf
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dlq q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ({lits})
+)
+"""
+
+
+def _rank_tail(score_expr: str, from_clause: str, k: int = 10) -> str:
+    return f"""
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY {score_expr} DESC, doc_id ASC)::INT AS rank,
+         doc_id::BIGINT AS doc_id, round({score_expr}, 6) AS score
+  {from_clause}
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def _term_topk_sql(term: str, k: int = 10, boost: float = 1.0) -> str:
+    boosts = {term: boost} if boost != 1.0 else None
+    return (
+        _PRELUDE
+        + _scored_cte([term], boosts)
+        + _rank_tail("score", "FROM sc", k)
+    )
+
+
+def _bool_topk_sql(
+    must: list[str] = [],
+    should: list[str] = [],
+    must_not: list[str] = [],
+    filters: list[str] = [],
+    msm: int = 0,
+    k: int = 10,
+) -> str:
+    scoring = list(dict.fromkeys(must + should))
+    sql = _PRELUDE + _scored_cte(scoring)
+    must_lits = ", ".join(f"'{t}'" for t in must)
+    conds = []
+    if must:
+        conds.append(
+            f"(SELECT count(DISTINCT term) FROM sc m WHERE m.doc_id = g.doc_id AND m.term IN ({must_lits})) = {len(must)}"
+        )
+    n_should_expr = None
+    if should:
+        sh_lits = ", ".join(f"'{t}'" for t in should)
+        n_should_expr = f"(SELECT count(DISTINCT term) FROM sc m WHERE m.doc_id = g.doc_id AND m.term IN ({sh_lits}))"
+        need = msm if must else max(msm, 1)
+        if need > 0:
+            conds.append(f"{n_should_expr} >= {need}")
+    for t in must_not:
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = g.doc_id AND x.term = '{t}')"
+        )
+    for t in filters:
+        conds.append(
+            f"EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = g.doc_id AND x.term = '{t}')"
+        )
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    sql += f"""
+, agg AS (
+  SELECT doc_id, sum(score) AS score FROM sc GROUP BY doc_id
+),
+matched AS (
+  SELECT g.doc_id, g.score FROM agg g{where}
+)
+"""
+    return sql + _rank_tail("score", "FROM matched", k)
+
+
+def _const_docs_sql(term_pred: str) -> str:
+    """doc_ids containing any term satisfying term_pred (on alias t.term)."""
+    return (
+        _PRELUDE
+        + f"""
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf t WHERE {term_pred} ORDER BY doc_id
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# Query terms chosen from the documents vocabulary (see TESTDATA.md): common
+# terms 'a'/'the'/'table', mid 'spark'/'vector'/'merge', etc.
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: multi-term BM25 disjunction top-10 on sf0.001."""
+    s = _searcher(spark, "/root/testdata/sf0.001")
+    q = bool_query(should=[TermQuery(term=t) for t in ("spark", "vector", "merge")])
+    return _topk_df(s, q, 10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def term(t, k=10, boost=1.0):
+        return lambda sp, d: _topk_df(
+            _searcher(sp, d), TermQuery(term=t, boost=boost), k
+        )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def booln(must=(), should=(), must_not=(), filters=(), msm=0, k=10):
+        q = bool_query(
+            must=[TermQuery(term=t) for t in must],
+            should=[TermQuery(term=t) for t in should],
+            must_not=[TermQuery(term=t) for t in must_not],
+            filter=[TermQuery(term=t) for t in filters],
+            msm=msm,
+        )
+        return lambda sp, d: _topk_df(_searcher(sp, d), q, k)
+
+    def const_docs(q):
+        return lambda sp, d: _docs_df(_searcher(sp, d), q)
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # ---- term & boolean scoring family (SURVEY §2.4/§2.5) ----
+        "q_term": term("spark"),
+        "q_term_common": term("table"),
+        "q_term_boost": term("vector", boost=2.5),
+        "q_bool_and": booln(must=("spark", "vector")),
+        "q_bool_or": booln(should=("spark", "merge", "vector")),
+        "q_req_opt": booln(must=("query",), should=("spark", "merge")),
+        "q_req_excl": booln(must=("query",), must_not=("spark",)),
+        "q_msm": booln(should=("spark", "merge", "vector"), msm=2),
+        "q_filter": booln(must=("table",), filters=("spark",)),
+        "q_and3_hot": booln(must=("a", "the", "table")),
+        # ---- phrase (positions) ----
+        "q_phrase": lambda sp, d: _topk_df(
+            _searcher(sp, d), PhraseQuery(terms=("fast", "table")), 10
+        ),
+        # ---- synonym / dismax ----
+        "q_synonym": lambda sp, d: _topk_df(
+            _searcher(sp, d), SynonymQuery(terms=("spark", "stream")), 10
+        ),
+        "q_dismax": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            DisjunctionMaxQuery(
+                disjuncts=(TermQuery(term="spark"), TermQuery(term="vector")),
+                tie_breaker=0.1,
+            ),
+            10,
+        ),
+        # ---- multi-term constant-score family ----
+        "q_prefix": const_docs(PrefixQuery(prefix="s")),
+        "q_wildcard": const_docs(WildcardQuery(pattern="*a*k")),
+        "q_regexp": const_docs(RegexpQuery(regexp="[sv].*r")),
+        "q_term_range": const_docs(TermRangeQuery(lower="query", upper="sort")),
+        "q_term_in_set": const_docs(TermInSetQuery(terms=("spark", "vector", "nope"))),
+        "q_fuzzy": const_docs(FuzzyQuery(term="sprk", max_edits=1)),
+        # ---- counts / match-all ----
+        "q_total_hits": lambda sp, d: sp.createDataFrame(
+            [(int(_searcher(sp, d).count(bool_query(must=[TermQuery(term="spark"), TermQuery(term="vector")]))),)],
+            "total_hits long",
+        ),
+        "q_match_all_count": lambda sp, d: sp.createDataFrame(
+            [(int(_searcher(sp, d).count(MatchAllDocsQuery())),)], "total_hits long"
+        ),
+        # ---- index structure tables (terms dict / norms / field stats) ----
+        "q_terms_stats": lambda sp, d: (
+            _searcher(sp, d)
+            .index.terms.select(
+                "term",
+                F.col("doc_freq").cast("long"),
+                F.col("total_term_freq").cast("long"),
+            )
+            .orderBy(F.desc("doc_freq"), F.asc("term"))
+            .limit(20)
+        ),
+        "q_norms": lambda sp, d: (
+            _searcher(sp, d)
+            .index.docs.select(
+                F.col("doc_id").cast("long"),
+                F.col("length").cast("long"),
+                F.col("norm").cast("int").alias("norm_byte"),
+            )
+            .orderBy("doc_id")
+        ),
+        "q_field_stats": lambda sp, d: (
+            sp.createDataFrame(
+                [
+                    (
+                        _searcher(sp, d).index.stats.doc_count,
+                        _searcher(sp, d).index.stats.sum_total_term_freq,
+                    )
+                ],
+                "doc_count long, sum_total_term_freq long",
+            )
+        ),
+        # ---- facets / grouping / sort (SURVEY §2.7) ----
+        "q_facet_lang": lambda sp, d: (
+            _searcher(sp, d)
+            .matches(TermQuery(term="spark"))
+            .join(_searcher(sp, d).index.docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy("lang")
+        ),
+        "q_facet_range_nchars": lambda sp, d: (
+            _searcher(sp, d)
+            .matches(TermQuery(term="table"))
+            .join(_searcher(sp, d).index.docs.select("doc_id", "n_chars"), "doc_id")
+            .groupBy((F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("bucket"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy("bucket")
+        ),
+        "q_group_top1_per_lang": lambda sp, d: (
+            _searcher(sp, d)
+            .matches(TermQuery(term="data"))
+            .join(_searcher(sp, d).index.docs.select("doc_id", "lang"), "doc_id")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("lang").orderBy(
+                        F.desc("score"), F.asc("doc_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("lang", F.col("doc_id").cast("long"), F.round("score", 6).alias("score"))
+            .orderBy("lang")
+        ),
+        "q_sort_by_field": lambda sp, d: (
+            _searcher(sp, d)
+            .matches(TermQuery(term="vector"))
+            .join(_searcher(sp, d).index.docs.select("doc_id", "n_chars"), "doc_id")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .limit(10)
+            .select(F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
+        ),
+        "q_search_after": lambda sp, d: (
+            # page 2 (ranks 11..20) of q_term_common — searchAfter analog
+            _topk_df(_searcher(sp, d), TermQuery(term="table"), 20).filter(
+                F.col("rank") > 10
+            )
+        ),
+    }
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {
+        "q_term": _term_topk_sql("spark"),
+        "q_term_common": _term_topk_sql("table"),
+        "q_term_boost": _term_topk_sql("vector", boost=2.5),
+        "q_bool_and": _bool_topk_sql(must=["spark", "vector"]),
+        "q_bool_or": _bool_topk_sql(should=["spark", "merge", "vector"]),
+        "q_req_opt": _bool_topk_sql(must=["query"], should=["spark", "merge"]),
+        "q_req_excl": _bool_topk_sql(must=["query"], must_not=["spark"]),
+        "q_msm": _bool_topk_sql(should=["spark", "merge", "vector"], msm=2),
+        "q_filter": _bool_topk_sql(must=["table"], filters=["spark"]),
+        "q_and3_hot": _bool_topk_sql(must=["a", "the", "table"]),
+        "q_phrase": _phrase_sql(["fast", "table"]),
+        "q_synonym": _synonym_sql(["spark", "stream"]),
+        "q_dismax": _dismax_sql(["spark", "vector"], 0.1),
+        "q_prefix": _const_docs_sql("t.term LIKE 's%'"),
+        "q_wildcard": _const_docs_sql("regexp_matches(t.term, '^(?:.*a.*k)$')"),
+        "q_regexp": _const_docs_sql("regexp_matches(t.term, '^(?:[sv].*r)$')"),
+        "q_term_range": _const_docs_sql("t.term >= 'query' AND t.term <= 'sort'"),
+        "q_term_in_set": _const_docs_sql("t.term IN ('spark', 'vector', 'nope')"),
+        "q_fuzzy": _const_docs_sql("levenshtein(t.term, 'sprk') <= 1"),
+        "q_total_hits": _PRELUDE
+        + """
+SELECT count(*)::BIGINT AS total_hits FROM (
+  SELECT doc_id FROM tf WHERE term IN ('spark', 'vector')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)
+""",
+        "q_match_all_count": "SELECT count(*)::BIGINT AS total_hits FROM documents",
+        "q_terms_stats": _PRELUDE
+        + """
+SELECT term, count(*)::BIGINT AS doc_freq, sum(freq)::BIGINT AS total_term_freq
+FROM tf GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20
+""",
+        "q_norms": _PRELUDE
+        + """
+SELECT d.doc_id::BIGINT AS doc_id, coalesce(n.len, 0)::BIGINT AS length,
+       coalesce(n.nb, 0)::INT AS norm_byte
+FROM documents d LEFT JOIN nrm n ON n.doc_id = d.doc_id ORDER BY doc_id
+""",
+        "q_field_stats": _PRELUDE
+        + """
+SELECT n::BIGINT AS doc_count, sttf::BIGINT AS sum_total_term_freq FROM stats
+""",
+        "q_facet_lang": _PRELUDE
+        + """
+SELECT d.lang, count(*)::BIGINT AS cnt
+FROM documents d WHERE EXISTS (
+  SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'spark')
+GROUP BY d.lang ORDER BY d.lang
+""",
+        "q_facet_range_nchars": _PRELUDE
+        + """
+SELECT (floor(d.n_chars / 100) * 100)::BIGINT AS bucket, count(*)::BIGINT AS cnt
+FROM documents d WHERE EXISTS (
+  SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'table')
+GROUP BY bucket ORDER BY bucket
+""",
+        "q_group_top1_per_lang": _PRELUDE
+        + _scored_cte(["data"])
+        + """
+SELECT lang, doc_id, score FROM (
+  SELECT d.lang, sc.doc_id::BIGINT AS doc_id, round(sc.score, 6) AS score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY sc.score DESC, sc.doc_id ASC) AS rn
+  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+) WHERE rn = 1 ORDER BY lang
+""",
+        "q_sort_by_field": _PRELUDE
+        + """
+SELECT d.doc_id::BIGINT AS doc_id, d.n_chars::BIGINT AS n_chars
+FROM documents d WHERE EXISTS (
+  SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'vector')
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
+""",
+        "q_search_after": _PRELUDE
+        + _scored_cte(["table"])
+        + """
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
+         doc_id::BIGINT AS doc_id, round(score, 6) AS score
+  FROM sc
+) WHERE rank > 10 AND rank <= 20 ORDER BY rank
+""",
+    }
+    return sqls
+
+
+def _phrase_sql(terms: list[str], k: int = 10) -> str:
+    """Exact-phrase BM25: freq = consecutive-position matches; idf = sum of
+    per-term idfs."""
+    joins, conds = [], []
+    for i, t in enumerate(terms):
+        a = f"p{i}"
+        joins.append(
+            f"tokp {a}" if i == 0 else f"JOIN tokp p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+        )
+        conds.append(f"p{i}.term = '{t}'")
+    idf_sum = " + ".join(
+        "ln(1 + (s.n - (SELECT df FROM dfreq WHERE term = '%s') + 0.5) / ((SELECT df FROM dfreq WHERE term = '%s') + 0.5))"
+        % (t, t)
+        for t in terms
+    )
+    inv = _INV.format(k1=K1, b=B)
+    return (
+        _PRELUDE
+        + f"""
+, pf AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS freq
+  FROM {joins[0]} {' '.join(joins[1:])}
+  WHERE {' AND '.join(conds)}
+  GROUP BY p0.doc_id
+),
+psc AS (
+  SELECT pf.doc_id,
+         (({idf_sum})) - (({idf_sum})) / (1 + pf.freq * {inv}) AS score
+  FROM pf JOIN dlq q ON q.doc_id = pf.doc_id CROSS JOIN stats s
+)
+"""
+        + _rank_tail("score", "FROM psc", k)
+    )
+
+
+def _synonym_sql(terms: list[str], k: int = 10) -> str:
+    lits = ", ".join(f"'{t}'" for t in terms)
+    idf = f"ln(1 + (s.n - (SELECT max(df) FROM dfreq WHERE term IN ({lits})) + 0.5) / ((SELECT max(df) FROM dfreq WHERE term IN ({lits})) + 0.5))"
+    inv = _INV.format(k1=K1, b=B)
+    return (
+        _PRELUDE
+        + f"""
+, syn AS (
+  SELECT doc_id, sum(freq)::BIGINT AS freq FROM tf WHERE term IN ({lits}) GROUP BY doc_id
+),
+ssc AS (
+  SELECT syn.doc_id, ({idf}) - ({idf}) / (1 + syn.freq * {inv}) AS score
+  FROM syn JOIN dlq q ON q.doc_id = syn.doc_id CROSS JOIN stats s
+)
+"""
+        + _rank_tail("score", "FROM ssc", k)
+    )
+
+
+def _dismax_sql(terms: list[str], tie: float, k: int = 10) -> str:
+    return (
+        _PRELUDE
+        + _scored_cte(terms)
+        + f"""
+, dm AS (
+  SELECT doc_id, max(score) + {tie} * (sum(score) - max(score)) AS score
+  FROM sc GROUP BY doc_id
+)
+"""
+        + _rank_tail("score", "FROM dm", k)
+    )
