@@ -44,6 +44,10 @@ from lucene_spark.query import (
     bool_query,
 )
 from lucene_spark.search import Searcher
+from lucene_spark.functions import dedup as fdedup
+from lucene_spark.functions import multimodal as fmm
+from lucene_spark.functions import simsearch as fsim
+from lucene_spark.functions import textstats as ftext
 
 K1, B = 1.2, 0.75
 _CACHE: dict[str, Searcher] = {}
@@ -390,8 +394,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("rank") > 10
             )
         ),
+        # ---- monitor / percolator (standing queries over a doc batch) ----
+        "q_monitor": lambda sp, d: _monitor_matches(sp, d),
+        # ---- training-data pipeline: deduplication ----
+        "dedup_exact": lambda sp, d: fdedup.exact_dedup(_docs(sp, d), "doc_id", "text"),
+        "dedup_minhash_lsh": lambda sp, d: fdedup.minhash_candidates(
+            _docs(sp, d), "doc_id", "text"
+        ),
+        "dedup_simhash": lambda sp, d: fdedup.simhash(_docs(sp, d), "doc_id", "text"),
+        "dedup_simhash_pairs": lambda sp, d: fdedup.simhash_near_pairs(
+            _docs(sp, d), "doc_id", "text", max_hamming=4
+        ),
+        "dedup_jaccard": lambda sp, d: fdedup.jaccard_pairs(
+            _docs(sp, d), "doc_id", "text", min_sim=0.8
+        ),
+        # ---- similarity search over embeddings ----
+        "sim_cosine_topk": lambda sp, d: fsim.cosine_topk(
+            _emb(sp, d), [0, 1, 2], k=5
+        ),
+        "sim_lsh_topk": lambda sp, d: fsim.lsh_cosine_topk(
+            _emb(sp, d), [0, 1, 2], k=3
+        ),
+        # ---- text analysis ----
+        "text_token_counts": lambda sp, d: ftext.token_counts(
+            _docs(sp, d), "doc_id", "text"
+        ),
+        "text_quality": lambda sp, d: ftext.quality_scores(
+            _docs(sp, d), "doc_id", "text"
+        ),
+        "text_lang_id": lambda sp, d: ftext.lang_id(_docs(sp, d), "doc_id", "text"),
+        "text_fingerprint": lambda sp, d: ftext.fingerprints(
+            _docs(sp, d), "doc_id", "text"
+        ),
+        # ---- multimodal plumbing (binary payload metadata / frame sampling) ----
+        "mm_media_meta": lambda sp, d: fmm.media_meta_sql_expressible(
+            _docs(sp, d), "doc_id", "text"
+        ),
+        "mm_frame_sample": lambda sp, d: fmm.frame_sample(
+            _docs(sp, d), "doc_id", "text"
+        ),
     }
     return out
+
+
+def _docs(sp: SparkSession, d: str) -> DataFrame:
+    return sp.read.parquet(os.path.join(d, "documents.parquet"))
+
+
+def _emb(sp: SparkSession, d: str) -> DataFrame:
+    return sp.read.parquet(os.path.join(d, "embeddings.parquet"))
+
+
+MONITOR_QUERIES = [
+    ("mq1", bool_query(must=[TermQuery(term="spark"), TermQuery(term="vector")])),
+    ("mq2", TermQuery(term="merge")),
+    ("mq3", PhraseQuery(terms=("fast", "table"))),
+]
+
+
+def _monitor_matches(sp: SparkSession, d: str) -> DataFrame:
+    """Percolator analog (reference monitor/ module): every standing query
+    matched against the doc batch -> (query_id, doc_id)."""
+    s = _searcher(sp, d)
+    parts = []
+    for qid, q in MONITOR_QUERIES:
+        parts.append(
+            s.matches(q).select(
+                F.lit(qid).alias("query_id"), F.col("doc_id").cast("long")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("query_id", "doc_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -477,8 +552,234 @@ SELECT rank, doc_id, score FROM (
   FROM sc
 ) WHERE rank > 10 AND rank <= 20 ORDER BY rank
 """,
+        "q_monitor": _monitor_sql(),
     }
+    sqls.update(_pipeline_oracles())
     return sqls
+
+
+def _monitor_sql() -> str:
+    return (
+        _PRELUDE
+        + """
+, m1 AS (
+  SELECT 'mq1' AS query_id, doc_id FROM tf WHERE term IN ('spark', 'vector')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+),
+m2 AS (SELECT DISTINCT 'mq2' AS query_id, doc_id FROM tf WHERE term = 'merge'),
+m3 AS (
+  SELECT DISTINCT 'mq3' AS query_id, a.doc_id
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'table'
+)
+SELECT query_id, doc_id::BIGINT AS doc_id FROM (
+  SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
+) ORDER BY query_id, doc_id
+"""
+    )
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    """DuckDB SQL mirroring lucene_spark.functions.* arithmetic exactly."""
+    P = 2147483647
+    FP = 1 << 40
+    tok_cte = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKRE}') AS tk FROM documents
+),
+dtok AS (SELECT doc_id, unnest(list_distinct(tk)) AS term FROM toks),
+atok AS (SELECT doc_id, unnest(tk) AS term FROM toks)
+"""
+    minhash = (
+        tok_cte
+        + f"""
+, h AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 8))::BIGINT % {P} AS h FROM dtok),
+perms AS (SELECT i::INT AS perm, (101 + 37*i)::BIGINT AS a, (577 + 97*i)::BIGINT AS b
+          FROM generate_series(0, 15) t(i)),
+sig AS (SELECT doc_id, perm, min((a * h + b) % {P}) AS minhash
+        FROM h CROSS JOIN perms GROUP BY doc_id, perm),
+bands AS (SELECT doc_id, (perm // 4)::INT AS band,
+                 md5(string_agg(minhash::VARCHAR, ':' ORDER BY perm)) AS band_key
+          FROM sig GROUP BY doc_id, (perm // 4)::INT)
+SELECT DISTINCT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b
+"""
+    )
+    simhash_cte = (
+        tok_cte
+        + """
+, tf2 AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM atok GROUP BY 1, 2),
+th AS (SELECT doc_id, freq, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf2),
+bits AS (
+  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN freq ELSE -freq END) AS tot
+  FROM th CROSS JOIN (SELECT i::INT AS bit FROM generate_series(0, 59) t(i))
+  GROUP BY doc_id, bit
+),
+sh AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         sum(CASE WHEN tot > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+    )
+    return {
+        "dedup_exact": """
+SELECT doc_id::BIGINT AS doc_id, md5(text) AS text_md5,
+       (count(*) OVER (PARTITION BY md5(text)))::BIGINT AS dup_group_size
+FROM documents ORDER BY doc_id
+""",
+        "dedup_minhash_lsh": minhash,
+        "dedup_simhash": simhash_cte + "SELECT doc_id, simhash FROM sh ORDER BY doc_id",
+        "dedup_simhash_pairs": simhash_cte
+        + """
+, chunks AS (
+  SELECT doc_id, simhash, c::INT AS chunk,
+         ((simhash >> (c * 15)) & 32767) AS chunk_val
+  FROM sh CROSS JOIN (SELECT i AS c FROM generate_series(0, 3) t(i))
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 4 ORDER BY doc_a, doc_b
+""",
+        "dedup_jaccard": tok_cte
+        + """
+, sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM dtok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+  FROM dtok a JOIN dtok b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.8 ORDER BY doc_a, doc_b
+""",
+        "sim_cosine_topk": """
+WITH q AS (SELECT vec_id::BIGINT AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+c AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id NOT IN (0, 1, 2)),
+scored AS (
+  SELECT query_id, vec_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        "sim_lsh_topk": """
+WITH wb AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+        + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+        + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+        + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+        + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM wb WHERE vec_id IN (0, 1, 2)),
+c AS (SELECT vec_id, v AS cv, bucket FROM wb WHERE vec_id NOT IN (0, 1, 2)),
+scored AS (
+  SELECT query_id, vec_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+  FROM c JOIN q USING (bucket)
+)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= 3 ORDER BY query_id, rank
+""",
+        "text_token_counts": f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{_TOKRE}'))::BIGINT AS re_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{_TOKRE}')))::BIGINT AS uniq_terms
+FROM documents ORDER BY doc_id
+""",
+        "text_quality": f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '{_TOKRE}') AS tk FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS n_alpha,
+         length(text)::DOUBLE AS n_chars,
+         len(tk)::DOUBLE AS n_tok,
+         len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE AS n_stop
+  FROM t
+)
+SELECT doc_id::BIGINT AS doc_id,
+       round(n_alpha / greatest(n_chars, 1.0), 6) AS alpha_ratio,
+       round(n_stop / greatest(n_tok, 1.0), 6) AS stop_ratio,
+       round(0.5 * (n_alpha / greatest(n_chars, 1.0))
+           + 0.3 * (1.0 - n_stop / greatest(n_tok, 1.0))
+           + 0.2 * least(1.0, n_tok / 100.0), 6) AS quality
+FROM m ORDER BY doc_id
+""",
+        "text_lang_id": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKRE}') AS tk FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(list_filter(tk, x -> x IN ('the','a','of','and')))::BIGINT AS score_en,
+         len(list_filter(tk, x -> x IN ('el','la','de','que')))::BIGINT AS score_es,
+         len(list_filter(tk, x -> x IN ('der','die','und','das')))::BIGINT AS score_de,
+         len(list_filter(tk, x -> x IN ('le','la','et','les')))::BIGINT AS score_fr
+  FROM t
+)
+SELECT doc_id::BIGINT AS doc_id, score_en, score_es, score_de, score_fr,
+       CASE WHEN score_fr > greatest(score_en, score_es, score_de) THEN 'fr'
+            WHEN score_de > greatest(score_en, score_es) THEN 'de'
+            WHEN score_es > score_en THEN 'es'
+            ELSE 'en' END AS lang_guess
+FROM s ORDER BY doc_id
+""",
+        "text_fingerprint": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKRE}') AS tk FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       list_reduce(
+         [0::BIGINT] || list_transform(tk, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % {FP}),
+         (acc, x) -> (acc * 31 + x) % {FP}
+       )::BIGINT AS fingerprint
+FROM t ORDER BY doc_id
+""",
+        # NOTE: DuckDB v1.0 sha256/md5/substring only take VARCHAR; the
+        # documents corpus is verified pure-ASCII, where VARCHAR ops are
+        # byte-equivalent to the engine's binary-payload ops.
+        "mm_media_meta": """
+SELECT doc_id::BIGINT AS doc_id, strlen(text)::BIGINT AS n_bytes,
+       sha256(text) AS sha256,
+       (strlen(text) % 640 + 1)::INT AS width,
+       ((strlen(text) * 7) % 480 + 1)::INT AS height
+FROM documents ORDER BY doc_id
+""",
+        "mm_frame_sample": """
+WITH b AS (
+  SELECT doc_id, text, least((strlen(text) // 64)::INT, 4) AS nf FROM documents
+),
+f AS (
+  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame_idx, text
+  FROM b WHERE nf > 0
+)
+SELECT doc_id::BIGINT AS doc_id, frame_idx::INT AS frame_idx,
+       md5(substring(text, (frame_idx * 64 + 1)::BIGINT, 64::BIGINT)) AS frame_md5
+FROM f ORDER BY doc_id, frame_idx
+""",
+    }
 
 
 def _phrase_sql(terms: list[str], k: int = 10) -> str:

@@ -1,0 +1,97 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting. All JVM-side column
+expressions (whole-stage codegen) with exact DuckDB-oracle counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..analysis import TOKEN_RE
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+FP_MOD = 1 << 40  # keeps (h*31 + x) < 2^46, far from int64 overflow
+
+
+def _toks(text_col: str):
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens, analyzer tokens, distinct terms per doc."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
+        .cast("long")
+        .alias("ws_tokens"),
+        F.size(_toks(text_col)).cast("long").alias("re_tokens"),
+        F.size(F.array_distinct(_toks(text_col))).cast("long").alias("uniq_terms"),
+    ).orderBy("doc_id")
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality score from alpha ratio, stopword ratio, length."""
+    toks = _toks(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    n_alpha = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z]"), 0)
+    ).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1.0))
+    quality = (
+        F.lit(0.5) * alpha_ratio
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language heuristic; ties resolve in the fixed order
+    en > es > de > fr (deterministic)."""
+    toks = _toks(text_col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.lit("en")
+    best_score = scores["en"]
+    for lang in ("es", "de", "fr"):
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    sel = [F.col(id_col).cast("long").alias("doc_id")]
+    sel += [scores[lg].alias(f"score_{lg}") for lg in LANG_MARKERS]
+    sel += [best.alias("lang_guess")]
+    return df.select(*sel).orderBy("doc_id")
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint of the token stream:
+    h = fold(h*31 + md5_32(token)) mod 2^40 — identical arithmetic is
+    expressible in DuckDB (list_reduce)."""
+    toks = _toks(text_col)
+    hashed = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % FP_MOD,
+    )
+    fp = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FP_MOD,
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"), fp.alias("fingerprint")
+    ).orderBy("doc_id")
