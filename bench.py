@@ -1,0 +1,141 @@
+"""Benchmark harness: prints ONE JSON line
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers the BASELINE.md protocol at small scale:
+- index-build throughput (docs/sec) over the documents table AND over the
+  deterministic synthetic source-code corpus (sha256-verified before build),
+- BM25 top-10 latency (p50 of N runs) for the headline query set, pruned
+  block-max path,
+- pipeline op timings (minhash dedup, cosine top-k, text stats).
+
+Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (synthetic corpus size,
+default 20000), SPARK_GRAFT_QUERY_REPS (default 3).
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_code_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.build import IndexConfig, build_index
+    from lucene_spark.corpus import generate_corpus, sha256_sidecar, verify_sha256
+    from lucene_spark.query import PhraseQuery, TermQuery, bool_query
+    from lucene_spark.search import Searcher
+    from lucene_spark.session import get_spark
+
+    spark = get_spark(app="lucene_spark_bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+    t_total0 = time.time()
+
+    # ---- 1. index build over the documents table ----
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    cfg = IndexConfig(chain="standard", seg_size=1 << 12, block_size=128,
+                      with_positions=True, store_cols=("lang",))
+    t0 = time.time()
+    idx = build_index(docs, cfg, content_col="text", doc_id_col="doc_id")
+    idx.postings.persist().count()
+    idx.terms.persist().count()
+    idx.docs.persist().count()
+    t_build_docs = time.time() - t0
+    queries["index_build_documents"] = round(t_build_docs, 3)
+
+    # ---- 2. index build over the synthetic source-code corpus ----
+    code = generate_corpus(spark, n_code_docs, num_partitions=cpus * 2).persist()
+    code.count()
+    sidecar = sha256_sidecar(code).persist()
+    sidecar.count()
+    t0 = time.time()
+    verify_sha256(code, sidecar)  # per-row invariant gate
+    code_cfg = IndexConfig(chain="code", seg_size=1 << 13, block_size=128,
+                           with_positions=False)
+    cidx = build_index(code, code_cfg, order_cols=["repo", "path"],
+                       num_partitions=cpus)
+    cidx.postings.persist().count()
+    cidx.terms.persist().count()
+    t_build_code = time.time() - t0
+    queries["index_build_code_corpus"] = round(t_build_code, 3)
+    code_docs_per_sec = n_code_docs / t_build_code
+
+    # ---- 3. BM25 query latency (pruned path) over documents index ----
+    searcher = Searcher(idx, dtype=np.float32)
+    qset = {
+        "bm25_term": TermQuery(term="spark"),
+        "bm25_term_hot": TermQuery(term="table"),
+        "bm25_and": bool_query(must=[TermQuery(term="spark"), TermQuery(term="vector")]),
+        "bm25_or3": bool_query(
+            should=[TermQuery(term=t) for t in ("spark", "merge", "vector")]
+        ),
+        "bm25_phrase": PhraseQuery(terms=("fast", "table")),
+    }
+    for name, q in qset.items():
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            searcher.search(q, 10, prune=True).collect()
+            times.append(time.time() - t0)
+        queries[name] = round(statistics.median(times), 3)
+
+    # ---- 4. pipeline ops ----
+    from lucene_spark.functions import dedup as fdedup
+    from lucene_spark.functions import simsearch as fsim
+    from lucene_spark.functions import textstats as ftext
+
+    t0 = time.time()
+    fdedup.minhash_candidates(docs, "doc_id", "text").count()
+    queries["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qrows = emb.filter(F.col("vec_id") < 8).collect()
+    qvecs = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in qrows])
+    qids = np.array([r["vec_id"] for r in qrows])
+    t0 = time.time()
+    fsim.cosine_topk_fast(emb, qvecs, qids, k=10).collect()
+    queries["sim_cosine_topk_fast"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    ftext.fingerprints(docs, "doc_id", "text").count()
+    queries["text_fingerprint"] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_total0, 3)
+    out = {
+        "metric": "lucene_spark_bench_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "extras": {
+            "cpus": cpus,
+            "documents_rows": n_docs,
+            "code_corpus_rows": n_code_docs,
+            "code_index_docs_per_sec": round(code_docs_per_sec, 1),
+            "documents_index_docs_per_sec": round(n_docs / t_build_docs, 1),
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

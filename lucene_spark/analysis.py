@@ -124,6 +124,42 @@ def stop_filter(
     return out
 
 
+def flat_tokenize(
+    texts: pd.Series, chain: str = "standard"
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batch fast path: (flat lowered terms (object array), per-row counts).
+
+    Equivalences exploited (unit-tested against the compositional chain):
+    - standard chain: lowercase-then-scan == scan-then-lowercase on ASCII,
+      so one C-level ``str.lower`` + one regex scan per row suffices;
+    - code chain: word-delimiter parts of the token stream == direct
+      ``_WDF_PART`` scan of the raw text, because every alnum run lies inside
+      a token and parts never span connector punctuation.
+    """
+    texts = texts.fillna("")
+    if chain == "standard":
+        lists = texts.str.lower().str.findall(_TOKEN_PATTERN)
+    else:
+        lists = texts.str.findall(_WDF_PART)
+    counts = lists.map(len).to_numpy(dtype=np.int64)
+    import itertools
+
+    flat = np.array(list(itertools.chain.from_iterable(lists)), dtype=object)
+    if chain != "standard" and len(flat):
+        flat = pd.Series(flat).str.lower().to_numpy(dtype=object)
+    # maxTokenLength chop (rare): only rebuild rows containing long tokens
+    if len(flat):
+        lens = pd.Series(flat).str.len().to_numpy()
+        if lens.max() > MAX_TOKEN_LENGTH:
+            fn = standard_analyze if chain == "standard" else code_analyze
+            rebuilt = texts.map(fn)
+            counts = rebuilt.map(len).to_numpy(dtype=np.int64)
+            flat = np.array(
+                list(itertools.chain.from_iterable(rebuilt)), dtype=object
+            )
+    return flat, counts
+
+
 def analyze_to_tokens_udf(chain: str = "standard"):
     """Factory for a pandas-UDF-compatible fn: Series[str] -> Series[list[str]]."""
 

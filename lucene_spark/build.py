@@ -46,7 +46,7 @@ from pyspark.sql.types import (
 )
 
 from . import codec
-from .analysis import analyze_series, stop_filter
+from .analysis import flat_tokenize
 from .bm25 import CollectionStats
 from .config import IndexConfig
 from .smallfloat import int_to_byte4
@@ -128,50 +128,49 @@ def _invert_fn(config: IndexConfig, content_col: str):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            tokens = analyze_series(pdf[content_col], chain=chain)
-            out_doc, out_term, out_freq, out_norm, out_pos = [], [], [], [], []
-            for doc_id, toks in zip(pdf["doc_id"].to_numpy(), tokens):
-                if stopwords:
-                    pairs = stop_filter(toks, stopwords)
-                    terms = [t for t, _ in pairs]
-                    positions = [p for _, p in pairs]
-                else:
-                    terms = toks
-                    positions = None  # consecutive; reconstruct below
-                n = len(terms)
-                norm = int(int_to_byte4(n))
-                if n == 0:
-                    continue
-                s = pd.Series(
-                    positions if positions is not None else np.arange(n),
-                    index=terms,
-                )
-                grp = s.groupby(level=0, sort=True)
-                uniq = grp.count()
-                out_doc.append(np.full(len(uniq), doc_id, dtype=np.int64))
-                out_term.append(uniq.index.to_numpy())
-                out_freq.append(uniq.to_numpy(dtype=np.int32))
-                out_norm.append(np.full(len(uniq), norm, dtype=np.int32))
-                if with_pos:
-                    out_pos.extend(
-                        np.sort(g.to_numpy()).astype(np.int32)
-                        for _, g in grp
-                    )
-                else:
-                    out_pos.extend([None] * len(uniq))
-            if not out_doc:
+            flat, counts = flat_tokenize(pdf[content_col], chain=chain)
+            batch_docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+            total = int(counts.sum())
+            if total == 0:
                 continue
-            doc_ids = np.concatenate(out_doc)
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids,
-                    "segment_id": (doc_ids // seg_size).astype(np.int32),
-                    "term": np.concatenate(out_term),
-                    "freq": np.concatenate(out_freq),
-                    "norm": np.concatenate(out_norm),
-                    "positions": out_pos,
-                }
+            row_idx = np.repeat(np.arange(len(pdf)), counts)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+            if stopwords:
+                keep = ~np.isin(flat, list(stopwords))
+                flat, row_idx, pos = flat[keep], row_idx[keep], pos[keep]
+                # per-row effective lengths shrink; holes keep advancing pos
+                counts = np.bincount(row_idx, minlength=len(pdf)).astype(np.int64)
+                total = len(flat)
+                if total == 0:
+                    continue
+            # one vectorized (row, term) aggregation for the whole batch:
+            codes, _ = pd.factorize(pd.Series(flat), sort=False)
+            key = row_idx.astype(np.int64) * (codes.max() + 1) + codes
+            order = np.argsort(key, kind="stable")  # pos stays ascending
+            key_s = key[order]
+            bounds = np.concatenate(
+                ([0], np.nonzero(np.diff(key_s))[0] + 1, [total])
             )
+            first = order[bounds[:-1]]
+            freqs = np.diff(bounds).astype(np.int32)
+            g_rows = row_idx[first]
+            doc_ids = batch_docs[g_rows]
+            norms = int_to_byte4(counts).astype(np.int32)[g_rows]
+            pos_sorted = pos[order]
+            out = {
+                "doc_id": doc_ids,
+                "segment_id": (doc_ids // seg_size).astype(np.int32),
+                "term": flat[first],
+                "freq": freqs,
+                "norm": norms,
+                "positions": (
+                    [a.astype(np.int32) for a in np.split(pos_sorted, bounds[1:-1])]
+                    if with_pos
+                    else [None] * len(first)
+                ),
+            }
+            yield pd.DataFrame(out)
 
     return invert
 

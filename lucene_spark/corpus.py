@@ -1,0 +1,144 @@
+"""Deterministic synthetic source-code corpus generator + integrity check.
+
+Implements FIXTURES.md §1: an Iceberg-style table of source-code files
+(repo, path, commit, lang, content) with
+
+- Zipf(1.1)-weighted language keywords (hot-term skew),
+- camelCase / snake_case identifiers from a seeded vocabulary (exercises the
+  code-aware word-delimiter chain),
+- rare unique tokens (docFreq == 1 — singleton pulsing),
+- numbers and punctuation (UAX#29 ALPHANUM/NUM rules).
+
+Generation is distributed (spark.range -> JVM-side columnar exprs would be
+ideal, but content assembly needs seeded randomness per row, so it runs as a
+mapInPandas over id ranges — deterministic per doc_index regardless of
+partitioning) and the per-row invariant is sha256(content) equality against
+the sidecar table (BASELINE.json input_hint), checked before indexing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+KEYWORDS = [
+    "def", "return", "if", "else", "import", "class", "self", "for", "in",
+    "while", "try", "except", "public", "void", "static", "final", "new",
+    "int", "string", "val", "var", "object", "extends", "override", "lazy",
+]
+EXTS = ["py", "java", "scala", "md"]
+LANGS = {"py": "python", "java": "java", "scala": "scala", "md": "markdown"}
+
+_NOUNS = [
+    "index", "writer", "reader", "segment", "block", "term", "doc", "field",
+    "merge", "query", "score", "norm", "posting", "buffer", "codec", "store",
+    "token", "filter", "stream", "batch", "shard", "vector", "graph", "heap",
+    "cache", "pool", "lock", "flush", "commit", "delta",
+]
+_VERBS = [
+    "get", "set", "add", "remove", "build", "write", "read", "open", "close",
+    "next", "advance", "seek", "encode", "decode", "pack", "split", "count",
+]
+
+
+def _identifier_vocab(n: int, rng: np.ndarray) -> list:
+    """~n deterministic camelCase/snake_case identifiers."""
+    out = []
+    i = 0
+    while len(out) < n:
+        v = _VERBS[i % len(_VERBS)]
+        a = _NOUNS[(i * 7 + 3) % len(_NOUNS)]
+        b = _NOUNS[(i * 13 + 5) % len(_NOUNS)]
+        if i % 3 == 0:
+            out.append(f"{v}{a.capitalize()}{b.capitalize()}")  # camelCase
+        elif i % 3 == 1:
+            out.append(f"{v}_{a}_{b}")  # snake_case
+        else:
+            out.append(f"{a.capitalize()}{b.capitalize()}{i % 97}")  # ClassName42
+        i += 1
+    return out[:n]
+
+
+IDENTIFIERS = _identifier_vocab(5000, None)
+
+
+def _gen_rows(start: int, count: int, seed: int = 42) -> pd.DataFrame:
+    rows = []
+    kw = np.array(KEYWORDS)
+    ids = np.array(IDENTIFIERS)
+    kw_ranks = np.arange(1, len(kw) + 1, dtype=np.float64)
+    kw_p = 1.0 / kw_ranks**1.1
+    kw_p /= kw_p.sum()
+    for i in range(start, start + count):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        repo = f"org{i % 7}/proj{i % 23}"
+        ext = EXTS[i % len(EXTS)]
+        module = _NOUNS[i % len(_NOUNS)]
+        path = f"src/{module}/file{i:08d}.{ext}"
+        commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+        n_lines = int(rng.integers(5, 40))
+        parts = []
+        for _ in range(n_lines):
+            n_kw = int(rng.integers(1, 4))
+            n_id = int(rng.integers(1, 4))
+            toks = list(rng.choice(kw, size=n_kw, p=kw_p))
+            toks += list(ids[rng.integers(0, len(ids), size=n_id)])
+            if rng.random() < 0.3:
+                toks.append(str(rng.integers(0, 100000)))
+            rng.shuffle(toks)
+            sep = rng.choice([" = ", "(", ", ", ": ", " + "])
+            parts.append(sep.join(toks) + (")" if sep == "(" else ";"))
+        if rng.random() < 0.15:
+            parts.append(f"rare_{i}_{rng.integers(0, 1 << 30)}")  # singleton
+        content = "\n".join(parts)
+        rows.append((repo, path, commit, LANGS[ext], content))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def generate_corpus(
+    spark: SparkSession, n_docs: int, seed: int = 42, num_partitions: int = 32
+) -> DataFrame:
+    """Distributed deterministic generation: content depends only on
+    (seed, doc_index), never on partitioning."""
+    base = spark.range(0, n_docs, 1, num_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                ids = pdf["id"].to_numpy()
+                # ids are contiguous per batch under range; generate per id
+                yield pd.concat(
+                    [_gen_rows(int(i), 1, seed) for i in ids], ignore_index=True
+                )
+
+    return base.mapInPandas(
+        gen, schema="repo string, path string, commit string, lang string, content string"
+    )
+
+
+def sha256_sidecar(corpus: DataFrame) -> DataFrame:
+    """(repo, path, sha256) integrity sidecar."""
+    return corpus.select(
+        "repo", "path", F.sha2(F.col("content"), 256).alias("sha256")
+    )
+
+
+def verify_sha256(corpus: DataFrame, sidecar: DataFrame) -> int:
+    """Per-row invariant (BASELINE.json input_hint): sha256(content) equality
+    against the sidecar. Returns the number of mismatching rows (0 = ok);
+    raises if any row is missing or mismatched."""
+    joined = corpus.select(
+        "repo", "path", F.sha2(F.col("content"), 256).alias("actual")
+    ).join(sidecar, ["repo", "path"], "full_outer")
+    bad = joined.filter(
+        F.col("actual").isNull()
+        | F.col("sha256").isNull()
+        | (F.col("actual") != F.col("sha256"))
+    ).count()
+    if bad:
+        raise ValueError(f"corpus integrity check failed: {bad} rows mismatch")
+    return 0

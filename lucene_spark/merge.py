@@ -1,0 +1,145 @@
+"""Segment merging / compaction.
+
+The reference merges segments by docID-remapped append (SegmentMerger.java,
+DocIDMerger.java) under a TieredMergePolicy size heuristic
+(TieredMergePolicy.java:85-92). In our engine docIDs are global from the
+start, so merging is pure re-segmentation: union the tf-equivalent decoded
+postings of the source segments and re-run the block writer with a coarser
+seg_size. Blocks are always rebuilt from scratch after a merge — never
+concatenated — so block boundaries stay deterministic regardless of merge
+history (SURVEY.md §7.4 hot-term requirement).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import codec
+from .build import POSTINGS_SCHEMA, Index, _segment_writer_fn
+from .config import IndexConfig
+
+
+@dataclass(frozen=True)
+class MergePlan:
+    """groups of source segment_ids -> one target segment each."""
+
+    groups: List[List[int]]
+
+
+def plan_merges(
+    segment_sizes: dict, max_segments_per_merge: int = 10, floor_docs: int = 1024
+) -> MergePlan:
+    """Tiered-ish driver-side planner: greedily group the smallest segments
+    (all below floor or the smallest tier) into merge groups of up to
+    ``max_segments_per_merge``."""
+    small = sorted(
+        (s for s, n in segment_sizes.items() if n < floor_docs),
+        key=lambda s: segment_sizes[s],
+    )
+    groups = [
+        small[i : i + max_segments_per_merge]
+        for i in range(0, len(small), max_segments_per_merge)
+    ]
+    return MergePlan(groups=[g for g in groups if len(g) > 1])
+
+
+def merge_segments(index: Index, target_seg_size: int | None = None) -> Index:
+    """Full compaction: re-segment every posting at ``target_seg_size``
+    (default: 8x the build seg_size). One shuffle (groupBy new segment)."""
+    cfg = index.config
+    new_seg = target_seg_size or cfg.seg_size * 8
+    new_cfg = IndexConfig(
+        chain=cfg.chain,
+        seg_size=new_seg,
+        block_size=cfg.block_size,
+        with_positions=cfg.with_positions,
+        k1=cfg.k1,
+        b=cfg.b,
+        store_cols=cfg.store_cols,
+        field=cfg.field,
+        stopwords=cfg.stopwords,
+    )
+    tf = _decode_to_tf(index, new_seg)
+    postings = tf.groupBy("segment_id").applyInPandas(
+        _segment_writer_fn(new_cfg), schema=POSTINGS_SCHEMA
+    )
+    return Index(
+        docs=index.docs,
+        terms=index.terms,
+        postings=postings,
+        stats=index.stats,
+        config=new_cfg,
+    )
+
+
+def _decode_to_tf(index: Index, new_seg_size: int) -> DataFrame:
+    """Decode postings blocks back to tf rows tagged with NEW segment ids —
+    the DocIDMerger analog (global ids => remap is pure arithmetic)."""
+    with_pos = index.config.with_positions
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                n = int(row.count)
+                docs = codec.delta_decode_docs(bytes(row.docs_enc), n, int(row.base_doc))
+                freqs = codec.pfor_decode(bytes(row.freqs_enc), n).astype(np.int32)
+                norms = np.frombuffer(bytes(row.norms_enc), dtype=np.uint8).astype(np.int32)
+                d = {
+                    "doc_id": docs,
+                    "segment_id": (docs // new_seg_size).astype(np.int32),
+                    "term": np.repeat(row.term, n),
+                    "freq": freqs,
+                    "norm": norms,
+                }
+                if with_pos and row.pos_enc is not None:
+                    pos = codec.decode_positions(bytes(row.pos_enc), freqs)
+                    bounds = np.cumsum(freqs)[:-1]
+                    d["positions"] = [a.astype(np.int32) for a in np.split(pos, bounds)]
+                else:
+                    d["positions"] = [None] * n
+                outs.append(pd.DataFrame(d))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    schema = (
+        "doc_id long, segment_id int, term string, freq int, norm int, "
+        "positions array<int>"
+    )
+    return index.postings.mapInPandas(run, schema=schema)
+
+
+def add_indexes(base: Index, other: Index) -> Index:
+    """IndexWriter.addIndexes analog: union postings of two compatible
+    indexes whose doc_id ranges are disjoint, then re-aggregate stats."""
+    if base.config.seg_size != other.config.seg_size:
+        raise ValueError("seg_size mismatch; merge_segments first")
+    from .bm25 import CollectionStats
+
+    terms = (
+        base.terms.unionByName(other.terms)
+        .groupBy("term")
+        .agg(
+            F.sum("doc_freq").alias("doc_freq"),
+            F.sum("total_term_freq").alias("total_term_freq"),
+            F.min("singleton_doc_id").alias("singleton_doc_id"),
+            F.max("singleton_freq").alias("singleton_freq"),
+            F.max("singleton_norm").alias("singleton_norm"),
+        )
+    )
+    return Index(
+        docs=base.docs.unionByName(other.docs),
+        terms=terms,
+        postings=base.postings.unionByName(other.postings),
+        stats=CollectionStats(
+            doc_count=base.stats.doc_count + other.stats.doc_count,
+            sum_total_term_freq=base.stats.sum_total_term_freq
+            + other.stats.sum_total_term_freq,
+        ),
+        config=base.config,
+    )

@@ -51,6 +51,15 @@ def _flat_term_clauses(q: Query) -> Optional[Tuple[str, List[TermQuery], int]]:
     return None
 
 
+_MIN_PRUNABLE = 100_000
+
+
+def min_prunable_postings() -> int:
+    import os
+
+    return int(os.environ.get("LUCENE_SPARK_MIN_PRUNABLE", _MIN_PRUNABLE))
+
+
 def try_pruned_topk(searcher, q: Query, k: int) -> Optional[DataFrame]:
     shape = _flat_term_clauses(q)
     if shape is None:
@@ -65,6 +74,12 @@ def try_pruned_topk(searcher, q: Query, k: int) -> Optional[DataFrame]:
         return searcher._empty()
     if not present:
         return searcher._empty()
+    # pruning pays only when there is enough postings volume to skip; below
+    # ~64 blocks per term the extra theta/bounds jobs cost more than decoding
+    # everything (ImpactsDISI has the same "too small to bother" shape)
+    total_df = sum(s.doc_freq for s in present.values())
+    if total_df < min_prunable_postings():
+        return None
 
     scorers: Dict[str, BM25Scorer] = {}
     for tq in term_qs:

@@ -256,6 +256,9 @@ def parse(query: str, analyze=None) -> Query:
         if kind == "LPAREN":
             advance()
             inner = parse_or()
+            if isinstance(inner, _Occurred):
+                occur = inner.occur if occur is None else occur
+                inner = inner.query
             k, _ = peek()
             if k == "RPAREN":
                 advance()
@@ -325,9 +328,7 @@ def parse(query: str, analyze=None) -> Query:
                 break
         if len(clauses) == 1:
             q, occ = clauses[0]
-            if occ == Occur.MUST_NOT:
-                return bool_query(must_not=[q])
-            return q
+            return _occurred(q, occ)
         must = [q for q, o in clauses if o != Occur.MUST_NOT]
         must_not = [q for q, o in clauses if o == Occur.MUST_NOT]
         return bool_query(must=must, must_not=must_not)

@@ -1,0 +1,126 @@
+"""Percolation (standing queries over a document stream) + NRT-style
+streaming index appends — the streaming story of the reference
+(monitor/src/.../Monitor.java; DirectoryReader NRT reopen — SURVEY.md §2.8).
+
+- ``Monitor``: registered queries are matched against every incoming
+  micro-batch via ``foreachBatch``; matching is an ephemeral index build over
+  the batch (batch sizes are bounded, so this is cheap and fully
+  distributed) followed by the normal query evaluation.
+- ``stream_index_appends``: Structured-Streaming sink that appends per-batch
+  segment postings to an index directory, manifest-tracked, giving an
+  NRT-reader analog (readers pick up new generations on reopen).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, List, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..build import IndexConfig, build_index
+from ..query import Query
+from ..search import Searcher
+
+
+class Monitor:
+    """Standing-query registry + batch matcher (percolator)."""
+
+    def __init__(self, config: IndexConfig | None = None):
+        self.config = config or IndexConfig(seg_size=1 << 12)
+        self._queries: Dict[str, Query] = {}
+
+    def register(self, query_id: str, query: Query) -> None:
+        self._queries[query_id] = query
+
+    def match_batch(
+        self, batch: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """(query_id, doc_id) for every standing query matching a batch doc."""
+        idx = build_index(
+            batch, self.config, content_col=content_col, doc_id_col=id_col
+        ).persist()
+        try:
+            s = Searcher(idx)
+            parts: List[DataFrame] = []
+            for qid, q in self._queries.items():
+                parts.append(
+                    s.matches(q).select(
+                        F.lit(qid).alias("query_id"), F.col("doc_id").cast("long")
+                    )
+                )
+            if not parts:
+                return batch.sparkSession.createDataFrame(
+                    [], "query_id string, doc_id long"
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            # materialize before unpersisting the ephemeral index
+            rows = [(r["query_id"], int(r["doc_id"])) for r in out.collect()]
+            return batch.sparkSession.createDataFrame(
+                rows, "query_id string, doc_id long"
+            )
+        finally:
+            idx.unpersist()
+
+    def foreach_batch(
+        self,
+        sink: Callable[[DataFrame, int], None],
+        content_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        """Adapter for writeStream.foreachBatch."""
+
+        def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+            sink(self.match_batch(batch_df, content_col, id_col), epoch_id)
+
+        return _fn
+
+
+def stream_index_appends(
+    stream_df: DataFrame,
+    path: str,
+    config: IndexConfig | None = None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """writeStream sink appending per-batch segments (NRT flush analog).
+
+    Each micro-batch becomes one index generation: postings/docs appended as
+    parquet, manifest extended with per-batch lineage + metrics — the
+    checkpoint-resume unit. Readers re-open by reading the manifest."""
+    cfg = config or IndexConfig(seg_size=1 << 12)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if len(batch_df.take(1)) == 0:
+            return
+        t0 = time.time()
+        idx = build_index(batch_df, cfg, content_col=content_col, doc_id_col=id_col)
+        idx.postings.write.mode("append").parquet(os.path.join(path, "postings"))
+        idx.docs.write.mode("append").parquet(os.path.join(path, "docs"))
+        idx.terms.write.mode("append").parquet(os.path.join(path, "terms_partial"))
+        manifest_path = os.path.join(path, "stream_manifest.jsonl")
+        with open(manifest_path, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "epoch": int(epoch_id),
+                        "doc_count": idx.stats.doc_count,
+                        "sum_total_term_freq": idx.stats.sum_total_term_freq,
+                        "wall_sec": round(time.time() - t0, 3),
+                    }
+                )
+                + "\n"
+            )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer

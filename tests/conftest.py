@@ -5,6 +5,10 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# force the block-max pruned path on tiny test corpora so the
+# pruned == unpruned equivalence tests actually exercise it
+os.environ.setdefault("LUCENE_SPARK_MIN_PRUNABLE", "0")
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -97,6 +97,21 @@ def test_regex_is_cross_engine_safe():
     assert "\\1" not in TOKEN_RE and "(?<" not in TOKEN_RE and "(?=" not in TOKEN_RE
 
 
+def test_flat_tokenize_equivalence():
+    """Batch fast path == compositional chain, both chains, incl. chop."""
+    import numpy as np
+
+    from lucene_spark.analysis import flat_tokenize
+
+    texts = [c[0] for c in CASES] + [w[0] for w in WDF_CASES] + ["x" * 600 + " yQz"]
+    s = pd.Series(texts)
+    for chain, fn in (("standard", standard_analyze), ("code", code_analyze)):
+        flat, counts = flat_tokenize(s, chain=chain)
+        expected = [fn(t) for t in texts]
+        assert counts.tolist() == [len(e) for e in expected]
+        assert flat.tolist() == [t for e in expected for t in e]
+
+
 def test_duckdb_and_spark_regex_agree():
     import duckdb
 

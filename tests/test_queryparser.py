@@ -1,0 +1,124 @@
+"""Classic query parser tests (grammar subset of
+queryparser/.../classic/QueryParser.jj:313-372)."""
+
+from lucene_spark.query import (
+    BooleanQuery,
+    FuzzyQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    bool_query,
+    parse,
+    rewrite,
+)
+
+
+def occurs(q: BooleanQuery):
+    return [(c.occur, c.query) for c in q.clauses]
+
+
+def test_single_term():
+    assert parse("Spark") == TermQuery(term="spark")
+
+
+def test_and():
+    q = parse("spark AND index")
+    assert isinstance(q, BooleanQuery)
+    assert occurs(q) == [
+        (Occur.MUST, TermQuery(term="spark")),
+        (Occur.MUST, TermQuery(term="index")),
+    ]
+
+
+def test_or_default():
+    q = parse("spark index")
+    assert occurs(q) == [
+        (Occur.SHOULD, TermQuery(term="spark")),
+        (Occur.SHOULD, TermQuery(term="index")),
+    ]
+    assert parse("spark OR index") == q
+
+
+def test_plus_minus():
+    q = parse("+spark -index merge")
+    assert (Occur.MUST, TermQuery(term="spark")) in occurs(q)
+    assert (Occur.MUST_NOT, TermQuery(term="index")) in occurs(q)
+    assert (Occur.SHOULD, TermQuery(term="merge")) in occurs(q)
+
+
+def test_and_not():
+    q = parse("spark AND NOT index")
+    assert (Occur.MUST, TermQuery(term="spark")) in occurs(q)
+    assert (Occur.MUST_NOT, TermQuery(term="index")) in occurs(q)
+
+
+def test_phrase_and_slop():
+    assert parse('"fast table"') == PhraseQuery(terms=("fast", "table"))
+    assert parse('"fast table"~2') == PhraseQuery(terms=("fast", "table"), slop=2)
+    # single-term phrase rewrites to TermQuery
+    assert parse('"fast"') == TermQuery(term="fast")
+
+
+def test_boost():
+    assert parse("spark^2.5") == TermQuery(term="spark", boost=2.5)
+
+
+def test_fuzzy():
+    assert parse("spark~1") == FuzzyQuery(term="spark", max_edits=1)
+    assert parse("spark~") == FuzzyQuery(term="spark", max_edits=2)
+
+
+def test_wildcards():
+    assert parse("spa*") == PrefixQuery(prefix="spa")
+    assert parse("sp?rk") == WildcardQuery(pattern="sp?rk")
+    assert parse("*ark*") == WildcardQuery(pattern="*ark*")
+
+
+def test_range():
+    assert parse("[alpha TO beta]") == TermRangeQuery(lower="alpha", upper="beta")
+    assert parse("[* TO beta]") == TermRangeQuery(lower=None, upper="beta")
+
+
+def test_parens_grouping():
+    q = parse("(spark OR merge) AND index")
+    assert isinstance(q, BooleanQuery)
+    musts = [c.query for c in q.clauses if c.occur == Occur.MUST]
+    assert TermQuery(term="index") in musts
+    inner = [m for m in musts if isinstance(m, BooleanQuery)][0]
+    assert {c.query.term for c in inner.clauses} == {"spark", "merge"}
+
+
+# ---- rewrite rules (BooleanQuery.java:238-340 analogs) ----
+
+
+def test_rewrite_single_clause_unwrap():
+    q = bool_query(must=[TermQuery(term="x")])
+    assert rewrite(q) == TermQuery(term="x")
+
+
+def test_rewrite_pure_negation_matches_nothing():
+    q = bool_query(must_not=[TermQuery(term="x")])
+    assert isinstance(rewrite(q), MatchNoDocsQuery)
+
+
+def test_rewrite_must_and_must_not_same_term():
+    q = bool_query(must=[TermQuery(term="x")], must_not=[TermQuery(term="x")])
+    assert isinstance(rewrite(q), MatchNoDocsQuery)
+
+
+def test_rewrite_dedups_filters():
+    q = bool_query(
+        must=[TermQuery(term="y")],
+        filter=[TermQuery(term="x"), TermQuery(term="x")],
+    )
+    r = rewrite(q)
+    assert len([c for c in r.clauses if c.occur == Occur.FILTER]) == 1
+
+
+def test_rewrite_drops_matchnodocs_should():
+    q = bool_query(should=[TermQuery(term="x"), MatchNoDocsQuery()])
+    assert rewrite(q) == TermQuery(term="x")
