@@ -88,31 +88,57 @@ def assign_doc_ids(
 
     Equivalent to Lucene's ingest-order docID assignment
     (index/DocumentsWriterPerThread.java:239) when ingest order is the
-    canonical sort order. order_cols must be a unique key.
+    canonical sort order. order_cols must be a unique non-null key.
+
+    Range boundaries are sampled ONCE and collected to the driver, so bucket
+    assignment is a pure function of the row — unlike ``repartitionByRange``,
+    whose boundary sampling is re-run (with a fresh seed) per job and can
+    hand different rows to different partitions across the counts job and
+    the row_number job, corrupting the offsets.
     """
     from pyspark.sql.window import Window
 
-    ranged = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    key = F.concat_ws("\x01", *[F.col(c) for c in order_cols])
+    n = df.count()
+    buckets = max(1, min(num_partitions, n))
+    if buckets > 1:
+        fraction = min(1.0, (buckets * 200.0) / max(n, 1))
+        sampled = sorted(
+            r["_k"]
+            for r in df.select(key.alias("_k")).sample(fraction, seed=42).collect()
+        )
+        cuts = sorted(
+            {
+                sampled[(i * len(sampled)) // buckets]
+                for i in range(1, buckets)
+            }
+        ) if sampled else []
+    else:
+        cuts = []
+    if cuts:
+        bounds = F.array(*[F.lit(c) for c in cuts])
+        bucket = F.size(F.filter(bounds, lambda b: key >= b))
+    else:
+        bucket = F.lit(0)
+    with_bucket = df.withColumn("_bk", bucket)
     counts = {
-        r["_pid"]: r["cnt"]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        r["_bk"]: r["cnt"]
+        for r in with_bucket.groupBy("_bk").agg(F.count("*").alias("cnt")).collect()
     }
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
     spark = df.sparkSession
     off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+        [(int(b), int(o)) for b, o in offsets.items()], "_bk int, _offset long"
     )
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    out = (
-        ranged.join(F.broadcast(off_df), "_pid")
+    w = Window.partitionBy("_bk").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        with_bucket.join(F.broadcast(off_df), "_bk")
         .withColumn("doc_id", F.row_number().over(w) + F.col("_offset") - 1)
-        .drop("_pid", "_offset")
+        .drop("_bk", "_offset")
     )
-    return out
 
 
 def _invert_fn(config: IndexConfig, content_col: str):

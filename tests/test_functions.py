@@ -1,0 +1,194 @@
+"""Pipeline operator tests: dedup, similarity search, text stats,
+multimodal plumbing — semantics verified against plain-Python references."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.analysis import standard_analyze
+from lucene_spark.functions import dedup, multimodal, simsearch, textstats
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+    "completely different content altogether here",
+    "another unrelated piece of text data",
+    "the quick brown fox",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(docs):
+    rows = {r["doc_id"]: r for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert rows[0]["dup_group_size"] == 2 and rows[2]["dup_group_size"] == 2
+    assert rows[0]["text_md5"] == rows[2]["text_md5"]
+    assert rows[1]["dup_group_size"] == 1
+    assert rows[0]["text_md5"] == hashlib.md5(TEXTS[0].encode()).hexdigest()
+
+
+def test_minhash_exact_dups_always_candidates(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(docs, "doc_id", "text").collect()
+    }
+    assert (0, 2) in pairs  # identical docs share every band
+    # near-dup (one word differs) very likely shares a band with 4-row bands
+    assert (0, 1) in pairs or (1, 2) in pairs
+    assert (3, 4) not in pairs  # unrelated docs
+
+
+def test_minhash_signature_matches_reference(docs):
+    sigs = {
+        (r["doc_id"], r["perm"]): r["minhash"]
+        for r in dedup.minhash_signatures(docs, "doc_id", "text").collect()
+    }
+
+    def ref_minhash(text, perm):
+        terms = set(standard_analyze(text))
+        a, b = dedup.A0 + dedup.A1 * perm, dedup.B0 + dedup.B1 * perm
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dedup.MINHASH_P
+            for t in terms
+        ]
+        return min((a * h + b) % dedup.MINHASH_P for h in hs)
+
+    for d in range(len(TEXTS)):
+        for perm in (0, 7, 15):
+            assert sigs[(d, perm)] == ref_minhash(TEXTS[d], perm), (d, perm)
+
+
+def test_simhash_identical_docs_equal(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert sh[0] == sh[2]
+    assert 0 <= sh[0] < (1 << 60)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=10).collect()
+    }
+    assert pairs.get((0, 2)) == 0
+
+
+def test_jaccard_pairs(docs):
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", min_sim=0.5).collect()
+    }
+    assert rows[(0, 2)] == 1.0
+    # doc 0 vs 1: sets differ by one element: |inter|=8-? compute:
+    s0, s1 = set(standard_analyze(TEXTS[0])), set(standard_analyze(TEXTS[1]))
+    expected = round(len(s0 & s1) / len(s0 | s1), 6)
+    assert rows[(0, 1)] == expected
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=8).astype(np.float32)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_matches_numpy(emb):
+    got = simsearch.cosine_topk(emb, [0, 1], k=3).collect()
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for qid in (0, 1):
+        q = vecs[qid]
+        sims = {}
+        for vid, v in vecs.items():
+            if vid in (0, 1):
+                continue
+            sims[vid] = round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 6)
+        exp = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got_q = [(r["vec_id"], r["sim"]) for r in got if r["query_id"] == qid]
+        assert got_q == [(v, s) for v, s in exp], qid
+
+
+def test_cosine_topk_fast_agrees_with_exact(emb):
+    rows = emb.filter(F.col("vec_id") < 2).collect()
+    qvecs = np.stack([np.array(r["embedding"], dtype=np.float32) for r in rows])
+    qids = np.array([r["vec_id"] for r in rows])
+    fast = simsearch.cosine_topk_fast(emb, qvecs, qids, k=3).collect()
+    exact = simsearch.cosine_topk(emb, [0, 1], k=3).collect()
+    f = [(r["query_id"], r["rank"], r["vec_id"]) for r in fast]
+    e = [(r["query_id"], r["rank"], r["vec_id"]) for r in exact]
+    assert f == e
+
+
+def test_lsh_topk_within_bucket_only(emb):
+    got = simsearch.lsh_cosine_topk(emb, [0], k=5).collect()
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+
+    def bucket(v):
+        return sum((1 << j) for j in range(8) if v[j] > 0)
+
+    b0 = bucket(rows[0])
+    for r in got:
+        assert bucket(rows[r["vec_id"]]) == b0
+
+
+def test_token_counts(docs):
+    rows = {r["doc_id"]: r for r in textstats.token_counts(docs, "doc_id", "text").collect()}
+    toks = standard_analyze(TEXTS[0])
+    assert rows[0]["re_tokens"] == len(toks)
+    assert rows[0]["ws_tokens"] == len(TEXTS[0].split())
+    assert rows[0]["uniq_terms"] == len(set(toks))
+
+
+def test_quality_scores_bounds(docs):
+    for r in textstats.quality_scores(docs, "doc_id", "text").collect():
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert 0.0 <= r["stop_ratio"] <= 1.0
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_lang_id_english(docs):
+    for r in textstats.lang_id(docs, "doc_id", "text").collect():
+        assert r["lang_guess"] == "en"
+
+
+def test_fingerprint_deterministic_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta alpha"), (2, "alpha beta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprints(df, "doc_id", "text").collect()}
+    assert rows[0] == rows[2]
+    assert rows[0] != rows[1]  # order-sensitive
+
+
+def test_multimodal_meta_and_frames(docs):
+    media = multimodal.with_binary_payload(docs, "doc_id", "text")
+    meta = multimodal.extract_media_meta(media, decoder=multimodal.fake_decoder).collect()
+    by_id = {r["doc_id"]: r for r in meta}
+    b0 = TEXTS[0].encode()
+    assert by_id[0]["n_bytes"] == len(b0)
+    assert by_id[0]["sha256"] == hashlib.sha256(b0).hexdigest()
+    assert by_id[0]["format"] == "fake"
+    # stub raises without an injected decoder
+    with pytest.raises(Exception):
+        multimodal.extract_media_meta(media).collect()
+    # SQL-expressible variant agrees on shared columns
+    sql_meta = {
+        r["doc_id"]: r
+        for r in multimodal.media_meta_sql_expressible(docs, "doc_id", "text").collect()
+    }
+    assert sql_meta[0]["n_bytes"] == len(b0)
+    assert sql_meta[0]["sha256"] == by_id[0]["sha256"]
+    # frame sampling: md5 of byte slices
+    frames = multimodal.frame_sample(docs, "doc_id", "text", frame_bytes=8, max_frames=2).collect()
+    f0 = [r for r in frames if r["doc_id"] == 0]
+    assert [r["frame_idx"] for r in f0] == [0, 1]
+    assert f0[0]["frame_md5"] == hashlib.md5(b0[:8]).hexdigest()
+    assert f0[1]["frame_md5"] == hashlib.md5(b0[8:16]).hexdigest()

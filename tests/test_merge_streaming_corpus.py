@@ -1,0 +1,180 @@
+"""Segment merge equivalence, percolator monitor, streaming appends,
+corpus determinism + integrity."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lucene_spark.build import IndexConfig, build_index
+from lucene_spark.corpus import generate_corpus, sha256_sidecar, verify_sha256
+from lucene_spark.merge import add_indexes, merge_segments, plan_merges
+from lucene_spark.query import PhraseQuery, TermQuery, bool_query
+from lucene_spark.search import Searcher
+from lucene_spark.streaming.monitor import Monitor, stream_index_appends
+
+from oracle import BruteForceIndex, make_corpus
+
+VOCAB = ["red", "green", "blue", "cyan", "magenta", "yellow", "black", "white"]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus(120, VOCAB, seed=11, min_len=2, max_len=30)
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, content string"
+    )
+    cfg = IndexConfig(seg_size=16, block_size=8, with_positions=True)
+    idx = build_index(df, cfg, doc_id_col="doc_id").persist()
+    yield idx
+    idx.unpersist()
+
+
+def topk(searcher, q, k=10):
+    return [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in searcher.search(q, k).collect()
+    ]
+
+
+def test_merge_preserves_results(spark, built, corpus):
+    merged = merge_segments(built, target_seg_size=64)
+    merged.postings.persist()
+    s0, s1 = Searcher(built), Searcher(merged)
+    oracle = BruteForceIndex(corpus)
+    for q in [
+        TermQuery(term="red"),
+        bool_query(should=[TermQuery(term="red"), TermQuery(term="cyan")]),
+        PhraseQuery(terms=("red", "green")),
+    ]:
+        assert topk(s0, q) == topk(s1, q)
+    exp = BruteForceIndex.topk(oracle.score_term("red"), 10)
+    assert topk(s1, TermQuery(term="red")) == [(d, np.float32(s)) for d, s in exp]
+    # fewer segments after compaction
+    segs_before = built.postings.select("segment_id").distinct().count()
+    segs_after = merged.postings.select("segment_id").distinct().count()
+    assert segs_after < segs_before
+    merged.postings.unpersist()
+
+
+def test_plan_merges_groups_small_segments():
+    plan = plan_merges({0: 10, 1: 20, 2: 5000, 3: 8, 4: 30}, floor_docs=1024)
+    assert plan.groups == [[3, 0, 1, 4]]
+
+
+def test_add_indexes(spark, corpus):
+    half = len(corpus) // 2
+    cfg = IndexConfig(seg_size=16, block_size=8, with_positions=True)
+    df1 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus[:half])], "doc_id long, content string"
+    )
+    df2 = spark.createDataFrame(
+        [(i + half, t) for i, t in enumerate(corpus[half:])],
+        "doc_id long, content string",
+    )
+    i1 = build_index(df1, cfg, doc_id_col="doc_id")
+    i2 = build_index(df2, cfg, doc_id_col="doc_id")
+    combined = add_indexes(i1, i2)
+    oracle = BruteForceIndex(corpus)
+    assert combined.stats.doc_count == oracle.doc_count
+    assert combined.stats.sum_total_term_freq == oracle.sum_ttf
+    s = Searcher(combined)
+    exp = BruteForceIndex.topk(oracle.score_term("blue"), 10)
+    assert topk(s, TermQuery(term="blue")) == [(d, np.float32(s_)) for d, s_ in exp]
+
+
+def test_monitor_match_batch(spark):
+    m = Monitor(IndexConfig(seg_size=8))
+    m.register("q_red", TermQuery(term="red"))
+    m.register("q_and", bool_query(must=[TermQuery(term="red"), TermQuery(term="blue")]))
+    batch = spark.createDataFrame(
+        [
+            (0, "red fish"),
+            (1, "blue red mix"),
+            (2, "green only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["query_id"], r["doc_id"]) for r in m.match_batch(batch).collect()}
+    assert got == {("q_red", 0), ("q_red", 1), ("q_and", 1)}
+
+
+def test_stream_index_appends(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, f"streamword{i % 3} common") for i in range(20)],
+        "doc_id long, text string",
+    )
+    df.coalesce(1).write.json(src_dir)
+    stream = spark.readStream.schema("doc_id long, text string").json(src_dir)
+    out_dir = str(tmp_path / "idx")
+    q = stream_index_appends(
+        stream,
+        out_dir,
+        IndexConfig(seg_size=8),
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+    manifest = [
+        json.loads(line)
+        for line in open(os.path.join(out_dir, "stream_manifest.jsonl"))
+    ]
+    assert sum(m["doc_count"] for m in manifest) == 20
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    assert postings.filter(postings.term == "common").count() > 0
+
+
+def test_corpus_deterministic_and_verified(spark):
+    c1 = generate_corpus(spark, 50, num_partitions=4)
+    c2 = generate_corpus(spark, 50, num_partitions=7)  # different partitioning
+    p1 = c1.orderBy("repo", "path").toPandas()
+    p2 = c2.orderBy("repo", "path").toPandas()
+    assert p1.equals(p2)
+    assert verify_sha256(c1, sha256_sidecar(c2)) == 0
+    # tampering is caught
+    from pyspark.sql import functions as F
+
+    tampered = c1.withColumn(
+        "content",
+        F.when(F.col("path").contains("00000003"), F.lit("evil")).otherwise(
+            F.col("content")
+        ),
+    )
+    with pytest.raises(ValueError):
+        verify_sha256(tampered, sha256_sidecar(c1))
+
+
+def test_assign_doc_ids_deterministic_global_order(spark):
+    """Regression: repartitionByRange resamples boundaries per job, which
+    previously produced duplicate doc_ids; the driver-collected-cuts scheme
+    must equal a global row_number exactly, on an UNPERSISTED input."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lucene_spark.build import assign_doc_ids
+
+    c = generate_corpus(spark, 500, num_partitions=9)
+    df = assign_doc_ids(c, ["repo", "path"], num_partitions=5)
+    assert df.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    w = Window.orderBy("repo", "path")
+    bad = (
+        df.withColumn("expected", F.row_number().over(w) - 1)
+        .filter(F.col("doc_id") != F.col("expected"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_corpus_exercises_analysis_features(spark):
+    pdf = generate_corpus(spark, 30, num_partitions=2).toPandas()
+    text = "\n".join(pdf["content"])
+    assert "def" in text and "_" in text
+    import re
+
+    assert re.search(r"[a-z][A-Z]", text)  # camelCase boundary present
+    assert re.search(r"rare_\d+_", text)  # singleton tokens
