@@ -53,19 +53,27 @@ K1, B = 1.2, 0.75
 _CACHE: dict[str, Searcher] = {}
 
 
-def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
-    key = sf_dir
+def _searcher(spark: SparkSession, sf_dir: str, sim: str = "bm25") -> Searcher:
+    key = f"{sf_dir}::{sim}"
     if key not in _CACHE:
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        cfg = IndexConfig(
-            chain="standard",
-            seg_size=1 << 12,
-            block_size=128,
-            with_positions=True,
-            store_cols=("lang", "source", "n_chars"),
-        )
-        idx = build_index(docs, cfg, content_col="text", doc_id_col="doc_id").persist()
-        _CACHE[key] = Searcher(idx, dtype=np.float64)
+        base_key = f"{sf_dir}::bm25"
+        if base_key in _CACHE:
+            idx = _CACHE[base_key].index
+        else:
+            docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            cfg = IndexConfig(
+                chain="standard",
+                seg_size=1 << 12,
+                block_size=128,
+                with_positions=True,
+                store_cols=("lang", "source", "n_chars"),
+            )
+            idx = build_index(
+                docs, cfg, content_col="text", doc_id_col="doc_id"
+            ).persist()
+        from lucene_spark.similarities import SIMILARITIES
+
+        _CACHE[key] = Searcher(idx, dtype=np.float64, similarity=SIMILARITIES[sim]())
     return _CACHE[key]
 
 
@@ -396,6 +404,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- monitor / percolator (standing queries over a doc batch) ----
         "q_monitor": lambda sp, d: _monitor_matches(sp, d),
+        # ---- alternate similarities (SURVEY §2.6) ----
+        "q_sim_classic": lambda sp, d: _topk_df(
+            _searcher(sp, d, sim="classic"), TermQuery(term="spark"), 10
+        ),
+        "q_sim_boolean": lambda sp, d: _topk_df(
+            _searcher(sp, d, sim="boolean"), TermQuery(term="spark"), 10
+        ),
+        "q_sim_lmdirichlet": lambda sp, d: _topk_df(
+            _searcher(sp, d, sim="lmdirichlet"), TermQuery(term="spark"), 10
+        ),
         # ---- training-data pipeline: deduplication ----
         "dedup_exact": lambda sp, d: fdedup.exact_dedup(_docs(sp, d), "doc_id", "text"),
         "dedup_minhash_lsh": lambda sp, d: fdedup.minhash_candidates(
@@ -553,6 +571,38 @@ SELECT rank, doc_id, score FROM (
 ) WHERE rank > 10 AND rank <= 20 ORDER BY rank
 """,
         "q_monitor": _monitor_sql(),
+        # ClassicSimilarity: sqrt(freq) * (ln((N+1)/(df+1)) + 1) * 1/sqrt(dlq)
+        # (ClassicSimilarity.java:38-64, TFIDFSimilarity.java:455-474)
+        "q_sim_classic": _PRELUDE
+        + """
+, csc AS (
+  SELECT tf.doc_id,
+         sqrt(tf.freq) * (ln((s.n + 1) / (d.df + 1)) + 1) * (1.0 / sqrt(q.dlq)) AS score
+  FROM tf JOIN dfreq d ON d.term = tf.term JOIN dlq q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats s WHERE tf.term = 'spark'
+)
+"""
+        + _rank_tail("score", "FROM csc", 10),
+        "q_sim_boolean": _PRELUDE
+        + """
+, bsc AS (SELECT DISTINCT doc_id, 1.0 AS score FROM tf WHERE term = 'spark')
+"""
+        + _rank_tail("score", "FROM bsc", 10),
+        # LMDirichlet: max(0, ln(1 + freq/(mu*Pc)) + ln(mu/(dl+mu))), mu=2000,
+        # Pc=(ttf+1)/(sttf+1) (LMDirichletSimilarity.java, LMSimilarity.java)
+        "q_sim_lmdirichlet": _PRELUDE
+        + """
+, ttf AS (SELECT term, sum(freq)::DOUBLE AS v FROM tf GROUP BY term),
+lsc AS (
+  SELECT tf.doc_id,
+         greatest(0.0,
+           ln(1 + tf.freq / (2000.0 * ((t.v + 1) / (s.sttf + 1))))
+           + ln(2000.0 / (q.dlq + 2000.0))) AS score
+  FROM tf JOIN ttf t ON t.term = tf.term JOIN dlq q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats s WHERE tf.term = 'spark'
+)
+"""
+        + _rank_tail("score", "FROM lsc", 10),
     }
     sqls.update(_pipeline_oracles())
     return sqls

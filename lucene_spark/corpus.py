@@ -66,37 +66,61 @@ def _identifier_vocab(n: int, rng: np.ndarray) -> list:
 IDENTIFIERS = _identifier_vocab(5000, None)
 
 
-def _gen_rows(start: int, count: int, seed: int = 42) -> pd.DataFrame:
-    rows = []
-    kw = np.array(KEYWORDS)
-    ids = np.array(IDENTIFIERS)
-    kw_ranks = np.arange(1, len(kw) + 1, dtype=np.float64)
-    kw_p = 1.0 / kw_ranks**1.1
-    kw_p /= kw_p.sum()
-    for i in range(start, start + count):
-        rng = np.random.default_rng(seed * 1_000_003 + i)
-        repo = f"org{i % 7}/proj{i % 23}"
-        ext = EXTS[i % len(EXTS)]
-        module = _NOUNS[i % len(_NOUNS)]
-        path = f"src/{module}/file{i:08d}.{ext}"
-        commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
-        n_lines = int(rng.integers(5, 40))
-        parts = []
-        for _ in range(n_lines):
-            n_kw = int(rng.integers(1, 4))
-            n_id = int(rng.integers(1, 4))
-            toks = list(rng.choice(kw, size=n_kw, p=kw_p))
-            toks += list(ids[rng.integers(0, len(ids), size=n_id)])
-            if rng.random() < 0.3:
-                toks.append(str(rng.integers(0, 100000)))
-            rng.shuffle(toks)
-            sep = rng.choice([" = ", "(", ", ", ": ", " + "])
-            parts.append(sep.join(toks) + (")" if sep == "(" else ";"))
-        if rng.random() < 0.15:
-            parts.append(f"rare_{i}_{rng.integers(0, 1 << 30)}")  # singleton
-        content = "\n".join(parts)
-        rows.append((repo, path, commit, LANGS[ext], content))
-    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+_KW = np.array(KEYWORDS)
+_IDS = np.array(IDENTIFIERS)
+_KW_CUM = None
+_SEPS = np.array([" = ", "(", ", ", ": ", " + "])
+
+
+def _kw_cum() -> np.ndarray:
+    global _KW_CUM
+    if _KW_CUM is None:
+        p = 1.0 / np.arange(1, len(_KW) + 1, dtype=np.float64) ** 1.1
+        _KW_CUM = np.cumsum(p / p.sum())
+    return _KW_CUM
+
+
+def _gen_row(i: int, seed: int = 42) -> tuple:
+    """One deterministic corpus row; depends only on (seed, i).
+
+    Uses a cheap splitmix-style LCG stream instead of default_rng (whose
+    construction dominates at millions of rows) — still fully deterministic.
+    """
+    state = (seed * 1_000_003 + i) & 0xFFFFFFFFFFFFFFFF
+
+    def nxt() -> int:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        return state >> 11
+
+    def rint(lo: int, hi: int) -> int:  # [lo, hi)
+        return lo + nxt() % (hi - lo)
+
+    repo = f"org{i % 7}/proj{i % 23}"
+    ext = EXTS[i % len(EXTS)]
+    module = _NOUNS[i % len(_NOUNS)]
+    path = f"src/{module}/file{i:08d}.{ext}"
+    commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+    cum = _kw_cum()
+    parts = []
+    for _ in range(rint(5, 40)):
+        toks = []
+        for _ in range(rint(1, 4)):  # Zipf keywords
+            u = (nxt() & 0xFFFFFF) / float(1 << 24)
+            toks.append(_KW[int(np.searchsorted(cum, u))])
+        for _ in range(rint(1, 4)):  # identifiers
+            toks.append(_IDS[nxt() % len(_IDS)])
+        if nxt() % 10 < 3:
+            toks.append(str(nxt() % 100000))
+        # deterministic in-place shuffle (Fisher-Yates)
+        for j in range(len(toks) - 1, 0, -1):
+            k = nxt() % (j + 1)
+            toks[j], toks[k] = toks[k], toks[j]
+        sep = _SEPS[nxt() % len(_SEPS)]
+        parts.append(sep.join(toks) + (")" if sep == "(" else ";"))
+    if nxt() % 100 < 15:
+        parts.append(f"rare_{i}_{nxt() % (1 << 30)}")  # singleton token
+    return (repo, path, commit, LANGS[ext], "\n".join(parts))
 
 
 def generate_corpus(
@@ -109,10 +133,9 @@ def generate_corpus(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                ids = pdf["id"].to_numpy()
-                # ids are contiguous per batch under range; generate per id
-                yield pd.concat(
-                    [_gen_rows(int(i), 1, seed) for i in ids], ignore_index=True
+                rows = [_gen_row(int(i), seed) for i in pdf["id"].to_numpy()]
+                yield pd.DataFrame(
+                    rows, columns=["repo", "path", "commit", "lang", "content"]
                 )
 
     return base.mapInPandas(

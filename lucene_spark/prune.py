@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from . import codec
-from .bm25 import BM25Scorer, idf
+from .bm25 import BM25Scorer
 from .query import BooleanQuery, Occur, Query, TermQuery
 
 
@@ -86,10 +86,7 @@ def try_pruned_topk(searcher, q: Query, k: int) -> Optional[DataFrame]:
         st = stats.get(tq.term)
         if st is None:
             continue
-        scorers[tq.term] = searcher.term_scorer(
-            float(idf(st.doc_freq, searcher.index.stats.doc_count, dtype=searcher.dtype)),
-            boost=tq.boost,
-        )
+        scorers[tq.term] = searcher.scorer_for(tq.boost, st)
 
     meta = _block_bounds(searcher, scorers)  # + ub column
     meta.persist()

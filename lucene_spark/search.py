@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from . import codec
-from .bm25 import BM25Scorer, CollectionStats, idf, idf_sum, make_scorer
+from .bm25 import BM25Scorer
 from .build import Index
 from .query import (
     BooleanQuery,
@@ -66,10 +66,13 @@ class TermStats:
 
 
 class Searcher:
-    def __init__(self, index: Index, dtype=np.float32):
+    def __init__(self, index: Index, dtype=np.float32, similarity=None):
+        from .similarities import BM25
+
         self.index = index
         self.dtype = dtype
         self.spark = index.docs.sparkSession
+        self.sim = similarity or BM25(k1=index.config.k1, b=index.config.b)
 
     # ---------------- public API ----------------
 
@@ -113,10 +116,24 @@ class Searcher:
             for r in rows
         }
 
-    def term_scorer(self, term_idf: float, boost: float = 1.0) -> BM25Scorer:
-        cfg = self.index.config
-        return make_scorer(
-            boost, term_idf, self.index.stats, k1=cfg.k1, b=cfg.b, dtype=self.dtype
+    def scorer_for(self, boost: float, st: TermStats):
+        from .similarities import TermStatsIn
+
+        return self.sim.scorer(
+            boost,
+            TermStatsIn(st.doc_freq, st.total_term_freq),
+            self.index.stats,
+            self.dtype,
+        )
+
+    def multi_scorer_for(self, boost: float, sts: Sequence[TermStats]):
+        from .similarities import TermStatsIn
+
+        return self.sim.multi_scorer(
+            boost,
+            [TermStatsIn(s.doc_freq, s.total_term_freq) for s in sts],
+            self.index.stats,
+            self.dtype,
         )
 
     def _empty(self) -> DataFrame:
@@ -238,10 +255,7 @@ class Searcher:
             return self._empty()
         if not needs_scores:
             return self.decode_docs_only([q.term]).withColumn("score", F.lit(1.0))
-        scorer = self.term_scorer(
-            float(idf(st.doc_freq, self.index.stats.doc_count, dtype=self.dtype)),
-            boost=q.boost,
-        )
+        scorer = self.scorer_for(q.boost, st)
         if st.doc_freq == 1:
             # singleton pulsing fast path: posting inlined in the terms table
             score = float(
@@ -259,8 +273,10 @@ class Searcher:
         if not stats:
             return self._empty()
         df_blend = max(s.doc_freq for s in stats.values())
-        scorer = self.term_scorer(
-            float(idf(df_blend, self.index.stats.doc_count, dtype=self.dtype)), boost=q.boost
+        ttf_blend = max(s.total_term_freq for s in stats.values())
+        scorer = self.scorer_for(
+            q.boost,
+            TermStats(df_blend, ttf_blend, -1, 0, 0),
         )
         raw = self.decode_raw(list(stats))
         agg = raw.groupBy("doc_id").agg(
@@ -363,16 +379,7 @@ class Searcher:
         if any(t not in stats for t in terms):
             return self._empty()
         n_terms = len(terms)
-        scorer = self.term_scorer(
-            float(
-                idf_sum(
-                    [stats[t].doc_freq for t in terms],
-                    self.index.stats.doc_count,
-                    dtype=self.dtype,
-                )
-            ),
-            boost=q.boost,
-        )
+        scorer = self.multi_scorer_for(q.boost, [stats[t] for t in terms])
         raw = self.decode_raw(sorted(set(terms)), with_positions=True)
         slop = int(q.slop)
         offsets = {t: [i for i, tt in enumerate(terms) if tt == t] for t in set(terms)}
