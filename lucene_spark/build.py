@@ -205,28 +205,69 @@ def _segment_writer_fn(config: IndexConfig):
     """applyInPandas fn over one segment's tf rows -> encoded postings blocks.
 
     The Spark analog of FreqProxTermsWriter.flush + Lucene90PostingsWriter
-    (sorted term replay, 128-int blocks, skip/impact metadata per block)."""
+    (sorted term replay, 128-int blocks, skip/impact metadata per block).
+
+    Source-code corpora are singleton-heavy (most terms have docFreq 1 in a
+    segment — the observation behind Lucene's singleton pulsing,
+    Lucene90PostingsWriter.java:377-380), so single-posting terms take a
+    direct bytes fast path instead of the generic numpy encoders."""
     block_size, with_pos = config.block_size, config.with_positions
 
     def write_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        rows = []
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
         seg = int(pdf["segment_id"].iloc[0])
-        for term, g in pdf.groupby("term", sort=True):
-            doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
-            freqs = g["freq"].to_numpy(dtype=np.int64)
-            norms = g["norm"].to_numpy(dtype=np.int64)
-            pos_lists = g["positions"].tolist() if with_pos else None
-            for b0 in range(0, len(doc_ids), block_size):
-                b1 = min(b0 + block_size, len(doc_ids))
-                d, f, n = doc_ids[b0:b1], freqs[b0:b1], norms[b0:b1]
-                base = int(doc_ids[b0 - 1]) if b0 else -1
+        codes, uniques = pd.factorize(pdf["term"], sort=True)
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((doc_ids, codes))
+        codes_s = codes[order]
+        docs_s = doc_ids[order]
+        freqs_s = pdf["freq"].to_numpy(dtype=np.int64)[order]
+        norms_s = pdf["norm"].to_numpy(dtype=np.int64)[order]
+        pos_s = pdf["positions"].to_numpy()[order] if with_pos else None
+        bounds = np.concatenate(
+            ([0], np.nonzero(np.diff(codes_s))[0] + 1, [len(codes_s)])
+        )
+        sizes = np.diff(bounds)
+        terms_arr = uniques.to_numpy() if hasattr(uniques, "to_numpy") else np.asarray(uniques)
+
+        rows = []
+        norms_u8 = norms_s.astype(np.uint8)
+        for gi in range(len(sizes)):
+            b0g, b1g = int(bounds[gi]), int(bounds[gi + 1])
+            term = terms_arr[codes_s[b0g]]
+            n_docs = b1g - b0g
+            if n_docs == 1:
+                d = int(docs_s[b0g])
+                f = int(freqs_s[b0g])
+                delta = d + 1  # base_doc = -1
+                w = (delta - 1).bit_length()
+                docs_enc = bytes([w]) + (delta - 1).to_bytes((w + 7) // 8, "little")
+                fw = f.bit_length()
+                freqs_enc = bytes([fw, 0]) + f.to_bytes((fw + 7) // 8, "little")
+                if with_pos:
+                    pos_enc = codec.vbyte_encode(
+                        np.diff(np.asarray(pos_s[b0g], dtype=np.int64), prepend=0)
+                        .astype(np.uint64)
+                    )
+                else:
+                    pos_enc = None
+                rows.append(
+                    (term, seg, 0, -1, 1, d, docs_enc, freqs_enc,
+                     norms_u8[b0g : b0g + 1].tobytes(),
+                     [f], [int(norms_s[b0g])], pos_enc)
+                )
+                continue
+            for b0 in range(b0g, b1g, block_size):
+                b1 = min(b0 + block_size, b1g)
+                d = docs_s[b0:b1]
+                f = freqs_s[b0:b1]
+                n = norms_s[b0:b1]
+                base = int(docs_s[b0 - 1]) if b0 > b0g else -1
                 imp_f, imp_n = codec.pareto_impacts(f, n)
                 if with_pos:
-                    pcat = (
-                        np.concatenate([np.asarray(p) for p in pos_lists[b0:b1]])
-                        if b1 > b0
-                        else np.array([], dtype=np.int64)
+                    pcat = np.concatenate(
+                        [np.asarray(p, dtype=np.int64) for p in pos_s[b0:b1]]
                     )
                     pos_enc = codec.encode_positions(pcat, f)
                 else:
@@ -235,7 +276,7 @@ def _segment_writer_fn(config: IndexConfig):
                     (
                         term,
                         seg,
-                        b0 // block_size,
+                        (b0 - b0g) // block_size,
                         base,
                         int(b1 - b0),
                         int(d[-1]),
@@ -284,6 +325,7 @@ def build_index(
     doc_id_col: Optional[str] = None,
     order_cols: Optional[List[str]] = None,
     num_partitions: Optional[int] = None,
+    auto_seg_size: bool = True,
 ) -> Index:
     """Build the full index from a corpus DataFrame.
 
@@ -300,6 +342,16 @@ def build_index(
     else:
         assert order_cols, "need doc_id_col or order_cols"
         df = assign_doc_ids(corpus, order_cols, num_partitions)
+
+    if auto_seg_size:
+        # enough segments to keep every core busy in the segment writer
+        # (the DWPT-count analog); never larger than the configured cap
+        n = corpus.count()
+        eff = min(config.seg_size, max(1024, n // (num_partitions * 2) + 1))
+        if eff != config.seg_size:
+            import dataclasses
+
+            config = dataclasses.replace(config, seg_size=eff)
 
     tf = df.select("doc_id", content_col).mapInPandas(
         _invert_fn(config, content_col), schema=TF_SCHEMA

@@ -103,11 +103,16 @@ class Classic(Similarity):
         return dtype(np.log((n + 1) / float(df + 1)) + 1.0)
 
     def _table(self, dtype):
-        lt = LENGTH_TABLE.astype(np.float64)
+        # built from EXACT decoded ints (TFIDFSimilarity.java:467-471 passes
+        # the int length to lengthNorm), unlike BM25/SimilarityBase whose
+        # LENGTH_TABLE is float32
+        from .smallfloat import byte4_to_int
+
+        lt = byte4_to_int(np.arange(256)).astype(np.float64)
         with np.errstate(divide="ignore"):
-            t = 1.0 / np.sqrt(lt)
-        t[0] = 1.0 / t[255]
-        return t.astype(dtype)
+            t = (1.0 / np.sqrt(lt)).astype(dtype)
+        t[0] = dtype(1.0) / t[255]  # TFIDFSimilarity.java:473
+        return t
 
     def scorer(self, boost, ts, stats, dtype=np.float32):
         idf = self._idf(ts.doc_freq, stats.doc_count, dtype)
