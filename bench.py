@@ -54,10 +54,7 @@ def main() -> None:
     cfg = IndexConfig(chain="standard", seg_size=1 << 12, block_size=128,
                       with_positions=True, store_cols=("lang",))
     t0 = time.time()
-    idx = build_index(docs, cfg, content_col="text", doc_id_col="doc_id")
-    idx.postings.persist().count()
-    idx.terms.persist().count()
-    idx.docs.persist().count()
+    idx = build_index(docs, cfg, content_col="text", doc_id_col="doc_id", eager=True)
     t_build_docs = time.time() - t0
     queries["index_build_documents"] = round(t_build_docs, 3)
 
@@ -71,9 +68,7 @@ def main() -> None:
     code_cfg = IndexConfig(chain="code", seg_size=1 << 13, block_size=128,
                            with_positions=False)
     cidx = build_index(code, code_cfg, order_cols=["repo", "path"],
-                       num_partitions=cpus)
-    cidx.postings.persist().count()
-    cidx.terms.persist().count()
+                       num_partitions=cpus, eager=True)
     t_build_code = time.time() - t0
     queries["index_build_code_corpus"] = round(t_build_code, 3)
     code_docs_per_sec = n_code_docs / t_build_code

@@ -69,6 +69,7 @@ POSTINGS_SCHEMA = StructType(
         StructField("block_id", IntegerType()),
         StructField("base_doc", LongType()),
         StructField("count", IntegerType()),
+        StructField("sum_freq", LongType()),
         StructField("last_doc", LongType()),
         StructField("docs_enc", BinaryType()),
         StructField("freqs_enc", BinaryType()),
@@ -90,59 +91,72 @@ def assign_doc_ids(
     (index/DocumentsWriterPerThread.java:239) when ingest order is the
     canonical sort order. order_cols must be a unique non-null key.
 
-    Range boundaries are sampled ONCE and collected to the driver, so bucket
-    assignment is a pure function of the row — unlike ``repartitionByRange``,
-    whose boundary sampling is re-run (with a fresh seed) per job and can
-    hand different rows to different partitions across the counts job and
-    the row_number job, corrupting the offsets.
-    """
-    from pyspark.sql.window import Window
+    Exactly ONE full shuffle: ``repartitionByRange`` + ``sortWithinPartitions``
+    gives globally range-partitioned, locally sorted rows. The result is
+    persisted BEFORE being consumed so the (randomly sampled) range boundaries
+    are pinned — the per-partition counts job and the id-assignment pass then
+    see the same partitioning. (At production scale, checkpoint to durable
+    storage instead of memory/disk cache; same pinning effect.)
 
-    key = F.concat_ws("\x01", *[F.col(c) for c in order_cols])
-    n = df.count()
-    buckets = max(1, min(num_partitions, n))
-    if buckets > 1:
-        fraction = min(1.0, (buckets * 200.0) / max(n, 1))
-        sampled = sorted(
-            r["_k"]
-            for r in df.select(key.alias("_k")).sample(fraction, seed=42).collect()
-        )
-        cuts = sorted(
-            {
-                sampled[(i * len(sampled)) // buckets]
-                for i in range(1, buckets)
-            }
-        ) if sampled else []
-    else:
-        cuts = []
-    if cuts:
-        bounds = F.array(*[F.lit(c) for c in cuts])
-        bucket = F.size(F.filter(bounds, lambda b: key >= b))
-    else:
-        bucket = F.lit(0)
-    with_bucket = df.withColumn("_bk", bucket)
+    doc_id = per-partition offset (tiny driver-side prefix sum over partition
+    counts) + running row number inside the partition, computed by a narrow
+    mapInPandas — no window function, no second shuffle.
+    """
+    parted, offsets, _n = _range_partition_with_offsets(df, order_cols, num_partitions)
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("doc_id", LongType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one call per partition; batches arrive in partition (sorted) order
+        seen = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    out = parted.withColumn("_pid", F.spark_partition_id()).mapInPandas(
+        assign, schema=out_schema
+    )
+    out._doc_id_parted = parted  # cache handle; released by build_index(eager=True)
+    return out
+
+
+def _range_partition_with_offsets(df: DataFrame, order_cols: List[str], num_partitions: int):
+    """Range-partition + locally sort the corpus by order_cols, persist it to
+    pin the sampled boundaries, and return (parted, {partition_id: doc_id
+    offset}, total_rows). One full shuffle + a tiny counts job."""
+    from pyspark import StorageLevel
+
+    cols = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     counts = {
-        r["_bk"]: r["cnt"]
-        for r in with_bucket.groupBy("_bk").agg(F.count("*").alias("cnt")).collect()
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
     }
     offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(int(b), int(o)) for b, o in offsets.items()], "_bk int, _offset long"
-    )
-    w = Window.partitionBy("_bk").orderBy(*[F.col(c) for c in order_cols])
-    return (
-        with_bucket.join(F.broadcast(off_df), "_bk")
-        .withColumn("doc_id", F.row_number().over(w) + F.col("_offset") - 1)
-        .drop("_bk", "_offset")
-    )
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    return parted, offsets, acc
 
 
-def _invert_fn(config: IndexConfig, content_col: str):
-    """mapInPandas fn: corpus batches -> per-(doc, term) tf rows.
+def _invert_core(config: IndexConfig, pairs):
+    """Invert a stream of (doc_id int64 array, content Series) pairs into
+    per-(doc, term) tf DataFrames.
 
     This is PerField.invert (IndexingChain.java:1121-1260) re-expressed
     batch-at-a-time: token stream -> positions -> per-doc term freqs + norm
@@ -150,23 +164,19 @@ def _invert_fn(config: IndexConfig, content_col: str):
     chain, stopwords = config.chain, config.stopwords
     seg_size, with_pos = config.seg_size, config.with_positions
 
-    def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            flat, counts = flat_tokenize(pdf[content_col], chain=chain)
-            batch_docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+    for batch_docs, content in pairs:
+            flat, counts = flat_tokenize(content, chain=chain)
             total = int(counts.sum())
             if total == 0:
                 continue
-            row_idx = np.repeat(np.arange(len(pdf)), counts)
+            row_idx = np.repeat(np.arange(len(batch_docs)), counts)
             starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
             pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
             if stopwords:
                 keep = ~np.isin(flat, list(stopwords))
                 flat, row_idx, pos = flat[keep], row_idx[keep], pos[keep]
                 # per-row effective lengths shrink; holes keep advancing pos
-                counts = np.bincount(row_idx, minlength=len(pdf)).astype(np.int64)
+                counts = np.bincount(row_idx, minlength=len(batch_docs)).astype(np.int64)
                 total = len(flat)
                 if total == 0:
                     continue
@@ -198,7 +208,42 @@ def _invert_fn(config: IndexConfig, content_col: str):
             }
             yield pd.DataFrame(out)
 
+
+def _invert_fn(config: IndexConfig, content_col: str):
+    """mapInPandas fn over (doc_id, <content_col>) batches -> tf rows."""
+
+    def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def pairs():
+            for pdf in batches:
+                if len(pdf):
+                    yield pdf["doc_id"].to_numpy(dtype=np.int64), pdf[content_col]
+
+        yield from _invert_core(config, pairs())
+
     return invert
+
+
+def _assign_invert_fn(config: IndexConfig, content_col: str, offsets: dict):
+    """Fused doc_id assignment + invert: one mapInPandas over the pinned
+    range-partitioned corpus (with a _pid column), so the corpus crosses the
+    JVM<->Arrow boundary once instead of twice."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def pairs():
+            seen = 0
+            base = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if base is None:
+                    base = offsets[int(pdf["_pid"].iloc[0])]
+                ids = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+                seen += len(pdf)
+                yield ids, pdf[content_col]
+
+        yield from _invert_core(config, pairs())
+
+    return fn
 
 
 def _segment_writer_fn(config: IndexConfig):
@@ -209,8 +254,10 @@ def _segment_writer_fn(config: IndexConfig):
 
     Source-code corpora are singleton-heavy (most terms have docFreq 1 in a
     segment — the observation behind Lucene's singleton pulsing,
-    Lucene90PostingsWriter.java:377-380), so single-posting terms take a
-    direct bytes fast path instead of the generic numpy encoders."""
+    Lucene90PostingsWriter.java:377-380). Singleton terms are emitted fully
+    vectorized with NO encoded bytes: the posting lives in the existing
+    (last_doc, imp_freqs[0], imp_norms[0]) columns and decoders fast-path
+    count == 1."""
     block_size, with_pos = config.block_size, config.with_positions
 
     def write_segment(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -231,33 +278,45 @@ def _segment_writer_fn(config: IndexConfig):
         sizes = np.diff(bounds)
         terms_arr = uniques.to_numpy() if hasattr(uniques, "to_numpy") else np.asarray(uniques)
 
-        rows = []
-        norms_u8 = norms_s.astype(np.uint8)
-        for gi in range(len(sizes)):
-            b0g, b1g = int(bounds[gi]), int(bounds[gi + 1])
-            term = terms_arr[codes_s[b0g]]
-            n_docs = b1g - b0g
-            if n_docs == 1:
-                d = int(docs_s[b0g])
-                f = int(freqs_s[b0g])
-                delta = d + 1  # base_doc = -1
-                w = (delta - 1).bit_length()
-                docs_enc = bytes([w]) + (delta - 1).to_bytes((w + 7) // 8, "little")
-                fw = f.bit_length()
-                freqs_enc = bytes([fw, 0]) + f.to_bytes((fw + 7) // 8, "little")
-                if with_pos:
-                    pos_enc = codec.vbyte_encode(
-                        np.diff(np.asarray(pos_s[b0g], dtype=np.int64), prepend=0)
+        frames = []
+        # ---- vectorized singleton (pulsing) fast path ----
+        sing = sizes == 1
+        if sing.any():
+            i1 = bounds[:-1][sing]
+            d1 = docs_s[i1]
+            f1 = freqs_s[i1].astype(np.int64)
+            n1 = norms_s[i1]
+            if with_pos:
+                pos_enc1 = [
+                    codec.vbyte_encode(
+                        np.diff(np.asarray(p, dtype=np.int64), prepend=0)
                         .astype(np.uint64)
                     )
-                else:
-                    pos_enc = None
-                rows.append(
-                    (term, seg, 0, -1, 1, d, docs_enc, freqs_enc,
-                     norms_u8[b0g : b0g + 1].tobytes(),
-                     [f], [int(norms_s[b0g])], pos_enc)
-                )
-                continue
+                    for p in pos_s[i1]
+                ]
+            else:
+                pos_enc1 = None
+            frames.append(pd.DataFrame({
+                "term": terms_arr[codes_s[i1]],
+                "segment_id": np.full(len(i1), seg, dtype=np.int32),
+                "block_id": np.zeros(len(i1), dtype=np.int32),
+                "base_doc": np.full(len(i1), -1, dtype=np.int64),
+                "count": np.ones(len(i1), dtype=np.int32),
+                "sum_freq": f1,
+                "last_doc": d1,
+                "docs_enc": None,
+                "freqs_enc": None,
+                "norms_enc": None,
+                "imp_freqs": [[int(x)] for x in f1],
+                "imp_norms": [[int(x)] for x in n1],
+                "pos_enc": pos_enc1,
+            }))
+
+        rows = []
+        norms_u8 = norms_s.astype(np.uint8)
+        for gi in np.nonzero(~sing)[0]:
+            b0g, b1g = int(bounds[gi]), int(bounds[gi + 1])
+            term = terms_arr[codes_s[b0g]]
             for b0 in range(b0g, b1g, block_size):
                 b1 = min(b0 + block_size, b1g)
                 d = docs_s[b0:b1]
@@ -279,6 +338,7 @@ def _segment_writer_fn(config: IndexConfig):
                         (b0 - b0g) // block_size,
                         base,
                         int(b1 - b0),
+                        int(f.sum()),
                         int(d[-1]),
                         codec.delta_encode_docs(d, base),
                         codec.pfor_encode(f.astype(np.uint32)),
@@ -288,10 +348,13 @@ def _segment_writer_fn(config: IndexConfig):
                         pos_enc,
                     )
                 )
-        return pd.DataFrame(
-            rows,
-            columns=[f.name for f in POSTINGS_SCHEMA.fields],
-        )
+        if rows:
+            frames.append(
+                pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+            )
+        if not frames:
+            return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
+        return pd.concat(frames, ignore_index=True)
 
     return write_segment
 
@@ -305,6 +368,7 @@ class Index:
     postings: DataFrame  # POSTINGS_SCHEMA
     stats: CollectionStats
     config: IndexConfig
+    tf: Optional[DataFrame] = None  # persisted invert output (released on unpersist)
 
     def persist(self) -> "Index":
         self.docs.persist()
@@ -313,8 +377,10 @@ class Index:
         return self
 
     def unpersist(self) -> "Index":
-        for df in (self.docs, self.terms, self.postings):
-            df.unpersist()
+        extra = getattr(self.tf, "_doc_id_parted", None)
+        for df in (self.docs, self.terms, self.postings, self.tf, extra):
+            if df is not None:
+                df.unpersist()
         return self
 
 
@@ -326,70 +392,142 @@ def build_index(
     order_cols: Optional[List[str]] = None,
     num_partitions: Optional[int] = None,
     auto_seg_size: bool = True,
+    eager: bool = False,
 ) -> Index:
     """Build the full index from a corpus DataFrame.
 
     Either ``doc_id_col`` names an existing dense unique long column, or
     ``order_cols`` defines the canonical ingest order for doc_id assignment.
+
+    With ``eager=True`` the postings/terms/docs tables are materialized +
+    persisted before returning, and the intermediate tf cache is released —
+    use when the index will be queried repeatedly (the common case).
     """
     spark = corpus.sparkSession
     content_col = content_col or config.field
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 4)
 
+    parted = None
     if doc_id_col is not None:
         df = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+        n = corpus.count()
     else:
         assert order_cols, "need doc_id_col or order_cols"
-        df = assign_doc_ids(corpus, order_cols, num_partitions)
+        parted, offsets, n = _range_partition_with_offsets(
+            corpus, order_cols, num_partitions
+        )
+        df = None  # only materialized if store_cols need it (below)
 
     if auto_seg_size:
         # enough segments to keep every core busy in the segment writer
         # (the DWPT-count analog); never larger than the configured cap
-        n = corpus.count()
         eff = min(config.seg_size, max(1024, n // (num_partitions * 2) + 1))
         if eff != config.seg_size:
             import dataclasses
 
             config = dataclasses.replace(config, seg_size=eff)
 
-    tf = df.select("doc_id", content_col).mapInPandas(
-        _invert_fn(config, content_col), schema=TF_SCHEMA
-    )
+    if parted is not None:
+        # fused doc_id assignment + invert: corpus crosses Arrow once
+        tf = parted.withColumn("_pid", F.spark_partition_id()).mapInPandas(
+            _assign_invert_fn(config, content_col, offsets), schema=TF_SCHEMA
+        )
+    else:
+        tf = df.select("doc_id", content_col).mapInPandas(
+            _invert_fn(config, content_col), schema=TF_SCHEMA
+        )
+    # Tokenization is the expensive pass; it feeds BOTH the segment writer and
+    # the per-doc lengths. Persist it once (the analog of Lucene's in-memory
+    # DWPT postings buffer before flush, DocumentsWriterPerThread.java:209-260)
+    # so invert runs exactly once. Disk-backed: at 100 TB this is the same
+    # order of I/O the segment-grouping shuffle writes anyway.
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
 
     # ONE wide shuffle: group whole segments for the block writer
     postings = tf.groupBy("segment_id").applyInPandas(
         _segment_writer_fn(config), schema=POSTINGS_SCHEMA
     )
+    if eager:
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        postings.count()
 
-    # term stats: partial-agg-friendly; singleton (pulsing) info captured via
-    # min/max trick — only meaningful when doc_freq == 1
-    terms = tf.groupBy("term").agg(
-        F.count("*").alias("doc_freq"),
-        F.sum("freq").alias("total_term_freq"),
-        F.min("doc_id").alias("singleton_doc_id"),
-        F.max("freq").alias("singleton_freq"),
-        F.max("norm").alias("singleton_norm"),
+    # term stats derived from the (much smaller) postings blocks — no second
+    # pass over tf. doc_freq = Σ block counts; total_term_freq = Σ block
+    # sum_freq. singleton_* columns (pulsing fast path) are only consulted
+    # when doc_freq == 1, where the term has exactly one block row whose
+    # impacts hold the exact (freq, norm) pair.
+    terms = postings.groupBy("term").agg(
+        F.sum("count").cast("long").alias("doc_freq"),
+        F.sum("sum_freq").alias("total_term_freq"),
+        F.min("last_doc").alias("singleton_doc_id"),
+        F.max(F.array_max("imp_freqs")).cast("int").alias("singleton_freq"),
+        F.max(F.array_max("imp_norms")).cast("int").alias("singleton_norm"),
     )
 
-    # docs / norms: lightweight second analysis-free pass is avoided by
-    # deriving length from tf (sum of freqs); docs with zero tokens keep norm 0
+    # docs / norms: derive length from the persisted tf (sum of freqs);
+    # docs with zero tokens keep norm 0. doc_ids are dense 0..n-1, so with no
+    # stored columns the doc table needs NO pass over the corpus at all.
     lengths = tf.groupBy("doc_id").agg(F.sum("freq").alias("length"))
-    docs = (
-        df.select("doc_id", *config.store_cols)
-        .join(lengths, "doc_id", "left")
-        .fillna({"length": 0})
-    )
+    if parted is not None and not config.store_cols:
+        id_side = spark.range(0, n).withColumnRenamed("id", "doc_id")
+    elif parted is not None:
+        # re-derive (doc_id, store_cols) from the pinned partitioning; a
+        # narrow projection drops content before the Arrow hop
+        store = list(config.store_cols)
+        sschema = StructType(
+            [StructField("doc_id", LongType())]
+            + [corpus.schema[c] for c in store]
+        )
+
+        def assign_store(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            seen = 0
+            base = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if base is None:
+                    base = offsets[int(pdf["_pid"].iloc[0])]
+                out = pd.DataFrame(
+                    {"doc_id": np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)}
+                )
+                for c in store:
+                    out[c] = pdf[c].to_numpy()
+                seen += len(pdf)
+                yield out
+
+        id_side = (
+            parted.select(*store)
+            .withColumn("_pid", F.spark_partition_id())
+            .mapInPandas(assign_store, schema=sschema)
+        )
+    else:
+        id_side = df.select("doc_id", *config.store_cols)
+    docs = id_side.join(lengths, "doc_id", "left").fillna({"length": 0})
     norm_udf = F.pandas_udf(
         lambda s: pd.Series(int_to_byte4(s.to_numpy(dtype=np.int64))), "int"
     )
     docs = docs.withColumn("norm", norm_udf(F.col("length")))
 
-    row = docs.agg(
-        F.count("*").alias("n"), F.sum("length").alias("sttf")
-    ).collect()[0]
-    stats = CollectionStats(doc_count=int(row["n"]), sum_total_term_freq=int(row["sttf"] or 0))
-    return Index(docs=docs, terms=terms, postings=postings, stats=stats, config=config)
+    sttf = int(
+        tf.agg(F.sum("freq").alias("sttf")).collect()[0]["sttf"] or 0
+    )
+    stats = CollectionStats(doc_count=int(n), sum_total_term_freq=sttf)
+    if parted is not None:
+        tf._doc_id_parted = parted  # released via Index.unpersist / eager below
+    idx = Index(
+        docs=docs, terms=terms, postings=postings, stats=stats, config=config,
+        tf=None if eager else tf,
+    )
+    if eager:
+        idx.terms.persist(StorageLevel.MEMORY_AND_DISK).count()
+        idx.docs.persist(StorageLevel.MEMORY_AND_DISK).count()
+        tf.unpersist()
+        if parted is not None:
+            parted.unpersist()
+    return idx
 
 
 def write_index(index: Index, path: str) -> dict:

@@ -203,3 +203,33 @@ def pareto_impacts(freqs: np.ndarray, norms: np.ndarray) -> Tuple[np.ndarray, np
             keep[i] = True
             run = f_u[i]
     return f_u[keep], n_u[keep]
+
+
+def decode_block_row(row):
+    """(docs, freqs, norms) int64 arrays for one postings-block row (a
+    namedtuple/row with count, base_doc, last_doc, docs_enc, freqs_enc,
+    norms_enc, imp_freqs, imp_norms fields).
+
+    count == 1 rows carry their single posting in plain columns (singleton
+    pulsing — Lucene90PostingsFormat.java:141-143 analog) and need no byte
+    decode."""
+    n = int(row.count)
+    if n == 1:
+        return (
+            np.array([row.last_doc], dtype=np.int64),
+            np.array([row.imp_freqs[0]], dtype=np.int64),
+            np.array([row.imp_norms[0]], dtype=np.int64),
+        )
+    return (
+        delta_decode_docs(bytes(row.docs_enc), n, int(row.base_doc)),
+        pfor_decode(bytes(row.freqs_enc), n).astype(np.int64),
+        np.frombuffer(bytes(row.norms_enc), dtype=np.uint8).astype(np.int64),
+    )
+
+
+def decode_block_docs(row) -> np.ndarray:
+    """doc_ids only for one postings-block row (docs-only / FILTER path)."""
+    n = int(row.count)
+    if n == 1:
+        return np.array([row.last_doc], dtype=np.int64)
+    return delta_decode_docs(bytes(row.docs_enc), n, int(row.base_doc))

@@ -150,13 +150,41 @@ def sha256_sidecar(corpus: DataFrame) -> DataFrame:
     )
 
 
-def verify_sha256(corpus: DataFrame, sidecar: DataFrame) -> int:
+def verify_sha256(corpus: DataFrame, sidecar: DataFrame, strict: bool = False) -> int:
     """Per-row invariant (BASELINE.json input_hint): sha256(content) equality
     against the sidecar. Returns the number of mismatching rows (0 = ok);
-    raises if any row is missing or mismatched."""
-    joined = corpus.select(
-        "repo", "path", F.sha2(F.col("content"), 256).alias("actual")
-    ).join(sidecar, ["repo", "path"], "full_outer")
+    raises if any row is missing or mismatched.
+
+    Default mode is join-free: each side is reduced to (row_count,
+    Σ xxhash64(repo, path, sha256)) with map-side partial aggregation — no
+    shuffle of corpus bytes. Any single-row difference on either side changes
+    the 64-bit sum (collision odds ~n²/2⁶⁴), so every row's sha256 is still
+    what is being checked. ``strict=True`` keeps the full_outer join that
+    pinpoints offending rows (used in tests / debugging)."""
+    actual = corpus.select(
+        "repo", "path", F.sha2(F.col("content"), 256).alias("sha256")
+    )
+    if not strict:
+        def digest(df: DataFrame):
+            r = df.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.xxhash64("repo", "path", "sha256").cast("decimal(38,0)")
+                ).alias("h"),
+            ).collect()[0]
+            return int(r["n"]), int(r["h"] or 0)
+
+        na, ha = digest(actual)
+        nb, hb = digest(sidecar.select("repo", "path", "sha256"))
+        if (na, ha) != (nb, hb):
+            raise ValueError(
+                f"corpus integrity check failed: digest mismatch "
+                f"({na},{ha:x}) vs ({nb},{hb:x}); rerun strict=True to locate rows"
+            )
+        return 0
+    joined = actual.withColumnRenamed("sha256", "actual").join(
+        sidecar, ["repo", "path"], "full_outer"
+    )
     bad = joined.filter(
         F.col("actual").isNull()
         | F.col("sha256").isNull()

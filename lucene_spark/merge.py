@@ -87,15 +87,14 @@ def _decode_to_tf(index: Index, new_seg_size: int) -> DataFrame:
             outs = []
             for row in pdf.itertuples(index=False):
                 n = int(row.count)
-                docs = codec.delta_decode_docs(bytes(row.docs_enc), n, int(row.base_doc))
-                freqs = codec.pfor_decode(bytes(row.freqs_enc), n).astype(np.int32)
-                norms = np.frombuffer(bytes(row.norms_enc), dtype=np.uint8).astype(np.int32)
+                docs, freqs, norms = codec.decode_block_row(row)
+                freqs = freqs.astype(np.int32)
                 d = {
                     "doc_id": docs,
                     "segment_id": (docs // new_seg_size).astype(np.int32),
                     "term": np.repeat(row.term, n),
                     "freq": freqs,
-                    "norm": norms,
+                    "norm": norms.astype(np.int32),
                 }
                 if with_pos and row.pos_enc is not None:
                     pos = codec.decode_positions(bytes(row.pos_enc), freqs)

@@ -190,9 +190,7 @@ def _decode_blocks_scored(
             outs = []
             for row in pdf.itertuples(index=False):
                 n = int(row.count)
-                docs = codec.delta_decode_docs(bytes(row.docs_enc), n, int(row.base_doc))
-                freqs = codec.pfor_decode(bytes(row.freqs_enc), n)
-                norms = np.frombuffer(bytes(row.norms_enc), dtype=np.uint8)
+                docs, freqs, norms = codec.decode_block_row(row)
                 sc = scorer_map[row.term].score(freqs, norms).astype(np.float64)
                 outs.append(pd.DataFrame({"term": np.repeat(row.term, n), "doc_id": docs, "score": sc}))
             if outs:

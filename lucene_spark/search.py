@@ -156,9 +156,7 @@ class Searcher:
                 outs = []
                 for row in pdf.itertuples(index=False):
                     n = int(row.count)
-                    docs = codec.delta_decode_docs(bytes(row.docs_enc), n, int(row.base_doc))
-                    freqs = codec.pfor_decode(bytes(row.freqs_enc), n)
-                    norms = np.frombuffer(bytes(row.norms_enc), dtype=np.uint8)
+                    docs, freqs, norms = codec.decode_block_row(row)
                     sc = scorer_map[row.term].score(freqs, norms).astype(np.float64)
                     d = {"doc_id": docs, "score": sc}
                     if keep_term:
@@ -182,14 +180,12 @@ class Searcher:
                 outs = []
                 for row in pdf.itertuples(index=False):
                     n = int(row.count)
-                    docs = codec.delta_decode_docs(bytes(row.docs_enc), n, int(row.base_doc))
-                    freqs = codec.pfor_decode(bytes(row.freqs_enc), n).astype(np.int32)
-                    norms = np.frombuffer(bytes(row.norms_enc), dtype=np.uint8).astype(np.int32)
+                    docs, freqs, norms = codec.decode_block_row(row)
                     d = {
                         "term": np.repeat(row.term, n),
                         "doc_id": docs,
-                        "freq": freqs,
-                        "norm": norms,
+                        "freq": freqs.astype(np.int32),
+                        "norm": norms.astype(np.int32),
                     }
                     if with_positions:
                         pos = codec.decode_positions(bytes(row.pos_enc), freqs)
@@ -207,10 +203,7 @@ class Searcher:
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 outs = [
-                    codec.delta_decode_docs(
-                        bytes(r.docs_enc), int(r.count), int(r.base_doc)
-                    )
-                    for r in pdf.itertuples(index=False)
+                    codec.decode_block_docs(r) for r in pdf.itertuples(index=False)
                 ]
                 if outs:
                     yield pd.DataFrame({"doc_id": np.concatenate(outs)})

@@ -56,10 +56,8 @@ def child(cores: int, n_docs: int) -> None:
     t0 = time.time()
     verify_sha256(corpus, sidecar)
     cfg = IndexConfig(chain="code", seg_size=1 << 13, block_size=128, with_positions=False)
-    idx = build_index(corpus, cfg, order_cols=["repo", "path"], num_partitions=cores * 2)
-    idx.postings.persist().count()
-    idx.terms.persist().count()
-    idx.docs.persist().count()
+    idx = build_index(corpus, cfg, order_cols=["repo", "path"],
+                      num_partitions=cores * 2, eager=True)
     build_sec = time.time() - t0
 
     searcher = Searcher(idx, dtype=np.float32)

@@ -96,13 +96,15 @@ def test_postings_invariants(built):
     pdf = built.postings.toPandas()
     assert (pdf["count"] > 0).all()
     for row in pdf.itertuples(index=False):
-        docs = codec.delta_decode_docs(bytes(row.docs_enc), row.count, row.base_doc)
+        docs, freqs, _norms = codec.decode_block_row(row)
         assert np.all(np.diff(docs) > 0)  # strictly increasing
         assert docs[-1] == row.last_doc
         seg = row.segment_id
         assert np.all(docs // 64 == seg)  # doc in its segment
-        freqs = codec.pfor_decode(bytes(row.freqs_enc), row.count)
         assert np.all(freqs >= 1)
+        if row.count == 1 and row.block_id == 0:
+            # singleton pulsing: posting inlined in plain columns, no bytes
+            assert row.docs_enc is None and row.freqs_enc is None
         # impacts are a pareto frontier over the block's (freq, norm) pairs
         assert len(row.imp_freqs) >= 1
         assert all(np.diff(row.imp_freqs) > 0) and all(np.diff(row.imp_norms) > 0)
