@@ -74,7 +74,7 @@ def main() -> None:
     code_docs_per_sec = n_code_docs / t_build_code
 
     # ---- 3. BM25 query latency (pruned path) over documents index ----
-    searcher = Searcher(idx, dtype=np.float32)
+    searcher = Searcher(idx, dtype=np.float32, preload_stats=True)
     qset = {
         "bm25_term": TermQuery(term="spark"),
         "bm25_term_hot": TermQuery(term="table"),
@@ -84,13 +84,17 @@ def main() -> None:
         ),
         "bm25_phrase": PhraseQuery(terms=("fast", "table")),
     }
+    cold_lat = {}
     for name, q in qset.items():
+        t0 = time.time()
+        searcher.top_docs(q, 10)  # cold: includes bounds/postings fetch jobs
+        cold_lat[name] = round(time.time() - t0, 3)
         times = []
         for _ in range(reps):
             t0 = time.time()
-            searcher.search(q, 10, prune=True).collect()
+            searcher.top_docs(q, 10)
             times.append(time.time() - t0)
-        queries[name] = round(statistics.median(times), 3)
+        queries[name] = round(statistics.median(times), 4)
 
     # ---- 4. pipeline ops ----
     from lucene_spark.functions import dedup as fdedup
@@ -126,6 +130,7 @@ def main() -> None:
             "code_corpus_rows": n_code_docs,
             "code_index_docs_per_sec": round(code_docs_per_sec, 1),
             "documents_index_docs_per_sec": round(n_docs / t_build_docs, 1),
+            "query_cold_sec": cold_lat,
         },
     }
     print(json.dumps(out))

@@ -451,7 +451,15 @@ def build_index(
         _segment_writer_fn(config), schema=POSTINGS_SCHEMA
     )
     if eager:
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        # term-major layout for the query path: range-partitioned + sorted by
+        # term, so per-batch min/max stats prune term lookups against the
+        # in-memory cache (the role of the term dictionary's block index;
+        # write_index gets the same effect from Parquet row-group stats)
+        postings = (
+            postings.repartitionByRange(num_partitions, "term")
+            .sortWithinPartitions("term", "segment_id", "block_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         postings.count()
 
     # term stats derived from the (much smaller) postings blocks — no second

@@ -82,11 +82,17 @@ def try_pruned_topk(searcher, q: Query, k: int) -> Optional[DataFrame]:
         return None
 
     scorers: Dict[str, BM25Scorer] = {}
+    boosts: Dict[str, float] = {}
     for tq in term_qs:
         st = stats.get(tq.term)
         if st is None:
             continue
         scorers[tq.term] = searcher.scorer_for(tq.boost, st)
+        boosts[tq.term] = float(tq.boost)
+
+    driver = _topk_driver_wand(searcher, scorers, boosts, k, mode, terms)
+    if driver is not None:
+        return driver
 
     meta = _block_bounds(searcher, scorers)  # + ub column
     meta.persist()
@@ -126,6 +132,133 @@ def try_pruned_topk(searcher, q: Query, k: int) -> Optional[DataFrame]:
         meta.unpersist()
 
 
+_DRIVER_META_MAX = 2_000_000  # block rows; above this keep the bounds distributed
+_BOUNDS_CACHE_MAX = 512       # cached (term, boost) bound tables per searcher
+
+
+def _driver_meta_max() -> int:
+    import os
+
+    return int(os.environ.get("LUCENE_SPARK_DRIVER_META_MAX", _DRIVER_META_MAX))
+
+
+def _topk_driver_wand(
+    searcher, scorers: Dict[str, BM25Scorer], boosts: Dict[str, float],
+    k: int, mode: str, terms: List[str],
+) -> Optional[DataFrame]:
+    """Driver-resident WAND: the per-block upper bounds for the queried terms
+    are small (one row per 128-posting block), so — exactly like Lucene keeps
+    skip/impact data memory-resident — we pull them to the driver once
+    (cached per term), run the WAND block selection locally, and spend Spark
+    jobs only on decoding the surviving blocks. 2 jobs/query (probe + final)
+    instead of ~5. Returns None if the bounds are too large to collect —
+    the distributed path in try_pruned_topk then handles it."""
+    cap = _driver_meta_max()
+    if cap <= 0:
+        return None
+    cache = searcher._bounds_cache
+    missing = [t for t in scorers if (t, boosts[t]) not in cache]
+    if missing:
+        fetched = _block_bounds(searcher, {t: scorers[t] for t in missing}).toPandas()
+        if len(fetched) > cap:
+            return None
+        for t, grp in fetched.groupby("term"):
+            if len(cache) >= _BOUNDS_CACHE_MAX:
+                cache.pop(next(iter(cache)))
+            cache[(t, boosts[t])] = grp.reset_index(drop=True)
+        for t in missing:  # terms with no blocks (shouldn't happen, but pin)
+            cache.setdefault((t, boosts[t]), fetched.iloc[0:0])
+    meta = pd.concat(
+        [cache[(t, boosts[t])] for t in scorers], ignore_index=True
+    )
+    if len(meta) == 0:
+        return searcher._empty()
+    if len(meta) > cap:
+        return None
+
+    gmax = meta.groupby("term")["ub"].max().to_dict()
+    sum_gmax = sum(gmax.values())
+
+    if mode == "and" and len(scorers) > 1:
+        # BlockMaxConjunctionScorer analog: a block of t can only contribute
+        # if its doc range overlaps a block of EVERY other term. Block doc
+        # ranges are (base_doc, last_doc], disjoint and sorted within a term.
+        metas = {t: g for t, g in meta.groupby("term")}
+        keep_parts = []
+        for t, g in metas.items():
+            lo = g["base_doc"].to_numpy() + 1
+            hi = g["last_doc"].to_numpy()
+            keep = np.ones(len(g), dtype=bool)
+            for t2, g2 in metas.items():
+                if t2 == t:
+                    continue
+                order2 = np.argsort(g2["last_doc"].to_numpy())
+                hi2 = g2["last_doc"].to_numpy()[order2]
+                lo2 = (g2["base_doc"].to_numpy() + 1)[order2]
+                idx = np.searchsorted(hi2, lo, side="left")
+                ok = idx < len(hi2)
+                ok[ok] = lo2[idx[ok]] <= hi[ok]
+                keep &= ok
+            keep_parts.append(g[keep])
+        meta = pd.concat(keep_parts, ignore_index=True)
+        if len(meta) == 0:
+            return searcher._empty()
+
+    # theta: a repeated identical query reuses its previous exact k-th score
+    # (scores are immutable given the index — still a valid lower bound),
+    # skipping the probe job entirely.
+    tkey = (mode, k, tuple(sorted(boosts.items())))
+    theta = searcher._theta_cache.get(tkey)
+    if theta is None:
+        # probe: exactly score the single highest-ub block per term
+        probe_idx = (
+            meta.sort_values(["ub", "segment_id", "block_id"],
+                             ascending=[False, True, True])
+            .groupby("term", sort=False)
+            .head(1)
+        )
+        probe_rows = _agg_block_keys(searcher, probe_idx, scorers, mode, terms, k)
+        theta = float(probe_rows[-1]["score"]) if len(probe_rows) >= k else 0.0
+
+    rest = {t: sum_gmax - gmax[t] for t in gmax}
+    surviving = meta[
+        meta["ub"].to_numpy() + np.array([rest[t] for t in meta["term"]]) >= theta
+    ]
+    rows = _agg_block_keys(searcher, surviving, scorers, mode, terms, k)
+    if len(rows) >= k:
+        if len(searcher._theta_cache) >= _BOUNDS_CACHE_MAX:
+            searcher._theta_cache.pop(next(iter(searcher._theta_cache)))
+        searcher._theta_cache[tkey] = float(rows[-1]["score"])
+    return searcher.spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in rows],
+        "doc_id long, score double",
+    )
+
+
+def _agg_block_keys(
+    searcher, keys: pd.DataFrame, scorers: Dict[str, BM25Scorer],
+    mode: str, terms: List[str], k: int,
+) -> list:
+    """Decode + score the blocks named by a (term, segment_id, block_id)
+    pandas key set, aggregate per doc IN SPARK, and collect only the top-k
+    (ties by ascending doc_id, TopScoreDocCollector.java:27-29). One job."""
+    keys_df = searcher.spark.createDataFrame(
+        keys[["term", "segment_id", "block_id"]]
+    )
+    scored = _decode_blocks_scored(searcher, keys_df, scorers)
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("score").alias("score"), F.count("*").alias("nt")
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("nt") == len(terms))
+    return (
+        agg.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+
+
 def _block_bounds(searcher, scorers: Dict[str, BM25Scorer]) -> DataFrame:
     """Postings block metadata + ub column (one vectorized pass over impacts)."""
     scorer_map = scorers
@@ -141,14 +274,19 @@ def _block_bounds(searcher, scorers: Dict[str, BM25Scorer]) -> DataFrame:
                 ubs[i] = scorer_map[term].max_score(
                     np.asarray(impf, dtype=np.int64), np.asarray(impn, dtype=np.int64)
                 )
-            out = pdf[["term", "segment_id", "block_id"]].copy()
+            out = pdf[["term", "segment_id", "block_id", "base_doc", "last_doc"]].copy()
             out["ub"] = ubs
             yield out
 
     return (
         searcher.index.postings.filter(F.col("term").isin(list(scorers)))
-        .select("term", "segment_id", "block_id", "imp_freqs", "imp_norms")
-        .mapInPandas(run, schema="term string, segment_id int, block_id int, ub double")
+        .select("term", "segment_id", "block_id", "base_doc", "last_doc",
+                "imp_freqs", "imp_norms")
+        .mapInPandas(
+            run,
+            schema="term string, segment_id int, block_id int, "
+                   "base_doc long, last_doc long, ub double",
+        )
     )
 
 

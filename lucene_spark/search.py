@@ -66,13 +66,46 @@ class TermStats:
 
 
 class Searcher:
-    def __init__(self, index: Index, dtype=np.float32, similarity=None):
+    def __init__(
+        self,
+        index: Index,
+        dtype=np.float32,
+        similarity=None,
+        preload_stats: bool = False,
+    ):
         from .similarities import BM25
 
         self.index = index
         self.dtype = dtype
         self.spark = index.docs.sparkSession
         self.sim = similarity or BM25(k1=index.config.k1, b=index.config.b)
+        # Lucene keeps the term dictionary memory-resident (FST in .tip);
+        # preloading the (tiny) terms table into the driver is the analog and
+        # removes one Spark job from every query. Off by default: at true
+        # scale the terms table may exceed driver memory — there the
+        # per-query filtered lookup stays.
+        self._stats_cache: Optional[Dict[str, TermStats]] = None
+        if preload_stats:
+            self._stats_cache = {
+                r["term"]: TermStats(
+                    int(r["doc_freq"]),
+                    int(r["total_term_freq"]),
+                    int(r["singleton_doc_id"]),
+                    int(r["singleton_freq"]),
+                    int(r["singleton_norm"]),
+                )
+                for r in self.index.terms.collect()
+            }
+        # per-(term, boost) block-bounds cache for the pruned path (the
+        # MaxScoreCache analog, search/MaxScoreCache.java:58-115)
+        self._bounds_cache: Dict[Tuple[str, float], "pd.DataFrame"] = {}
+        # per-query exact k-th-score cache (minCompetitiveScore carry-over)
+        self._theta_cache: Dict[tuple, float] = {}
+        # driver-resident decoded postings for hot terms — the analog of
+        # Lucene serving postings from the OS page cache. Bounded by
+        # LUCENE_SPARK_HOT_CACHE_POSTINGS total postings (0 disables).
+        self._postings_cache: Dict[str, tuple] = {}
+        self._hot_cached = 0
 
     # ---------------- public API ----------------
 
@@ -80,12 +113,121 @@ class Searcher:
         """Top-k (doc_id, score), ordered by score desc then doc_id asc."""
         q = rewrite(q)
         if prune:
+            hot = self._try_hot_topk(q, k)
+            if hot is not None:
+                return hot
             from .prune import try_pruned_topk
 
             pruned = try_pruned_topk(self, q, k)
             if pruned is not None:
                 return pruned
         return self._topk(self.matches(q), k)
+
+    # ---------------- hot-term driver cache ----------------
+
+    def _hot_cache_limit(self) -> int:
+        import os
+
+        return int(os.environ.get("LUCENE_SPARK_HOT_CACHE_POSTINGS", "20000000"))
+
+    def _ensure_hot(self, terms: Sequence[str], stats: Dict[str, TermStats]) -> bool:
+        limit = self._hot_cache_limit()
+        if limit <= 0:
+            return False
+        need = [t for t in terms if t not in self._postings_cache]
+        add = sum(stats[t].doc_freq for t in need)
+        if add > limit:
+            return False
+        while need and self._hot_cached + add > limit and self._postings_cache:
+            t_old = next(iter(self._postings_cache))
+            self._hot_cached -= len(self._postings_cache.pop(t_old)[0])
+        if self._hot_cached + add > limit:
+            return False
+        if need:
+            pdf = self.decode_raw(need).toPandas()  # ONE job for all terms
+            for t, g in pdf.groupby("term"):
+                g = g.sort_values("doc_id")
+                self._postings_cache[t] = (
+                    g["doc_id"].to_numpy(np.int64),
+                    g["freq"].to_numpy(np.int64),
+                    g["norm"].to_numpy(np.int64),
+                )
+                self._hot_cached += len(g)
+            for t in need:  # terms absent from postings (defensive)
+                self._postings_cache.setdefault(
+                    t,
+                    (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)),
+                )
+        return True
+
+    def top_docs(self, q: Query, k: int = 10) -> List[Tuple[int, float]]:
+        """TopDocs-style result: [(doc_id, score)] ordered by score desc,
+        doc_id asc — no DataFrame round-trip (the latency-measuring API;
+        IndexSearcher.search returns TopDocs, not a cursor)."""
+        q = rewrite(q)
+        rows = self._hot_topk_rows(q, k)
+        if rows is not None:
+            return rows
+        return [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in self.search(q, k).collect()
+        ]
+
+    def _try_hot_topk(self, q: Query, k: int) -> Optional[DataFrame]:
+        rows = self._hot_topk_rows(q, k)
+        if rows is None:
+            return None
+        return self.spark.createDataFrame(rows, MATCH_SCHEMA)
+
+    def _hot_topk_rows(self, q: Query, k: int) -> Optional[List[Tuple[int, float]]]:
+        """Fully driver-side top-k for flat term/AND/OR shapes whose decoded
+        postings fit the hot cache. Exact scoring (no pruning needed: numpy
+        over in-memory arrays), identical tie rules."""
+        from .prune import _flat_term_clauses
+
+        shape = _flat_term_clauses(q)
+        if shape is None:
+            return None
+        mode, term_qs, _ = shape
+        terms = [tq.term for tq in term_qs]
+        if len(set(terms)) != len(terms):
+            return None
+        stats = self.term_stats(terms)
+        if mode == "and" and any(t not in stats for t in terms):
+            return []
+        present = [tq for tq in term_qs if tq.term in stats]
+        if not present:
+            return []
+        if not self._ensure_hot([tq.term for tq in present], stats):
+            return None
+        per_term = []
+        for tq in present:
+            docs, freqs, norms = self._postings_cache[tq.term]
+            sc = (
+                self.scorer_for(tq.boost, stats[tq.term])
+                .score(freqs, norms)
+                .astype(np.float64)
+            )
+            per_term.append((docs, sc))
+        if mode == "or" or len(per_term) == 1:
+            cat_docs = np.concatenate([a[0] for a in per_term])
+            cat_sc = np.concatenate([a[1] for a in per_term])
+            if len(cat_docs) == 0:
+                return []
+            u, inv = np.unique(cat_docs, return_inverse=True)
+            tot = np.bincount(inv, weights=cat_sc)
+        else:
+            cur_docs, cur_sc = per_term[0][0], per_term[0][1].copy()
+            for docs_i, sc_i in per_term[1:]:
+                cur_docs, ia, ib = np.intersect1d(
+                    cur_docs, docs_i, assume_unique=True, return_indices=True
+                )
+                cur_sc = cur_sc[ia] + sc_i[ib]
+            u, tot = cur_docs, cur_sc
+            if len(u) == 0:
+                return []
+        order = np.lexsort((u, -tot))[:k]
+        return [(int(u[i]), float(tot[i])) for i in order]
 
     def matches(self, q: Query) -> DataFrame:
         """Exhaustive (doc_id, score) for every matching doc."""
@@ -104,6 +246,8 @@ class Searcher:
         terms = list(dict.fromkeys(terms))
         if not terms:
             return {}
+        if self._stats_cache is not None:
+            return {t: self._stats_cache[t] for t in terms if t in self._stats_cache}
         rows = self.index.terms.filter(F.col("term").isin(terms)).collect()
         return {
             r["term"]: TermStats(

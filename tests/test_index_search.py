@@ -166,6 +166,58 @@ def test_pruned_equals_unpruned_many_ks(searcher, oracle):
         assert_topk_equal(searcher.search(q, k, prune=True), exp, k)
 
 
+def test_hot_cache_equals_unpruned(searcher, oracle, monkeypatch):
+    # driver hot-postings path: exact numpy scoring must match the oracle
+    monkeypatch.setenv("LUCENE_SPARK_HOT_CACHE_POSTINGS", "10000000")
+    searcher._postings_cache.clear()
+    searcher._hot_cached = 0
+    try:
+        for term in ("the", "spark", "rarez", "singletonword"):
+            exp = BruteForceIndex.topk(oracle.score_term(term), 10)
+            assert_topk_equal(searcher.search(TermQuery(term=term), 10), exp)
+        # repeat (served fully from cache) must be identical
+        exp = BruteForceIndex.topk(oracle.score_term("spark"), 10)
+        assert_topk_equal(searcher.search(TermQuery(term="spark"), 10), exp)
+        q_or = bool_query(should=[TermQuery(term=t) for t in ("the", "spark", "merge")])
+        exp = BruteForceIndex.topk(oracle.score_bool(should=["the", "spark", "merge"]), 10)
+        assert_topk_equal(searcher.search(q_or, 10), exp)
+        q_and = bool_query(must=[TermQuery(term="spark"), TermQuery(term="index")])
+        exp = BruteForceIndex.topk(oracle.score_bool(must=["spark", "index"]), 10)
+        assert_topk_equal(searcher.search(q_and, 10), exp)
+        assert searcher._hot_cached > 0
+    finally:
+        searcher._postings_cache.clear()
+        searcher._hot_cached = 0
+
+
+def test_hot_cache_eviction(searcher, oracle, monkeypatch):
+    # cap below total postings: eviction keeps the cache within budget and
+    # results stay correct; oversized terms fall back to the WAND paths
+    monkeypatch.setenv("LUCENE_SPARK_HOT_CACHE_POSTINGS", "50")
+    searcher._postings_cache.clear()
+    searcher._hot_cached = 0
+    try:
+        for term in ("rarez", "singletonword", "spark", "the"):
+            exp = BruteForceIndex.topk(oracle.score_term(term), 10)
+            assert_topk_equal(searcher.search(TermQuery(term=term), 10), exp)
+            assert searcher._hot_cached <= 50
+    finally:
+        searcher._postings_cache.clear()
+        searcher._hot_cached = 0
+
+
+def test_pruned_distributed_fallback(searcher, oracle, monkeypatch):
+    # force the distributed WAND path (driver bounds cap = 0 disables the
+    # driver-resident fast path) and assert identical top-k
+    monkeypatch.setenv("LUCENE_SPARK_DRIVER_META_MAX", "0")
+    q = bool_query(should=[TermQuery(term=t) for t in ["the", "spark", "merge"]])
+    exp = BruteForceIndex.topk(oracle.score_bool(should=["the", "spark", "merge"]), 10)
+    assert_topk_equal(searcher.search(q, 10, prune=True), exp)
+    q2 = bool_query(must=[TermQuery(term="spark"), TermQuery(term="index")])
+    exp2 = BruteForceIndex.topk(oracle.score_bool(must=["spark", "index"]), 10)
+    assert_topk_equal(searcher.search(q2, 10, prune=True), exp2)
+
+
 def test_phrase_query(searcher, oracle, corpus):
     # find a phrase that actually occurs: first two tokens of doc 0
     w = corpus[0].split()[:2]
