@@ -32,10 +32,12 @@ from lucene_spark.query import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanNearQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -293,10 +295,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_msm": booln(should=("spark", "merge", "vector"), msm=2),
         "q_filter": booln(must=("table",), filters=("spark",)),
         "q_and3_hot": booln(must=("a", "the", "table")),
-        # ---- phrase (positions) ----
+        # ---- phrase / positional (positions) ----
         "q_phrase": lambda sp, d: _topk_df(
             _searcher(sp, d), PhraseQuery(terms=("fast", "table")), 10
         ),
+        "q_multi_phrase": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            MultiPhraseQuery(slots=(("fast", "slow"), ("table",))),
+            10,
+        ),
+        "q_span_near_ordered": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            SpanNearQuery(terms=("spark", "table"), slop=4, in_order=True),
+            10,
+        ),
+        "q_span_near_unordered": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            SpanNearQuery(terms=("spark", "table"), slop=4, in_order=False),
+            10,
+        ),
+        # ---- derived queries (CommonTerms / MoreLikeThis) ----
+        "q_common_terms": lambda sp, d: (
+            lambda s: _topk_df(
+                s, s.common_terms(["the", "a", "spark", "vector"], 0.1), 10
+            )
+        )(_searcher(sp, d)),
+        "q_mlt_doc0": lambda sp, d: (
+            lambda s: _topk_df(
+                s,
+                s.more_like_this(
+                    sp.read.parquet(os.path.join(d, "documents.parquet"))
+                    .filter("doc_id = 0")
+                    .collect()[0]["text"],
+                    max_query_terms=5,
+                    min_doc_freq=2,
+                ),
+                10,
+            )
+        )(_searcher(sp, d)),
         # ---- synonym / dismax ----
         "q_synonym": lambda sp, d: _topk_df(
             _searcher(sp, d), SynonymQuery(terms=("spark", "stream")), 10
@@ -500,6 +536,11 @@ def oracle_sql() -> dict[str, str]:
         "q_filter": _bool_topk_sql(must=["table"], filters=["spark"]),
         "q_and3_hot": _bool_topk_sql(must=["a", "the", "table"]),
         "q_phrase": _phrase_sql(["fast", "table"]),
+        "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
+        "q_span_near_ordered": _span_near_sql(["spark", "table"], 4, True),
+        "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
+        "q_common_terms": _common_terms_sql(["the", "a", "spark", "vector"], 0.1),
+        "q_mlt_doc0": _mlt_sql(0, 5, 2),
         "q_synonym": _synonym_sql(["spark", "stream"]),
         "q_dismax": _dismax_sql(["spark", "vector"], 0.1),
         "q_prefix": _const_docs_sql("t.term LIKE 's%'"),
@@ -865,6 +906,132 @@ psc AS (
 """
         + _rank_tail("score", "FROM psc", k)
     )
+
+
+def _common_terms_sql(terms: list[str], ratio: float, k: int = 10) -> str:
+    """CommonTermsQuery: rare terms (df <= ratio * N) are required, hot terms
+    scoring-only; score = sum of per-term BM25 over all present terms."""
+    lits = ", ".join(f"'{t}'" for t in terms)
+    lowt = (
+        f"SELECT term FROM dfreq WHERE term IN ({lits}) "
+        f"AND df <= {ratio} * (SELECT n FROM stats)"
+    )
+    return (
+        _PRELUDE
+        + _scored_cte(terms)
+        + f"""
+, agg AS (
+  SELECT doc_id, sum(score) AS score,
+         count(DISTINCT CASE WHEN term IN ({lowt}) THEN term END) AS nlow
+  FROM sc GROUP BY doc_id
+)
+"""
+        + _rank_tail("score", f"FROM agg WHERE nlow = (SELECT count(*) FROM ({lowt}))", k)
+    )
+
+
+def _mlt_sql(doc_id: int, max_terms: int, min_df: int, k: int = 10) -> str:
+    """MoreLikeThis: terms of the example doc ranked by tf * idf (ties by
+    ascending term), top max_terms become a scored disjunction."""
+    idf = _IDF.format(df="d.df")
+    inv = _INV.format(k1=K1, b=B)
+    return (
+        _PRELUDE
+        + f"""
+, mscore AS (
+  SELECT t.term, t.freq * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS ms
+  FROM tf t JOIN dfreq d ON d.term = t.term CROSS JOIN stats s
+  WHERE t.doc_id = {doc_id} AND d.df >= {min_df}
+),
+qt AS (SELECT term FROM mscore ORDER BY ms DESC, term ASC LIMIT {max_terms}),
+sc AS (
+  SELECT tf.doc_id, ({idf}) - ({idf}) / (1 + tf.freq * {inv}) AS score
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dlq q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(score) AS score FROM sc GROUP BY doc_id)
+"""
+        + _rank_tail("score", "FROM agg", k)
+    )
+
+
+def _freq_rank_sql(match_cte: str, idf_terms: list[str], k: int = 10) -> str:
+    """Shared tail for positional queries: `pf(doc_id, freq)` -> BM25 with
+    idf summed over the PRESENT query terms (docFreq-0 terms contribute
+    nothing, like Lucene's Weight skipping null termStatistics)."""
+    in_list = ", ".join(f"'{t}'" for t in idf_terms)
+    idf_sum = (
+        f"(SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) "
+        f"FROM dfreq WHERE term IN ({in_list}))"
+    )
+    inv = _INV.format(k1=K1, b=B)
+    return (
+        _PRELUDE
+        + f"""
+, pf AS (
+{match_cte}
+),
+psc AS (
+  SELECT pf.doc_id,
+         (({idf_sum})) - (({idf_sum})) / (1 + pf.freq * {inv}) AS score
+  FROM pf JOIN dlq q ON q.doc_id = pf.doc_id CROSS JOIN stats s
+  WHERE pf.freq > 0
+)
+"""
+        + _rank_tail("score", "FROM psc", k)
+    )
+
+
+def _multi_phrase_sql(slots: list[list[str]], k: int = 10) -> str:
+    """MultiPhraseQuery: slot i matches any alternative at start+i; freq =
+    COUNT(DISTINCT start position)."""
+    joins, conds = [], []
+    for i, alts in enumerate(slots):
+        if i == 0:
+            joins.append("tokp p0")
+        else:
+            joins.append(
+                f"JOIN tokp p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+            )
+        conds.append(
+            f"p{i}.term IN ({', '.join(repr(t) for t in alts)})"
+        )
+    match = (
+        f"  SELECT p0.doc_id, count(DISTINCT p0.pos)::BIGINT AS freq\n"
+        f"  FROM {joins[0]} {' '.join(joins[1:])}\n"
+        f"  WHERE {' AND '.join(conds)}\n"
+        f"  GROUP BY p0.doc_id"
+    )
+    return _freq_rank_sql(match, [t for s in slots for t in s], k)
+
+
+def _span_near_sql(terms: list[str], slop: int, in_order: bool, k: int = 10) -> str:
+    """SpanNearQuery (n terms): freq = number of position tuples whose window
+    width - n <= slop; in_order requires ascending positions."""
+    n = len(terms)
+    joins = ["tokp p0"]
+    for i in range(1, n):
+        joins.append(f"JOIN tokp p{i} ON p{i}.doc_id = p0.doc_id")
+    conds = [f"p{i}.term = '{terms[i]}'" for i in range(n)]
+    pos = [f"p{i}.pos" for i in range(n)]
+    if in_order:
+        conds += [f"{pos[i]} < {pos[i + 1]}" for i in range(n - 1)]
+    else:
+        conds += [
+            f"{pos[a]} <> {pos[b]}" for a in range(n) for b in range(a + 1, n)
+        ]
+    width = f"greatest({', '.join(pos)}) - least({', '.join(pos)}) + 1"
+    conds.append(f"({width}) - {n} <= {slop}")
+    match = (
+        f"  SELECT p0.doc_id, count(*)::BIGINT AS freq\n"
+        f"  FROM {' '.join(joins)}\n"
+        f"  WHERE {' AND '.join(conds)}\n"
+        f"  GROUP BY p0.doc_id"
+    )
+    return _freq_rank_sql(match, terms, k)
 
 
 def _synonym_sql(terms: list[str], k: int = 10) -> str:

@@ -41,6 +41,28 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with term alternatives per slot (search/MultiPhraseQuery.java):
+    slot i matches if ANY of slots[i]'s terms occurs at start_pos + i."""
+
+    slots: Tuple[Tuple[str, ...], ...] = ()
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Positional proximity (search/spans/SpanNearQuery.java): all terms
+    within a window of total slop; in_order requires the positions to
+    ascend in clause order. freq = number of matching position tuples
+    (documented divergence: Lucene's span iterator counts greedy minimal
+    spans with a 1/(1+slop) weight; we count tuples exactly, which the SQL
+    oracle reproduces)."""
+
+    terms: Tuple[str, ...] = ()
+    slop: int = 0
+    in_order: bool = True
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: Tuple[str, ...] = ()
 
@@ -188,6 +210,13 @@ def _rewrite_once(q: Query) -> Query:
             return djs[0]
         return DisjunctionMaxQuery(boost=q.boost, disjuncts=djs, tie_breaker=q.tie_breaker)
     if isinstance(q, PhraseQuery) and len(q.terms) == 1:
+        return TermQuery(boost=q.boost, term=q.terms[0])
+    if isinstance(q, MultiPhraseQuery):
+        # MultiPhraseQuery.java rewrite analogs: all-singleton slots -> plain
+        # phrase; one slot -> synonym-ish disjunction handled as 1-slot match
+        if all(len(s) == 1 for s in q.slots):
+            return rewrite(PhraseQuery(boost=q.boost, terms=tuple(s[0] for s in q.slots)))
+    if isinstance(q, SpanNearQuery) and len(q.terms) == 1:
         return TermQuery(boost=q.boost, term=q.terms[0])
     return q
 

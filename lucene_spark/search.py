@@ -39,8 +39,10 @@ from .query import (
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     Occur,
     PhraseQuery,
+    SpanNearQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
@@ -377,6 +379,10 @@ class Searcher:
             return self._eval_dismax(q)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q)
+        if isinstance(q, MultiPhraseQuery):
+            return self._eval_multi_phrase(q)
+        if isinstance(q, SpanNearQuery):
+            return self._eval_span_near(q)
         if isinstance(q, ConstantScoreQuery):
             inner = self._eval(q.query, needs_scores=False)
             return inner.select("doc_id").distinct().withColumn(
@@ -554,6 +560,154 @@ class Searcher:
             .filter(F.col("nt") == len(set(terms)))
         )
         scored = grouped.withColumn("freq", phrase_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
+
+    # ---------------- derived query builders ----------------
+
+    def common_terms(
+        self, terms: Sequence[str], max_term_frequency: float = 0.01,
+        boost: float = 1.0,
+    ) -> Query:
+        """CommonTermsQuery (queries/.../CommonTermsQuery.java) analog: terms
+        with docFreq > max_term_frequency * docCount are demoted to SHOULD
+        (scoring-only), rare terms stay MUST. Absent terms are dropped; if no
+        rare term remains the hot terms form a pure disjunction."""
+        from .query import bool_query
+
+        stats = self.term_stats(list(terms))
+        cutoff = max_term_frequency * self.index.stats.doc_count
+        low = [t for t in terms if t in stats and stats[t].doc_freq <= cutoff]
+        high = [t for t in terms if t in stats and stats[t].doc_freq > cutoff]
+        return bool_query(
+            must=[TermQuery(term=t) for t in low],
+            should=[TermQuery(term=t) for t in high],
+            boost=boost,
+        )
+
+    def more_like_this(
+        self, text: str, max_query_terms: int = 5, min_doc_freq: int = 2,
+        boost: float = 1.0,
+    ) -> Query:
+        """MoreLikeThis (queries/mlt/MoreLikeThis.java) analog: analyze the
+        example text, rank its terms by tf * idf (our BM25 idf, float64),
+        keep the top max_query_terms (ties broken by ascending term), and
+        return their disjunction."""
+        from .analysis import flat_tokenize
+        from .query import MatchNoDocsQuery, bool_query
+
+        flat, _counts = flat_tokenize(pd.Series([text]), chain=self.index.config.chain)
+        tf: Dict[str, int] = {}
+        for t in flat:
+            tf[t] = tf.get(t, 0) + 1
+        stats = self.term_stats(list(tf))
+        n = self.index.stats.doc_count
+        ranked = []
+        for t, f in tf.items():
+            st = stats.get(t)
+            if st is None or st.doc_freq < min_doc_freq:
+                continue
+            idf = np.log(1.0 + (n - st.doc_freq + 0.5) / (st.doc_freq + 0.5))
+            ranked.append((-f * idf, t))
+        ranked.sort()
+        chosen = [t for _s, t in ranked[:max_query_terms]]
+        if not chosen:
+            return MatchNoDocsQuery(reason="mlt: no usable terms")
+        return bool_query(should=[TermQuery(term=t) for t in chosen], boost=boost)
+
+    def _grouped_positions(self, terms: Sequence[str], min_terms: int) -> DataFrame:
+        """(doc_id, norm, plist=[{term, positions}]) for docs containing at
+        least min_terms distinct of the given terms."""
+        raw = self.decode_raw(sorted(set(terms)), with_positions=True)
+        return (
+            raw.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("nt"),
+                F.first("norm").alias("norm"),
+                F.collect_list(F.struct("term", "positions")).alias("plist"),
+            )
+            .filter(F.col("nt") >= min_terms)
+        )
+
+    def _eval_multi_phrase(self, q: MultiPhraseQuery) -> DataFrame:
+        """MultiPhraseQuery: slot i matches any alternative at start+i; freq =
+        number of distinct start positions (search/MultiPhraseQuery.java —
+        UnionPostingsEnum per slot + exact phrase matcher); idf summed over
+        every term in every slot, like the Weight's allTermStats."""
+        slots = [tuple(s) for s in q.slots]
+        all_terms = [t for s in slots for t in s]
+        stats = self.term_stats(all_terms)
+        # a slot with no indexed alternative can never match
+        for s in slots:
+            if not any(t in stats for t in s):
+                return self._empty()
+        scorer = self.multi_scorer_for(
+            q.boost, [stats[t] for t in all_terms if t in stats]
+        )
+        present = [t for t in dict.fromkeys(all_terms) if t in stats]
+
+        @F.pandas_udf("int")
+        def mp_freq(plist: pd.Series) -> pd.Series:
+            out = np.zeros(len(plist), dtype=np.int32)
+            for i, entries in enumerate(plist):
+                pos_by_term = {e["term"]: np.asarray(e["positions"]) for e in entries}
+                cands: Optional[np.ndarray] = None
+                ok = True
+                for off, alts in enumerate(slots):
+                    ps = [pos_by_term[t] for t in alts if t in pos_by_term]
+                    if not ps:
+                        ok = False
+                        break
+                    slot_pos = np.unique(np.concatenate(ps)) - off
+                    cands = slot_pos if cands is None else np.intersect1d(cands, slot_pos)
+                if ok and cands is not None:
+                    out[i] = int((cands >= 0).sum())
+            return pd.Series(out)
+
+        grouped = self._grouped_positions(present, min_terms=1)
+        scored = grouped.withColumn("freq", mp_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
+
+    def _eval_span_near(self, q: SpanNearQuery) -> DataFrame:
+        """SpanNearQuery: freq = number of position tuples (one per term)
+        whose window satisfies (max-min+1) - n <= slop; in_order additionally
+        requires strictly ascending positions in clause order."""
+        terms = list(q.terms)
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return self._empty()
+        n = len(terms)
+        slop = int(q.slop)
+        in_order = bool(q.in_order)
+        scorer = self.multi_scorer_for(q.boost, [stats[t] for t in terms])
+
+        @F.pandas_udf("int")
+        def span_freq(plist: pd.Series) -> pd.Series:
+            out = np.zeros(len(plist), dtype=np.int32)
+            for i, entries in enumerate(plist):
+                pos_by_term = {e["term"]: np.asarray(e["positions"], dtype=np.int64)
+                               for e in entries}
+                if any(t not in pos_by_term for t in terms):
+                    continue
+                # tuple enumeration via meshgrid — positions per doc are tiny
+                grids = np.meshgrid(*[pos_by_term[t] for t in terms], indexing="ij")
+                flat = np.stack([g.ravel() for g in grids])
+                if in_order:
+                    okm = np.all(np.diff(flat, axis=0) > 0, axis=0)
+                else:
+                    okm = np.ones(flat.shape[1], dtype=bool)
+                    for a in range(n):
+                        for b in range(a + 1, n):
+                            okm &= flat[a] != flat[b]
+                width = flat.max(axis=0) - flat.min(axis=0) + 1
+                out[i] = int((okm & (width - n <= slop)).sum())
+            return pd.Series(out)
+
+        grouped = self._grouped_positions(terms, min_terms=len(set(terms)))
+        scored = grouped.withColumn("freq", span_freq(F.col("plist"))).filter(
             F.col("freq") > 0
         )
         return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)

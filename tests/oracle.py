@@ -120,6 +120,58 @@ class BruteForceIndex:
                 out[d] = w - w / (f32(1.0) + f32(freq) * inv)
         return out
 
+    def _freq_score(self, freqs: Dict[int, int], idf_terms, boost: float):
+        w = f32(boost) * f32(sum(float(self.idf(t)) for t in idf_terms))
+        out = {}
+        for d, freq in freqs.items():
+            if freq:
+                inv = self.cache[self.norms[d]]
+                out[d] = w - w / (f32(1.0) + f32(freq) * inv)
+        return out
+
+    def score_multi_phrase(self, slots, boost: float = 1.0) -> Dict[int, np.float32]:
+        freqs = {}
+        for d in range(self.doc_count):
+            pos = self.positions[d]
+            cands = None
+            ok = True
+            for off, alts in enumerate(slots):
+                slot_pos = set()
+                for t in alts:
+                    slot_pos |= {p - off for p in pos.get(t, ())}
+                if not slot_pos:
+                    ok = False
+                    break
+                cands = slot_pos if cands is None else cands & slot_pos
+            if ok and cands:
+                freqs[d] = len([c for c in cands if c >= 0])
+        # Lucene's Weight skips docFreq-0 terms (termStatistics returns null)
+        idf_terms = [t for s in slots for t in s if self.doc_freq(t) > 0]
+        return self._freq_score(freqs, idf_terms, boost)
+
+    def score_span_near(self, terms, slop: int, in_order: bool,
+                        boost: float = 1.0) -> Dict[int, np.float32]:
+        import itertools
+
+        n = len(terms)
+        freqs = {}
+        for d in range(self.doc_count):
+            pos = self.positions[d]
+            if any(t not in pos for t in terms):
+                continue
+            cnt = 0
+            for tup in itertools.product(*[pos[t] for t in terms]):
+                if in_order:
+                    if not all(tup[i] < tup[i + 1] for i in range(n - 1)):
+                        continue
+                elif len(set(tup)) != n:
+                    continue
+                if (max(tup) - min(tup) + 1) - n <= slop:
+                    cnt += 1
+            if cnt:
+                freqs[d] = cnt
+        return self._freq_score(freqs, terms, boost)
+
     @staticmethod
     def topk(scores: Dict[int, np.float32], k: int) -> List[Tuple[int, float]]:
         """ties broken by ascending doc_id (TopScoreDocCollector.java:27-29)."""

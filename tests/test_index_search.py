@@ -11,8 +11,10 @@ import pytest
 from lucene_spark.build import IndexConfig, build_index, read_index, write_index
 from lucene_spark.query import (
     FuzzyQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
+    SpanNearQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -216,6 +218,38 @@ def test_pruned_distributed_fallback(searcher, oracle, monkeypatch):
     q2 = bool_query(must=[TermQuery(term="spark"), TermQuery(term="index")])
     exp2 = BruteForceIndex.topk(oracle.score_bool(must=["spark", "index"]), 10)
     assert_topk_equal(searcher.search(q2, 10, prune=True), exp2)
+
+
+def test_multi_phrase_query(searcher, oracle, corpus):
+    w = corpus[0].split()[:2]
+    slots = ((w[0], "zzznope"), (w[1],))
+    exp = BruteForceIndex.topk(oracle.score_multi_phrase(slots), 10)
+    assert len(exp) > 0
+    got = searcher.search(MultiPhraseQuery(slots=slots), 10)
+    assert_topk_equal(got, exp)
+    # a slot with only absent alternatives matches nothing
+    assert (
+        searcher.search(
+            MultiPhraseQuery(slots=((w[0],), ("zzznope",))), 10
+        ).count()
+        == 0
+    )
+    # all-singleton slots rewrite to a plain phrase — same result
+    exp2 = BruteForceIndex.topk(oracle.score_phrase(w), 10)
+    got2 = searcher.search(MultiPhraseQuery(slots=((w[0],), (w[1],))), 10)
+    assert_topk_equal(got2, exp2)
+
+
+@pytest.mark.parametrize("slop,in_order", [(0, True), (2, True), (2, False), (5, False)])
+def test_span_near_query(searcher, oracle, corpus, slop, in_order):
+    w = corpus[0].split()[:2]
+    exp = BruteForceIndex.topk(
+        oracle.score_span_near(w, slop=slop, in_order=in_order), 10
+    )
+    got = searcher.search(
+        SpanNearQuery(terms=tuple(w), slop=slop, in_order=in_order), 10
+    )
+    assert_topk_equal(got, exp)
 
 
 def test_phrase_query(searcher, oracle, corpus):
