@@ -62,7 +62,9 @@ def _searcher(spark: SparkSession, sf_dir: str, sim: str = "bm25") -> Searcher:
         if base_key in _CACHE:
             idx = _CACHE[base_key].index
         else:
-            docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).repartition(spark.sparkContext.defaultParallelism)
             cfg = IndexConfig(
                 chain="standard",
                 seg_size=1 << 12,
@@ -452,6 +454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- training-data pipeline: deduplication ----
         "dedup_exact": lambda sp, d: fdedup.exact_dedup(_docs(sp, d), "doc_id", "text"),
+        "dedup_minhash_star": lambda sp, d: fdedup.minhash_star_pairs(
+            _docs(sp, d), "doc_id", "text"
+        ),
         "dedup_minhash_lsh": lambda sp, d: fdedup.minhash_candidates(
             _docs(sp, d), "doc_id", "text"
         ),
@@ -492,7 +497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _docs(sp: SparkSession, d: str) -> DataFrame:
-    return sp.read.parquet(os.path.join(d, "documents.parquet"))
+    # small single-file parquet arrives as 1 partition; spread it or every
+    # narrow stage (tokenize/hash) runs on one core
+    df = sp.read.parquet(os.path.join(d, "documents.parquet"))
+    return df.repartition(sp.sparkContext.defaultParallelism)
 
 
 def _emb(sp: SparkSession, d: str) -> DataFrame:
@@ -697,6 +705,18 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b
 """
     )
+    minhash_star = (
+        minhash[: minhash.rindex("SELECT DISTINCT")]
+        + f"""
+, reps AS (
+  SELECT band, band_key, min(doc_id) AS doc_a, count(*) AS sz
+  FROM bands GROUP BY band, band_key HAVING count(*) > 1
+)
+SELECT DISTINCT r.doc_a::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
+FROM bands b JOIN reps r ON r.band = b.band AND r.band_key = b.band_key
+WHERE b.doc_id <> r.doc_a ORDER BY doc_a, doc_b
+"""
+    )
     simhash_cte = (
         tok_cte
         + """
@@ -721,6 +741,7 @@ SELECT doc_id::BIGINT AS doc_id, md5(text) AS text_md5,
 FROM documents ORDER BY doc_id
 """,
         "dedup_minhash_lsh": minhash,
+        "dedup_minhash_star": minhash_star,
         "dedup_simhash": simhash_cte + "SELECT doc_id, simhash FROM sh ORDER BY doc_id",
         "dedup_simhash_pairs": simhash_cte
         + """

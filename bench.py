@@ -31,7 +31,7 @@ import numpy as np
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_code_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    n_code_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
     reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
@@ -49,7 +49,10 @@ def main() -> None:
     t_total0 = time.time()
 
     # ---- 1. index build over the documents table ----
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # single-file parquet reads as 1 partition — spread before any work
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).repartition(cpus).persist()
     n_docs = docs.count()
     cfg = IndexConfig(chain="standard", seg_size=1 << 12, block_size=128,
                       with_positions=True, store_cols=("lang",))
@@ -102,8 +105,8 @@ def main() -> None:
     from lucene_spark.functions import textstats as ftext
 
     t0 = time.time()
-    fdedup.minhash_candidates(docs, "doc_id", "text").count()
-    queries["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+    fdedup.minhash_star_pairs(docs, "doc_id", "text").count()
+    queries["dedup_minhash_star"] = round(time.time() - t0, 3)
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qrows = emb.filter(F.col("vec_id") < 8).collect()

@@ -113,6 +113,28 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def minhash_star_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Scale path for near-dup candidates: inside each LSH bucket emit only
+    (bucket-min doc, other) pairs — O(bucket) instead of the all-pairs
+    O(bucket²), which explodes on hot buckets (corpora with many near-equal
+    docs). Clusters are preserved transitively through the representative;
+    recall loss vs all-pairs is the standard LSH-star tradeoff. Same
+    equi-join shape, no skew blowup."""
+    bands = minhash_bands(minhash_signatures(df, id_col, text_col))
+    reps = (
+        bands.groupBy("band", "band_key")
+        .agg(F.min("doc_id").alias("doc_a"), F.count("*").alias("sz"))
+        .filter(F.col("sz") > 1)
+    )
+    return (
+        bands.join(reps, ["band", "band_key"])
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, simhash): 60-bit SimHash over tf-weighted token hashes.
 

@@ -46,6 +46,22 @@ def test_minhash_exact_dups_always_candidates(docs):
     assert (3, 4) not in pairs  # unrelated docs
 
 
+def test_minhash_star_pairs_subset_and_covering(docs):
+    allp = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(docs, "doc_id", "text").collect()
+    }
+    star = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_star_pairs(docs, "doc_id", "text").collect()
+    }
+    # star pairs are bucket-min links: always a subset of the all-pairs set
+    assert star <= allp
+    # every doc that appears in some all-pair also appears in a star pair
+    assert {d for p in allp for d in p} == {d for p in star for d in p}
+    assert (0, 2) in star  # identical docs still linked to the bucket min
+
+
 def test_minhash_signature_matches_reference(docs):
     sigs = {
         (r["doc_id"], r["perm"]): r["minhash"]
