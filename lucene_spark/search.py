@@ -108,6 +108,9 @@ class Searcher:
         # LUCENE_SPARK_HOT_CACHE_POSTINGS total postings (0 disables).
         self._postings_cache: Dict[str, tuple] = {}
         self._hot_cached = 0
+        # positional variant: term -> (docs, freqs, norms, positions list)
+        self._positions_cache: Dict[str, tuple] = {}
+        self._hot_pos_cached = 0
 
     # ---------------- public API ----------------
 
@@ -162,6 +165,44 @@ class Searcher:
                 )
         return True
 
+    def _ensure_hot_positions(
+        self, terms: Sequence[str], stats: Dict[str, TermStats]
+    ) -> bool:
+        if not self.index.config.with_positions:
+            return False
+        limit = self._hot_cache_limit()
+        if limit <= 0:
+            return False
+        need = [t for t in terms if t not in self._positions_cache]
+        add = sum(stats[t].total_term_freq for t in need)
+        if add > limit:
+            return False
+        while need and self._hot_pos_cached + add > limit and self._positions_cache:
+            t_old = next(iter(self._positions_cache))
+            old = self._positions_cache.pop(t_old)
+            self._hot_pos_cached -= int(old[1].sum())
+        if self._hot_pos_cached + add > limit:
+            return False
+        if need:
+            pdf = self.decode_raw(need, with_positions=True).toPandas()
+            for t, g in pdf.groupby("term"):
+                g = g.sort_values("doc_id")
+                freqs = g["freq"].to_numpy(np.int64)
+                self._positions_cache[t] = (
+                    g["doc_id"].to_numpy(np.int64),
+                    freqs,
+                    g["norm"].to_numpy(np.int64),
+                    [np.asarray(p, dtype=np.int64) for p in g["positions"]],
+                )
+                self._hot_pos_cached += int(freqs.sum())
+            for t in need:
+                self._positions_cache.setdefault(
+                    t,
+                    (np.empty(0, np.int64), np.empty(0, np.int64),
+                     np.empty(0, np.int64), []),
+                )
+        return True
+
     def top_docs(self, q: Query, k: int = 10) -> List[Tuple[int, float]]:
         """TopDocs-style result: [(doc_id, score)] ordered by score desc,
         doc_id asc — no DataFrame round-trip (the latency-measuring API;
@@ -181,11 +222,26 @@ class Searcher:
             return None
         return self.spark.createDataFrame(rows, MATCH_SCHEMA)
 
+    @staticmethod
+    def _rank_rows(u: np.ndarray, tot: np.ndarray, k: int) -> List[Tuple[int, float]]:
+        order = np.lexsort((u, -tot))[:k]
+        return [(int(u[i]), float(tot[i])) for i in order]
+
     def _hot_topk_rows(self, q: Query, k: int) -> Optional[List[Tuple[int, float]]]:
-        """Fully driver-side top-k for flat term/AND/OR shapes whose decoded
-        postings fit the hot cache. Exact scoring (no pruning needed: numpy
-        over in-memory arrays), identical tie rules."""
+        """Fully driver-side top-k for flat term/AND/OR shapes — plus phrase,
+        synonym and dismax-of-terms — whose decoded postings fit the hot
+        cache. Exact scoring (no pruning needed: numpy over in-memory
+        arrays), identical tie rules."""
         from .prune import _flat_term_clauses
+
+        if isinstance(q, PhraseQuery) and len(q.terms) > 1:
+            return self._hot_phrase_rows(q, k)
+        if isinstance(q, SynonymQuery):
+            return self._hot_synonym_rows(q, k)
+        if isinstance(q, DisjunctionMaxQuery) and q.disjuncts and all(
+            isinstance(d, TermQuery) for d in q.disjuncts
+        ):
+            return self._hot_dismax_rows(q, k)
 
         shape = _flat_term_clauses(q)
         if shape is None:
@@ -228,8 +284,109 @@ class Searcher:
             u, tot = cur_docs, cur_sc
             if len(u) == 0:
                 return []
-        order = np.lexsort((u, -tot))[:k]
-        return [(int(u[i]), float(tot[i])) for i in order]
+        return self._rank_rows(u, tot, k)
+
+    def _hot_phrase_rows(self, q: PhraseQuery, k: int) -> Optional[List[Tuple[int, float]]]:
+        """Driver-side PhraseQuery: identical semantics to _eval_phrase
+        (exact positional intersection; slop>0 via _sloppy_freq)."""
+        terms = list(q.terms)
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return []
+        uniq = list(dict.fromkeys(terms))
+        if not self._ensure_hot_positions(uniq, stats):
+            return None
+        scorer = self.multi_scorer_for(q.boost, [stats[t] for t in terms])
+        slop = int(q.slop)
+        offsets = {t: [i for i, tt in enumerate(terms) if tt == t] for t in set(terms)}
+
+        # docs containing every term, with indices into each term's arrays
+        cur = self._positions_cache[uniq[0]][0]
+        idxs = {uniq[0]: np.arange(len(cur))}
+        for t in uniq[1:]:
+            docs_t = self._positions_cache[t][0]
+            cur, ia, ib = np.intersect1d(cur, docs_t, assume_unique=True,
+                                         return_indices=True)
+            idxs = {tt: v[ia] for tt, v in idxs.items()}
+            idxs[t] = ib
+        if len(cur) == 0:
+            return []
+        freqs = np.zeros(len(cur), dtype=np.int64)
+        for di in range(len(cur)):
+            pos_by_term = {
+                t: self._positions_cache[t][3][idxs[t][di]] for t in uniq
+            }
+            if slop == 0:
+                cands: Optional[np.ndarray] = None
+                for t, offs in offsets.items():
+                    p = pos_by_term[t]
+                    for off in offs:
+                        shifted = p - off
+                        cands = shifted if cands is None else np.intersect1d(cands, shifted)
+                freqs[di] = int((cands >= 0).sum()) if cands is not None else 0
+            else:
+                freqs[di] = _sloppy_freq(pos_by_term, terms, slop)
+        keep = freqs > 0
+        if not keep.any():
+            return []
+        norms = self._positions_cache[uniq[0]][2][idxs[uniq[0]]][keep]
+        sc = scorer.score(freqs[keep], norms).astype(np.float64)
+        return self._rank_rows(cur[keep], sc, k)
+
+    def _hot_synonym_rows(self, q: SynonymQuery, k: int) -> Optional[List[Tuple[int, float]]]:
+        """Driver-side SynonymQuery: summed tf per doc, blended stats —
+        mirrors _eval_synonym."""
+        stats = self.term_stats(q.terms)
+        if not stats:
+            return []
+        if not self._ensure_hot(list(stats), stats):
+            return None
+        df_blend = max(s.doc_freq for s in stats.values())
+        ttf_blend = max(s.total_term_freq for s in stats.values())
+        scorer = self.scorer_for(q.boost, TermStats(df_blend, ttf_blend, -1, 0, 0))
+        docs = np.concatenate([self._postings_cache[t][0] for t in stats])
+        freqs = np.concatenate([self._postings_cache[t][1] for t in stats])
+        norms = np.concatenate([self._postings_cache[t][2] for t in stats])
+        if len(docs) == 0:
+            return []
+        u, inv = np.unique(docs, return_inverse=True)
+        tf = np.bincount(inv, weights=freqs.astype(np.float64))
+        nrm = np.zeros(len(u), dtype=np.int64)
+        nrm[inv] = norms  # norm is per-doc, identical across terms
+        sc = scorer.score(tf, nrm).astype(np.float64)
+        return self._rank_rows(u, sc, k)
+
+    def _hot_dismax_rows(self, q: DisjunctionMaxQuery, k: int) -> Optional[List[Tuple[int, float]]]:
+        """Driver-side DisjunctionMaxQuery over term disjuncts: max + tie *
+        (sum - max) — mirrors _eval_dismax."""
+        term_qs = list(q.disjuncts)
+        stats = self.term_stats([tq.term for tq in term_qs])
+        present = [tq for tq in term_qs if tq.term in stats]
+        if not present:
+            return []
+        if not self._ensure_hot([tq.term for tq in present], stats):
+            return None
+        docs_all, sc_all = [], []
+        for tq in present:
+            docs, freqs, norms = self._postings_cache[tq.term]
+            docs_all.append(docs)
+            sc_all.append(
+                self.scorer_for(tq.boost, stats[tq.term])
+                .score(freqs, norms)
+                .astype(np.float64)
+            )
+        cat_docs = np.concatenate(docs_all)
+        cat_sc = np.concatenate(sc_all)
+        if len(cat_docs) == 0:
+            return []
+        u, inv = np.unique(cat_docs, return_inverse=True)
+        tot = np.bincount(inv, weights=cat_sc)
+        mx = np.full(len(u), -np.inf)
+        np.maximum.at(mx, inv, cat_sc)
+        score = mx + float(q.tie_breaker) * (tot - mx)
+        if q.boost != 1.0:
+            score = score * float(q.boost)
+        return self._rank_rows(u, score, k)
 
     def matches(self, q: Query) -> DataFrame:
         """Exhaustive (doc_id, score) for every matching doc."""

@@ -187,6 +187,27 @@ def test_hot_cache_equals_unpruned(searcher, oracle, monkeypatch):
         exp = BruteForceIndex.topk(oracle.score_bool(must=["spark", "index"]), 10)
         assert_topk_equal(searcher.search(q_and, 10), exp)
         assert searcher._hot_cached > 0
+        # positional / synonym / dismax hot paths vs the distributed paths
+        from lucene_spark.query import DisjunctionMaxQuery, PhraseQuery, SynonymQuery
+
+        for q in (
+            PhraseQuery(terms=("the", "spark")),
+            PhraseQuery(terms=("the", "spark"), slop=2),
+            SynonymQuery(terms=("spark", "merge")),
+            DisjunctionMaxQuery(
+                disjuncts=(TermQuery(term="spark"), TermQuery(term="merge", boost=1.5)),
+                tie_breaker=0.3,
+            ),
+        ):
+            hot = searcher.top_docs(q, 10)
+            cold = [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in searcher.search(q, 10, prune=False).collect()
+            ]
+            assert [(d, np.float32(s)) for d, s in hot] == [
+                (d, np.float32(s)) for d, s in cold
+            ], q
+        assert searcher._hot_pos_cached > 0
     finally:
         searcher._postings_cache.clear()
         searcher._hot_cached = 0
