@@ -48,6 +48,33 @@ def plan_merges(
     return MergePlan(groups=[g for g in groups if len(g) > 1])
 
 
+def merge_metrics(before: Index, after: Index, wall_sec: float) -> dict:
+    """Merge metrics (north-rule 'lineage + merge metrics'): block/segment
+    counts before and after, compaction ratio, wall time. Triggers one count
+    job per side if the postings aren't materialized yet."""
+    def side(ix: Index) -> dict:
+        from pyspark.sql import functions as F
+
+        r = ix.postings.agg(
+            F.count("*").alias("blocks"),
+            F.countDistinct("segment_id").alias("segments"),
+            F.sum("count").alias("postings"),
+        ).collect()[0]
+        return {
+            "blocks": int(r["blocks"]),
+            "segments": int(r["segments"]),
+            "postings": int(r["postings"] or 0),
+        }
+
+    b, a = side(before), side(after)
+    return {
+        "before": b,
+        "after": a,
+        "block_compaction_ratio": round(b["blocks"] / max(a["blocks"], 1), 3),
+        "wall_sec": round(wall_sec, 3),
+    }
+
+
 def merge_segments(index: Index, target_seg_size: int | None = None) -> Index:
     """Full compaction: re-segment every posting at ``target_seg_size``
     (default: 8x the build seg_size). One shuffle (groupBy new segment)."""

@@ -59,7 +59,33 @@ def test_merge_preserves_results(spark, built, corpus):
     segs_before = built.postings.select("segment_id").distinct().count()
     segs_after = merged.postings.select("segment_id").distinct().count()
     assert segs_after < segs_before
+    from lucene_spark.merge import merge_metrics
+
+    m = merge_metrics(built, merged, wall_sec=1.0)
+    assert m["after"]["segments"] == segs_after < m["before"]["segments"]
+    assert m["before"]["postings"] == m["after"]["postings"]  # lossless
+    assert m["block_compaction_ratio"] >= 1.0
     merged.postings.unpersist()
+
+
+def test_hot_term_skew_salted_by_segments(spark):
+    """North-rule skew story: a term occurring in EVERY doc never concentrates
+    on one reducer — the segment grouping is the salt. Its postings land in
+    one independently-encoded group per segment, each bounded by seg_size."""
+    from lucene_spark.build import IndexConfig, build_index
+
+    n = 512
+    rows = [(i, f"hot filler{i % 7} tok{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(
+        df, IndexConfig(seg_size=64, with_positions=False),
+        content_col="text", doc_id_col="doc_id", auto_seg_size=False,
+    )
+    hot = idx.postings.filter("term = 'hot'").select("segment_id", "count").collect()
+    segs = {r["segment_id"] for r in hot}
+    assert len(segs) == n // 64  # spread across every segment
+    assert all(r["count"] <= 64 for r in hot)  # each group bounded by seg_size
+    assert sum(r["count"] for r in hot) == n
 
 
 def test_plan_merges_groups_small_segments():
