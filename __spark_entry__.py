@@ -44,6 +44,7 @@ from lucene_spark.query import (
     TermRangeQuery,
     WildcardQuery,
     bool_query,
+    parse,
 )
 from lucene_spark.search import Searcher
 from lucene_spark.functions import dedup as fdedup
@@ -316,6 +317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SpanNearQuery(terms=("spark", "table"), slop=4, in_order=False),
             10,
         ),
+        # ---- classic query parser end-to-end ----
+        "q_parsed": lambda sp, d: _topk_df(
+            _searcher(sp, d), parse("merge AND table"), 10
+        ),
         # ---- derived queries (CommonTerms / MoreLikeThis) ----
         "q_common_terms": lambda sp, d: (
             lambda s: _topk_df(
@@ -547,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_span_near_ordered": _span_near_sql(["spark", "table"], 4, True),
         "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
+        "q_parsed": _bool_topk_sql(must=["merge", "table"]),
         "q_common_terms": _common_terms_sql(["the", "a", "spark", "vector"], 0.1),
         "q_mlt_doc0": _mlt_sql(0, 5, 2),
         "q_synonym": _synonym_sql(["spark", "stream"]),

@@ -10,7 +10,7 @@ Covers the BASELINE.md protocol at small scale:
 
 Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (synthetic corpus size,
-default 20000), SPARK_GRAFT_QUERY_REPS (default 3).
+default 60000), SPARK_GRAFT_QUERY_REPS (default 3).
 Scaling evidence (local[8] vs local[32]) is produced by
 scripts/scaling_bench.py -> BENCH/BASELINE.md.
 """

@@ -66,20 +66,28 @@ def for_decode(data: bytes, count: int) -> np.ndarray:
     return unpack_bits(data[1:], count, width)
 
 
+_POW2 = (np.uint64(1) << np.arange(33, dtype=np.uint64))  # 2^0 .. 2^32
+
+
+def bit_widths(values: np.ndarray) -> np.ndarray:
+    """Vectorized per-value bit_length for uint32 arrays: the number of
+    powers of two <= v equals floor(log2 v) + 1 (and 0 for v = 0)."""
+    return np.searchsorted(_POW2, values.astype(np.uint64), side="right")
+
+
 def pfor_encode(values: np.ndarray) -> bytes:
     """PFOR: choose the smallest body width such that at most 7 values
     exceed it; patch the high bits of those as (index, high) exceptions."""
     values = np.asarray(values, dtype=np.uint32)
     if len(values) == 0:
         return bytes([0, 0])
-    widths = np.array([_bit_width(int(v)) for v in values])
-    max_w = int(widths.max())
-    body_w = max_w
-    # lowest width with <= MAX_EXCEPTIONS values above it
-    for w in range(max_w + 1):
-        if int((widths > w).sum()) <= MAX_EXCEPTIONS:
-            body_w = w
-            break
+    widths = bit_widths(values)
+    # lowest width with <= MAX_EXCEPTIONS values strictly above it:
+    # the (MAX_EXCEPTIONS+1)-th largest width (0 if few values)
+    if len(widths) > MAX_EXCEPTIONS:
+        body_w = int(np.partition(widths, -(MAX_EXCEPTIONS + 1))[-(MAX_EXCEPTIONS + 1)])
+    else:
+        body_w = 0
     exc_idx = np.nonzero(widths > body_w)[0]
     body = values.copy()
     highs = (values[exc_idx] >> body_w).astype(np.uint32)
