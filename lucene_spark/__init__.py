@@ -21,3 +21,28 @@ capabilities of the reference Lucene fork at /root/reference:
 """
 
 __version__ = "0.1.0"
+
+from .build import Index, IndexConfig, build_index, read_index, write_index  # noqa: E402,F401
+from .checkpoint import build_checkpointed, read_checkpointed  # noqa: E402,F401
+from .merge import add_indexes, merge_metrics, merge_segments  # noqa: E402,F401
+from .query import (  # noqa: E402,F401
+    BooleanQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    MultiPhraseQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    SpanNearQuery,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    bool_query,
+    parse,
+)
+from .search import Explanation, Searcher  # noqa: E402,F401

@@ -59,6 +59,22 @@ MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount default
 
 
 @dataclass(frozen=True)
+class Explanation:
+    """Score-decomposition node (search/Explanation.java analog)."""
+
+    value: float
+    description: str
+    details: tuple = ()
+    matched: bool = True
+
+    def __str__(self) -> str:
+        lines = [f"{self.value:.6g} = {self.description}"]
+        for d in self.details:
+            lines.extend("  " + ln for ln in str(d).splitlines())
+        return "\n".join(lines)
+
+
+@dataclass(frozen=True)
 class TermStats:
     doc_freq: int
     total_term_freq: int
@@ -720,6 +736,107 @@ class Searcher:
             F.col("freq") > 0
         )
         return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
+
+    # ---------------- explain (IndexSearcher.explain analog) ----------------
+
+    def explain(self, q: Query, doc_id: int) -> "Explanation":
+        """Score decomposition for one document — the analog of
+        IndexSearcher.explain / Weight.explain (search/Weight.java:83-110).
+        The returned tree's root value equals the score matches(q) assigns
+        the doc (0 / non-match explanation otherwise)."""
+        q = rewrite(q)
+        if isinstance(q, TermQuery):
+            return self._explain_term(q, doc_id)
+        if isinstance(q, BooleanQuery):
+            details = []
+            total = 0.0
+            ok = True
+            musts = [c.query for c in q.clauses if c.occur == Occur.MUST]
+            shoulds = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
+            for sq in musts:
+                e = self.explain(sq, doc_id)
+                details.append(e)
+                if not e.matched:
+                    ok = False
+                total += e.value
+            n_should = 0
+            for sq in shoulds:
+                e = self.explain(sq, doc_id)
+                if e.matched:
+                    details.append(e)
+                    total += e.value
+                    n_should += 1
+            filters_only = not musts and not shoulds and any(
+                c.occur == Occur.FILTER for c in q.clauses
+            )
+            if filters_only:
+                total = 1.0  # constant-score filter-only boolean (_eval_bool)
+            elif musts == [] and n_should < max(q.minimum_should_match, 1):
+                ok = False
+            if q.minimum_should_match > 0 and n_should < q.minimum_should_match:
+                ok = False
+            for c in q.clauses:
+                if c.occur == Occur.FILTER:
+                    e = self.explain(c.query, doc_id)
+                    if not e.matched:
+                        ok = False
+                    details.append(Explanation(0.0, "filter clause", (e,), e.matched))
+                if c.occur == Occur.MUST_NOT:
+                    e = self.explain(c.query, doc_id)
+                    if e.matched:
+                        ok = False
+            if not ok:
+                return Explanation(0.0, "no match (boolean constraints)", tuple(details), False)
+            total *= float(q.boost)
+            return Explanation(
+                total, f"sum of clause scores, boost {q.boost}", tuple(details), True
+            )
+        # generic fallback: evaluate and look the doc up
+        rows = (
+            self.matches(q).filter(F.col("doc_id") == int(doc_id)).collect()
+        )
+        if not rows:
+            return Explanation(0.0, f"no match ({type(q).__name__})", (), False)
+        return Explanation(
+            float(rows[0]["score"]), f"{type(q).__name__} score", (), True
+        )
+
+    def _explain_term(self, q: TermQuery, doc_id: int) -> "Explanation":
+        from .bm25 import idf as bm25_idf
+
+        st = self.term_stats([q.term]).get(q.term)
+        if st is None:
+            return Explanation(0.0, f"term '{q.term}' not in index", (), False)
+        rows = (
+            self.decode_raw([q.term])
+            .filter(F.col("doc_id") == int(doc_id))
+            .collect()
+        )
+        if not rows:
+            return Explanation(
+                0.0, f"term '{q.term}' absent from doc {doc_id}", (), False
+            )
+        freq, norm = int(rows[0]["freq"]), int(rows[0]["norm"])
+        scorer = self.scorer_for(q.boost, st)
+        score = float(scorer.score(np.array([freq]), np.array([norm]))[0])
+        n = self.index.stats.doc_count
+        idf_v = float(bm25_idf(st.doc_freq, n, dtype=self.dtype))
+        return Explanation(
+            score,
+            f"score(term='{q.term}', doc={doc_id}), BM25",
+            (
+                Explanation(float(q.boost), "boost", (), True),
+                Explanation(
+                    idf_v,
+                    f"idf, docFreq={st.doc_freq}, docCount={n}", (), True,
+                ),
+                Explanation(float(freq), "freq within doc", (), True),
+                Explanation(
+                    float(norm), "norm byte (quantized doc length)", (), True
+                ),
+            ),
+            True,
+        )
 
     # ---------------- derived query builders ----------------
 

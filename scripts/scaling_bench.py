@@ -32,7 +32,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BUILD_REPS = 2
+BUILD_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 QUERY_REPS = 5
 
 

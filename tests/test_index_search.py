@@ -273,6 +273,31 @@ def test_span_near_query(searcher, oracle, corpus, slop, in_order):
     assert_topk_equal(got, exp)
 
 
+def test_explain_matches_actual_scores(searcher, oracle):
+    from pyspark.sql import functions as F
+
+    # term: root value equals the evaluated per-doc score; details present
+    hits = searcher.search(TermQuery(term="spark"), 3, prune=False).collect()
+    for r in hits:
+        e = searcher.explain(TermQuery(term="spark"), r["doc_id"])
+        assert e.matched and abs(e.value - r["score"]) < 1e-9
+        assert any("idf" in d.description for d in e.details)
+        assert "BM25" in str(e)
+    # boolean: sum of clauses
+    q = bool_query(must=[TermQuery(term="spark"), TermQuery(term="index")])
+    row = searcher.search(q, 1, prune=False).collect()[0]
+    e = searcher.explain(q, row["doc_id"])
+    assert e.matched and abs(e.value - row["score"]) < 1e-6
+    assert len(e.details) == 2
+    # non-match cases
+    assert not searcher.explain(TermQuery(term="absentzz"), 0).matched
+    nm = searcher.explain(q, -1)
+    assert not nm.matched and nm.value == 0.0
+    # must_not exclusion explains as no-match
+    q2 = bool_query(must=[TermQuery(term="spark")], must_not=[TermQuery(term="spark")])
+    assert not searcher.explain(q2, row["doc_id"]).matched
+
+
 def test_phrase_query(searcher, oracle, corpus):
     # find a phrase that actually occurs: first two tokens of doc 0
     w = corpus[0].split()[:2]
