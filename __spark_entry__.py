@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from lucene_spark.analysis import duckdb_token_re
-from lucene_spark.build import IndexConfig, build_index
+from lucene_spark.build import IndexConfig, build_index, term_vectors
 from lucene_spark.query import (
     DisjunctionMaxQuery,
     FuzzyQuery,
@@ -317,6 +317,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SpanNearQuery(terms=("spark", "table"), slop=4, in_order=False),
             10,
         ),
+        # ---- term vectors (per-doc forward index) ----
+        "q_term_vectors": lambda sp, d: (
+            term_vectors(
+                _docs(sp, d).filter("doc_id < 3"),
+                IndexConfig(chain="standard", with_positions=True),
+                content_col="text",
+            )
+            .select("doc_id", "term", "freq", F.size("positions").alias("n_pos"))
+            .orderBy("doc_id", "term")
+        ),
         # ---- classic query parser end-to-end ----
         "q_parsed": lambda sp, d: _topk_df(
             _searcher(sp, d), parse("merge AND table"), 10
@@ -552,6 +562,12 @@ def oracle_sql() -> dict[str, str]:
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_span_near_ordered": _span_near_sql(["spark", "table"], 4, True),
         "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
+        "q_term_vectors": _PRELUDE
+        + """
+SELECT tf.doc_id::BIGINT AS doc_id, tf.term, tf.freq,
+       tf.freq::INT AS n_pos
+FROM tf WHERE tf.doc_id < 3 ORDER BY doc_id, term
+""",
         "q_parsed": _bool_topk_sql(must=["merge", "table"]),
         "q_common_terms": _common_terms_sql(["the", "a", "spark", "vector"], 0.1),
         "q_mlt_doc0": _mlt_sql(0, 5, 2),

@@ -359,6 +359,23 @@ def _segment_writer_fn(config: IndexConfig):
     return write_segment
 
 
+def term_vectors(
+    corpus: DataFrame,
+    config: IndexConfig = IndexConfig(),
+    content_col: Optional[str] = None,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document forward index (doc_id, term, freq, positions) — the term
+    vectors analog (codecs/lucene90/Lucene90TermVectorsFormat.java maps to a
+    long table per SURVEY §2.1): the invert output exposed directly."""
+    content_col = content_col or config.field
+    df = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+    tf = df.select("doc_id", content_col).mapInPandas(
+        _invert_fn(config, content_col), schema=TF_SCHEMA
+    )
+    return tf.select("doc_id", "term", "freq", "positions")
+
+
 @dataclass
 class Index:
     """A built index: the reader-side view (SURVEY.md §1.1 table mapping)."""
