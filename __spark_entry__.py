@@ -317,6 +317,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SpanNearQuery(terms=("spark", "table"), slop=4, in_order=False),
             10,
         ),
+        # ---- deletes (tombstoned docs never match; stats unchanged) ----
+        "q_term_deleted": lambda sp, d: (
+            lambda s: _topk_df(
+                Searcher(
+                    s.index.delete_docs([0, 1, 2]), dtype=np.float64, similarity=s.sim
+                ),
+                TermQuery(term="table"),
+                10,
+            )
+        )(_searcher(sp, d)),
         # ---- term vectors (per-doc forward index) ----
         "q_term_vectors": lambda sp, d: (
             term_vectors(
@@ -562,6 +572,9 @@ def oracle_sql() -> dict[str, str]:
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_span_near_ordered": _span_near_sql(["spark", "table"], 4, True),
         "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
+        "q_term_deleted": _PRELUDE
+        + _scored_cte(["table"])
+        + _rank_tail("score", "FROM sc WHERE doc_id NOT IN (0, 1, 2)", 10),
         "q_term_vectors": _PRELUDE
         + """
 SELECT tf.doc_id::BIGINT AS doc_id, tf.term, tf.freq,

@@ -386,6 +386,58 @@ class Index:
     stats: CollectionStats
     config: IndexConfig
     tf: Optional[DataFrame] = None  # persisted invert output (released on unpersist)
+    # live-docs complement (Lucene90LiveDocsFormat / PendingDeletes analog):
+    # a tiny (doc_id) tombstone table. Lucene semantics: deleted docs stop
+    # MATCHING immediately but keep contributing to docFreq/totalTermFreq/
+    # docCount until their segment is merged away — so scores are unchanged
+    # by delete_docs, and expunge_deletes() rebuilds stats.
+    deletes: Optional[DataFrame] = None
+
+    def delete_docs(self, doc_ids) -> "Index":
+        """Return a reader view with the given doc_ids tombstoned
+        (IndexWriter.deleteDocuments analog; stats untouched per Lucene)."""
+        import dataclasses
+
+        spark = self.docs.sparkSession
+        if isinstance(doc_ids, DataFrame):
+            new = doc_ids.select(F.col("doc_id").cast("long"))
+        else:
+            new = spark.createDataFrame(
+                [(int(d),) for d in doc_ids], "doc_id long"
+            )
+        if self.deletes is not None:
+            new = self.deletes.unionByName(new).distinct()
+        return dataclasses.replace(self, deletes=new)
+
+    def expunge_deletes(self) -> "Index":
+        """Physically drop tombstoned docs and recompute stats/terms — the
+        merge-away of deletes (SegmentMerger dropping non-live docs)."""
+        import dataclasses
+
+        if self.deletes is None:
+            return self
+        from .merge import merge_segments
+
+        kept_docs = self.docs.join(self.deletes, "doc_id", "left_anti")
+        row = kept_docs.agg(
+            F.count("*").alias("n"), F.sum("length").alias("sttf")
+        ).collect()[0]
+        pruned = dataclasses.replace(
+            self,
+            docs=kept_docs,
+            stats=CollectionStats(int(row["n"]), int(row["sttf"] or 0)),
+        )
+        # re-block postings without the deleted docs (one decode+regroup)
+        rebuilt = merge_segments(pruned, target_seg_size=self.config.seg_size,
+                                 drop_deletes=True)
+        terms = rebuilt.postings.groupBy("term").agg(
+            F.sum("count").cast("long").alias("doc_freq"),
+            F.sum("sum_freq").alias("total_term_freq"),
+            F.min("last_doc").alias("singleton_doc_id"),
+            F.max(F.array_max("imp_freqs")).cast("int").alias("singleton_freq"),
+            F.max(F.array_max("imp_norms")).cast("int").alias("singleton_norm"),
+        )
+        return dataclasses.replace(rebuilt, terms=terms, deletes=None)
 
     def persist(self) -> "Index":
         self.docs.persist()

@@ -75,9 +75,13 @@ def merge_metrics(before: Index, after: Index, wall_sec: float) -> dict:
     }
 
 
-def merge_segments(index: Index, target_seg_size: int | None = None) -> Index:
+def merge_segments(
+    index: Index, target_seg_size: int | None = None, drop_deletes: bool = False
+) -> Index:
     """Full compaction: re-segment every posting at ``target_seg_size``
-    (default: 8x the build seg_size). One shuffle (groupBy new segment)."""
+    (default: 8x the build seg_size). One shuffle (groupBy new segment).
+    ``drop_deletes`` excludes tombstoned docs while re-blocking (the
+    SegmentMerger live-docs filter)."""
     cfg = index.config
     new_seg = target_seg_size or cfg.seg_size * 8
     new_cfg = IndexConfig(
@@ -92,6 +96,8 @@ def merge_segments(index: Index, target_seg_size: int | None = None) -> Index:
         stopwords=cfg.stopwords,
     )
     tf = _decode_to_tf(index, new_seg)
+    if drop_deletes and index.deletes is not None:
+        tf = tf.join(F.broadcast(index.deletes), "doc_id", "left_anti")
     postings = tf.groupBy("segment_id").applyInPandas(
         _segment_writer_fn(new_cfg), schema=POSTINGS_SCHEMA
     )

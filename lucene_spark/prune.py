@@ -122,6 +122,7 @@ def try_pruned_topk(searcher, q: Query, k: int) -> Optional[DataFrame]:
                 .filter(F.col("nt") == len(terms))
                 .select("doc_id", "score")
             )
+        matches = searcher._apply_deletes(matches)
         # materialize the tiny top-k before unpersisting the bounds table
         rows = matches.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         return searcher.spark.createDataFrame(
@@ -251,6 +252,7 @@ def _agg_block_keys(
     )
     if mode == "and":
         agg = agg.filter(F.col("nt") == len(terms))
+    agg = searcher._apply_deletes(agg)  # deleted docs never match (or set θ)
     return (
         agg.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -306,6 +308,7 @@ def _estimate_theta(
     )
     if mode == "and":
         agg = agg.filter(F.col("nt") == len(terms))
+    agg = searcher._apply_deletes(agg)  # deleted doc partials must not raise θ
     rows = agg.orderBy(F.desc("score")).limit(k).collect()
     if len(rows) < k:
         return 0.0

@@ -127,6 +127,19 @@ class Searcher:
         # positional variant: term -> (docs, freqs, norms, positions list)
         self._positions_cache: Dict[str, tuple] = {}
         self._hot_pos_cached = 0
+        # live-docs snapshot: a Searcher is a point-in-time reader (like
+        # DirectoryReader) — tombstones are loaded once at open. Deleted docs
+        # never match; stats still include them (Lucene delete semantics).
+        self._deleted: Optional[np.ndarray] = None
+        if index.deletes is not None:
+            self._deleted = np.array(
+                sorted(r["doc_id"] for r in index.deletes.collect()), dtype=np.int64
+            )
+
+    def _apply_deletes(self, df: DataFrame) -> DataFrame:
+        if self.index.deletes is None:
+            return df
+        return df.join(F.broadcast(self.index.deletes), "doc_id", "left_anti")
 
     # ---------------- public API ----------------
 
@@ -238,8 +251,10 @@ class Searcher:
             return None
         return self.spark.createDataFrame(rows, MATCH_SCHEMA)
 
-    @staticmethod
-    def _rank_rows(u: np.ndarray, tot: np.ndarray, k: int) -> List[Tuple[int, float]]:
+    def _rank_rows(self, u: np.ndarray, tot: np.ndarray, k: int) -> List[Tuple[int, float]]:
+        if self._deleted is not None and len(u):
+            keep = ~np.isin(u, self._deleted)
+            u, tot = u[keep], tot[keep]
         order = np.lexsort((u, -tot))[:k]
         return [(int(u[i]), float(tot[i])) for i in order]
 
@@ -406,11 +421,13 @@ class Searcher:
 
     def matches(self, q: Query) -> DataFrame:
         """Exhaustive (doc_id, score) for every matching doc."""
-        return self._eval(rewrite(q), needs_scores=True)
+        return self._apply_deletes(self._eval(rewrite(q), needs_scores=True))
 
     def count(self, q: Query) -> int:
         """TotalHitCountCollector analog."""
-        return self._eval(rewrite(q), needs_scores=False).count()
+        return self._apply_deletes(
+            self._eval(rewrite(q), needs_scores=False)
+        ).count()
 
     def _topk(self, matches: DataFrame, k: int) -> DataFrame:
         return matches.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
