@@ -31,6 +31,7 @@ from lucene_spark.build import IndexConfig, build_index, term_vectors
 from lucene_spark.query import (
     DisjunctionMaxQuery,
     FuzzyQuery,
+    FeatureQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
     PhraseQuery,
@@ -317,6 +318,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SpanNearQuery(terms=("spark", "table"), slop=4, in_order=False),
             10,
         ),
+        # ---- feature boosting (static doc signal + relevance) ----
+        "q_feature_boost": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            bool_query(
+                should=[
+                    TermQuery(term="spark"),
+                    FeatureQuery(feature="n_chars", boost=0.05),
+                ]
+            ),
+            10,
+        ),
         # ---- deletes (tombstoned docs never match; stats unchanged) ----
         "q_term_deleted": lambda sp, d: (
             lambda s: _topk_df(
@@ -572,6 +584,20 @@ def oracle_sql() -> dict[str, str]:
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_span_near_ordered": _span_near_sql(["spark", "table"], 4, True),
         "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
+        "q_feature_boost": _PRELUDE
+        + _scored_cte(["spark"])
+        + """
+, fsc AS (
+  SELECT doc_id::BIGINT AS doc_id, 0.05 * ln(1 + n_chars) AS score
+  FROM documents WHERE n_chars IS NOT NULL
+),
+allsc AS (
+  SELECT doc_id, score FROM sc
+  UNION ALL SELECT doc_id, score FROM fsc
+),
+agg AS (SELECT doc_id, sum(score) AS score FROM allsc GROUP BY doc_id)
+"""
+        + _rank_tail("score", "FROM agg", 10),
         "q_term_deleted": _PRELUDE
         + _scored_cte(["table"])
         + _rank_tail("score", "FROM sc WHERE doc_id NOT IN (0, 1, 2)", 10),

@@ -28,6 +28,7 @@ from .merge import add_indexes, merge_metrics, merge_segments  # noqa: E402,F401
 from .query import (  # noqa: E402,F401
     BooleanQuery,
     DisjunctionMaxQuery,
+    FeatureQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,

@@ -102,6 +102,16 @@ class TermInSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class FeatureQuery(Query):
+    """Static per-doc feature boost (document/FeatureField.java analog,
+    SURVEY §2.4 'score + log(feature_col)'): matches every doc whose
+    ``feature`` column is non-null, scored boost * ln(1 + feature). Combine
+    with relevance via a SHOULD clause, like FeatureField's intended use."""
+
+    feature: str = ""
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     pass
 

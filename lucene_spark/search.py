@@ -36,6 +36,7 @@ from .query import (
     BooleanQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FeatureQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
@@ -580,6 +581,16 @@ class Searcher:
             )
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, TermInSetQuery, FuzzyQuery)):
             return self._eval_multi_term(q)
+        if isinstance(q, FeatureQuery):
+            if q.feature not in self.index.docs.columns:
+                return self._empty()
+            col = F.col(q.feature)
+            return self.index.docs.filter(col.isNotNull()).select(
+                "doc_id",
+                (
+                    F.lit(float(q.boost)) * F.log(F.lit(1.0) + col.cast("double"))
+                ).alias("score"),
+            )
         raise NotImplementedError(type(q).__name__)
 
     def _eval_term(self, q: TermQuery, needs_scores: bool) -> DataFrame:

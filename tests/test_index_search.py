@@ -273,6 +273,21 @@ def test_span_near_query(searcher, oracle, corpus, slop, in_order):
     assert_topk_equal(got, exp)
 
 
+def test_feature_query_scoring(searcher, built):
+    import math
+
+    from lucene_spark.query import FeatureQuery
+
+    # docs table always carries `length`; use it as the feature column
+    rows = searcher.search(FeatureQuery(feature="length", boost=2.0), 5,
+                           prune=False).collect()
+    lengths = {r["doc_id"]: r["length"] for r in built.docs.collect()}
+    for r in rows:
+        assert abs(r["score"] - 2.0 * math.log(1.0 + lengths[r["doc_id"]])) < 1e-9
+    # unknown feature column -> no matches
+    assert searcher.search(FeatureQuery(feature="nope"), 5).count() == 0
+
+
 def test_explain_matches_actual_scores(searcher, oracle):
     from pyspark.sql import functions as F
 
