@@ -104,21 +104,28 @@ def main() -> None:
     from lucene_spark.functions import simsearch as fsim
     from lucene_spark.functions import textstats as ftext
 
-    t0 = time.time()
-    fdedup.minhash_star_pairs(docs, "doc_id", "text").count()
-    queries["dedup_minhash_star"] = round(time.time() - t0, 3)
+    def best_of(fn, reps=2):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return round(min(ts), 3)
+
+    queries["dedup_minhash_star"] = best_of(
+        lambda: fdedup.minhash_star_pairs(docs, "doc_id", "text").count()
+    )
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qrows = emb.filter(F.col("vec_id") < 8).collect()
     qvecs = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in qrows])
     qids = np.array([r["vec_id"] for r in qrows])
-    t0 = time.time()
-    fsim.cosine_topk_fast(emb, qvecs, qids, k=10).collect()
-    queries["sim_cosine_topk_fast"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    ftext.fingerprints(docs, "doc_id", "text").count()
-    queries["text_fingerprint"] = round(time.time() - t0, 3)
+    queries["sim_cosine_topk_fast"] = best_of(
+        lambda: fsim.cosine_topk_fast(emb, qvecs, qids, k=10).collect()
+    )
+    queries["text_fingerprint"] = best_of(
+        lambda: ftext.fingerprints(docs, "doc_id", "text").count()
+    )
 
     total = round(time.time() - t_total0, 3)
     out = {
