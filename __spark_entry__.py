@@ -49,6 +49,7 @@ from lucene_spark.query import (
 )
 from lucene_spark.search import Searcher
 from lucene_spark.functions import dedup as fdedup
+from lucene_spark.functions import highlight as fhigh
 from lucene_spark.functions import multimodal as fmm
 from lucene_spark.functions import simsearch as fsim
 from lucene_spark.functions import textstats as ftext
@@ -318,6 +319,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SpanNearQuery(terms=("spark", "table"), slop=4, in_order=False),
             10,
         ),
+        # ---- snippet highlighting (highlighter module analog) ----
+        "text_highlight": lambda sp, d: (
+            fhigh.highlight(_docs(sp, d), "doc_id", "text", ["spark", "merge"])
+            .orderBy("doc_id")
+        ),
         # ---- feature boosting (static doc signal + relevance) ----
         "q_feature_boost": lambda sp, d: _topk_df(
             _searcher(sp, d),
@@ -584,6 +590,26 @@ def oracle_sql() -> dict[str, str]:
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_span_near_ordered": _span_near_sql(["spark", "table"], 4, True),
         "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
+        "text_highlight": """
+WITH m AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
+pos AS (
+  SELECT doc_id, text,
+         NULLIF(position('spark' IN lt), 0) AS p1,
+         NULLIF(position('merge' IN lt), 0) AS p2
+  FROM m
+),
+pick AS (
+  SELECT doc_id, text,
+         CASE WHEN p1 IS NOT NULL AND (p2 IS NULL OR p1 <= p2) THEN p1 ELSE p2 END AS p,
+         CASE WHEN p1 IS NOT NULL AND (p2 IS NULL OR p1 <= p2) THEN 5 ELSE 5 END AS tl
+  FROM pos WHERE COALESCE(p1, p2) IS NOT NULL
+)
+SELECT doc_id::BIGINT AS doc_id,
+       regexp_replace(
+         substr(text, greatest(1, p - 40), (p - greatest(1, p - 40)) + tl + 40),
+         '(?i)(spark|merge)', '<b>\\1</b>', 'g') AS snippet
+FROM pick ORDER BY doc_id
+""",
         "q_feature_boost": _PRELUDE
         + _scored_cte(["spark"])
         + """

@@ -46,6 +46,28 @@ def test_minhash_exact_dups_always_candidates(docs):
     assert (3, 4) not in pairs  # unrelated docs
 
 
+def test_highlight_snippets(spark):
+    from lucene_spark.functions.highlight import highlight
+
+    rows = [
+        (0, "Spark makes big data simple"),          # match at position 0
+        (1, "x" * 100 + " the spark engine " + "y" * 100),  # mid-doc window
+        (2, "nothing relevant here"),                 # no match -> dropped
+        (3, "MERGE then merge again"),                # multiple + case kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["snippet"]
+           for r in highlight(df, "doc_id", "text", ["spark", "merge"],
+                              window=10).collect()}
+    assert set(out) == {0, 1, 3}
+    assert out[0].startswith("<b>Spark</b>")          # original casing kept
+    raw1 = out[1].replace("<b>", "").replace("</b>", "")
+    assert "<b>spark</b>" in out[1] and len(raw1) <= 10 + 5 + 10
+    # passage = 5+10 chars from the first match; the truncated second
+    # occurrence ('merg') is correctly NOT wrapped
+    assert out[3] == "<b>MERGE</b> then merg"
+
+
 def test_minhash_star_pairs_subset_and_covering(docs):
     allp = {
         (r["doc_a"], r["doc_b"])

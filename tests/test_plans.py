@@ -1,0 +1,87 @@
+"""Physical-plan audits: the properties we claim about execution must show
+up in `explain` output — filters pushed to Parquet, small sides broadcast,
+no Python UDFs in JVM-only paths, whole-stage codegen on the hot relational
+ops. These pin the scale story (a plan regression fails loudly)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.build import IndexConfig, build_index, write_index, read_index
+from lucene_spark.query import TermQuery, bool_query
+from lucene_spark.search import Searcher
+
+
+@pytest.fixture(scope="module")
+def written(spark, tmp_path_factory):
+    from lucene_spark.corpus import generate_corpus
+
+    corpus = generate_corpus(spark, 600, num_partitions=8).persist()
+    corpus.count()
+    idx = build_index(
+        corpus, IndexConfig(chain="code", seg_size=128, with_positions=False),
+        order_cols=["repo", "path"], auto_seg_size=False, eager=True,
+    )
+    path = str(tmp_path_factory.mktemp("planidx"))
+    write_index(idx, path)
+    ridx = read_index(spark, path)
+    yield ridx
+    idx.unpersist()
+    corpus.unpersist()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_term_filter_pushed_to_parquet(written):
+    plan = _plan(written.postings.filter("term = 'def'"))
+    assert "PushedFilters" in plan
+    assert "IsNotNull(term)" in plan or "EqualTo(term,def)" in plan
+    # column pruning: a narrow projection must not read the heavy enc columns
+    plan2 = _plan(written.postings.filter("term = 'def'").select("term", "count"))
+    rs = [ln for ln in plan2.splitlines() if "ReadSchema" in ln]
+    assert rs and "docs_enc" not in rs[0]
+
+
+def test_docs_range_filter_pushdown(written):
+    plan = _plan(written.docs.filter("doc_id BETWEEN 10 AND 20"))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(doc_id,10)" in plan
+
+
+def test_matchall_count_has_no_python(written):
+    s = Searcher(written, dtype=np.float32)
+    from lucene_spark.query import MatchAllDocsQuery
+
+    plan = _plan(s.matches(MatchAllDocsQuery()))
+    assert "Python" not in plan  # pure JVM: scan + project
+    assert "codegen id" in plan  # inside a whole-stage codegen span
+
+
+def test_block_key_join_is_broadcast(written, monkeypatch):
+    # the surviving-blocks join of the pruned path must broadcast the keys
+    monkeypatch.setenv("LUCENE_SPARK_DRIVER_META_MAX", "0")  # distributed path
+    s = Searcher(written, dtype=np.float32)
+    from lucene_spark import prune
+
+    scorers = {
+        "def": s.scorer_for(1.0, s.term_stats(["def"])["def"]),
+    }
+    meta = prune._block_bounds(s, scorers)
+    joined = prune._decode_blocks_scored(s, meta, scorers)
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_boolean_agg_is_partial_aggregated(written):
+    # MUST-of-terms evaluates as groupBy(doc).sum — partial (map-side)
+    # aggregation must appear before the exchange
+    s = Searcher(written, dtype=np.float32)
+    q = bool_query(must=[TermQuery(term="def"), TermQuery(term="merge")])
+    plan = _plan(s.matches(q))
+    assert "HashAggregate" in plan and "Exchange" in plan
+    pre, _, _post = plan.partition("Exchange")
+    assert "HashAggregate" in pre  # partial agg upstream of the shuffle
