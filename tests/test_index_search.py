@@ -411,3 +411,24 @@ def test_searcher_f64_mode_ranks_match(searcher, built, oracle):
     exp = [d for d, _ in BruteForceIndex.topk(oracle.score_term("spark"), 10)]
     got = [int(r["doc_id"]) for r in s64.search(TermQuery(term="spark"), 10).collect()]
     assert got == exp
+
+
+def test_check_index_tool(built):
+    from lucene_spark.check import check_index
+
+    rep = check_index(built)
+    assert rep["ok"] and rep["docs"] == built.stats.doc_count
+    assert rep["blocks"] > 0 and rep["terms"] > 0
+
+    # corruption must be caught: break the stats
+    import dataclasses
+
+    from lucene_spark.bm25 import CollectionStats
+
+    broken = dataclasses.replace(
+        built, stats=CollectionStats(built.stats.doc_count + 1, 0)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CollectionStats"):
+        check_index(broken, deep=False)
