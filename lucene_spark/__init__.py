@@ -22,7 +22,15 @@ capabilities of the reference Lucene fork at /root/reference:
 
 __version__ = "0.1.0"
 
-from .build import Index, IndexConfig, build_index, read_index, write_index  # noqa: E402,F401
+from .build import (  # noqa: E402,F401
+    Index,
+    IndexConfig,
+    build_index,
+    read_index,
+    term_vectors,
+    write_index,
+)
+from .check import check_index  # noqa: E402,F401
 from .checkpoint import build_checkpointed, read_checkpointed  # noqa: E402,F401
 from .merge import add_indexes, merge_metrics, merge_segments  # noqa: E402,F401
 from .query import (  # noqa: E402,F401

@@ -159,6 +159,21 @@ def _topk_driver_wand(
         return None
     cache = searcher._bounds_cache
     missing = [t for t in scorers if (t, boosts[t]) not in cache]
+    bulk = getattr(searcher, "_bounds_bulk", None)
+    if bulk is not None and missing:
+        # serve boost-1.0 lookups from the preloaded term-sorted bulk frame
+        terms_arr, frame = bulk
+        still = []
+        for t in missing:
+            if boosts[t] != 1.0:
+                still.append(t)
+                continue
+            lo = np.searchsorted(terms_arr, t, side="left")
+            hi = np.searchsorted(terms_arr, t, side="right")
+            if len(cache) >= _BOUNDS_CACHE_MAX:
+                cache.pop(next(iter(cache)))
+            cache[(t, 1.0)] = frame.iloc[lo:hi].reset_index(drop=True)
+        missing = still
     if missing:
         fetched = _block_bounds(searcher, {t: scorers[t] for t in missing}).toPandas()
         if len(fetched) > cap:
@@ -261,27 +276,64 @@ def _agg_block_keys(
     )
 
 
-def _block_bounds(searcher, scorers: Dict[str, BM25Scorer]) -> DataFrame:
+def _block_bounds(
+    searcher, scorers: Dict[str, BM25Scorer], filter_terms: bool = True
+) -> DataFrame:
     """Postings block metadata + ub column (one vectorized pass over impacts)."""
     scorer_map = scorers
+
+    # every BM25Scorer of one similarity shares the SAME inverse-norm cache;
+    # only the scalar weight differs per term. When that holds (the default
+    # BM25 case), a whole batch of bounds is one vectorized expression.
+    from .bm25 import BM25Scorer
+
+    shared_cache = None
+    weights = None
+    scs = list(scorer_map.values())
+    if scs and all(isinstance(s, BM25Scorer) for s in scs) and all(
+        s.cache is scs[0].cache or np.array_equal(s.cache, scs[0].cache)
+        for s in scs[1:]
+    ):
+        shared_cache = np.asarray(scs[0].cache, dtype=np.float64)
+        weights = {t: float(s.weight) for t, s in scorer_map.items()}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ubs = np.empty(len(pdf), dtype=np.float64)
-            for i, (term, impf, impn) in enumerate(
-                zip(pdf["term"], pdf["imp_freqs"], pdf["imp_norms"])
-            ):
-                ubs[i] = scorer_map[term].max_score(
-                    np.asarray(impf, dtype=np.int64), np.asarray(impn, dtype=np.int64)
-                )
+            impf_col = pdf["imp_freqs"]
+            impn_col = pdf["imp_norms"]
+            if shared_cache is not None:
+                lens = np.fromiter((len(x) for x in impf_col), dtype=np.int64,
+                                   count=len(pdf))
+                flat_f = np.concatenate(list(impf_col)).astype(np.float64)
+                flat_n = np.concatenate(list(impn_col)).astype(np.int64)
+                w = pdf["term"].map(weights).to_numpy(dtype=np.float64)
+                w_flat = np.repeat(w, lens)
+                inv = shared_cache[flat_n & 0xFF]
+                scores = w_flat - w_flat / (1.0 + flat_f * inv)
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                # f64 formula vs the query path's f32 scores: inflate a hair
+                # so the bound stays an upper bound across rounding modes
+                ubs = np.maximum.reduceat(scores, starts) * (1.0 + 1e-6) + 1e-12
+            else:
+                for i, (term, impf, impn) in enumerate(
+                    zip(pdf["term"], impf_col, impn_col)
+                ):
+                    ubs[i] = scorer_map[term].max_score(
+                        np.asarray(impf, dtype=np.int64),
+                        np.asarray(impn, dtype=np.int64),
+                    )
             out = pdf[["term", "segment_id", "block_id", "base_doc", "last_doc"]].copy()
             out["ub"] = ubs
             yield out
 
+    src = searcher.index.postings
+    if filter_terms:
+        src = src.filter(F.col("term").isin(list(scorers)))
     return (
-        searcher.index.postings.filter(F.col("term").isin(list(scorers)))
+        src
         .select("term", "segment_id", "block_id", "base_doc", "last_doc",
                 "imp_freqs", "imp_norms")
         .mapInPandas(

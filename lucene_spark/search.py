@@ -116,8 +116,10 @@ class Searcher:
                 for r in self.index.terms.collect()
             }
         # per-(term, boost) block-bounds cache for the pruned path (the
-        # MaxScoreCache analog, search/MaxScoreCache.java:58-115)
+        # MaxScoreCache analog, search/MaxScoreCache.java:58-115); optionally
+        # backed by a bulk preloaded frame (preload_bounds)
         self._bounds_cache: Dict[Tuple[str, float], "pd.DataFrame"] = {}
+        self._bounds_bulk: Optional[tuple] = None
         # per-query exact k-th-score cache (minCompetitiveScore carry-over)
         self._theta_cache: Dict[tuple, float] = {}
         # driver-resident decoded postings for hot terms — the analog of
@@ -136,6 +138,39 @@ class Searcher:
             self._deleted = np.array(
                 sorted(r["doc_id"] for r in index.deletes.collect()), dtype=np.int64
             )
+
+    def preload_bounds(self, terms: Optional[Sequence[str]] = None) -> int:
+        """Bulk-warm the driver block-bounds cache (boost 1.0) — the analog
+        of Lucene opening/mmapping skip+impact data up front. One Spark job
+        for the whole term set; afterwards first-time WAND queries need a
+        single decode job. Returns the number of block rows cached.
+        Requires preloaded stats when ``terms`` is None."""
+        from .prune import _block_bounds, _driver_meta_max
+
+        if terms is None:
+            if self._stats_cache is None:
+                raise ValueError("preload_bounds() without terms needs preload_stats=True")
+            terms = list(self._stats_cache)
+        stats = self.term_stats(list(terms))
+        scorers = {t: self.scorer_for(1.0, st) for t, st in stats.items()}
+        if not scorers:
+            return 0
+        all_terms = self._stats_cache is not None and len(scorers) == len(
+            self._stats_cache
+        )
+        fetched = _block_bounds(
+            self, scorers, filter_terms=not all_terms
+        ).toPandas()
+        if len(fetched) > _driver_meta_max():
+            raise ValueError(
+                f"bounds ({len(fetched)} blocks) exceed LUCENE_SPARK_DRIVER_META_MAX"
+            )
+        # one term-sorted bulk frame; per-term views are sliced lazily at
+        # query time (materializing 10^5 tiny frames up front is the slow
+        # part, not the Spark job)
+        fetched = fetched.sort_values("term", kind="mergesort").reset_index(drop=True)
+        self._bounds_bulk = (fetched["term"].to_numpy(), fetched)
+        return len(fetched)
 
     def _apply_deletes(self, df: DataFrame) -> DataFrame:
         if self.index.deletes is None:

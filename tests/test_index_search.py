@@ -432,3 +432,24 @@ def test_check_index_tool(built):
 
     with _pytest.raises(ValueError, match="CollectionStats"):
         check_index(broken, deep=False)
+
+
+def test_preload_bounds_first_query_identical(spark, corpus, oracle, monkeypatch):
+    from lucene_spark.build import IndexConfig, build_index
+
+    cfg = IndexConfig(seg_size=64, block_size=16, with_positions=True)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, content string"
+    )
+    idx = build_index(df, cfg, doc_id_col="doc_id", eager=True)
+    s = Searcher(idx, dtype=np.float32, preload_stats=True)
+    n = s.preload_bounds()
+    assert n > 0 and s._bounds_bulk is not None and len(s._bounds_bulk[1]) == n
+    # first-ever query uses only preloaded bounds; results identical
+    for term in ("the", "spark", "rarez"):
+        exp = BruteForceIndex.topk(oracle.score_term(term), 10)
+        assert_topk_equal(s.search(TermQuery(term=term), 10, prune=True), exp)
+    q = bool_query(should=[TermQuery(term=t) for t in ("the", "spark", "merge")])
+    exp = BruteForceIndex.topk(oracle.score_bool(should=["the", "spark", "merge"]), 10)
+    assert_topk_equal(s.search(q, 10, prune=True), exp)
+    idx.unpersist()
