@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SpanNearQuery(terms=("spark", "table"), slop=4, in_order=False),
             10,
         ),
+        # ---- multi-field (field-qualified) search ----
+        "q_multifield": lambda sp, d: _multifield_topk(sp, d),
         # ---- snippet highlighting (highlighter module analog) ----
         "text_highlight": lambda sp, d: (
             fhigh.highlight(_docs(sp, d), "doc_id", "text", ["spark", "merge"])
@@ -539,6 +541,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+def _multifield_topk(sp: SparkSession, d: str) -> DataFrame:
+    """parse('lang:python AND spark') over a two-field index set: the text
+    field reuses the cached index; the lang field gets its own index (own
+    stats) over the lang column."""
+    from lucene_spark.search import MultiFieldSearcher
+
+    key = f"{d}::__langfield"
+    if key not in _CACHE:
+        docs = _docs(sp, d)
+        cfg = IndexConfig(chain="standard", seg_size=1 << 12, block_size=128,
+                          with_positions=False)
+        lidx = build_index(docs, cfg, content_col="lang", doc_id_col="doc_id",
+                           eager=True)
+        _CACHE[key] = Searcher(lidx, dtype=np.float64)
+    ms = MultiFieldSearcher(
+        {"text": _searcher(sp, d), "lang": _CACHE[key]},
+        default_field="text",
+        dtype=np.float64,
+    )
+    return _topk_df(ms, parse("lang:en AND spark"), 10)
+
+
 def _docs(sp: SparkSession, d: str) -> DataFrame:
     # small single-file parquet arrives as 1 partition; spread it or every
     # narrow stage (tokenize/hash) runs on one core
@@ -587,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "q_filter": _bool_topk_sql(must=["table"], filters=["spark"]),
         "q_and3_hot": _bool_topk_sql(must=["a", "the", "table"]),
         "q_phrase": _phrase_sql(["fast", "table"]),
+        "q_multifield": _multifield_sql(),
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_span_near_ordered": _span_near_sql(["spark", "table"], 4, True),
         "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
@@ -1061,6 +1086,46 @@ sc AS (
   CROSS JOIN stats s
 ),
 agg AS (SELECT doc_id, sum(score) AS score FROM sc GROUP BY doc_id)
+"""
+        + _rank_tail("score", "FROM agg", k)
+    )
+
+
+def _multifield_sql(k: int = 10) -> str:
+    """lang:en AND spark — per-field BM25 (each field has its own tf/dl/
+    stats over its own column), scores summed, docs must match both. The
+    lang-field CTEs are the text prelude with every CTE renamed l* and the
+    tokenized column switched to `lang`."""
+    import re as _re
+
+    lang_part = _PRELUDE.replace("WITH ", ", ").replace("lower(text)", "lower(lang)")
+    lang_part = _re.sub(
+        r"\b(tokarr|tokp|tok|dfreq|dlq|dl|nrm|tf|stats)\b", r"l\1", lang_part
+    )
+    idf_t = _IDF.format(df="d.df")
+    inv_t = _INV.format(k1=K1, b=B)
+    idf_l = "ln(1 + (ls.n - ld.df + 0.5) / (ld.df + 0.5))"
+    inv_l = f"(1.0 / ({K1} * ((1 - {B}) + {B} * lq.ldlq / (ls.sttf / ls.n))))"
+    return (
+        _PRELUDE
+        + lang_part
+        + f"""
+, tsc AS (
+  SELECT tf.doc_id, ({idf_t}) - ({idf_t}) / (1 + tf.freq * {inv_t}) AS score
+  FROM tf JOIN dfreq d ON d.term = tf.term
+  JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN stats s
+  WHERE tf.term = 'spark'
+),
+lsc AS (
+  SELECT ltf.doc_id, ({idf_l}) - ({idf_l}) / (1 + ltf.freq * {inv_l}) AS score
+  FROM ltf JOIN ldfreq ld ON ld.term = ltf.term
+  JOIN ldlq lq ON lq.doc_id = ltf.doc_id CROSS JOIN lstats ls
+  WHERE ltf.term = 'en'
+),
+agg AS (
+  SELECT tsc.doc_id, tsc.score + lsc.score AS score
+  FROM tsc JOIN lsc ON lsc.doc_id = tsc.doc_id
+)
 """
         + _rank_tail("score", "FROM agg", k)
     )

@@ -32,12 +32,14 @@ class Query:
 @dataclass(frozen=True)
 class TermQuery(Query):
     term: str = ""
+    field: Optional[str] = None  # None = the (single/default) field
 
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
     terms: Tuple[str, ...] = ()
     slop: int = 0
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -70,11 +72,13 @@ class SynonymQuery(Query):
 @dataclass(frozen=True)
 class PrefixQuery(Query):
     prefix: str = ""
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
 class WildcardQuery(Query):
     pattern: str = ""  # * = any run, ? = any single char
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -86,6 +90,7 @@ class RegexpQuery(Query):
 class FuzzyQuery(Query):
     term: str = ""
     max_edits: int = 2
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -220,7 +225,7 @@ def _rewrite_once(q: Query) -> Query:
             return djs[0]
         return DisjunctionMaxQuery(boost=q.boost, disjuncts=djs, tie_breaker=q.tie_breaker)
     if isinstance(q, PhraseQuery) and len(q.terms) == 1:
-        return TermQuery(boost=q.boost, term=q.terms[0])
+        return TermQuery(boost=q.boost, term=q.terms[0], field=q.field)
     if isinstance(q, MultiPhraseQuery):
         # MultiPhraseQuery.java rewrite analogs: all-singleton slots -> plain
         # phrase; one slot -> synonym-ish disjunction handled as 1-slot match
@@ -244,6 +249,7 @@ _TOKEN_SPEC = [
     ("PLUS", r"\+"),
     ("MINUS", r"-"),
     ("PHRASE", r'"[^"]*"'),
+    ("FIELD", r"[A-Za-z_][A-Za-z0-9_]*:(?=\S)"),
     ("RANGE", r"\[[^\]]+ TO [^\]]+\]"),
     ("BOOST", r"\^\d+(?:\.\d+)?"),
     ("TERM", r"[^\s()+\-\"\[\]^]+"),
@@ -252,6 +258,7 @@ _TOKEN_SPEC = [
 _TOKEN_RE = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC))
 _BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"~(\d?)$")
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$")
 
 
 def _lex(s: str):
@@ -321,6 +328,13 @@ def parse(query: str, analyze=None) -> Query:
                 else TermQuery(term=terms[0])
             )
             return q, occur
+        if kind == "FIELD":
+            # classic `field:term` / `field:"phrase"` syntax
+            advance()
+            fname = text[:-1]
+            inner, occ2 = parse_atom()
+            inner = _with_field(inner, fname)
+            return inner, occur if occ2 is None else occ2
         if kind == "RANGE":
             advance()
             body = text[1:-1]
@@ -421,6 +435,15 @@ def _occurred(q: Query, occ: Optional[Occur]):
     if occ is None:
         return q
     return _Occurred(q, occ)
+
+
+def _with_field(q: Query, fname: str) -> Query:
+    """Attach a field name to a fieldable leaf (classic `field:` prefix)."""
+    import dataclasses
+
+    if isinstance(q, (TermQuery, PhraseQuery, PrefixQuery, WildcardQuery, FuzzyQuery)):
+        return dataclasses.replace(q, field=fname)
+    return q  # range/other: field-agnostic in this engine (documented)
 
 
 def _with_boost(q: Query, boost: float) -> Query:

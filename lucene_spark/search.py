@@ -543,6 +543,12 @@ class Searcher:
         self, terms: Sequence[str], with_positions: bool = False
     ) -> DataFrame:
         """Decode postings to (term, doc_id, freq, norm[, positions])."""
+        if with_positions and not self.index.config.with_positions:
+            # IndexOptions mismatch — the failure Lucene raises when a
+            # positional query hits a field indexed without positions
+            raise ValueError(
+                "positional query on an index built with with_positions=False"
+            )
         schema = "term string, doc_id long, freq int, norm int"
         if with_positions:
             schema += ", positions array<int>"
@@ -956,6 +962,12 @@ class Searcher:
     def _grouped_positions(self, terms: Sequence[str], min_terms: int) -> DataFrame:
         """(doc_id, norm, plist=[{term, positions}]) for docs containing at
         least min_terms distinct of the given terms."""
+        if not self.index.config.with_positions:
+            # IndexOptions mismatch — same failure Lucene raises when a
+            # PhraseQuery hits a field indexed without positions
+            raise ValueError(
+                "positional query on an index built with with_positions=False"
+            )
         raw = self.decode_raw(sorted(set(terms)), with_positions=True)
         return (
             raw.groupBy("doc_id")
@@ -1112,3 +1124,44 @@ def _sloppy_freq(pos_by_term: Dict[str, np.ndarray], terms: List[str], slop: int
         if ok and total <= slop:
             count += 1
     return count
+
+
+class MultiFieldSearcher(Searcher):
+    """Field-qualified search over one corpus indexed per field: a field = a
+    content column = its own Index (SURVEY §1.1 Field mapping), each with its
+    own statistics — the PerFieldSimilarityWrapper model. Leaf queries route
+    to their field's Searcher; boolean/dismax algebra is inherited and
+    combines per-field scores on the shared global doc_id.
+
+    Field-qualified queries bypass the single-index prune/hot fast paths
+    (they stay available on the per-field Searchers themselves).
+    """
+
+    def __init__(
+        self,
+        searchers: Dict[str, Searcher],
+        default_field: str,
+        dtype=np.float32,
+    ):
+        if default_field not in searchers:
+            raise ValueError(f"default_field {default_field!r} not in searchers")
+        self.searchers = dict(searchers)
+        self.default_field = default_field
+        base = searchers[default_field]
+        super().__init__(base.index, dtype=dtype, similarity=base.sim)
+
+    def search(self, q: Query, k: int = 10, prune: bool = False) -> DataFrame:
+        return self._topk(self.matches(q), k)
+
+    def _eval(self, q: Query, needs_scores: bool) -> DataFrame:
+        import dataclasses
+
+        fname = getattr(q, "field", None)
+        if fname is not None:
+            sub = self.searchers.get(fname)
+            if sub is None:
+                return self._empty()  # unknown field matches nothing
+            return sub._eval(dataclasses.replace(q, field=None), needs_scores)
+        if isinstance(q, (BooleanQuery, DisjunctionMaxQuery, ConstantScoreQuery)):
+            return super()._eval(q, needs_scores)  # recurses back through us
+        return self.searchers[self.default_field]._eval(q, needs_scores)
