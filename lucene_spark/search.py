@@ -455,6 +455,21 @@ class Searcher:
             score = score * float(q.boost)
         return self._rank_rows(u, score, k)
 
+    def search_after(
+        self, q: Query, k: int = 10, after: Optional[Tuple[float, int]] = None
+    ) -> DataFrame:
+        """IndexSearcher.searchAfter analog: the next k hits strictly after
+        the (score, doc_id) cursor in (score desc, doc_id asc) order. Cursor
+        comes from the last row of the previous page."""
+        if after is None:
+            return self.search(q, k)
+        a_score, a_doc = float(after[0]), int(after[1])
+        m = self.matches(q).filter(
+            (F.col("score") < F.lit(a_score))
+            | ((F.col("score") == F.lit(a_score)) & (F.col("doc_id") > F.lit(a_doc)))
+        )
+        return self._topk(m, k)
+
     def matches(self, q: Query) -> DataFrame:
         """Exhaustive (doc_id, score) for every matching doc."""
         return self._apply_deletes(self._eval(rewrite(q), needs_scores=True))

@@ -453,3 +453,16 @@ def test_preload_bounds_first_query_identical(spark, corpus, oracle, monkeypatch
     exp = BruteForceIndex.topk(oracle.score_bool(should=["the", "spark", "merge"]), 10)
     assert_topk_equal(s.search(q, 10, prune=True), exp)
     idx.unpersist()
+
+
+def test_search_after_pages_are_contiguous(searcher, oracle):
+    exp = BruteForceIndex.topk(oracle.score_term("the"), 30)
+    page1 = searcher.search(TermQuery(term="the"), 10, prune=False).collect()
+    cursor = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    page2 = searcher.search_after(TermQuery(term="the"), 10, after=cursor).collect()
+    got = [(int(r["doc_id"]), np.float32(r["score"])) for r in page1 + page2]
+    assert got == [(d, np.float32(s)) for d, s in exp[:20]]
+    # paging past the end returns empty
+    last = BruteForceIndex.topk(oracle.score_term("rarez"), 10**6)
+    tail = (float(last[-1][1]), int(last[-1][0]))
+    assert searcher.search_after(TermQuery(term="rarez"), 5, after=tail).count() == 0
