@@ -32,7 +32,12 @@ from .build import (  # noqa: E402,F401
 )
 from .check import check_index  # noqa: E402,F401
 from .checkpoint import build_checkpointed, read_checkpointed  # noqa: E402,F401
-from .merge import add_indexes, merge_metrics, merge_segments  # noqa: E402,F401
+from .merge import (  # noqa: E402,F401
+    add_indexes,
+    append_documents,
+    merge_metrics,
+    merge_segments,
+)
 from .query import (  # noqa: E402,F401
     BooleanQuery,
     DisjunctionMaxQuery,

@@ -175,3 +175,48 @@ def add_indexes(base: Index, other: Index) -> Index:
         ),
         config=base.config,
     )
+
+
+def append_documents(
+    base: Index,
+    new_docs,
+    content_col: str = None,
+    doc_id_col: str = None,
+    order_cols=None,
+    num_partitions: int = None,
+) -> Index:
+    """Incremental ingest (IndexWriter.addDocuments analog): index the new
+    batch with doc_ids continuing after the base index and union it in via
+    :func:`add_indexes`. New docs use the base config; global stats/term
+    stats re-aggregate. Segments stay doc_id // seg_size, so the appended
+    docs land in fresh segments past the base ones."""
+    from .build import build_index
+
+    base_n = base.stats.doc_count
+    cfg = base.config
+    if doc_id_col is not None:
+        shifted = new_docs.withColumn(
+            "doc_id", (F.col(doc_id_col).cast("long") + F.lit(base_n))
+        )
+        delta = build_index(
+            shifted, cfg, content_col=content_col, doc_id_col="doc_id",
+            num_partitions=num_partitions, auto_seg_size=False, eager=True,
+        )
+    else:
+        if not order_cols:
+            raise ValueError("need doc_id_col or order_cols")
+        from .build import assign_doc_ids
+
+        spark = new_docs.sparkSession
+        if num_partitions is None:
+            num_partitions = max(spark.sparkContext.defaultParallelism, 4)
+        assigned = assign_doc_ids(new_docs, list(order_cols), num_partitions)
+        shifted = assigned.withColumn("doc_id", F.col("doc_id") + F.lit(base_n))
+        delta = build_index(
+            shifted, cfg, content_col=content_col, doc_id_col="doc_id",
+            num_partitions=num_partitions, auto_seg_size=False, eager=True,
+        )
+        parted = getattr(assigned, "_doc_id_parted", None)
+        if parted is not None:
+            parted.unpersist()
+    return add_indexes(base, delta)

@@ -204,3 +204,45 @@ def test_corpus_exercises_analysis_features(spark):
 
     assert re.search(r"[a-z][A-Z]", text)  # camelCase boundary present
     assert re.search(r"rare_\d+_", text)  # singleton tokens
+
+
+def test_append_documents_equals_full_build(spark):
+    """Incremental append == one-shot build over the concatenated corpus
+    (same doc_ids, same stats, same query results)."""
+    from lucene_spark.build import IndexConfig, build_index
+    from lucene_spark.merge import append_documents
+    from lucene_spark.query import TermQuery, bool_query
+    from lucene_spark.search import Searcher
+
+    texts = [f"alpha beta doc{i} {'spark' if i % 3 == 0 else 'merge'}" for i in range(150)]
+    cfg = IndexConfig(seg_size=32, with_positions=False)
+    base_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts[:100])], "doc_id long, text string"
+    )
+    new_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts[100:])], "doc_id long, text string"
+    )
+    base = build_index(base_df, cfg, content_col="text", doc_id_col="doc_id",
+                       auto_seg_size=False, eager=True)
+    appended = append_documents(base, new_df, content_col="text",
+                                doc_id_col="doc_id")
+    full_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    full = build_index(full_df, cfg, content_col="text", doc_id_col="doc_id",
+                       auto_seg_size=False, eager=True)
+    assert appended.stats.doc_count == full.stats.doc_count == 150
+    assert appended.stats.sum_total_term_freq == full.stats.sum_total_term_freq
+    t_a = {r["term"]: (r["doc_freq"], r["total_term_freq"])
+           for r in appended.terms.collect()}
+    t_f = {r["term"]: (r["doc_freq"], r["total_term_freq"])
+           for r in full.terms.collect()}
+    assert t_a == t_f
+    s_a, s_f = Searcher(appended, dtype=np.float32), Searcher(full, dtype=np.float32)
+    for q in (TermQuery(term="spark"),
+              bool_query(should=[TermQuery(term="spark"), TermQuery(term="merge")])):
+        a = [(int(r["doc_id"]), np.float32(r["score"]))
+             for r in s_a.search(q, 15, prune=False).collect()]
+        f = [(int(r["doc_id"]), np.float32(r["score"]))
+             for r in s_f.search(q, 15, prune=False).collect()]
+        assert a == f
