@@ -309,9 +309,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MultiPhraseQuery(slots=(("fast", "slow"), ("table",))),
             10,
         ),
+        "q_phrase_slop2": lambda sp, d: _topk_df(
+            _searcher(sp, d), PhraseQuery(terms=("fast", "table"), slop=2), 10
+        ),
         "q_span_near_ordered": lambda sp, d: _topk_df(
             _searcher(sp, d),
             SpanNearQuery(terms=("spark", "table"), slop=4, in_order=True),
+            10,
+        ),
+        "q_span_near_ordered3": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            SpanNearQuery(terms=("the", "fast", "table"), slop=6, in_order=True),
             10,
         ),
         "q_span_near_unordered": lambda sp, d: _topk_df(
@@ -394,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- multi-term constant-score family ----
         "q_prefix": const_docs(PrefixQuery(prefix="s")),
+        "q_prefix_broad": lambda sp, d: _customer_prefix_docs(sp, d),
         "q_wildcard": const_docs(WildcardQuery(pattern="*a*k")),
         "q_regexp": const_docs(RegexpQuery(regexp="[sv].*r")),
         "q_term_range": const_docs(TermRangeQuery(lower="query", upper="sort")),
@@ -563,6 +572,28 @@ def _multifield_topk(sp: SparkSession, d: str) -> DataFrame:
     return _topk_df(ms, parse("lang:en AND spark"), 10)
 
 
+def _customer_prefix_docs(sp: SparkSession, d: str) -> DataFrame:
+    """CONSTANT_SCORE multi-term rewrite at >1024 expanded terms: the
+    uncapped distributed semi-join path (search/MultiTermQuery.java
+    CONSTANT_SCORE_REWRITE builds a bitset over EVERY matching term; only
+    scoring rewrites cap at 1024, where expand_terms raises TooManyClauses).
+    PrefixQuery('0') over the customer-name index expands to ~1500 digit
+    terms at sf0.01."""
+    key = f"{d}::__customer"
+    if key not in _CACHE:
+        cust = sp.read.parquet(os.path.join(d, "customer.parquet")).repartition(
+            sp.sparkContext.defaultParallelism
+        )
+        cfg = IndexConfig(
+            chain="standard", seg_size=1 << 12, block_size=128, with_positions=False
+        )
+        idx = build_index(
+            cust, cfg, content_col="c_name", doc_id_col="c_custkey", eager=True
+        )
+        _CACHE[key] = Searcher(idx, dtype=np.float64)
+    return _docs_df(_CACHE[key], PrefixQuery(prefix="0"))
+
+
 def _docs(sp: SparkSession, d: str) -> DataFrame:
     # small single-file parquet arrives as 1 partition; spread it or every
     # narrow stage (tokenize/hash) runs on one core
@@ -613,7 +644,9 @@ def oracle_sql() -> dict[str, str]:
         "q_phrase": _phrase_sql(["fast", "table"]),
         "q_multifield": _multifield_sql(),
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
+        "q_phrase_slop2": _phrase_slop_sql(["fast", "table"], 2),
         "q_span_near_ordered": _span_near_sql(["spark", "table"], 4, True),
+        "q_span_near_ordered3": _span_near_sql(["the", "fast", "table"], 6, True),
         "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
         "text_highlight": """
 WITH m AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
@@ -640,7 +673,7 @@ FROM pick ORDER BY doc_id
         + """
 , fsc AS (
   SELECT doc_id::BIGINT AS doc_id, 0.05 * ln(1 + n_chars) AS score
-  FROM documents WHERE n_chars IS NOT NULL
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
 ),
 allsc AS (
   SELECT doc_id, score FROM sc
@@ -664,6 +697,14 @@ FROM tf WHERE tf.doc_id < 3 ORDER BY doc_id, term
         "q_synonym": _synonym_sql(["spark", "stream"]),
         "q_dismax": _dismax_sql(["spark", "vector"], 0.1),
         "q_prefix": _const_docs_sql("t.term LIKE 's%'"),
+        "q_prefix_broad": f"""
+WITH tok AS (
+  SELECT c_custkey AS doc_id,
+         unnest(regexp_extract_all(lower(c_name), '{_TOKRE}')) AS term
+  FROM customer
+)
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tok WHERE term LIKE '0%' ORDER BY doc_id
+""",
         "q_wildcard": _const_docs_sql("regexp_matches(t.term, '^(?:.*a.*k)$')"),
         "q_regexp": _const_docs_sql("regexp_matches(t.term, '^(?:[sv].*r)$')"),
         "q_term_range": _const_docs_sql("t.term >= 'query' AND t.term <= 'sort'"),
@@ -1131,10 +1172,12 @@ agg AS (
     )
 
 
-def _freq_rank_sql(match_cte: str, idf_terms: list[str], k: int = 10) -> str:
+def _freq_rank_sql(match_cte: str, idf_terms: list[str], k: int = 10,
+                   extra: str = "") -> str:
     """Shared tail for positional queries: `pf(doc_id, freq)` -> BM25 with
     idf summed over the PRESENT query terms (docFreq-0 terms contribute
-    nothing, like Lucene's Weight skipping null termStatistics)."""
+    nothing, like Lucene's Weight skipping null termStatistics). ``extra``
+    injects additional CTEs (each starting with ', ') before pf."""
     in_list = ", ".join(f"'{t}'" for t in idf_terms)
     idf_sum = (
         f"(SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) "
@@ -1143,6 +1186,7 @@ def _freq_rank_sql(match_cte: str, idf_terms: list[str], k: int = 10) -> str:
     inv = _INV.format(k1=K1, b=B)
     return (
         _PRELUDE
+        + extra
         + f"""
 , pf AS (
 {match_cte}
@@ -1182,29 +1226,108 @@ def _multi_phrase_sql(slots: list[list[str]], k: int = 10) -> str:
 
 
 def _span_near_sql(terms: list[str], slop: int, in_order: bool, k: int = 10) -> str:
-    """SpanNearQuery (n terms): freq = number of position tuples whose window
-    width - n <= slop; in_order requires ascending positions."""
+    """SpanNearQuery parity SQL (lucene_spark/matchers.py semantics).
+
+    Ordered (NearSpansOrdered.java): for each position p0 of clause 0 the
+    greedy monotone chain q_i = min{pos(t_i) > q_{i-1}} (stretchToOrder with
+    forward-only iterators); match iff q_last - p0 - (n-1) <= slop; weight =
+    1/(1 + matchLength), matchLength = (q_last + 1) - p0
+    (SpanScorer.setFreqCurrentDoc).
+
+    Unordered (NearSpansUnordered.java, 2 clauses): the advance-min walk's
+    visited states are exactly {(x, m = min{other clause > x})}; match iff
+    (m + 1 - x) - 2 <= slop; weight 1/(1 + (m + 1 - x))."""
     n = len(terms)
-    joins = ["tokp p0"]
-    for i in range(1, n):
-        joins.append(f"JOIN tokp p{i} ON p{i}.doc_id = p0.doc_id")
-    conds = [f"p{i}.term = '{terms[i]}'" for i in range(n)]
-    pos = [f"p{i}.pos" for i in range(n)]
     if in_order:
-        conds += [f"{pos[i]} < {pos[i + 1]}" for i in range(n - 1)]
-    else:
-        conds += [
-            f"{pos[a]} <> {pos[b]}" for a in range(n) for b in range(a + 1, n)
+        ctes = [
+            f", s0 AS (SELECT doc_id, pos AS p0, pos AS q0 FROM tokp WHERE term = '{terms[0]}')"
         ]
-    width = f"greatest({', '.join(pos)}) - least({', '.join(pos)}) + 1"
-    conds.append(f"({width}) - {n} <= {slop}")
+        for i in range(1, n):
+            ctes.append(
+                f", s{i} AS (\n"
+                f"  SELECT s.doc_id, s.p0, min(t.pos) AS q{i}\n"
+                f"  FROM s{i-1} s JOIN tokp t ON t.doc_id = s.doc_id"
+                f" AND t.term = '{terms[i]}' AND t.pos > s.q{i-1}\n"
+                f"  GROUP BY s.doc_id, s.p0\n)"
+            )
+        match = (
+            f"  SELECT doc_id, sum(1.0 / (q{n-1} + 2 - p0)) AS freq\n"
+            f"  FROM s{n-1} WHERE q{n-1} - p0 - {n-1} <= {slop}\n"
+            f"  GROUP BY doc_id"
+        )
+        return _freq_rank_sql(match, terms, k, extra="".join(ctes))
+    assert n == 2, "unordered span oracle SQL is derived for 2 clauses"
+    t0, t1 = terms
+    extra = f"""
+, ux AS (
+  SELECT a.doc_id, a.pos AS x, min(b.pos) AS m
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.term = '{t1}' AND b.pos > a.pos
+  WHERE a.term = '{t0}' GROUP BY a.doc_id, a.pos
+),
+uy AS (
+  SELECT a.doc_id, a.pos AS x, min(b.pos) AS m
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.term = '{t0}' AND b.pos > a.pos
+  WHERE a.term = '{t1}' GROUP BY a.doc_id, a.pos
+),
+uu AS (SELECT * FROM ux UNION ALL SELECT * FROM uy)
+"""
     match = (
-        f"  SELECT p0.doc_id, count(*)::BIGINT AS freq\n"
-        f"  FROM {' '.join(joins)}\n"
-        f"  WHERE {' AND '.join(conds)}\n"
-        f"  GROUP BY p0.doc_id"
+        f"  SELECT doc_id, sum(1.0 / (m + 2 - x)) AS freq\n"
+        f"  FROM uu WHERE m - x - 1 <= {slop} GROUP BY doc_id"
     )
-    return _freq_rank_sql(match, terms, k)
+    return _freq_rank_sql(match, terms, k, extra=extra)
+
+
+def _phrase_slop_sql(terms: list[str], slop: int, k: int = 10) -> str:
+    """Sloppy PhraseQuery parity SQL (2 distinct terms): the recursive
+    crossing chain equivalent to SloppyPhraseMatcher's PQ walk (proven in
+    tests/test_matchers.py::test_sloppy2_crossing_chain_equals_pq_walk):
+    adjusted positions (pos - slot); t0 = max of the two first elements
+    (ties: the slot-0 element is popped first per PhraseQueue, so the slot-1
+    element is the target); t_{k+1} = min{opposite side > t_k}; every target
+    t emits one match with matchLength = t - max{opposite side <= t}, weight
+    1/(1 + matchLength); docs must contain both terms."""
+    assert len(terms) == 2
+    t0, t1 = terms
+    extra = f"""
+, ap AS (
+  SELECT doc_id, pos AS p, 0 AS side FROM tokp WHERE term = '{t0}'
+  UNION ALL
+  SELECT doc_id, pos - 1 AS p, 1 AS side FROM tokp WHERE term = '{t1}'
+),
+firsts AS (
+  SELECT doc_id,
+         min(CASE WHEN side = 0 THEN p END) AS a0,
+         min(CASE WHEN side = 1 THEN p END) AS b0
+  FROM ap GROUP BY doc_id
+  HAVING count(DISTINCT side) = 2
+),
+chain(doc_id, t, side) AS (
+  SELECT doc_id, greatest(a0, b0),
+         CASE WHEN b0 >= a0 THEN 1 ELSE 0 END
+  FROM firsts
+  UNION ALL
+  SELECT c.doc_id,
+         (SELECT min(p) FROM ap WHERE ap.doc_id = c.doc_id
+            AND ap.side = 1 - c.side AND ap.p > c.t),
+         1 - c.side
+  FROM chain c
+  WHERE EXISTS (SELECT 1 FROM ap WHERE ap.doc_id = c.doc_id
+                  AND ap.side = 1 - c.side AND ap.p > c.t)
+),
+gaps AS (
+  SELECT c.doc_id,
+         c.t - (SELECT max(p) FROM ap WHERE ap.doc_id = c.doc_id
+                  AND ap.side = 1 - c.side AND ap.p <= c.t) AS gap
+  FROM chain c
+)
+"""
+    match = (
+        f"  SELECT doc_id, sum(1.0 / (1 + gap)) AS freq\n"
+        f"  FROM gaps WHERE gap <= {slop} GROUP BY doc_id"
+    )
+    sql = _freq_rank_sql(match, terms, k, extra=extra)
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
 def _synonym_sql(terms: list[str], k: int = 10) -> str:

@@ -80,12 +80,18 @@ def plan_shards(
     key ranges; record per-shard (key range, row count, content digest,
     doc_id base) — the immutable lineage every later run validates against."""
     key = _key(order_cols)
+    tup = F.struct(*[F.col(c) for c in order_cols])
     parted = corpus.repartitionByRange(n_shards, *[F.col(c) for c in order_cols])
     rows = (
         parted.groupBy(F.spark_partition_id().alias("pid"))
         .agg(
             F.min(key).alias("key_lo"),
             F.max(key).alias("key_hi"),
+            # lexicographic tuple bounds: the order repartitionByRange actually
+            # used. The concat_ws key above is display-only; filtering with it
+            # disagrees for numeric cols ('10' < '9') or \x00/\x01 in values.
+            F.min(tup).alias("lo_vals"),
+            F.max(tup).alias("hi_vals"),
             F.count("*").alias("rows"),
             F.sum(
                 F.xxhash64(*order_cols, F.sha2(F.col(content_col), 256)).cast(
@@ -102,6 +108,8 @@ def plan_shards(
                 "shard_id": len(shards),
                 "key_lo": r["key_lo"],
                 "key_hi": r["key_hi"],
+                "lo_vals": list(r["lo_vals"]) if r["lo_vals"] is not None else None,
+                "hi_vals": list(r["hi_vals"]) if r["hi_vals"] is not None else None,
                 "rows": int(r["rows"]),
                 "digest": str(int(r["digest"] or 0)),
                 "doc_base": base,
@@ -159,9 +167,23 @@ def build_checkpointed(
         if fail_after_shards is not None and done >= fail_after_shards:
             raise RuntimeError(f"injected failure after {done} shard commits")
         t0 = time.time()
-        shard_df = corpus.filter(
-            (key >= sh["key_lo"]) & (key <= sh["key_hi"])
-        )
+        if sh.get("lo_vals") is not None:
+            # tuple predicate on the actual order_cols (lexicographic struct
+            # comparison — the same ordering repartitionByRange planned with)
+            tup = F.struct(*[F.col(c) for c in order_cols])
+            lo = F.struct(*[
+                F.lit(v).cast(corpus.schema[c].dataType).alias(c)
+                for c, v in zip(order_cols, sh["lo_vals"])
+            ])
+            hi = F.struct(*[
+                F.lit(v).cast(corpus.schema[c].dataType).alias(c)
+                for c, v in zip(order_cols, sh["hi_vals"])
+            ])
+            shard_df = corpus.filter((tup >= lo) & (tup <= hi))
+        else:  # plans written before lo_vals/hi_vals existed
+            shard_df = corpus.filter(
+                (key >= sh["key_lo"]) & (key <= sh["key_hi"])
+            )
         # lineage gate: the shard's content must still match the plan
         n, dg, nbytes = _digest(shard_df, list(order_cols), content_col)
         if n != sh["rows"] or dg != sh["digest"]:

@@ -1,0 +1,261 @@
+"""Positional match kernels — rank-exact analogs of the reference's phrase /
+span matchers, vectorized set-at-a-time wherever the algorithm allows.
+
+All kernels run over a BATCH of candidate docs at once using the global
+doc-offset trick: per-doc position arrays are concatenated with
+``doc_index << 32`` added, so one sorted-merge / searchsorted pass covers the
+whole Arrow batch and cross-doc artifacts are excluded by construction
+(widths/gaps across a doc boundary are ~2^32, far beyond any slop).
+
+Semantics parity (see tests/test_matchers.py for the literal-algorithm
+equivalence checks):
+
+- exact phrase: ExactPhraseMatcher (search/ExactPhraseMatcher.java) — freq =
+  number of start positions where every slot term occurs at start+slot;
+  computed as one offset-intersection over the batch, no per-doc loop.
+- sloppy phrase: SloppyPhraseMatcher (search/SloppyPhraseMatcher.java, the
+  no-repeats case) — freq = Σ 1/(1+matchLength) over the priority-queue
+  walk's matches (PhraseScorer sloppyWeight). Two-term phrases use a closed
+  form (cross-side run boundaries of the merged adjusted-position sequence,
+  equivalent to the PQ walk — property-tested); n>=3 runs the literal heap
+  walk per doc (the reference is equally sequential per doc). Phrases with
+  REPEATED terms and slop>0 raise NotImplementedError: the reference's
+  repeat handling (hasRpts / advanceRpts) is out of scope, documented in
+  SURVEY.md §8.
+- ordered span near: NearSpansOrdered (search/spans/NearSpansOrdered.java) —
+  for each position p0 of clause 0, the greedy monotone chain q_i =
+  min{pos(clause_i) > q_{i-1}} (stretchToOrder with forward-only iterators);
+  match iff chain width q_last - p0 - (n-1) <= slop, weight
+  1/(1 + (q_last + 1 - p0)) (SpanScorer.setFreqCurrentDoc matchLength =
+  endPosition - startPosition). Fully vectorized via searchsorted chains.
+- unordered span near: NearSpansUnordered (advance-the-min-start walk over
+  the per-clause iterators); each visited state with
+  (maxEnd - minStart) - n <= slop contributes 1/(1 + (maxEnd - minStart)).
+  Two clauses: closed form (each position x pairs with min{other > x});
+  n>=3: literal heap walk per doc.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+_DOC_SHIFT = 32
+_LOW_MASK = (1 << 32) - 1
+
+
+def _concat_global(arrays: Sequence) -> np.ndarray:
+    """Concatenate per-doc sorted position arrays into one sorted array with
+    doc_index << 32 added. Empty/None docs contribute nothing."""
+    parts = []
+    lens = []
+    for a in arrays:
+        if a is None:
+            lens.append(0)
+            continue
+        a = np.asarray(a, dtype=np.int64)
+        lens.append(len(a))
+        parts.append(a)
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    flat = np.concatenate(parts)
+    offs = np.repeat(
+        np.arange(len(arrays), dtype=np.int64) << _DOC_SHIFT,
+        np.asarray(lens, dtype=np.int64),
+    )
+    return flat + offs
+
+
+def exact_phrase_freqs(
+    pos_by_term: Dict[str, List], terms: Sequence[str], n_docs: int
+) -> np.ndarray:
+    """freq[i] = exact-phrase occurrences in doc i. pos_by_term[t][i] is the
+    sorted positions array of term t in doc i (None = absent)."""
+    offsets: Dict[str, List[int]] = {}
+    for i, t in enumerate(terms):
+        offsets.setdefault(t, []).append(i)
+    cand = None
+    for t, offs in offsets.items():
+        g = _concat_global(pos_by_term[t])
+        for off in offs:
+            s = g - off
+            cand = s if cand is None else np.intersect1d(cand, s, assume_unique=True)
+            if len(cand) == 0:
+                return np.zeros(n_docs, dtype=np.int64)
+    # drop starts where pos < slot (the subtraction wrapped into the previous
+    # doc's high range — never a real position, which are all < 2^31)
+    low = cand & _LOW_MASK
+    valid = low < (1 << 31)
+    didx = (cand[valid] >> _DOC_SHIFT).astype(np.int64)
+    return np.bincount(didx, minlength=n_docs)
+
+
+# ---------------------------------------------------------------------------
+# Sloppy phrase (SloppyPhraseMatcher parity, no repeats)
+# ---------------------------------------------------------------------------
+
+
+def sloppy_phrase_freqs(
+    pos_by_term: Dict[str, List], terms: Sequence[str], slop: int, n_docs: int
+) -> np.ndarray:
+    """Per-doc PQ walk (the reference is equally sequential per doc; sloppy
+    matching is not in the benched hot path — slop=0 takes the vectorized
+    exact kernel above). For 2-term phrases the walk is equivalent to an
+    alternating crossing chain (t_{k+1} = min{opposite side > t_k}, match
+    gap t_k - pred_opposite(t_k)) — that form is what the SQL oracle
+    encodes; ties (exact alignments) pop slot 0 first per PhraseQueue."""
+    if len(set(terms)) != len(terms):
+        raise NotImplementedError(
+            "sloppy phrase with repeated terms (SloppyPhraseMatcher hasRpts) "
+            "is out of scope; exact (slop=0) phrases support repeats"
+        )
+    adj = [
+        [
+            None if p is None else np.asarray(p, dtype=np.int64) - off
+            for p in pos_by_term[t]
+        ]
+        for off, t in enumerate(terms)
+    ]
+    out = np.zeros(n_docs, dtype=np.float64)
+    for d in range(n_docs):
+        lists = [a[d] for a in adj]
+        if any(x is None or len(x) == 0 for x in lists):
+            continue
+        out[d] = _sloppy_walk(lists, slop)
+    return out
+
+
+def _sloppy_walk(adj_lists: List[np.ndarray], slop: int) -> float:
+    """Literal SloppyPhraseMatcher.nextMatch walk (no repeats), one doc.
+    Heap keys are (adjusted position, slot) — PhraseQueue's (position,
+    offset, ord) order, offsets being distinct here."""
+    n = len(adj_lists)
+    idx = [0] * n
+    heap = [(int(arr[0]), i) for i, arr in enumerate(adj_lists)]
+    end = max(h[0] for h in heap)
+    heapq.heapify(heap)
+    freq = 0.0
+    pos, i = heapq.heappop(heap)
+    match_length = end - pos
+    next_pos = heap[0][0]
+    while True:
+        idx[i] += 1
+        if idx[i] >= len(adj_lists[i]):
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            return freq
+        pos = int(adj_lists[i][idx[i]])
+        if pos > end:
+            end = pos
+        if pos > next_pos:
+            heapq.heappush(heap, (pos, i))
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            pos, i = heapq.heappop(heap)
+            next_pos = heap[0][0]
+            match_length = end - pos
+        else:
+            ml2 = end - pos
+            if ml2 < match_length:
+                match_length = ml2
+
+
+# ---------------------------------------------------------------------------
+# Span near (NearSpansOrdered / NearSpansUnordered parity)
+# ---------------------------------------------------------------------------
+
+
+def span_ordered_freqs(
+    pos_by_clause: List[List], slop: int, n_docs: int
+) -> np.ndarray:
+    """pos_by_clause[c][i] = sorted positions of clause c's term in doc i."""
+    g0 = _concat_global(pos_by_clause[0])
+    if len(g0) == 0:
+        return np.zeros(n_docs, dtype=np.float64)
+    cur = g0
+    alive = np.ones(len(g0), dtype=bool)
+    for lists in pos_by_clause[1:]:
+        arr = _concat_global(lists)
+        if len(arr) == 0:
+            return np.zeros(n_docs, dtype=np.float64)
+        j = np.searchsorted(arr, cur, side="right")
+        ok = j < len(arr)
+        alive &= ok
+        cur = np.where(ok, arr[np.minimum(j, len(arr) - 1)], cur)
+    n = len(pos_by_clause)
+    width = cur - g0 - (n - 1)
+    sel = alive & ((cur >> _DOC_SHIFT) == (g0 >> _DOC_SHIFT)) & (width <= slop)
+    out = np.zeros(n_docs, dtype=np.float64)
+    np.add.at(
+        out,
+        (g0[sel] >> _DOC_SHIFT).astype(np.int64),
+        1.0 / (1.0 + (cur[sel] - g0[sel] + 1).astype(np.float64)),
+    )
+    return out
+
+
+def span_unordered_freqs(
+    pos_by_clause: List[List], slop: int, n_docs: int
+) -> np.ndarray:
+    if len(pos_by_clause) == 2:
+        return _span_unordered2_freqs(
+            pos_by_clause[0], pos_by_clause[1], slop, n_docs
+        )
+    out = np.zeros(n_docs, dtype=np.float64)
+    for d in range(n_docs):
+        lists = [
+            np.asarray(c[d], dtype=np.int64) if c[d] is not None else None
+            for c in pos_by_clause
+        ]
+        if any(x is None or len(x) == 0 for x in lists):
+            continue
+        out[d] = _span_unordered_walk(lists, slop)
+    return out
+
+
+def _span_unordered2_freqs(pos_a, pos_b, slop: int, n_docs: int) -> np.ndarray:
+    """Closed form of the 2-clause advance-min walk: the visited states are
+    exactly {(x, min{other list > x})} for x over both lists (positions of
+    distinct terms never tie)."""
+    ga = _concat_global(pos_a)
+    gb = _concat_global(pos_b)
+    out = np.zeros(n_docs, dtype=np.float64)
+    for x, other in ((ga, gb), (gb, ga)):
+        if len(x) == 0 or len(other) == 0:
+            continue
+        j = np.searchsorted(other, x, side="right")
+        ok = j < len(other)
+        m = other[np.minimum(j, len(other) - 1)]
+        ml = m + 1 - x  # maxEnd - minStart
+        sel = ok & ((m >> _DOC_SHIFT) == (x >> _DOC_SHIFT)) & (ml - 2 <= slop)
+        np.add.at(
+            out,
+            (x[sel] >> _DOC_SHIFT).astype(np.int64),
+            1.0 / (1.0 + ml[sel].astype(np.float64)),
+        )
+    return out
+
+
+def _span_unordered_walk(pos_lists: List[np.ndarray], slop: int) -> float:
+    """Literal NearSpansUnordered walk, one doc: check the current state,
+    advance the min-start clause, repeat until one clause exhausts."""
+    n = len(pos_lists)
+    idx = [0] * n
+    heap = [(int(arr[0]), i) for i, arr in enumerate(pos_lists)]
+    heapq.heapify(heap)
+    max_end = max(h[0] for h in heap) + 1
+    freq = 0.0
+    while True:
+        ml = max_end - heap[0][0]
+        if ml - n <= slop:
+            freq += 1.0 / (1.0 + ml)
+        _pos, i = heapq.heappop(heap)
+        idx[i] += 1
+        if idx[i] >= len(pos_lists[i]):
+            return freq
+        p = int(pos_lists[i][idx[i]])
+        if p + 1 > max_end:
+            max_end = p + 1
+        heapq.heappush(heap, (p, i))

@@ -192,7 +192,11 @@ def append_documents(
     docs land in fresh segments past the base ones."""
     from .build import build_index
 
-    base_n = base.stats.doc_count
+    # shift past the LARGEST existing doc_id, not doc_count: after
+    # expunge_deletes (or any non-dense base) doc_count < max(doc_id)+1 and a
+    # doc_count shift would silently merge new docs into existing ids
+    mx = base.docs.agg(F.max("doc_id").alias("mx")).collect()[0]["mx"]
+    base_n = int(mx) + 1 if mx is not None else 0
     cfg = base.config
     if doc_id_col is not None:
         shifted = new_docs.withColumn(

@@ -52,12 +52,11 @@ class MultiPhraseQuery(Query):
 
 @dataclass(frozen=True)
 class SpanNearQuery(Query):
-    """Positional proximity (search/spans/SpanNearQuery.java): all terms
-    within a window of total slop; in_order requires the positions to
-    ascend in clause order. freq = number of matching position tuples
-    (documented divergence: Lucene's span iterator counts greedy minimal
-    spans with a 1/(1+slop) weight; we count tuples exactly, which the SQL
-    oracle reproduces)."""
+    """Positional proximity (search/spans/SpanNearQuery.java), rank-exact:
+    in_order enumerates NearSpansOrdered's greedy monotone chains, unordered
+    runs NearSpansUnordered's advance-min walk; freq accumulates
+    1/(1 + (endPosition - startPosition)) per match, exactly SpanScorer's
+    setFreqCurrentDoc + computeSlopFactor (see lucene_spark/matchers.py)."""
 
     terms: Tuple[str, ...] = ()
     slop: int = 0
@@ -90,6 +89,7 @@ class RegexpQuery(Query):
 class FuzzyQuery(Query):
     term: str = ""
     max_edits: int = 2
+    prefix_length: int = 0  # leading chars that must match exactly (FuzzyQuery.java)
     field: Optional[str] = None
 
 

@@ -59,6 +59,11 @@ MATCH_SCHEMA = "doc_id long, score double"
 MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount default
 
 
+class TooManyClauses(RuntimeError):
+    """IndexSearcher.TooManyClauses analog: a SCORING multi-term rewrite
+    exceeded MAX_CLAUSE_COUNT (constant-score rewrites are uncapped)."""
+
+
 @dataclass(frozen=True)
 class Explanation:
     """Score-decomposition node (search/Explanation.java analog)."""
@@ -208,8 +213,13 @@ class Searcher:
         add = sum(stats[t].doc_freq for t in need)
         if add > limit:
             return False
-        while need and self._hot_cached + add > limit and self._postings_cache:
-            t_old = next(iter(self._postings_cache))
+        # evict FIFO, but never a term of the CURRENT query: 'need' was
+        # computed above, so evicting a current term would leave it absent
+        # from the cache after the bulk fetch (KeyError in the hot paths)
+        term_set = set(terms)
+        evictable = [t for t in self._postings_cache if t not in term_set]
+        while need and self._hot_cached + add > limit and evictable:
+            t_old = evictable.pop(0)
             self._hot_cached -= len(self._postings_cache.pop(t_old)[0])
         if self._hot_cached + add > limit:
             return False
@@ -242,8 +252,10 @@ class Searcher:
         add = sum(stats[t].total_term_freq for t in need)
         if add > limit:
             return False
-        while need and self._hot_pos_cached + add > limit and self._positions_cache:
-            t_old = next(iter(self._positions_cache))
+        term_set = set(terms)  # same never-evict-current rule as _ensure_hot
+        evictable = [t for t in self._positions_cache if t not in term_set]
+        while need and self._hot_pos_cached + add > limit and evictable:
+            t_old = evictable.pop(0)
             old = self._positions_cache.pop(t_old)
             self._hot_pos_cached -= int(old[1].sum())
         if self._hot_pos_cached + add > limit:
@@ -354,8 +366,10 @@ class Searcher:
         return self._rank_rows(u, tot, k)
 
     def _hot_phrase_rows(self, q: PhraseQuery, k: int) -> Optional[List[Tuple[int, float]]]:
-        """Driver-side PhraseQuery: identical semantics to _eval_phrase
-        (exact positional intersection; slop>0 via _sloppy_freq)."""
+        """Driver-side PhraseQuery: identical semantics to _eval_phrase —
+        vectorized batch matching via matchers.py (no per-doc Python loop)."""
+        from . import matchers
+
         terms = list(q.terms)
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
@@ -365,7 +379,6 @@ class Searcher:
             return None
         scorer = self.multi_scorer_for(q.boost, [stats[t] for t in terms])
         slop = int(q.slop)
-        offsets = {t: [i for i, tt in enumerate(terms) if tt == t] for t in set(terms)}
 
         # docs containing every term, with indices into each term's arrays
         cur = self._positions_cache[uniq[0]][0]
@@ -378,21 +391,17 @@ class Searcher:
             idxs[t] = ib
         if len(cur) == 0:
             return []
-        freqs = np.zeros(len(cur), dtype=np.int64)
-        for di in range(len(cur)):
-            pos_by_term = {
-                t: self._positions_cache[t][3][idxs[t][di]] for t in uniq
-            }
-            if slop == 0:
-                cands: Optional[np.ndarray] = None
-                for t, offs in offsets.items():
-                    p = pos_by_term[t]
-                    for off in offs:
-                        shifted = p - off
-                        cands = shifted if cands is None else np.intersect1d(cands, shifted)
-                freqs[di] = int((cands >= 0).sum()) if cands is not None else 0
-            else:
-                freqs[di] = _sloppy_freq(pos_by_term, terms, slop)
+        n_docs = len(cur)
+        pos_by_term = {
+            t: [self._positions_cache[t][3][idxs[t][di]] for di in range(n_docs)]
+            for t in uniq
+        }
+        if slop == 0:
+            freqs = matchers.exact_phrase_freqs(pos_by_term, terms, n_docs).astype(
+                np.float64
+            )
+        else:
+            freqs = matchers.sloppy_phrase_freqs(pos_by_term, terms, slop, n_docs)
         keep = freqs > 0
         if not keep.any():
             return []
@@ -640,8 +649,10 @@ class Searcher:
         if isinstance(q, FeatureQuery):
             if q.feature not in self.index.docs.columns:
                 return self._empty()
+            # FeatureField requires strictly positive feature values
+            # (document/FeatureField.java); non-positive docs don't match
             col = F.col(q.feature)
-            return self.index.docs.filter(col.isNotNull()).select(
+            return self.index.docs.filter(col.isNotNull() & (col > 0)).select(
                 "doc_id",
                 (
                     F.lit(float(q.boost)) * F.log(F.lit(1.0) + col.cast("double"))
@@ -768,43 +779,38 @@ class Searcher:
         return agg.select("doc_id", score.alias("score"))
 
     def _eval_phrase(self, q: PhraseQuery) -> DataFrame:
-        """Exact phrase (slop=0): positional intersection; Lucene-parity
-        scoring with freq = phrase frequency and idf summed over terms
-        (search/PhraseQuery.java, ExactPhraseMatcher). slop>0 uses an
-        order-preserving window match (documented approximation of
-        SloppyPhraseMatcher; freq = number of ordered windows with total
-        displacement <= slop)."""
+        """PhraseQuery with Lucene-parity scoring: idf summed over query
+        terms; freq from ExactPhraseMatcher (slop=0, start-position count,
+        repeats allowed) or SloppyPhraseMatcher (slop>0, Σ 1/(1+matchLength)
+        over the PQ walk — search/SloppyPhraseMatcher.java). Matching is
+        batch-vectorized in matchers.py: one offset-intersection / merged
+        sweep per Arrow batch, no per-doc Python loop in the hot path."""
         terms = list(q.terms)
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
             return self._empty()
-        n_terms = len(terms)
         scorer = self.multi_scorer_for(q.boost, [stats[t] for t in terms])
         raw = self.decode_raw(sorted(set(terms)), with_positions=True)
         slop = int(q.slop)
-        offsets = {t: [i for i, tt in enumerate(terms) if tt == t] for t in set(terms)}
+        terms_t = tuple(terms)
 
-        @F.pandas_udf("int")
+        @F.pandas_udf("double")
         def phrase_freq(plist: pd.Series) -> pd.Series:
-            out = np.zeros(len(plist), dtype=np.int32)
+            from . import matchers
+
+            n_docs = len(plist)
+            pos_by_term = {t: [None] * n_docs for t in set(terms_t)}
             for i, entries in enumerate(plist):
-                pos_by_term = {e["term"]: np.asarray(e["positions"]) for e in entries}
-                cands: Optional[np.ndarray] = None
-                ok = True
-                for t, offs in offsets.items():
-                    p = pos_by_term.get(t)
-                    if p is None:
-                        ok = False
-                        break
-                    for off in offs:
-                        shifted = p - off
-                        cands = shifted if cands is None else np.intersect1d(cands, shifted)
-                if not ok or cands is None:
-                    continue
-                if slop == 0:
-                    out[i] = len(cands[cands >= 0])
-                else:
-                    out[i] = _sloppy_freq(pos_by_term, terms, slop)
+                for e in entries:
+                    pos_by_term[e["term"]][i] = np.asarray(
+                        e["positions"], dtype=np.int64
+                    )
+            if slop == 0:
+                out = matchers.exact_phrase_freqs(
+                    pos_by_term, terms_t, n_docs
+                ).astype(np.float64)
+            else:
+                out = matchers.sloppy_phrase_freqs(pos_by_term, terms_t, slop, n_docs)
             return pd.Series(out)
 
         grouped = (
@@ -1036,38 +1042,38 @@ class Searcher:
         return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
 
     def _eval_span_near(self, q: SpanNearQuery) -> DataFrame:
-        """SpanNearQuery: freq = number of position tuples (one per term)
-        whose window satisfies (max-min+1) - n <= slop; in_order additionally
-        requires strictly ascending positions in clause order."""
+        """SpanNearQuery parity (search/spans/NearSpansOrdered.java greedy
+        monotone chains; NearSpansUnordered.java advance-min walk): freq =
+        Σ 1/(1 + (endPosition - startPosition)) over span matches
+        (SpanScorer.setFreqCurrentDoc). Vectorized via searchsorted chains /
+        merged sweeps in matchers.py — bounded memory, no tuple enumeration.
+        Duplicate terms are supported for in_order; unordered duplicates
+        raise (the reference heap's tie order is unobservable)."""
         terms = list(q.terms)
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
             return self._empty()
-        n = len(terms)
+        if not q.in_order and len(set(terms)) != len(terms):
+            raise NotImplementedError("unordered span near with duplicate terms")
         slop = int(q.slop)
         in_order = bool(q.in_order)
+        terms_t = tuple(terms)
         scorer = self.multi_scorer_for(q.boost, [stats[t] for t in terms])
 
-        @F.pandas_udf("int")
+        @F.pandas_udf("double")
         def span_freq(plist: pd.Series) -> pd.Series:
-            out = np.zeros(len(plist), dtype=np.int32)
+            from . import matchers
+
+            n_docs = len(plist)
+            by_term = {t: [None] * n_docs for t in set(terms_t)}
             for i, entries in enumerate(plist):
-                pos_by_term = {e["term"]: np.asarray(e["positions"], dtype=np.int64)
-                               for e in entries}
-                if any(t not in pos_by_term for t in terms):
-                    continue
-                # tuple enumeration via meshgrid — positions per doc are tiny
-                grids = np.meshgrid(*[pos_by_term[t] for t in terms], indexing="ij")
-                flat = np.stack([g.ravel() for g in grids])
-                if in_order:
-                    okm = np.all(np.diff(flat, axis=0) > 0, axis=0)
-                else:
-                    okm = np.ones(flat.shape[1], dtype=bool)
-                    for a in range(n):
-                        for b in range(a + 1, n):
-                            okm &= flat[a] != flat[b]
-                width = flat.max(axis=0) - flat.min(axis=0) + 1
-                out[i] = int((okm & (width - n <= slop)).sum())
+                for e in entries:
+                    by_term[e["term"]][i] = np.asarray(e["positions"], dtype=np.int64)
+            pos_by_clause = [by_term[t] for t in terms_t]
+            if in_order:
+                out = matchers.span_ordered_freqs(pos_by_clause, slop, n_docs)
+            else:
+                out = matchers.span_unordered_freqs(pos_by_clause, slop, n_docs)
             return pd.Series(out)
 
         grouped = self._grouped_positions(terms, min_terms=len(set(terms)))
@@ -1077,28 +1083,47 @@ class Searcher:
         return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
 
     def _eval_multi_term(self, q: Query) -> DataFrame:
-        """MultiTermQuery family via terms-table expansion then
-        CONSTANT_SCORE_REWRITE (search/MultiTermQuery.java): matching docs get
-        score == boost."""
-        expanded = self.expand_terms(q)
-        if not expanded:
-            return self._empty()
-        docs = self.decode_docs_only(expanded)
+        """MultiTermQuery family, CONSTANT_SCORE_REWRITE
+        (search/MultiTermQuery.java CONSTANT_SCORE_BLENDED/REWRITE): matching
+        docs get score == boost. The expansion stays DISTRIBUTED — postings
+        semi-joined against the filtered terms table — mirroring the
+        reference's uncapped bitset rewrite: CONSTANT_SCORE has NO clause
+        cap; the 1024 cap applies only to scoring boolean rewrites, where
+        the reference throws TooManyClauses (see expand_terms)."""
+        matching = self.index.terms.filter(self._multi_term_cond(q)).select("term")
+        docs = self._decode_docs_for(matching)
         return docs.withColumn("score", F.lit(float(np.float32(q.boost))))
 
-    def expand_terms(self, q: Query) -> List[str]:
-        t = self.index.terms
+    def _decode_docs_for(self, terms_df: DataFrame) -> DataFrame:
+        """Distinct matching doc_ids for a (possibly large) DataFrame of
+        terms — no driver round-trip; AQE picks broadcast vs shuffle join."""
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = [
+                    codec.decode_block_docs(r) for r in pdf.itertuples(index=False)
+                ]
+                if outs:
+                    yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+
+        blocks = self.index.postings.join(terms_df, "term", "left_semi")
+        return blocks.mapInPandas(run, schema="doc_id long").distinct()
+
+    def _multi_term_cond(self, q: Query):
+        """The terms-dictionary predicate of a MultiTermQuery (the automaton/
+        range that TermsEnum.intersect walks), as a Catalyst Column — pushed
+        into the Parquet scan of the terms table."""
         if isinstance(q, PrefixQuery):
-            cond = F.col("term").startswith(q.prefix)
-        elif isinstance(q, WildcardQuery):
+            return F.col("term").startswith(q.prefix)
+        if isinstance(q, WildcardQuery):
             pat = "".join(
                 ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
                 for ch in q.pattern
             )
-            cond = F.col("term").rlike("^(?:" + pat + ")$")
-        elif isinstance(q, RegexpQuery):
-            cond = F.col("term").rlike("^(?:" + q.regexp + ")$")
-        elif isinstance(q, TermRangeQuery):
+            return F.col("term").rlike("^(?:" + pat + ")$")
+        if isinstance(q, RegexpQuery):
+            return F.col("term").rlike("^(?:" + q.regexp + ")$")
+        if isinstance(q, TermRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:
                 cond = cond & (
@@ -1108,37 +1133,40 @@ class Searcher:
                 cond = cond & (
                     F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
                 )
-        elif isinstance(q, TermInSetQuery):
-            cond = F.col("term").isin(list(q.terms))
-        elif isinstance(q, FuzzyQuery):
-            cond = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
-        else:
-            raise NotImplementedError(type(q).__name__)
-        rows = t.filter(cond).select("term").limit(MAX_CLAUSE_COUNT).collect()
+            return cond
+        if isinstance(q, TermInSetQuery):
+            return F.col("term").isin(list(q.terms))
+        if isinstance(q, FuzzyQuery):
+            # cheap JVM band filters (length window, optional shared prefix —
+            # FuzzyQuery's prefixLength) before the O(len^2) edit distance;
+            # the length band is implied by the distance so recall is exact
+            # (vs the reference's Levenshtein automaton intersection,
+            # search/FuzzyTermsEnum.java:409)
+            n = len(q.term)
+            cond = F.length("term").between(n - q.max_edits, n + q.max_edits)
+            pl = int(getattr(q, "prefix_length", 0) or 0)
+            if pl > 0:
+                cond = cond & F.col("term").startswith(q.term[:pl])
+            return cond & (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
+        raise NotImplementedError(type(q).__name__)
+
+    def expand_terms(self, q: Query) -> List[str]:
+        """Driver-side expansion for SCORING rewrites (TopTermsRewrite /
+        SCORING_BOOLEAN_REWRITE analogs) — the only place the BooleanQuery
+        clause cap applies, and there the reference THROWS
+        (IndexSearcher.TooManyClauses) rather than silently truncating.
+        Constant-score evaluation never calls this (see _eval_multi_term)."""
+        rows = (
+            self.index.terms.filter(self._multi_term_cond(q))
+            .select("term")
+            .limit(MAX_CLAUSE_COUNT + 1)
+            .collect()
+        )
+        if len(rows) > MAX_CLAUSE_COUNT:
+            raise TooManyClauses(
+                f"{type(q).__name__} expands to more than {MAX_CLAUSE_COUNT} terms"
+            )
         return sorted(r["term"] for r in rows)
-
-
-def _sloppy_freq(pos_by_term: Dict[str, np.ndarray], terms: List[str], slop: int) -> int:
-    """Ordered sloppy match count: windows where term i appears at
-    p_0 <= p_1 <= ... with sum of (p_i - p_0 - i) <= slop. Simplified,
-    deterministic; NOT rank-identical to SloppyPhraseMatcher (documented)."""
-    first = pos_by_term[terms[0]]
-    count = 0
-    for p0 in first.tolist():
-        cur = p0
-        total = 0
-        ok = True
-        for i, t in enumerate(terms[1:], start=1):
-            arr = pos_by_term[t]
-            nxt = arr[arr > cur]
-            if len(nxt) == 0:
-                ok = False
-                break
-            cur = int(nxt[0])
-            total += cur - p0 - i
-        if ok and total <= slop:
-            count += 1
-    return count
 
 
 class MultiFieldSearcher(Searcher):

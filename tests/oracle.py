@@ -101,7 +101,8 @@ class BruteForceIndex:
             out[d] = f32(total)
         return out
 
-    def score_phrase(self, terms: Sequence[str], boost: float = 1.0) -> Dict[int, np.float32]:
+    def score_phrase(self, terms: Sequence[str], boost: float = 1.0,
+                     slop: int = 0) -> Dict[int, np.float32]:
         idf_total = 0.0
         for t in terms:
             idf_total += float(self.idf(t))
@@ -111,10 +112,14 @@ class BruteForceIndex:
             pos = self.positions[d]
             if any(t not in pos for t in terms):
                 continue
-            cands = set(pos[terms[0]])
-            for i, t in enumerate(terms[1:], 1):
-                cands &= {p - i for p in pos[t]}
-            freq = len(cands)
+            if slop == 0:
+                cands = set(pos[terms[0]])
+                for i, t in enumerate(terms[1:], 1):
+                    cands &= {p - i for p in pos[t]}
+                freq = float(len(cands))
+            else:
+                adj = [[p - i for p in pos[t]] for i, t in enumerate(terms)]
+                freq = _sloppy_phrase_freq(adj, slop)
             if freq:
                 inv = self.cache[self.norms[d]]
                 out[d] = w - w / (f32(1.0) + f32(freq) * inv)
@@ -151,25 +156,19 @@ class BruteForceIndex:
 
     def score_span_near(self, terms, slop: int, in_order: bool,
                         boost: float = 1.0) -> Dict[int, np.float32]:
-        import itertools
-
-        n = len(terms)
         freqs = {}
         for d in range(self.doc_count):
             pos = self.positions[d]
             if any(t not in pos for t in terms):
                 continue
-            cnt = 0
-            for tup in itertools.product(*[pos[t] for t in terms]):
-                if in_order:
-                    if not all(tup[i] < tup[i + 1] for i in range(n - 1)):
-                        continue
-                elif len(set(tup)) != n:
-                    continue
-                if (max(tup) - min(tup) + 1) - n <= slop:
-                    cnt += 1
-            if cnt:
-                freqs[d] = cnt
+            lists = [pos[t] for t in terms]
+            f = (
+                _near_spans_ordered_freq(lists, slop)
+                if in_order
+                else _near_spans_unordered_freq(lists, slop)
+            )
+            if f:
+                freqs[d] = f
         return self._freq_score(freqs, terms, boost)
 
     @staticmethod
@@ -177,6 +176,87 @@ class BruteForceIndex:
         """ties broken by ascending doc_id (TopScoreDocCollector.java:27-29)."""
         items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return [(d, float(s)) for d, s in items[:k]]
+
+
+def _sloppy_phrase_freq(adj_lists, slop: int) -> float:
+    """Literal transcription of SloppyPhraseMatcher.nextMatch for the
+    no-repeats case (search/SloppyPhraseMatcher.java): a priority queue of
+    adjusted positions (pos - slot), ties by slot (PhraseQueue's offset
+    order); each emitted match adds sloppyWeight = 1/(1+matchLength)."""
+    import heapq
+
+    iters = [list(a) for a in adj_lists]
+    at = [0] * len(iters)
+    pq = [(arr[0], i) for i, arr in enumerate(iters)]
+    end = max(p for p, _ in pq)
+    heapq.heapify(pq)
+    freq = 0.0
+    pp_pos, pp_i = heapq.heappop(pq)
+    match_length = end - pp_pos
+    next_pos = pq[0][0]
+    while True:
+        at[pp_i] += 1
+        if at[pp_i] >= len(iters[pp_i]):  # advancePP failed: final check
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            return freq
+        pp_pos = iters[pp_i][at[pp_i]]
+        end = max(end, pp_pos)
+        if pp_pos > next_pos:
+            heapq.heappush(pq, (pp_pos, pp_i))
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            pp_pos, pp_i = heapq.heappop(pq)
+            next_pos = pq[0][0]
+            match_length = end - pp_pos
+        else:
+            match_length = min(match_length, end - pp_pos)
+
+
+def _near_spans_ordered_freq(lists, slop: int) -> float:
+    """Literal NearSpansOrdered (search/spans/NearSpansOrdered.java):
+    advance clause 0 one position at a time; stretchToOrder with monotone
+    forward-only sub-iterators; match iff accumulated gap width <= slop;
+    SpanScorer adds 1/(1 + (endPosition - startPosition)) per match."""
+    n = len(lists)
+    ptr = [0] * n
+    freq = 0.0
+    while ptr[0] < len(lists[0]):
+        start = lists[0][ptr[0]]
+        prev_end = start + 1
+        width = 0
+        for i in range(1, n):
+            while ptr[i] < len(lists[i]) and lists[i][ptr[i]] < prev_end:
+                ptr[i] += 1
+            if ptr[i] >= len(lists[i]):
+                return freq  # oneExhaustedInCurrentDoc: enumeration over
+            width += lists[i][ptr[i]] - prev_end
+            prev_end = lists[i][ptr[i]] + 1
+        if width <= slop:
+            freq += 1.0 / (1.0 + (prev_end - start))
+        ptr[0] += 1
+    return freq
+
+
+def _near_spans_unordered_freq(lists, slop: int) -> float:
+    """Literal NearSpansUnordered: check the current state (min start vs max
+    end over all clause iterators), then advance the min-start clause;
+    repeat until one clause exhausts. totalSpanLength = n for term spans."""
+    n = len(lists)
+    ptr = [0] * n
+    cur = [lists[i][0] for i in range(n)]
+    max_end = max(cur) + 1
+    freq = 0.0
+    while True:
+        mi = min(range(n), key=lambda i: (cur[i], i))
+        ml = max_end - cur[mi]
+        if ml - n <= slop:
+            freq += 1.0 / (1.0 + ml)
+        ptr[mi] += 1
+        if ptr[mi] >= len(lists[mi]):
+            return freq
+        cur[mi] = lists[mi][ptr[mi]]
+        max_end = max(max_end, cur[mi] + 1)
 
 
 def make_corpus(n_docs: int, vocab: Sequence[str], seed: int = 42,

@@ -229,6 +229,29 @@ def test_hot_cache_eviction(searcher, oracle, monkeypatch):
         searcher._hot_cached = 0
 
 
+def test_hot_cache_never_evicts_current_query_terms(searcher, oracle, monkeypatch):
+    # regression (round-1 ADVICE): under cache pressure, evicting a term of
+    # the CURRENT query after 'need' was computed left it absent from the
+    # cache -> KeyError in the hot top-k path. Eviction must skip current
+    # terms and fall back to the WAND paths when nothing else is evictable.
+    df_the, df_spark = oracle.doc_freq("the"), oracle.doc_freq("spark")
+    monkeypatch.setenv(
+        "LUCENE_SPARK_HOT_CACHE_POSTINGS", str(df_the + df_spark - 1)
+    )
+    searcher._postings_cache.clear()
+    searcher._hot_cached = 0
+    try:
+        exp = BruteForceIndex.topk(oracle.score_term("the"), 10)
+        assert_topk_equal(searcher.search(TermQuery(term="the"), 10), exp)
+        q = bool_query(should=[TermQuery(term="the"), TermQuery(term="spark")])
+        exp2 = BruteForceIndex.topk(oracle.score_bool(should=["the", "spark"]), 10)
+        assert_topk_equal(searcher.search(q, 10), exp2)
+        assert "the" in searcher._postings_cache  # still cached, not evicted
+    finally:
+        searcher._postings_cache.clear()
+        searcher._hot_cached = 0
+
+
 def test_pruned_distributed_fallback(searcher, oracle, monkeypatch):
     # force the distributed WAND path (driver bounds cap = 0 disables the
     # driver-resident fast path) and assert identical top-k
@@ -271,6 +294,55 @@ def test_span_near_query(searcher, oracle, corpus, slop, in_order):
         SpanNearQuery(terms=tuple(w), slop=slop, in_order=in_order), 10
     )
     assert_topk_equal(got, exp)
+
+
+@pytest.mark.parametrize("slop,in_order", [(3, True), (6, False)])
+def test_span_near_query_three_terms(searcher, oracle, slop, in_order):
+    w = ["the", "a", "query"]
+    exp = BruteForceIndex.topk(
+        oracle.score_span_near(w, slop=slop, in_order=in_order), 10
+    )
+    assert len(exp) > 0
+    got = searcher.search(
+        SpanNearQuery(terms=tuple(w), slop=slop, in_order=in_order), 10
+    )
+    assert_topk_equal(got, exp)
+
+
+@pytest.mark.parametrize("slop", [1, 2, 5])
+def test_sloppy_phrase_query(searcher, oracle, slop):
+    # rank-exact SloppyPhraseMatcher parity (freq = Σ 1/(1+matchLength))
+    w = ("the", "query")
+    exp = BruteForceIndex.topk(oracle.score_phrase(list(w), slop=slop), 10)
+    assert len(exp) > 0
+    got = searcher.search(PhraseQuery(terms=w, slop=slop), 10)
+    assert_topk_equal(got, exp)
+
+
+def test_multi_term_constant_score_is_distributed(searcher, built):
+    # CONSTANT_SCORE path: a prefix matching MORE than MAX_CLAUSE_COUNT
+    # terms must NOT truncate (the reference's bitset rewrite is uncapped)
+    from lucene_spark.search import MAX_CLAUSE_COUNT, TooManyClauses
+
+    m = searcher.matches(PrefixQuery(prefix=""))  # every term
+    n_vocab = built.terms.count()
+    expected_docs = built.docs.filter("length > 0").count()
+    assert m.count() == expected_docs
+    # the plan is a semi-join against the terms table, not a collected IN list
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # scoring rewrites keep the cap and THROW instead of truncating
+    if n_vocab <= MAX_CLAUSE_COUNT:
+        assert len(searcher.expand_terms(PrefixQuery(prefix=""))) == n_vocab
+    import lucene_spark.search as S
+
+    old = S.MAX_CLAUSE_COUNT
+    S.MAX_CLAUSE_COUNT = 3
+    try:
+        with pytest.raises(TooManyClauses):
+            searcher.expand_terms(PrefixQuery(prefix=""))
+    finally:
+        S.MAX_CLAUSE_COUNT = old
 
 
 def test_feature_query_scoring(searcher, built):

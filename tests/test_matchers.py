@@ -1,0 +1,157 @@
+"""Property tests: the vectorized / closed-form match kernels in
+lucene_spark.matchers are equivalent to literal transcriptions of the
+reference algorithms (tests/oracle.py) on random position lists."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_spark import matchers
+from oracle import (
+    _near_spans_ordered_freq,
+    _near_spans_unordered_freq,
+    _sloppy_phrase_freq,
+)
+
+positions = st.lists(
+    st.integers(min_value=0, max_value=60), min_size=1, max_size=12, unique=True
+).map(sorted)
+
+
+def _disjoint(a, b):
+    """Positions of two distinct terms never collide (one token per slot)."""
+    sb = [p for p in b if p not in set(a)]
+    return sb or [max(a) + 1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(positions, positions, st.integers(0, 8))
+def test_sloppy2_batch_equals_pq_walk(a, b, slop):
+    b = _disjoint(a, b)
+    got = matchers.sloppy_phrase_freqs(
+        {"x": [np.asarray(a, dtype=np.int64)], "y": [np.asarray(b, dtype=np.int64)]},
+        ("x", "y"),
+        slop,
+        1,
+    )[0]
+    exp = _sloppy_phrase_freq(
+        [list(a), [p - 1 for p in b]], slop
+    )
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(positions, positions, st.integers(0, 8))
+def test_sloppy2_crossing_chain_equals_pq_walk(a, b, slop):
+    """The alternating crossing chain (what the SQL oracle encodes) is
+    equivalent to the PQ walk for 2 distinct terms, ties included."""
+    b = _disjoint(a, b)
+    adj_a, adj_b = list(a), [p - 1 for p in b]
+    exp = _sloppy_phrase_freq([adj_a, adj_b], slop)
+    # chain form: t0 = max(firsts) (tie -> side B); then alternate
+    sides = {0: sorted(adj_a), 1: sorted(adj_b)}
+    t, side = (
+        (sides[1][0], 1) if sides[1][0] >= sides[0][0] else (sides[0][0], 0)
+    )
+    got = 0.0
+    while True:
+        opp = sides[1 - side]
+        pred = max(p for p in opp if p <= t)
+        gap = t - pred
+        if gap <= slop:
+            got += 1.0 / (1.0 + gap)
+        nxt = [p for p in opp if p > t]
+        if not nxt:
+            break
+        t, side = nxt[0], 1 - side
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(positions, positions, positions, st.integers(0, 10))
+def test_sloppy_walk_matches_literal(a, b, c, slop):
+    b = _disjoint(a, b)
+    c = _disjoint(a + b, c)
+    adj = [
+        np.asarray(a, dtype=np.int64),
+        np.asarray(b, dtype=np.int64) - 1,
+        np.asarray(c, dtype=np.int64) - 2,
+    ]
+    got = matchers._sloppy_walk(adj, slop)
+    exp = _sloppy_phrase_freq([list(x) for x in adj], slop)
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(positions, positions, positions, st.integers(0, 10))
+def test_span_ordered_vectorized_equals_literal(a, b, c, slop):
+    lists = [a, b, c]
+    got = matchers.span_ordered_freqs(
+        [[np.asarray(x, dtype=np.int64)] for x in lists], slop, 1
+    )[0]
+    exp = _near_spans_ordered_freq(lists, slop)
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(positions, positions, st.integers(0, 10))
+def test_span_unordered2_closed_form_equals_walk(a, b, slop):
+    b = _disjoint(a, b)
+    got = matchers._span_unordered2_freqs(
+        [np.asarray(a, dtype=np.int64)], [np.asarray(b, dtype=np.int64)], slop, 1
+    )[0]
+    exp = _near_spans_unordered_freq([a, b], slop)
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(positions, positions, positions, st.integers(0, 10))
+def test_span_unordered_walk_matches_literal(a, b, c, slop):
+    b = _disjoint(a, b)
+    c = _disjoint(a + b, c)
+    lists = [np.asarray(x, dtype=np.int64) for x in (a, b, c)]
+    got = matchers._span_unordered_walk(lists, slop)
+    exp = _near_spans_unordered_freq([list(x) for x in lists], slop)
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(positions, positions, positions)
+def test_exact_phrase_vectorized_equals_set_intersection(a, b, c):
+    terms = ("t0", "t1", "t0")  # includes a repeated term
+    pos_by_term = {
+        "t0": [np.asarray(a, dtype=np.int64)],
+        "t1": [np.asarray(b, dtype=np.int64)],
+    }
+    got = matchers.exact_phrase_freqs(pos_by_term, terms, 1)[0]
+    cands = set(a) & {p - 1 for p in b} & {p - 2 for p in a}
+    assert got == len(cands)
+
+
+def test_exact_phrase_multi_doc_batch():
+    # cross-doc isolation: doc 0 "x y", doc 1 "y x", doc 2 "x ... y"
+    pos_by_term = {
+        "x": [np.array([0]), np.array([1]), np.array([0])],
+        "y": [np.array([1]), np.array([0]), np.array([5])],
+    }
+    got = matchers.exact_phrase_freqs(pos_by_term, ("x", "y"), 3)
+    assert got.tolist() == [1, 0, 0]
+
+
+def test_sloppy_repeated_terms_raises():
+    with pytest.raises(NotImplementedError):
+        matchers.sloppy_phrase_freqs(
+            {"x": [np.array([0, 2])]}, ("x", "x"), 2, 1
+        )
+
+
+def test_span_batch_cross_doc_isolation():
+    # ordered chain must not leak into the next doc's positions
+    by_clause = [
+        [np.array([0]), np.array([0])],
+        [np.array([1]), None],
+    ]
+    got = matchers.span_ordered_freqs(by_clause, 4, 2)
+    assert got[0] == pytest.approx(1.0 / 3.0)  # matchLength = 2
+    assert got[1] == 0.0

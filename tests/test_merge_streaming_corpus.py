@@ -206,6 +206,36 @@ def test_corpus_exercises_analysis_features(spark):
     assert re.search(r"rare_\d+_", text)  # singleton tokens
 
 
+def test_append_after_expunge_no_doc_id_collision(spark):
+    """Regression (round-1 ADVICE): append_documents shifted new ids by
+    doc_count; after expunge_deletes doc_count < max(doc_id)+1 and appended
+    docs silently collided with survivors. The shift must use max(doc_id)+1."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.merge import append_documents
+
+    cfg = IndexConfig(seg_size=16, with_positions=False)
+    base_df = spark.createDataFrame(
+        [(i, f"base tok{i}") for i in range(20)], "doc_id long, text string"
+    )
+    base = build_index(base_df, cfg, content_col="text", doc_id_col="doc_id",
+                       auto_seg_size=False, eager=True)
+    pruned = base.delete_docs([0, 1, 2]).expunge_deletes()
+    assert pruned.stats.doc_count == 17  # ids 3..19 survive, non-dense
+    new_df = spark.createDataFrame(
+        [(i, f"fresh tok{100 + i}") for i in range(5)], "doc_id long, text string"
+    )
+    appended = append_documents(pruned, new_df, content_col="text",
+                                doc_id_col="doc_id")
+    ids = [r["doc_id"] for r in appended.docs.select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == 22  # no collisions
+    assert min(i for i in ids if i >= 20) == 20  # appended after max(19)+1
+    # every appended doc individually findable
+    s = Searcher(appended)
+    got = {int(r["doc_id"]) for r in s.matches(TermQuery(term="fresh")).collect()}
+    assert got == {20, 21, 22, 23, 24}
+
+
 def test_append_documents_equals_full_build(spark):
     """Incremental append == one-shot build over the concatenated corpus
     (same doc_ids, same stats, same query results)."""
