@@ -506,6 +506,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_lmdirichlet": lambda sp, d: _topk_df(
             _searcher(sp, d, sim="lmdirichlet"), TermQuery(term="spark"), 10
         ),
+        "q_sim_lmjm": lambda sp, d: _topk_df(
+            _searcher(sp, d, sim="lmjelinekmercer"), TermQuery(term="spark"), 10
+        ),
+        "q_sim_dfr": lambda sp, d: _topk_df(
+            _searcher(sp, d, sim="dfr"), TermQuery(term="spark"), 10
+        ),
+        "q_sim_ib": lambda sp, d: _topk_df(
+            _searcher(sp, d, sim="ib"), TermQuery(term="spark"), 10
+        ),
+        "q_sim_dfi": lambda sp, d: _topk_df(
+            _searcher(sp, d, sim="dfi"), TermQuery(term="spark"), 10
+        ),
+        "q_sim_axiomatic": lambda sp, d: _topk_df(
+            _searcher(sp, d, sim="axiomatic"), TermQuery(term="spark"), 10
+        ),
         # ---- training-data pipeline: deduplication ----
         "dedup_exact": lambda sp, d: fdedup.exact_dedup(_docs(sp, d), "doc_id", "text"),
         "dedup_minhash_star": lambda sp, d: fdedup.minhash_star_pairs(
@@ -805,6 +820,87 @@ lsc AS (
 )
 """
         + _rank_tail("score", "FROM lsc", 10),
+        # LMJelinekMercer (lambda=0.1): ln(1 + ((1-l)*freq/dl)/(l*Pc)),
+        # Pc=(ttf+1)/(sttf+1) (LMJelinekMercerSimilarity.java:62-68)
+        "q_sim_lmjm": _PRELUDE
+        + """
+, ttf AS (SELECT term, sum(freq)::DOUBLE AS v FROM tf GROUP BY term),
+xsc AS (
+  SELECT tf.doc_id,
+         ln(1 + ((1 - 0.1) * tf.freq / q.dlq)
+                / (0.1 * ((t.v + 1) / (s.sttf + 1)))) AS score
+  FROM tf JOIN ttf t ON t.term = tf.term JOIN dlq q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats s WHERE tf.term = 'spark'
+)
+"""
+        + _rank_tail("score", "FROM xsc", 10),
+        # DFR GB2: BasicModelG+AfterEffectB+NormalizationH2(c=1)
+        # (DFRSimilarity.java:104-108, BasicModelG.java:36-50,
+        #  AfterEffectB.java:32-36, NormalizationH2.java:57-59)
+        "q_sim_dfr": _PRELUDE
+        + """
+, ttf AS (SELECT term, sum(freq)::DOUBLE AS v FROM tf GROUP BY term),
+parms AS (
+  SELECT t.term,
+         (t.v + 1) / (s.n + t.v + 1) AS lam,
+         (t.v + 2) / (d.df + 1) AS ae
+  FROM ttf t JOIN dfreq d ON d.term = t.term CROSS JOIN stats s
+),
+xsc AS (
+  SELECT tf.doc_id,
+         (log2((1 + p.lam) / p.lam)
+          - (log2((1 + p.lam) / p.lam) - log2(p.lam + 1))
+            / (1 + tf.freq * log2(1 + (s.sttf / s.n) / q.dlq)))
+         * p.ae AS score
+  FROM tf JOIN parms p ON p.term = tf.term JOIN dlq q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats s WHERE tf.term = 'spark'
+)
+"""
+        + _rank_tail("score", "FROM xsc", 10),
+        # IB LL-DF-H2: -ln(lam/(tfn+lam)), lam=(float32)((df+1)/(N+1))
+        # (IBSimilarity.java:93-96, DistributionLL.java:33-35, LambdaDF.java:32-39)
+        "q_sim_ib": _PRELUDE
+        + """
+, xsc AS (
+  SELECT tf.doc_id,
+         -ln(CAST((d.df + 1.0) / (s.n + 1.0) AS FLOAT)
+             / (tf.freq * log2(1 + (s.sttf / s.n) / q.dlq)
+                + CAST((d.df + 1.0) / (s.n + 1.0) AS FLOAT))) AS score
+  FROM tf JOIN dfreq d ON d.term = tf.term JOIN dlq q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats s WHERE tf.term = 'spark'
+)
+"""
+        + _rank_tail("score", "FROM xsc", 10),
+        # DFI chi^2: expected=(ttf+1)*dl/(sttf+1); freq<=expected -> 0 else
+        # log2((freq-exp)^2/exp + 1) (DFISimilarity.java:58-69)
+        "q_sim_dfi": _PRELUDE
+        + """
+, ttf AS (SELECT term, sum(freq)::DOUBLE AS v FROM tf GROUP BY term),
+xsc AS (
+  SELECT tf.doc_id,
+         CASE WHEN tf.freq <= (t.v + 1) * q.dlq / (s.sttf + 1) THEN 0.0
+              ELSE log2((tf.freq - (t.v + 1) * q.dlq / (s.sttf + 1))
+                        * (tf.freq - (t.v + 1) * q.dlq / (s.sttf + 1))
+                        / ((t.v + 1) * q.dlq / (s.sttf + 1)) + 1) END AS score
+  FROM tf JOIN ttf t ON t.term = tf.term JOIN dlq q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats s WHERE tf.term = 'spark'
+)
+"""
+        + _rank_tail("score", "FROM xsc", 10),
+        # AxiomaticF2EXP (s=k=0.35): max(0, freq/(freq+s+s*dl/avgfl) *
+        # ((N+1)/df)^k) (AxiomaticF2EXP.java:59-85)
+        "q_sim_axiomatic": _PRELUDE
+        + """
+, xsc AS (
+  SELECT tf.doc_id,
+         greatest(0.0,
+           (tf.freq / (tf.freq + 0.35 + 0.35 * q.dlq / (s.sttf / s.n)))
+           * pow((s.n + 1.0) / d.df, 0.35)) AS score
+  FROM tf JOIN dfreq d ON d.term = tf.term JOIN dlq q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats s WHERE tf.term = 'spark'
+)
+"""
+        + _rank_tail("score", "FROM xsc", 10),
     }
     sqls.update(_pipeline_oracles())
     return sqls
@@ -899,9 +995,10 @@ FROM documents ORDER BY doc_id
         "dedup_simhash_pairs": simhash_cte
         + """
 , chunks AS (
+  -- max_hamming+1 = 5 chunks of 12 bits: pigeonhole-sound for distance <= 4
   SELECT doc_id, simhash, c::INT AS chunk,
-         ((simhash >> (c * 15)) & 32767) AS chunk_val
-  FROM sh CROSS JOIN (SELECT i AS c FROM generate_series(0, 3) t(i))
+         ((simhash >> (c * 12)) & 4095) AS chunk_val
+  FROM sh CROSS JOIN (SELECT i AS c FROM generate_series(0, 4) t(i))
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -177,22 +177,42 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_chunk_plan(max_hamming: int, bits: int = SIMHASH_BITS):
+    """(start_bit, width) per chunk: max_hamming+1 chunks — the pigeonhole
+    guarantee that ANY pair within max_hamming bit flips shares at least one
+    untouched chunk (d flips can ruin at most d of d+1 chunks)."""
+    n_chunks = max_hamming + 1
+    if n_chunks > bits:
+        raise ValueError(f"max_hamming {max_hamming} needs more chunks than bits")
+    base, rem = divmod(bits, n_chunks)
+    plan, start = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < rem else 0)
+        plan.append((start, w))
+        start += w
+    return plan
+
+
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 4
 ) -> DataFrame:
-    """Pairs with SimHash hamming distance <= max_hamming. Blocked by the top
-    16 bits (docs differing there by 0 bits share the block) plus a fallback
-    full comparison within blocks; for the oracle-checked entry we keep the
-    exact semantics simple: band on 4x15-bit chunks (a pair within distance d
-    shares >= 1 chunk if d < 4)."""
+    """Pairs with SimHash hamming distance <= max_hamming, blocked on
+    (max_hamming + 1) bit chunks so the pigeonhole guarantee matches the
+    parameter: a qualifying pair ALWAYS shares >= 1 chunk (the previous fixed
+    4x15-bit banding silently missed pairs at distance >= 4). Equi-join on
+    (chunk, chunk_val) stays the scale-safe shape; the exact hamming check
+    verifies candidates."""
     sh = simhash(df, id_col, text_col)
+    plan = simhash_chunk_plan(max_hamming)
+    chunk_val = None
+    for i, (start, w) in enumerate(plan):
+        v = F.expr(f"shiftright(simhash, {start}) & {(1 << w) - 1}")
+        chunk_val = F.when(F.col("chunk") == i, v) if chunk_val is None else chunk_val.when(F.col("chunk") == i, v)
     chunks = sh.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
-    ).withColumn(
-        "chunk_val", F.expr("shiftright(simhash, chunk * 15) & 32767")
-    )
+        F.explode(F.sequence(F.lit(0), F.lit(len(plan) - 1))).alias("chunk"),
+    ).withColumn("chunk_val", chunk_val)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, on=["chunk", "chunk_val"])
@@ -219,21 +239,52 @@ def simhash_near_pairs(
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, min_sim: float = 0.8
 ) -> DataFrame:
-    """Token-set Jaccard similarity pairs >= min_sim, blocked by shared
-    tokens (equi-join on term, then grouped intersection counts).
-
-    At 100-TB scale the blocking join would be preceded by the MinHash
-    candidate filter; here the pure form is kept oracle-checkable."""
+    """Token-set Jaccard similarity pairs >= min_sim via PREFIX FILTERING
+    (AllPairs/PPJoin blocking): under a global rarest-first token order
+    (ascending docFreq, then term), a pair with J >= t must share a token
+    inside each doc's first |d| - ceil(t*|d|) + 1 tokens — so candidate
+    generation equi-joins only those prefixes. A corpus-wide stopword (max
+    docFreq) sorts LAST and never enters a prefix, killing the hot-token
+    near-cartesian blowup of naive share-a-token blocking; recall stays
+    exact (the filter is lossless for the threshold), so the simple
+    full-join SQL oracle validates this plan unchanged."""
     toks = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(F.array_distinct(_tokens(text_col))).alias("term"),
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (
-        a.join(b, "term")
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "term")
+    # no broadcast hints: dfreq/sizes scale with vocab/doc count — AQE picks
+    # broadcast when a side is actually small
+    ranked = (
+        toks.join(dfreq, "term")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    # required overlap alpha = ceil(t*|d|); the 1e-9 guards float artifacts
+    # (0.6*5 = 3.0000000000000004 would over-ceil to 4 and lose recall)
+    alpha = F.ceil(F.lit(float(min_sim)) * F.col("sz") - F.lit(1e-9))
+    prefix = ranked.filter(F.col("rk") <= F.col("sz") - alpha + 1).select(
+        "doc_id", "term"
+    )
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        pa.join(pb, "term")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "term")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "term")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))

@@ -186,9 +186,197 @@ class LMDirichlet(Similarity):
         return _LMDScorer(boost=float(boost), mu=self.mu, pc=pc, dtype=dtype)
 
 
+@dataclass(frozen=True)
+class _FnScorer:
+    """SimilarityBase.BasicSimScorer analog: the whole formula runs in
+    float64 (Java double) and is cast to ``dtype`` ONCE at the end — the
+    `(float)` cast in SimilarityBase.SimScorer.score, so float32 mode is
+    op-order exact. docLen = LENGTH_TABLE[norm & 0xFF]
+    (SimilarityBase.java:218-225 getLengthValue)."""
+
+    fn: object  # (freq_f64, docLen_f64) -> f64 array
+    dtype: type
+
+    def score(self, freq, norm_bytes):
+        f = np.asarray(freq, dtype=np.float64)
+        dl = LENGTH_TABLE.astype(np.float64)[
+            np.asarray(norm_bytes, dtype=np.int64) & 0xFF
+        ]
+        return np.asarray(self.fn(f, dl), dtype=np.float64).astype(self.dtype)
+
+    def max_score(self, impact_freqs, impact_norms):
+        if len(impact_freqs) == 0:
+            return float("inf")
+        return float(self.score(impact_freqs, impact_norms).max())
+
+
+class LMJelinekMercer(Similarity):
+    """LMJelinekMercerSimilarity.java:62-68: score = boost * ln(1 +
+    ((1-lambda) * freq / docLen) / (lambda * Pc)), Pc = (ttf+1)/(sttf+1)
+    (LMSimilarity.DefaultCollectionModel, LMSimilarity.java:145-147).
+    The reference constructor requires lambda; 0.1 is our default."""
+
+    name = "lmjelinekmercer"
+
+    def __init__(self, lam: float = 0.1):
+        self.lam = float(lam)
+
+    def scorer(self, boost, ts, stats, dtype=np.float32):
+        pc = (ts.total_term_freq + 1.0) / (stats.sum_total_term_freq + 1.0)
+        lam, b = self.lam, float(boost)
+
+        def fn(f, dl):
+            return b * np.log(1.0 + ((1.0 - lam) * f / dl) / (lam * pc))
+
+        return _FnScorer(fn, dtype)
+
+
+class DFR(Similarity):
+    """DFRSimilarity.java:104-108 with BasicModelG + AfterEffectB +
+    NormalizationH2(c=1) — the GB2 configuration:
+    tfn = freq * log2(1 + c*avgfl/dl)          [NormalizationH2.java:57-59]
+    aeTimes1pTfn = (F+1)/n, F = ttf+1, n = df+1 [AfterEffectB.java:32-36]
+    lambda = F/(N+F); A = log2(lambda+1); B = log2((1+lambda)/lambda);
+    score = boost * (B - (B-A)/(1+tfn)) * aeTimes1pTfn [BasicModelG.java:36-50]
+    """
+
+    name = "dfr"
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def scorer(self, boost, ts, stats, dtype=np.float32):
+        F_ = ts.total_term_freq + 1.0
+        N = float(stats.doc_count)
+        lam = F_ / (N + F_)
+        A = np.log2(lam + 1.0)
+        Bv = np.log2((1.0 + lam) / lam)
+        ae = (F_ + 1.0) / (ts.doc_freq + 1.0)
+        avgfl = stats.sum_total_term_freq / float(stats.doc_count)
+        b, c = float(boost), self.c
+
+        def fn(f, dl):
+            tfn = f * np.log2(1.0 + c * avgfl / dl)
+            return b * (Bv - (Bv - A) / (1.0 + tfn)) * ae
+
+        return _FnScorer(fn, dtype)
+
+
+class IB(Similarity):
+    """IBSimilarity.java:93-96 with DistributionLL + LambdaDF +
+    NormalizationH2(c=1) — the LL-DF-H2 configuration:
+    lambda = (float)((df+1)/(N+1))   [LambdaDF.java:32-39, float32 cast]
+    tfn = freq * log2(1 + c*avgfl/dl)
+    score = boost * -ln(lambda / (tfn + lambda)) [DistributionLL.java:33-35]
+    """
+
+    name = "ib"
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def scorer(self, boost, ts, stats, dtype=np.float32):
+        lam = float(np.float32((ts.doc_freq + 1.0) / (stats.doc_count + 1.0)))
+        avgfl = stats.sum_total_term_freq / float(stats.doc_count)
+        b, c = float(boost), self.c
+
+        def fn(f, dl):
+            tfn = f * np.log2(1.0 + c * avgfl / dl)
+            return b * -np.log(lam / (tfn + lam))
+
+        return _FnScorer(fn, dtype)
+
+
+class DFI(Similarity):
+    """DFISimilarity.java:58-69 with IndependenceChiSquared (the default):
+    expected = (ttf+1) * docLen / (numberOfFieldTokens+1); freq <= expected
+    scores 0; else score = boost * log2(chi2 + 1),
+    chi2 = (freq-expected)^2 / expected [IndependenceChiSquared.java:33-35]."""
+
+    name = "dfi"
+
+    def scorer(self, boost, ts, stats, dtype=np.float32):
+        ttf1 = ts.total_term_freq + 1.0
+        nft1 = stats.sum_total_term_freq + 1.0
+        b = float(boost)
+
+        def fn(f, dl):
+            expected = ttf1 * dl / nft1
+            chi2 = (f - expected) * (f - expected) / expected
+            return np.where(f <= expected, 0.0, b * np.log2(chi2 + 1.0))
+
+        return _FnScorer(fn, dtype)
+
+
+class AxiomaticF2EXP(Similarity):
+    """AxiomaticF2EXP.java:59-85 (s=0.35, k=0.35 defaults): score = boost *
+    max(0, tfln * idf), tfln = freq / (freq + s + s*docLen/avgfl),
+    idf = ((N+1)/df)^k; tf/ln/gamma components are 1/1/0 for F2EXP."""
+
+    name = "axiomatic"
+
+    def __init__(self, s: float = 0.35, k: float = 0.35):
+        self.s, self.k = float(s), float(k)
+
+    def scorer(self, boost, ts, stats, dtype=np.float32):
+        avgfl = stats.sum_total_term_freq / float(stats.doc_count)
+        idf = ((stats.doc_count + 1.0) / ts.doc_freq) ** self.k
+        b, s = float(boost), self.s
+
+        def fn(f, dl):
+            tfln = f / (f + s + s * dl / avgfl)
+            return np.maximum(0.0, b * tfln * idf)
+
+        return _FnScorer(fn, dtype)
+
+
+@dataclass(frozen=True)
+class _MultiScorer:
+    subs: tuple
+    dtype: type
+
+    def score(self, freq, norm_bytes):
+        out = None
+        for s in self.subs:
+            v = np.asarray(s.score(freq, norm_bytes), dtype=self.dtype)
+            out = v if out is None else (out + v).astype(self.dtype)
+        return out
+
+    def max_score(self, impact_freqs, impact_norms):
+        if len(impact_freqs) == 0:
+            return float("inf")
+        return float(self.score(impact_freqs, impact_norms).max())
+
+
+class MultiSimilarity(Similarity):
+    """MultiSimilarity.java:64-70: per-doc score = float32-accumulated sum
+    of the sub-similarities' scores (each sub casts to float first)."""
+
+    name = "multi"
+
+    def __init__(self, sims):
+        self.sims = list(sims)
+
+    def scorer(self, boost, ts, stats, dtype=np.float32):
+        return _MultiScorer(
+            tuple(s.scorer(boost, ts, stats, dtype) for s in self.sims), dtype
+        )
+
+    def multi_scorer(self, boost, ts_list, stats, dtype=np.float32):
+        return _MultiScorer(
+            tuple(s.multi_scorer(boost, ts_list, stats, dtype) for s in self.sims),
+            dtype,
+        )
+
+
 SIMILARITIES = {
     "bm25": BM25,
     "classic": Classic,
     "boolean": Boolean,
     "lmdirichlet": LMDirichlet,
+    "lmjelinekmercer": LMJelinekMercer,
+    "dfr": DFR,
+    "ib": IB,
+    "dfi": DFI,
+    "axiomatic": AxiomaticF2EXP,
 }

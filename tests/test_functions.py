@@ -115,6 +115,63 @@ def test_simhash_identical_docs_equal(docs):
     assert pairs.get((0, 2)) == 0
 
 
+def test_simhash_chunk_plan_pigeonhole():
+    rng = np.random.default_rng(0)
+    for mh in (3, 4, 5, 8):
+        plan = dedup.simhash_chunk_plan(mh)
+        assert sum(w for _, w in plan) == 60 and len(plan) == mh + 1
+        for _ in range(200):
+            flips = rng.choice(60, size=mh, replace=False)
+            x = int(rng.integers(0, 1 << 60))
+            y = x
+            for b in flips:
+                y ^= 1 << int(b)
+            # any pair within max_hamming flips shares >= 1 untouched chunk
+            assert any(
+                ((x >> s) & ((1 << w) - 1)) == ((y >> s) & ((1 << w) - 1))
+                for s, w in plan
+            )
+
+
+def test_simhash_pair_found_at_its_exact_distance(docs):
+    # regression: the old fixed 4x15-bit banding only guaranteed recall for
+    # distance < 4; chunking must adapt to max_hamming
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    d = bin(sh[0] ^ sh[1]).count("1")
+    assert d > 0
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=d).collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_jaccard_prefix_filter_skew_and_exactness(spark):
+    # a token present in EVERY doc: naive share-a-token blocking goes
+    # quadratic; the rarest-first prefix never contains it -> no candidates
+    rows = [(i, f"common u{i}a u{i}b u{i}c u{i}d") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.jaccard_pairs(df, "doc_id", "text", min_sim=0.8).collect() == []
+    # exactness (prefix filtering is lossless) vs brute force
+    texts = ["a b c d e", "a b c d f", "a b c d e", "x y z w v", "a b x y z", "q r s t u"]
+    df2 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(df2, "doc_id", "text", min_sim=0.6).collect()
+    }
+    import itertools
+
+    sets = [set(t.split()) for t in texts]
+    exp = {}
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+        if jac >= 0.6:
+            exp[(i, j)] = round(jac, 6)
+    assert got == exp
+
+
 def test_jaccard_pairs(docs):
     rows = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]

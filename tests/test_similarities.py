@@ -7,7 +7,19 @@ import numpy as np
 import pytest
 
 from lucene_spark.bm25 import CollectionStats
-from lucene_spark.similarities import BM25, Boolean, Classic, LMDirichlet, TermStatsIn
+from lucene_spark.similarities import (
+    BM25,
+    DFI,
+    DFR,
+    IB,
+    AxiomaticF2EXP,
+    Boolean,
+    Classic,
+    LMDirichlet,
+    LMJelinekMercer,
+    MultiSimilarity,
+    TermStatsIn,
+)
 from lucene_spark.smallfloat import byte4_to_int
 
 STATS = CollectionStats(doc_count=1000, sum_total_term_freq=50_000)
@@ -56,7 +68,88 @@ def test_lmdirichlet_reference():
     assert np.all(got >= 0)
 
 
-@pytest.mark.parametrize("sim", [BM25(), Classic(), LMDirichlet()])
+def _dl(n):
+    """Decoded length through Lucene's float32 LENGTH_TABLE
+    (SimilarityBase.java LENGTH_TABLE is float[]; large lengths round)."""
+    return float(np.float32(byte4_to_int(int(n))))
+
+
+def test_lmjelinekmercer_reference():
+    s = LMJelinekMercer(0.1).scorer(1.0, TS, STATS, dtype=np.float64)
+    got = s.score(FREQS, NORMS)
+    pc = (120 + 1.0) / (50_000 + 1.0)
+    for i, (f, n) in enumerate(zip(FREQS, NORMS)):
+        dl = _dl(n)
+        exp = math.log(1 + ((1 - 0.1) * f / dl) / (0.1 * pc))
+        assert got[i] == pytest.approx(exp, rel=1e-12)
+    assert np.all(got >= 0)
+
+
+def test_dfr_gb2_reference():
+    s = DFR().scorer(1.0, TS, STATS, dtype=np.float64)
+    got = s.score(FREQS, NORMS)
+    F_, N = 120 + 1.0, 1000.0
+    lam = F_ / (N + F_)
+    A, B = math.log2(lam + 1), math.log2((1 + lam) / lam)
+    ae = (F_ + 1.0) / (30 + 1.0)
+    avgfl = 50_000 / 1000.0
+    for i, (f, n) in enumerate(zip(FREQS, NORMS)):
+        dl = _dl(n)
+        tfn = f * math.log2(1 + avgfl / dl)
+        exp = (B - (B - A) / (1 + tfn)) * ae
+        assert got[i] == pytest.approx(exp, rel=1e-12)
+    assert np.all(got >= 0)
+
+
+def test_ib_lldfh2_reference():
+    s = IB().scorer(1.0, TS, STATS, dtype=np.float64)
+    got = s.score(FREQS, NORMS)
+    lam = float(np.float32((30 + 1.0) / (1000 + 1.0)))
+    avgfl = 50.0
+    for i, (f, n) in enumerate(zip(FREQS, NORMS)):
+        dl = _dl(n)
+        tfn = f * math.log2(1 + avgfl / dl)
+        exp = -math.log(lam / (tfn + lam))
+        assert got[i] == pytest.approx(exp, rel=1e-12)
+    assert np.all(got >= 0)
+
+
+def test_dfi_zero_below_expected():
+    s = DFI().scorer(1.0, TS, STATS, dtype=np.float64)
+    # giant doc (norm 255 -> huge length): expected >> freq -> score 0
+    assert s.score(np.array([1]), np.array([255]))[0] == 0.0
+    # tiny doc, freq above expected -> positive chi^2 score
+    v = s.score(np.array([10]), np.array([5]))[0]
+    dl = _dl(5)
+    expected = (120 + 1.0) * dl / (50_000 + 1.0)
+    chi2 = (10 - expected) ** 2 / expected
+    assert v == pytest.approx(math.log2(chi2 + 1), rel=1e-12)
+
+
+def test_axiomatic_reference():
+    s = AxiomaticF2EXP().scorer(1.0, TS, STATS, dtype=np.float64)
+    got = s.score(FREQS, NORMS)
+    for i, (f, n) in enumerate(zip(FREQS, NORMS)):
+        dl = _dl(n)
+        tfln = f / (f + 0.35 + 0.35 * dl / 50.0)
+        exp = max(0.0, tfln * ((1000 + 1.0) / 30) ** 0.35)
+        assert got[i] == pytest.approx(exp, rel=1e-12)
+    assert np.all(got >= 0)
+
+
+def test_multi_similarity_sums_subscores():
+    m = MultiSimilarity([BM25(), Classic()]).scorer(1.0, TS, STATS, dtype=np.float32)
+    a = BM25().scorer(1.0, TS, STATS, dtype=np.float32).score(FREQS, NORMS)
+    b = Classic().scorer(1.0, TS, STATS, dtype=np.float32).score(FREQS, NORMS)
+    got = m.score(FREQS, NORMS)
+    assert np.array_equal(got, (a + b).astype(np.float32))
+
+
+@pytest.mark.parametrize(
+    "sim",
+    [BM25(), Classic(), LMDirichlet(), LMJelinekMercer(), DFR(), IB(), DFI(),
+     AxiomaticF2EXP(), MultiSimilarity([BM25(), DFR()])],
+)
 def test_monotonicity_properties(sim):
     """score increases with freq (fixed norm), decreases with norm (fixed
     freq) — BaseSimilarityTestCase.java:72-160 analog."""
