@@ -38,7 +38,10 @@ from lucene_spark.query import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -46,12 +49,14 @@ from lucene_spark.query import (
     WildcardQuery,
     bool_query,
     parse,
+    parse_multifield,
 )
 from lucene_spark.search import Searcher
 from lucene_spark.functions import dedup as fdedup
 from lucene_spark.functions import highlight as fhigh
 from lucene_spark.functions import multimodal as fmm
 from lucene_spark.functions import simsearch as fsim
+from lucene_spark.functions import suggest as fsuggest
 from lucene_spark.functions import textstats as ftext
 
 K1, B = 1.2, 0.75
@@ -327,12 +332,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SpanNearQuery(terms=("spark", "table"), slop=4, in_order=False),
             10,
         ),
+        "q_span_or": lambda sp, d: _topk_df(
+            _searcher(sp, d), SpanOrQuery(terms=("spark", "merge")), 10
+        ),
+        "q_span_not": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            SpanNotQuery(include="table", exclude=("fast",), pre=1, post=1),
+            10,
+        ),
+        "q_span_first": lambda sp, d: _topk_df(
+            _searcher(sp, d), SpanFirstQuery(term="spark", end=5), 10
+        ),
         # ---- multi-field (field-qualified) search ----
         "q_multifield": lambda sp, d: _multifield_topk(sp, d),
+        "q_multifield_bare": lambda sp, d: _topk_df(
+            # MultiFieldQueryParser: a BARE term expands across every field
+            _multifield_searcher(sp, d), parse_multifield("en", ["text", "lang"]), 10
+        ),
         # ---- snippet highlighting (highlighter module analog) ----
         "text_highlight": lambda sp, d: (
             fhigh.highlight(_docs(sp, d), "doc_id", "text", ["spark", "merge"])
             .orderBy("doc_id")
+        ),
+        "text_highlight_unified": lambda sp, d: fhigh.unified_highlight(
+            _docs(sp, d), "doc_id", "text", ["spark", "merge"], window_tokens=16
         ),
         # ---- feature boosting (static doc signal + relevance) ----
         "q_feature_boost": lambda sp, d: _topk_df(
@@ -464,6 +487,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").cast("long").alias("cnt"))
             .orderBy("bucket")
         ),
+        "q_facet_topk": lambda sp, d: (
+            # value-sorted facet top-k with a FacetResult-shaped output
+            # (facet/.../FacetsCollector.java getTopChildren analog)
+            _searcher(sp, d)
+            .matches(TermQuery(term="table"))
+            .join(_searcher(sp, d).index.docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .select(F.lit("lang").alias("dim"), F.col("lang").alias("label"), "cnt")
+            .orderBy(F.desc("cnt"), F.asc("label"))
+            .limit(3)
+        ),
+        "q_group_top2_per_lang": lambda sp, d: (
+            # top-N docs per group (grouping/ module: top-k groups + top-n
+            # docs per group via window rank)
+            _searcher(sp, d)
+            .matches(TermQuery(term="data"))
+            .join(_searcher(sp, d).index.docs.select("doc_id", "lang"), "doc_id")
+            .withColumn(
+                "rank_in_group",
+                F.row_number().over(
+                    Window.partitionBy("lang").orderBy(
+                        F.desc("score"), F.asc("doc_id")
+                    )
+                ).cast("int"),
+            )
+            .filter(F.col("rank_in_group") <= 2)
+            .select(
+                "lang", "rank_in_group", F.col("doc_id").cast("long"),
+                F.round("score", 6).alias("score"),
+            )
+            .orderBy("lang", "rank_in_group")
+        ),
+        "q_suggest_prefix": lambda sp, d: fsuggest.suggest_prefix(
+            _searcher(sp, d).index.terms, "s", 5
+        ),
         "q_group_top1_per_lang": lambda sp, d: (
             _searcher(sp, d)
             .matches(TermQuery(term="data"))
@@ -543,6 +602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": lambda sp, d: fsim.lsh_cosine_topk(
             _emb(sp, d), [0, 1, 2], k=3
         ),
+        "sim_rh_lsh_topk": lambda sp, d: fsim.rh_lsh_topk(
+            _emb(sp, d), [0, 1, 2], k=10, tables=20, bits=4
+        ),
         # ---- text analysis ----
         "text_token_counts": lambda sp, d: ftext.token_counts(
             _docs(sp, d), "doc_id", "text"
@@ -565,10 +627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-def _multifield_topk(sp: SparkSession, d: str) -> DataFrame:
-    """parse('lang:python AND spark') over a two-field index set: the text
-    field reuses the cached index; the lang field gets its own index (own
-    stats) over the lang column."""
+def _multifield_searcher(sp: SparkSession, d: str):
+    """Two-field searcher: text reuses the cached index; lang gets its own
+    index (own stats) over the lang column — PerFieldSimilarityWrapper."""
     from lucene_spark.search import MultiFieldSearcher
 
     key = f"{d}::__langfield"
@@ -579,12 +640,16 @@ def _multifield_topk(sp: SparkSession, d: str) -> DataFrame:
         lidx = build_index(docs, cfg, content_col="lang", doc_id_col="doc_id",
                            eager=True)
         _CACHE[key] = Searcher(lidx, dtype=np.float64)
-    ms = MultiFieldSearcher(
+    return MultiFieldSearcher(
         {"text": _searcher(sp, d), "lang": _CACHE[key]},
         default_field="text",
         dtype=np.float64,
     )
-    return _topk_df(ms, parse("lang:en AND spark"), 10)
+
+
+def _multifield_topk(sp: SparkSession, d: str) -> DataFrame:
+    """parse('lang:en AND spark') over the two-field index set."""
+    return _topk_df(_multifield_searcher(sp, d), parse("lang:en AND spark"), 10)
 
 
 def _customer_prefix_docs(sp: SparkSession, d: str) -> DataFrame:
@@ -663,6 +728,26 @@ def oracle_sql() -> dict[str, str]:
         "q_span_near_ordered": _span_near_sql(["spark", "table"], 4, True),
         "q_span_near_ordered3": _span_near_sql(["the", "fast", "table"], 6, True),
         "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
+        # span algebra: point spans weigh 1/(1+(end-start)) = 0.5 each
+        "q_span_or": _freq_rank_sql(
+            "  SELECT doc_id, count(*) * 0.5 AS freq\n"
+            "  FROM tok WHERE term IN ('spark', 'merge') GROUP BY doc_id",
+            ["spark", "merge"],
+        ),
+        "q_span_not": _freq_rank_sql(
+            "  SELECT a.doc_id, count(*) * 0.5 AS freq\n"
+            "  FROM tokp a WHERE a.term = 'table' AND NOT EXISTS (\n"
+            "    SELECT 1 FROM tokp b WHERE b.doc_id = a.doc_id\n"
+            "      AND b.term = 'fast' AND b.pos BETWEEN a.pos - 1 AND a.pos + 1)\n"
+            "  GROUP BY a.doc_id",
+            ["table"],
+        ),
+        "q_span_first": _freq_rank_sql(
+            "  SELECT doc_id, count(*) * 0.5 AS freq\n"
+            "  FROM tokp WHERE term = 'spark' AND pos + 1 <= 5 GROUP BY doc_id",
+            ["spark"],
+        ),
+        "q_multifield_bare": _multifield_bare_sql("en"),
         "text_highlight": """
 WITH m AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
 pos AS (
@@ -761,6 +846,62 @@ SELECT (floor(d.n_chars / 100) * 100)::BIGINT AS bucket, count(*)::BIGINT AS cnt
 FROM documents d WHERE EXISTS (
   SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'table')
 GROUP BY bucket ORDER BY bucket
+""",
+        "q_facet_topk": _PRELUDE
+        + """
+SELECT 'lang' AS dim, label, cnt FROM (
+  SELECT d.lang AS label, count(*)::BIGINT AS cnt
+  FROM documents d WHERE EXISTS (
+    SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'table')
+  GROUP BY d.lang
+) ORDER BY cnt DESC, label ASC LIMIT 3
+""",
+        "q_group_top2_per_lang": _PRELUDE
+        + _scored_cte(["data"])
+        + """
+SELECT lang, rank_in_group, doc_id, score FROM (
+  SELECT d.lang, sc.doc_id::BIGINT AS doc_id, round(sc.score, 6) AS score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY sc.score DESC, sc.doc_id ASC)::INT AS rank_in_group
+  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+) WHERE rank_in_group <= 2 ORDER BY lang, rank_in_group
+""",
+        "q_suggest_prefix": _PRELUDE
+        + """
+SELECT term AS key, count(*)::BIGINT AS weight
+FROM tf WHERE term LIKE 's%'
+GROUP BY term ORDER BY weight DESC, key ASC LIMIT 5
+""",
+        "text_highlight_unified": _PRELUDE
+        + """
+, qidf AS (
+  SELECT d.term, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS idf
+  FROM dfreq d CROSS JOIN stats s WHERE d.term IN ('spark', 'merge')
+),
+ptok AS (SELECT doc_id, pos, term, (pos // 16)::INT AS passage FROM tokp),
+psc AS (
+  SELECT doc_id, passage, sum(idf) AS score FROM (
+    SELECT DISTINCT p.doc_id, p.passage, p.term, q.idf
+    FROM ptok p JOIN qidf q ON q.term = p.term
+  ) GROUP BY doc_id, passage
+),
+best AS (
+  SELECT doc_id, passage, score FROM (
+    SELECT doc_id, passage, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, passage ASC) AS rk
+    FROM psc
+  ) WHERE rk = 1
+)
+SELECT p.doc_id::BIGINT AS doc_id, b.passage::INT AS passage,
+       round(b.score, 6) AS score,
+       string_agg(
+         CASE WHEN p.term IN ('spark', 'merge')
+              THEN '<b>' || p.term || '</b>' ELSE p.term END,
+         ' ' ORDER BY p.pos) AS snippet
+FROM ptok p JOIN best b ON b.doc_id = p.doc_id AND b.passage = p.passage
+GROUP BY p.doc_id, b.passage, b.score
+ORDER BY doc_id
 """,
         "q_group_top1_per_lang": _PRELUDE
         + _scored_cte(["data"])
@@ -1062,6 +1203,41 @@ SELECT query_id, rank, vec_id, sim FROM (
   FROM scored
 ) WHERE rank <= 3 ORDER BY query_id, rank
 """,
+        # multi-table Rademacher-hyperplane LSH (tables=20, bits=4): plane
+        # coordinate = +1 iff first md5('t:b:j') hex digit >= '8'; candidates
+        # share a (table, bucket); exact cosine re-rank on candidates only
+        "sim_rh_lsh_topk": """
+WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT t.i AS t, b.i AS b, j.i AS j,
+         CASE WHEN substr(md5(t.i::VARCHAR || ':' || b.i::VARCHAR || ':' || j.i::VARCHAR), 1, 1) >= '8'
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM generate_series(0, 19) t(i), generate_series(0, 3) b(i), generate_series(0, 63) j(i)
+),
+proj AS (
+  SELECT e.vec_id, p.t, p.b, sum(p.s * e.v[p.j + 1]) AS pr
+  FROM e CROSS JOIN planes p GROUP BY 1, 2, 3
+),
+buck AS (
+  SELECT vec_id, t AS tbl,
+         sum(CASE WHEN pr > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY 1, 2
+),
+q AS (SELECT vec_id AS query_id, tbl, bucket FROM buck WHERE vec_id IN (0, 1, 2)),
+c AS (SELECT vec_id, tbl, bucket FROM buck WHERE vec_id NOT IN (0, 1, 2)),
+cand AS (SELECT DISTINCT q.query_id, c.vec_id FROM c JOIN q USING (tbl, bucket)),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+            JOIN e ce ON ce.vec_id = cand.vec_id
+)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY query_id, rank
+""",
         "text_token_counts": f"""
 SELECT doc_id::BIGINT AS doc_id,
        len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
@@ -1263,6 +1439,46 @@ lsc AS (
 agg AS (
   SELECT tsc.doc_id, tsc.score + lsc.score AS score
   FROM tsc JOIN lsc ON lsc.doc_id = tsc.doc_id
+)
+"""
+        + _rank_tail("score", "FROM agg", k)
+    )
+
+
+def _multifield_bare_sql(term: str, k: int = 10) -> str:
+    """MultiFieldQueryParser bare-term expansion: SHOULD over (text, lang)
+    fields, per-field BM25 with per-field stats, per-doc scores summed;
+    a doc matches if ANY field matches."""
+    import re as _re
+
+    lang_part = _PRELUDE.replace("WITH ", ", ").replace("lower(text)", "lower(lang)")
+    lang_part = _re.sub(
+        r"\b(tokarr|tokp|tok|dfreq|dlq|dl|nrm|tf|stats)\b", r"l\1", lang_part
+    )
+    idf_t = _IDF.format(df="d.df")
+    inv_t = _INV.format(k1=K1, b=B)
+    idf_l = "ln(1 + (ls.n - ld.df + 0.5) / (ld.df + 0.5))"
+    inv_l = f"(1.0 / ({K1} * ((1 - {B}) + {B} * lq.ldlq / (ls.sttf / ls.n))))"
+    return (
+        _PRELUDE
+        + lang_part
+        + f"""
+, tsc AS (
+  SELECT tf.doc_id, ({idf_t}) - ({idf_t}) / (1 + tf.freq * {inv_t}) AS score
+  FROM tf JOIN dfreq d ON d.term = tf.term
+  JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN stats s
+  WHERE tf.term = '{term}'
+),
+lsc AS (
+  SELECT ltf.doc_id, ({idf_l}) - ({idf_l}) / (1 + ltf.freq * {inv_l}) AS score
+  FROM ltf JOIN ldfreq ld ON ld.term = ltf.term
+  JOIN ldlq lq ON lq.doc_id = ltf.doc_id CROSS JOIN lstats ls
+  WHERE ltf.term = '{term}'
+),
+agg AS (
+  SELECT doc_id, sum(score) AS score FROM (
+    SELECT * FROM tsc UNION ALL SELECT * FROM lsc
+  ) GROUP BY doc_id
 )
 """
         + _rank_tail("score", "FROM agg", k)

@@ -64,6 +64,39 @@ class SpanNearQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanOrQuery(Query):
+    """Union of term spans (search/spans/SpanOrQuery.java): matches docs
+    containing ANY of the terms; freq = Σ 1/(1+(end-start)) over every
+    matching span = 0.5 * total occurrences for point spans; idf summed
+    over the clauses' terms (SpanWeight collects all clause terms)."""
+
+    terms: Tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """Include spans with no exclude span overlapping the window
+    [start - pre, end + post) (search/spans/SpanNotQuery.java): a point
+    include span at p survives iff no exclude position q satisfies
+    p - pre <= q <= p + post."""
+
+    include: str = ""
+    exclude: Tuple[str, ...] = ()
+    pre: int = 0
+    post: int = 0
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """Spans ending within the first ``end`` positions
+    (search/spans/SpanFirstQuery.java): point span at p matches iff
+    p + 1 <= end."""
+
+    term: str = ""
+    end: int = 1
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: Tuple[str, ...] = ()
 
@@ -248,11 +281,12 @@ _TOKEN_SPEC = [
     ("NOT", r"NOT\b"),
     ("PLUS", r"\+"),
     ("MINUS", r"-"),
-    ("PHRASE", r'"[^"]*"'),
+    ("PHRASE", r'"(?:\\.|[^"\\])*"'),
     ("FIELD", r"[A-Za-z_][A-Za-z0-9_]*:(?=\S)"),
     ("RANGE", r"\[[^\]]+ TO [^\]]+\]"),
     ("BOOST", r"\^\d+(?:\.\d+)?"),
-    ("TERM", r"[^\s()+\-\"\[\]^]+"),
+    # \x escapes any character (QueryParser.jj <_ESCAPED_CHAR>)
+    ("TERM", r"(?:\\.|[^\s()+\-\"\[\]^\\])+"),
     ("WS", r"\s+"),
 ]
 _TOKEN_RE = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC))
@@ -265,6 +299,24 @@ def _lex(s: str):
     for m in _TOKEN_RE.finditer(s):
         if m.lastgroup != "WS":
             yield m.lastgroup, m.group()
+
+
+def _unescape(raw: str) -> str:
+    """QueryParser.discardEscapeChar analog: drop the backslash, keep the
+    escaped character literally."""
+    return re.sub(r"\\(.)", r"\1", raw)
+
+
+def _has_unescaped(raw: str, chars: str) -> bool:
+    i = 0
+    while i < len(raw):
+        if raw[i] == "\\":
+            i += 2
+            continue
+        if raw[i] in chars:
+            return True
+        i += 1
+    return False
 
 
 def _analyze_term(raw: str, analyze) -> str:
@@ -315,7 +367,7 @@ def parse(query: str, analyze=None) -> Query:
             return inner, occur
         if kind == "PHRASE":
             advance()
-            body = text[1:-1]
+            body = _unescape(text[1:-1])
             slop = 0
             k, t = peek()
             if k == "TERM" and t.startswith("~"):
@@ -354,15 +406,30 @@ def parse(query: str, analyze=None) -> Query:
                 advance()
                 boost = float(t2[1:])
             fz = _FUZZY_RE.search(raw)
-            if fz:
+            if fz and not (fz.start() > 0 and raw[fz.start() - 1] == "\\"):
                 max_edits = int(fz.group(1) or 2)
                 raw = raw[: fz.start()]
-                return FuzzyQuery(boost=boost, term=_analyze_term(raw, analyze), max_edits=max_edits), occur
-            if "*" in raw or "?" in raw:
-                if raw.endswith("*") and "*" not in raw[:-1] and "?" not in raw:
-                    return PrefixQuery(boost=boost, prefix=raw[:-1].lower()), occur
+                return (
+                    FuzzyQuery(
+                        boost=boost,
+                        term=_analyze_term(_unescape(raw), analyze),
+                        max_edits=max_edits,
+                    ),
+                    occur,
+                )
+            if _has_unescaped(raw, "*?"):
+                # escaped specials inside a wildcard pattern stay literal
+                # after _unescape; only UNESCAPED */? act as wildcards here
+                if (
+                    raw.endswith("*")
+                    and not _has_unescaped(raw[:-1], "*?")
+                ):
+                    return (
+                        PrefixQuery(boost=boost, prefix=_unescape(raw[:-1]).lower()),
+                        occur,
+                    )
                 return WildcardQuery(boost=boost, pattern=raw.lower()), occur
-            term = _analyze_term(raw, analyze)
+            term = _analyze_term(_unescape(raw), analyze)
             return TermQuery(boost=boost, term=term), occur
         # fallthrough: unexpected token
         advance()
@@ -395,7 +462,8 @@ def parse(query: str, analyze=None) -> Query:
                 advance()
                 explicit_or = True
                 parts.append(parse_and())
-            elif kind in ("TERM", "PHRASE", "PLUS", "MINUS", "NOT", "LPAREN", "RANGE"):
+            elif kind in ("TERM", "PHRASE", "PLUS", "MINUS", "NOT", "LPAREN",
+                          "RANGE", "FIELD"):
                 # implicit OR (default operator SHOULD), with +/- occurs
                 nxt, occ = parse_atom()
                 parts.append(_occurred(nxt, occ))
@@ -423,6 +491,44 @@ def parse(query: str, analyze=None) -> Query:
             return rewrite(bool_query(must_not=[q.query]))
         q = q.query
     return rewrite(q)
+
+
+def parse_multifield(query: str, fields: List[str], analyze=None) -> Query:
+    """MultiFieldQueryParser analog (queryparser/.../classic/
+    MultiFieldQueryParser.java, default OR mode): parse with the classic
+    grammar, then expand every UNQUALIFIED fieldable leaf into a SHOULD
+    disjunction of the same leaf over each field. Explicit `field:` prefixes
+    are left alone."""
+    import dataclasses
+
+    q = parse(query, analyze=analyze)
+
+    def expand(node: Query) -> Query:
+        if isinstance(node, BooleanQuery):
+            return dataclasses.replace(
+                node,
+                clauses=tuple(
+                    BooleanClause(expand(c.query), c.occur) for c in node.clauses
+                ),
+            )
+        if isinstance(node, DisjunctionMaxQuery):
+            return dataclasses.replace(
+                node, disjuncts=tuple(expand(d) for d in node.disjuncts)
+            )
+        if isinstance(node, ConstantScoreQuery):
+            return dataclasses.replace(node, query=expand(node.query))
+        if (
+            isinstance(
+                node, (TermQuery, PhraseQuery, PrefixQuery, WildcardQuery, FuzzyQuery)
+            )
+            and node.field is None
+        ):
+            return bool_query(
+                should=[dataclasses.replace(node, field=f) for f in fields]
+            )
+        return node
+
+    return rewrite(expand(q))
 
 
 @dataclass(frozen=True)

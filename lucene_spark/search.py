@@ -43,7 +43,10 @@ from .query import (
     MultiPhraseQuery,
     Occur,
     PhraseQuery,
+    SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
@@ -639,6 +642,12 @@ class Searcher:
             return self._eval_multi_phrase(q)
         if isinstance(q, SpanNearQuery):
             return self._eval_span_near(q)
+        if isinstance(q, SpanOrQuery):
+            return self._eval_span_or(q)
+        if isinstance(q, SpanNotQuery):
+            return self._eval_span_not(q)
+        if isinstance(q, SpanFirstQuery):
+            return self._eval_span_first(q)
         if isinstance(q, ConstantScoreQuery):
             inner = self._eval(q.query, needs_scores=False)
             return inner.select("doc_id").distinct().withColumn(
@@ -1082,6 +1091,77 @@ class Searcher:
         )
         return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
 
+    def _eval_span_or(self, q: SpanOrQuery) -> DataFrame:
+        """SpanOrQuery (search/spans/SpanOrQuery.java): docs matching ANY
+        clause; point spans give freq = 0.5 * total occurrences (each span
+        weighs 1/(1+(end-start)) = 1/2, SpanScorer.setFreqCurrentDoc); idf
+        summed over present clause terms (SpanWeight extractTerms). Pure
+        JVM aggregation — positions never decoded."""
+        stats = self.term_stats(q.terms)
+        present = [t for t in q.terms if t in stats]
+        if not present:
+            return self._empty()
+        scorer = self.multi_scorer_for(q.boost, [stats[t] for t in present])
+        raw = self.decode_raw(present)
+        agg = raw.groupBy("doc_id").agg(
+            (F.sum("freq") * F.lit(0.5)).alias("freq"),
+            F.first("norm").alias("norm"),
+        )
+        return self._score_freq_norm(agg, scorer)
+
+    def _eval_span_not(self, q: SpanNotQuery) -> DataFrame:
+        """SpanNotQuery (search/spans/SpanNotQuery.java): include spans with
+        no exclude span inside [start - pre, end + post); for point spans an
+        include position p is dropped iff an exclude position lies in
+        [p - pre, p + post]. Left-anti join with an equi doc_id key plus the
+        range residual — no Python."""
+        st = self.term_stats([q.include]).get(q.include)
+        if st is None:
+            return self._empty()
+        scorer = self.multi_scorer_for(q.boost, [st])
+        inc = (
+            self.decode_raw([q.include], with_positions=True)
+            .select("doc_id", "norm", F.explode("positions").alias("pos"))
+        )
+        exc_stats = self.term_stats(list(q.exclude))
+        if exc_stats:
+            exc = (
+                self.decode_raw(list(exc_stats), with_positions=True)
+                .select(F.col("doc_id").alias("xdoc"), F.explode("positions").alias("xpos"))
+            )
+            inc = inc.join(
+                exc,
+                (F.col("doc_id") == F.col("xdoc"))
+                & (F.col("xpos") >= F.col("pos") - q.pre)
+                & (F.col("xpos") <= F.col("pos") + q.post),
+                "left_anti",
+            )
+        agg = inc.groupBy("doc_id").agg(
+            (F.count("*") * F.lit(0.5)).alias("freq"),
+            F.first("norm").alias("norm"),
+        )
+        return self._score_freq_norm(agg, scorer)
+
+    def _eval_span_first(self, q: SpanFirstQuery) -> DataFrame:
+        """SpanFirstQuery (search/spans/SpanFirstQuery.java): spans ending
+        within the first ``end`` positions — point span p matches iff
+        p + 1 <= end. JVM array filter over the decoded positions."""
+        st = self.term_stats([q.term]).get(q.term)
+        if st is None:
+            return self._empty()
+        scorer = self.multi_scorer_for(q.boost, [st])
+        raw = self.decode_raw([q.term], with_positions=True)
+        end = int(q.end)
+        scored = raw.select(
+            "doc_id",
+            "norm",
+            (
+                F.size(F.filter(F.col("positions"), lambda p: p + 1 <= F.lit(end)))
+                * F.lit(0.5)
+            ).alias("freq"),
+        ).filter(F.col("freq") > 0)
+        return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
+
     def _eval_multi_term(self, q: Query) -> DataFrame:
         """MultiTermQuery family, CONSTANT_SCORE_REWRITE
         (search/MultiTermQuery.java CONSTANT_SCORE_BLENDED/REWRITE): matching
@@ -1116,10 +1196,17 @@ class Searcher:
         if isinstance(q, PrefixQuery):
             return F.col("term").startswith(q.prefix)
         if isinstance(q, WildcardQuery):
-            pat = "".join(
-                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
-                for ch in q.pattern
-            )
+            # backslash escapes make the next char literal (WildcardQuery
+            # ESCAPE_CHAR, search/WildcardQuery.java:45-60)
+            pat, i = "", 0
+            while i < len(q.pattern):
+                ch = q.pattern[i]
+                if ch == "\\" and i + 1 < len(q.pattern):
+                    pat += re.escape(q.pattern[i + 1])
+                    i += 2
+                    continue
+                pat += ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                i += 1
             return F.col("term").rlike("^(?:" + pat + ")$")
         if isinstance(q, RegexpQuery):
             return F.col("term").rlike("^(?:" + q.regexp + ")$")

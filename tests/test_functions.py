@@ -221,6 +221,46 @@ def test_cosine_topk_fast_agrees_with_exact(emb):
     assert f == e
 
 
+def test_rh_lsh_recall_on_clustered_vectors(spark):
+    """Multi-table random-hyperplane LSH: on clustered data (where ANN is
+    meaningful) recall@4 >= 0.9 against brute-force cosine, while scanning
+    well under the full candidate set — the scale story vs brute force."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(30, 16))
+    rows = []
+    for cid in range(30):
+        for m in range(5):
+            v = centers[cid] + 0.05 * rng.normal(size=16)
+            rows.append((cid * 5 + m, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [0, 25, 70]
+    got = simsearch.rh_lsh_topk(df, queries, k=4, tables=8, bits=8).collect()
+    exact = simsearch.cosine_topk(df, queries, k=4).collect()
+    hits = 0
+    for q in queries:
+        g = {r["vec_id"] for r in got if r["query_id"] == q}
+        e = {r["vec_id"] for r in exact if r["query_id"] == q}
+        hits += len(g & e)
+    assert hits / (4 * len(queries)) >= 0.9
+    # fan-out check: candidates per query stay well below the corpus
+    buckets = simsearch.rh_lsh_buckets(df, tables=8, bits=8).toPandas()
+    per_bucket = buckets.groupby(["tbl", "bucket"]).size()
+    assert per_bucket.max() <= 30  # no bucket degenerates to the full set
+
+
+def test_rh_lsh_buckets_match_numpy_reference(emb):
+    got = simsearch.rh_lsh_buckets(emb, tables=3, bits=5).toPandas()
+    rows = emb.collect()
+    W = simsearch.rademacher_planes(3, 5, 8)
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        proj = (W @ v) > 0
+        for t in range(3):
+            exp = int((proj[t * 5 : (t + 1) * 5] * (1 << np.arange(5))).sum())
+            sel = got[(got.vec_id == r["vec_id"]) & (got.tbl == t)]
+            assert int(sel["bucket"].iloc[0]) == exp
+
+
 def test_lsh_topk_within_bucket_only(emb):
     got = simsearch.lsh_cosine_topk(emb, [0], k=5).collect()
     rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}

@@ -122,3 +122,57 @@ def test_rewrite_dedups_filters():
 def test_rewrite_drops_matchnodocs_should():
     q = bool_query(should=[TermQuery(term="x"), MatchNoDocsQuery()])
     assert rewrite(q) == TermQuery(term="x")
+
+
+# ---- escaping (QueryParser.jj <_ESCAPED_CHAR> / discardEscapeChar) ----
+
+
+def test_escaped_specials_become_literal_terms():
+    from lucene_spark.query import WildcardQuery, parse
+
+    # escaped wildcard chars: plain term, not a wildcard query
+    q = parse(r"foo\*bar")
+    assert q == TermQuery(term="foo*bar") or isinstance(q, TermQuery)
+    # trailing unescaped * with only escaped specials inside -> prefix on
+    # the literal (unescaped) text
+    from lucene_spark.query import PrefixQuery
+
+    q2 = parse(r"fo\?o*")
+    assert q2 == PrefixQuery(prefix="fo?o")
+    # a mid-pattern unescaped wildcard keeps the WildcardQuery, escapes kept
+    q2b = parse(r"f\*o*o")
+    assert isinstance(q2b, WildcardQuery) and q2b.pattern == r"f\*o*o"
+    # escaped parens / plus don't break the grammar
+    q3 = parse(r"a\(b\)c")
+    assert isinstance(q3, TermQuery)
+    # escaped quote inside a phrase
+    q4 = parse(r'"say \"hi\""')
+    assert not isinstance(q4, MatchNoDocsQuery)
+    # escaped tilde is not a fuzzy marker
+    q5 = parse(r"approx\~2")
+    assert isinstance(q5, TermQuery)
+
+
+def test_parse_multifield_expands_bare_terms():
+    import dataclasses
+
+    from lucene_spark.query import BooleanClause, BooleanQuery, parse_multifield
+
+    q = parse_multifield("spark lang:en", ["text", "title"])
+    assert isinstance(q, BooleanQuery)
+    # the bare term became a SHOULD disjunction over both fields...
+    flat = []
+
+    def walk(n):
+        if isinstance(n, BooleanQuery):
+            for c in n.clauses:
+                walk(c.query)
+        else:
+            flat.append(n)
+
+    walk(q)
+    bare = [n for n in flat if getattr(n, "term", None) == "spark"]
+    assert {n.field for n in bare} == {"text", "title"}
+    # ...while the explicitly qualified leaf kept its field
+    qual = [n for n in flat if getattr(n, "term", None) == "en"]
+    assert [n.field for n in qual] == ["lang"]
