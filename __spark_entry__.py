@@ -53,6 +53,7 @@ from lucene_spark.query import (
 )
 from lucene_spark.search import Searcher
 from lucene_spark.functions import dedup as fdedup
+from lucene_spark.functions import facets as ffacets
 from lucene_spark.functions import highlight as fhigh
 from lucene_spark.functions import multimodal as fmm
 from lucene_spark.functions import simsearch as fsim
@@ -378,6 +379,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 10,
             )
         )(_searcher(sp, d)),
+        # ---- soft deletes (reversible tombstones, retention semantics) ----
+        "q_term_soft_deleted": lambda sp, d: (
+            lambda s: _topk_df(
+                Searcher(
+                    s.index.soft_delete_docs([3, 4, 5]),
+                    dtype=np.float64,
+                    similarity=s.sim,
+                ),
+                TermQuery(term="table"),
+                10,
+            )
+        )(_searcher(sp, d)),
+        # ---- doc-values update (in-place column overwrite, no reindex) ----
+        "q_docvalues_update": lambda sp, d: (
+            lambda idx2: (
+                Searcher(idx2, dtype=np.float64)
+                .matches(TermQuery(term="vector"))
+                .join(idx2.docs.select("doc_id", "n_chars"), "doc_id")
+                .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+                .limit(10)
+                .select(F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
+            )
+        )(
+            _searcher(sp, d).index.update_doc_values(
+                "n_chars",
+                sp.createDataFrame(
+                    [(i, 99999) for i in range(5)], "doc_id long, n_chars long"
+                ),
+            )
+        ),
         # ---- term vectors (per-doc forward index) ----
         "q_term_vectors": lambda sp, d: (
             term_vectors(
@@ -487,6 +518,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").cast("long").alias("cnt"))
             .orderBy("bucket")
         ),
+        "q_drilldown": lambda sp, d: (
+            lambda s: ffacets.drill_down(
+                s.matches(TermQuery(term="table")),
+                s.index.docs.select("doc_id", "lang", "source"),
+                {"lang": ["en", "de"], "source": ["src1", "src2", "src3"]},
+            )
+            .select(F.col("doc_id").cast("long"))
+            .distinct()
+            .orderBy("doc_id")
+        )(_searcher(sp, d)),
+        "q_drill_sideways": lambda sp, d: (
+            lambda s: ffacets.drill_sideways(
+                s.matches(TermQuery(term="table")),
+                s.index.docs.select("doc_id", "lang", "source"),
+                {"lang": ["en", "de"], "source": ["src1", "src2", "src3"]},
+                ["lang", "source"],
+            )
+        )(_searcher(sp, d)),
         "q_facet_topk": lambda sp, d: (
             # value-sorted facet top-k with a FacetResult-shaped output
             # (facet/.../FacetsCollector.java getTopChildren analog)
@@ -785,6 +834,19 @@ agg AS (SELECT doc_id, sum(score) AS score FROM allsc GROUP BY doc_id)
         "q_term_deleted": _PRELUDE
         + _scored_cte(["table"])
         + _rank_tail("score", "FROM sc WHERE doc_id NOT IN (0, 1, 2)", 10),
+        "q_term_soft_deleted": _PRELUDE
+        + _scored_cte(["table"])
+        + _rank_tail("score", "FROM sc WHERE doc_id NOT IN (3, 4, 5)", 10),
+        "q_docvalues_update": _PRELUDE
+        + """
+SELECT doc_id, n_chars FROM (
+  SELECT d.doc_id::BIGINT AS doc_id,
+         (CASE WHEN d.doc_id IN (0, 1, 2, 3, 4) THEN 99999
+               ELSE d.n_chars END)::BIGINT AS n_chars
+  FROM documents d WHERE EXISTS (
+    SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'vector')
+) ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+""",
         "q_term_vectors": _PRELUDE
         + """
 SELECT tf.doc_id::BIGINT AS doc_id, tf.term, tf.freq,
@@ -846,6 +908,32 @@ SELECT (floor(d.n_chars / 100) * 100)::BIGINT AS bucket, count(*)::BIGINT AS cnt
 FROM documents d WHERE EXISTS (
   SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'table')
 GROUP BY bucket ORDER BY bucket
+""",
+        "q_drilldown": _PRELUDE
+        + """
+SELECT DISTINCT d.doc_id::BIGINT AS doc_id
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'table')
+  AND d.lang IN ('en', 'de') AND d.source IN ('src1', 'src2', 'src3')
+ORDER BY doc_id
+""",
+        "q_drill_sideways": _PRELUDE
+        + """
+, base AS (
+  SELECT d.doc_id, d.lang, d.source FROM documents d
+  WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'table')
+),
+lang_side AS (
+  SELECT 'lang' AS dim, lang AS label, count(*)::BIGINT AS cnt
+  FROM base WHERE source IN ('src1', 'src2', 'src3') GROUP BY lang
+),
+src_side AS (
+  SELECT 'source' AS dim, source AS label, count(*)::BIGINT AS cnt
+  FROM base WHERE lang IN ('en', 'de') GROUP BY source
+)
+SELECT dim, label, cnt FROM (
+  SELECT * FROM lang_side UNION ALL SELECT * FROM src_side
+) ORDER BY dim, label
 """,
         "q_facet_topk": _PRELUDE
         + """

@@ -392,6 +392,64 @@ class Index:
     # docCount until their segment is merged away — so scores are unchanged
     # by delete_docs, and expunge_deletes() rebuilds stats.
     deletes: Optional[DataFrame] = None
+    # soft deletes (index/SoftDeletesRetentionMergePolicy.java analog): same
+    # match-exclusion semantics as hard tombstones, but REVERSIBLE — the
+    # docs are retained through merges (merge_segments/expunge_deletes never
+    # drop them) until expunge_soft_deletes(), and undelete_all_soft()
+    # restores them, like reopening past the soft-deletes field.
+    soft_deletes: Optional[DataFrame] = None
+
+    def soft_delete_docs(self, doc_ids) -> "Index":
+        """Mark docs soft-deleted (IndexWriter.softUpdateDocument's delete
+        side): excluded from matching, stats untouched, reversible."""
+        import dataclasses
+
+        spark = self.docs.sparkSession
+        if isinstance(doc_ids, DataFrame):
+            new = doc_ids.select(F.col("doc_id").cast("long"))
+        else:
+            new = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+        if self.soft_deletes is not None:
+            new = self.soft_deletes.unionByName(new).distinct()
+        return dataclasses.replace(self, soft_deletes=new)
+
+    def undelete_all_soft(self) -> "Index":
+        """Restore every soft-deleted doc (the retention story: the docs
+        were never physically removed)."""
+        import dataclasses
+
+        return dataclasses.replace(self, soft_deletes=None)
+
+    def expunge_soft_deletes(self) -> "Index":
+        """Convert soft deletes to hard tombstones and merge them away."""
+        import dataclasses
+
+        if self.soft_deletes is None:
+            return self
+        hard = self.delete_docs(self.soft_deletes)
+        hard = dataclasses.replace(hard, soft_deletes=None)
+        return hard.expunge_deletes()
+
+    def update_doc_values(self, col: str, updates: DataFrame) -> "Index":
+        """DocValuesUpdate analog (index/DocValuesUpdate.java,
+        IndexWriter.updateNumericDocValue): overwrite a docs-table column
+        for the given (doc_id, <col>) rows WITHOUT touching postings — the
+        doc-values generation trick re-expressed as a join + coalesce.
+        Affects stored-field reads, FeatureQuery, sort and facet paths."""
+        import dataclasses
+
+        if col not in self.docs.columns:
+            raise ValueError(f"unknown doc-values column {col!r}")
+        upd = updates.select(
+            F.col("doc_id").cast("long"),
+            F.col(col).alias("__new_val"),
+        )
+        new_docs = (
+            self.docs.join(upd, "doc_id", "left")
+            .withColumn(col, F.coalesce(F.col("__new_val"), F.col(col)))
+            .drop("__new_val")
+        )
+        return dataclasses.replace(self, docs=new_docs)
 
     def delete_docs(self, doc_ids) -> "Index":
         """Return a reader view with the given doc_ids tombstoned

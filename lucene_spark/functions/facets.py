@@ -1,0 +1,65 @@
+"""Drill-down / drill-sideways faceting — the facet module's navigation
+queries (facet/src/java/org/apache/lucene/facet/DrillDownQuery.java,
+DrillSideways.java) over flat dimension columns of the docs table
+(FacetsConfig's default non-hierarchical dims).
+
+- drill_down: base matches filtered by EVERY selected dimension value
+  (DrillDownQuery adds one FILTER clause per dim, OR across that dim's
+  selected values).
+- drill_sideways: for each dim, facet counts computed with that dim's OWN
+  filter removed but every other dim's filter applied (DrillSideways'
+  near-miss counting), so the UI can offer sibling values; dims with no
+  filter are counted under the full drill-down set.
+
+All joins/filters are JVM column expressions; the dims table is the docs
+table (tiny projection), so each sideways count is one semi-join + groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _apply_filters(
+    matches: DataFrame, dims: DataFrame, filters: Dict[str, Sequence[str]],
+    skip: str | None = None,
+) -> DataFrame:
+    out = matches
+    for dim, values in filters.items():
+        if dim == skip:
+            continue
+        sel = dims.filter(F.col(dim).isin(list(values))).select("doc_id")
+        out = out.join(sel, "doc_id", "left_semi")
+    return out
+
+
+def drill_down(
+    matches: DataFrame, dims: DataFrame, filters: Dict[str, Sequence[str]]
+) -> DataFrame:
+    """Base matches constrained by every dimension filter -> (doc_id, score)."""
+    return _apply_filters(matches, dims, filters)
+
+
+def drill_sideways(
+    matches: DataFrame,
+    dims: DataFrame,
+    filters: Dict[str, Sequence[str]],
+    facet_dims: List[str],
+) -> DataFrame:
+    """(dim, label, cnt): for each facet dim, counts over the drill-down set
+    with that dim's own filter lifted (near-miss counts)."""
+    parts = []
+    for dim in facet_dims:
+        base = _apply_filters(matches, dims, filters, skip=dim)
+        parts.append(
+            base.join(dims.select("doc_id", dim), "doc_id")
+            .groupBy(F.col(dim).alias("label"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .select(F.lit(dim).alias("dim"), "label", "cnt")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("dim", "label")

@@ -107,6 +107,10 @@ def merge_segments(
         postings=postings,
         stats=index.stats,
         config=new_cfg,
+        deletes=None if drop_deletes else index.deletes,
+        # soft deletes are RETAINED through merges (their docs are never
+        # dropped here) — SoftDeletesRetentionMergePolicy semantics
+        soft_deletes=index.soft_deletes,
     )
 
 

@@ -140,11 +140,18 @@ class Searcher:
         self._hot_pos_cached = 0
         # live-docs snapshot: a Searcher is a point-in-time reader (like
         # DirectoryReader) — tombstones are loaded once at open. Deleted docs
-        # never match; stats still include them (Lucene delete semantics).
+        # (hard AND soft) never match; stats still include them (Lucene
+        # delete semantics; soft deletes are just reversible tombstones).
         self._deleted: Optional[np.ndarray] = None
-        if index.deletes is not None:
+        tombs = [
+            t
+            for t in (index.deletes, getattr(index, "soft_deletes", None))
+            if t is not None
+        ]
+        if tombs:
+            allt = tombs[0] if len(tombs) == 1 else tombs[0].unionByName(tombs[1])
             self._deleted = np.array(
-                sorted(r["doc_id"] for r in index.deletes.collect()), dtype=np.int64
+                sorted({r["doc_id"] for r in allt.collect()}), dtype=np.int64
             )
 
     def preload_bounds(self, terms: Optional[Sequence[str]] = None) -> int:
@@ -181,9 +188,10 @@ class Searcher:
         return len(fetched)
 
     def _apply_deletes(self, df: DataFrame) -> DataFrame:
-        if self.index.deletes is None:
-            return df
-        return df.join(F.broadcast(self.index.deletes), "doc_id", "left_anti")
+        for tomb in (self.index.deletes, getattr(self.index, "soft_deletes", None)):
+            if tomb is not None:
+                df = df.join(F.broadcast(tomb), "doc_id", "left_anti")
+        return df
 
     # ---------------- public API ----------------
 

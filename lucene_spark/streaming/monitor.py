@@ -38,7 +38,11 @@ class Monitor:
     def match_batch(
         self, batch: DataFrame, content_col: str = "text", id_col: str = "doc_id"
     ) -> DataFrame:
-        """(query_id, doc_id) for every standing query matching a batch doc."""
+        """(query_id, doc_id) for every standing query matching a batch doc.
+        The result STAYS a DataFrame: it is materialized cluster-side
+        (persist + count) before the ephemeral index is released, never
+        round-tripped through the driver — at scale a percolator batch can
+        match far more rows than the driver should hold."""
         idx = build_index(
             batch, self.config, content_col=content_col, doc_id_col=id_col
         ).persist()
@@ -58,11 +62,10 @@ class Monitor:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-            # materialize before unpersisting the ephemeral index
-            rows = [(r["query_id"], int(r["doc_id"])) for r in out.collect()]
-            return batch.sparkSession.createDataFrame(
-                rows, "query_id string, doc_id long"
-            )
+            # pin the matches in executor storage before the index goes away
+            out = out.persist()
+            out.count()
+            return out
         finally:
             idx.unpersist()
 

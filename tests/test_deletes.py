@@ -102,3 +102,86 @@ def test_delete_accumulates_and_accepts_dataframe(spark, built):
     d1 = built.delete_docs([5])
     d2 = d1.delete_docs(spark.createDataFrame([(6,)], "doc_id long"))
     assert sorted(r["doc_id"] for r in d2.deletes.collect()) == [5, 6]
+
+
+def test_soft_deletes_reversible_and_retained(spark, built):
+    base = Searcher(built, dtype=np.float32)
+    top = base.search(TermQuery(term="spark"), 5, prune=False).collect()
+    victim = int(top[0]["doc_id"])
+    soft = built.soft_delete_docs([victim])
+    s = Searcher(soft, dtype=np.float32)
+    # excluded from matching, stats untouched (like hard tombstones)
+    assert victim not in _ids(s.search(TermQuery(term="spark"), 10, prune=False))
+    assert soft.stats.doc_count == built.stats.doc_count
+    # hard expunge does NOT drop soft-deleted docs (retention policy)
+    merged = soft.delete_docs([victim + 1 if victim + 1 < 300 else 0]).expunge_deletes()
+    assert merged.soft_deletes is not None
+    # reversible: undelete restores the doc with its original score
+    restored = Searcher(soft.undelete_all_soft(), dtype=np.float32)
+    got = restored.search(TermQuery(term="spark"), 5, prune=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in top
+    ]
+    # expunge_soft_deletes physically drops them
+    gone = soft.expunge_soft_deletes()
+    assert gone.soft_deletes is None and gone.deletes is None
+    assert gone.stats.doc_count == built.stats.doc_count - 1
+    assert victim not in _ids(
+        Searcher(gone, dtype=np.float32).search(TermQuery(term="spark"), 10,
+                                                prune=False)
+    )
+
+
+def test_update_doc_values_without_reindex(spark, built):
+    upd = spark.createDataFrame([(0, 777), (1, 888)], "doc_id long, length long")
+    idx2 = built.update_doc_values("length", upd)
+    rows = {r["doc_id"]: r["length"]
+            for r in idx2.docs.filter("doc_id < 3").collect()}
+    orig = {r["doc_id"]: r["length"]
+            for r in built.docs.filter("doc_id < 3").collect()}
+    assert rows[0] == 777 and rows[1] == 888 and rows[2] == orig[2]
+    # postings untouched: same query scores (updates only affect doc values)
+    a = Searcher(built, dtype=np.float32).search(TermQuery(term="red"), 5,
+                                                 prune=False).collect()
+    b = Searcher(idx2, dtype=np.float32).search(TermQuery(term="red"), 5,
+                                                prune=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+    with pytest.raises(ValueError):
+        built.update_doc_values("nope", upd)
+
+
+def test_drill_down_and_sideways(spark, built):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.functions import facets
+
+    dims = built.docs.select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("string").alias("lang"),
+        (F.col("doc_id") % 2).cast("string").alias("src"),
+    )
+    s = Searcher(built, dtype=np.float32)
+    base = s.matches(TermQuery(term="spark"))
+    filters = {"lang": ["0", "1"], "src": ["0"]}
+    dd = facets.drill_down(base, dims, filters)
+    base_ids = set(_ids(base.select("doc_id")))
+    exp_dd = {i for i in base_ids if i % 3 in (0, 1) and i % 2 == 0}
+    assert set(_ids(dd.select("doc_id"))) == exp_dd
+    side = facets.drill_sideways(base, dims, filters, ["lang", "src"]).collect()
+    got = {(r["dim"], r["label"]): r["cnt"] for r in side}
+    # lang counts: src filter applied, lang filter lifted -> label '2' present
+    exp_lang = {}
+    for i in base_ids:
+        if i % 2 == 0:
+            exp_lang[str(i % 3)] = exp_lang.get(str(i % 3), 0) + 1
+    for lbl, c in exp_lang.items():
+        assert got[("lang", lbl)] == c
+    # src counts: lang filter applied, src filter lifted -> label '1' present
+    exp_src = {}
+    for i in base_ids:
+        if i % 3 in (0, 1):
+            exp_src[str(i % 2)] = exp_src.get(str(i % 2), 0) + 1
+    for lbl, c in exp_src.items():
+        assert got[("src", lbl)] == c
