@@ -66,10 +66,15 @@ def main() -> None:
     code.count()
     sidecar = sha256_sidecar(code).persist()
     sidecar.count()
+    # the sha256 verify gate is timed separately — it is an ingest integrity
+    # check, not part of index-build throughput
     t0 = time.time()
     verify_sha256(code, sidecar)  # per-row invariant gate
+    t_verify = time.time() - t0
+    queries["sha256_verify_gate"] = round(t_verify, 3)
     code_cfg = IndexConfig(chain="code", seg_size=1 << 13, block_size=128,
                            with_positions=False)
+    t0 = time.time()
     cidx = build_index(code, code_cfg, order_cols=["repo", "path"],
                        num_partitions=cpus, eager=True)
     t_build_code = time.time() - t0

@@ -68,17 +68,41 @@ def _concat_global(arrays: Sequence) -> np.ndarray:
     return flat + offs
 
 
+def gather_slices(flat: np.ndarray, starts, lens) -> np.ndarray:
+    """Concatenate flat[starts[i] : starts[i]+lens[i]] for all i — one
+    vectorized gather, no per-slice Python loop."""
+    lens = np.asarray(lens, dtype=np.int64)
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.empty(0, dtype=flat.dtype)
+    cum = np.cumsum(lens)
+    base = np.repeat(np.asarray(starts, dtype=np.int64), lens)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(cum - lens, lens)
+    return flat[base + within]
+
+
 def exact_phrase_freqs(
     pos_by_term: Dict[str, List], terms: Sequence[str], n_docs: int
 ) -> np.ndarray:
     """freq[i] = exact-phrase occurrences in doc i. pos_by_term[t][i] is the
     sorted positions array of term t in doc i (None = absent)."""
+    return exact_phrase_freqs_global(
+        {t: _concat_global(v) for t, v in pos_by_term.items()}, terms, n_docs
+    )
+
+
+def exact_phrase_freqs_global(
+    g_by_term: Dict[str, np.ndarray], terms: Sequence[str], n_docs: int
+) -> np.ndarray:
+    """Same, but the caller already supplies the doc-offset global position
+    array per term (the driver hot cache gathers these with zero per-doc
+    Python — see Searcher._hot_phrase_rows)."""
     offsets: Dict[str, List[int]] = {}
     for i, t in enumerate(terms):
         offsets.setdefault(t, []).append(i)
     cand = None
     for t, offs in offsets.items():
-        g = _concat_global(pos_by_term[t])
+        g = g_by_term[t]
         for off in offs:
             s = g - off
             cand = s if cand is None else np.intersect1d(cand, s, assume_unique=True)

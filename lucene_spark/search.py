@@ -276,18 +276,30 @@ class Searcher:
             for t, g in pdf.groupby("term"):
                 g = g.sort_values("doc_id")
                 freqs = g["freq"].to_numpy(np.int64)
+                # FLAT layout: one concatenated positions array + per-doc
+                # start offsets — per-query gathers stay fully vectorized
+                # (matchers.gather_slices), no per-doc list handling
+                if len(g):
+                    flat = np.concatenate(
+                        [np.asarray(p, dtype=np.int64) for p in g["positions"]]
+                    )
+                else:
+                    flat = np.empty(0, np.int64)
+                starts = np.concatenate(([0], np.cumsum(freqs)[:-1])).astype(np.int64)
                 self._positions_cache[t] = (
                     g["doc_id"].to_numpy(np.int64),
                     freqs,
                     g["norm"].to_numpy(np.int64),
-                    [np.asarray(p, dtype=np.int64) for p in g["positions"]],
+                    flat,
+                    starts,
                 )
                 self._hot_pos_cached += int(freqs.sum())
             for t in need:
                 self._positions_cache.setdefault(
                     t,
                     (np.empty(0, np.int64), np.empty(0, np.int64),
-                     np.empty(0, np.int64), []),
+                     np.empty(0, np.int64), np.empty(0, np.int64),
+                     np.empty(0, np.int64)),
                 )
         return True
 
@@ -403,15 +415,32 @@ class Searcher:
         if len(cur) == 0:
             return []
         n_docs = len(cur)
-        pos_by_term = {
-            t: [self._positions_cache[t][3][idxs[t][di]] for di in range(n_docs)]
-            for t in uniq
-        }
-        if slop == 0:
-            freqs = matchers.exact_phrase_freqs(pos_by_term, terms, n_docs).astype(
-                np.float64
+        # vectorized multi-slice gather from the flat positions cache: the
+        # candidate docs' positions arrive as one contiguous array per term
+        # with candidate-order doc offsets already applied
+        g_by_term = {}
+        lens_by_term = {}
+        for t in uniq:
+            _d, tfreqs, _n, flat, starts = self._positions_cache[t]
+            sel = idxs[t]
+            lens = tfreqs[sel]
+            local = matchers.gather_slices(flat, starts[sel], lens)
+            lens_by_term[t] = lens
+            g_by_term[t] = local + np.repeat(
+                np.arange(n_docs, dtype=np.int64) << 32, lens
             )
+        if slop == 0:
+            freqs = matchers.exact_phrase_freqs_global(
+                g_by_term, terms, n_docs
+            ).astype(np.float64)
         else:
+            pos_by_term = {
+                t: np.split(
+                    g_by_term[t] & ((1 << 32) - 1),
+                    np.cumsum(lens_by_term[t])[:-1],
+                )
+                for t in uniq
+            }
             freqs = matchers.sloppy_phrase_freqs(pos_by_term, terms, slop, n_docs)
         keep = freqs > 0
         if not keep.any():

@@ -86,9 +86,14 @@ def child(cores: int, n_docs: int) -> None:
     cfg = IndexConfig(chain="code", seg_size=1 << 13, block_size=128,
                       with_positions=False)
 
+    # the sha256 gate is an ingest integrity check, timed apart from the
+    # index-build throughput (round-1 bench conflated them)
+    t0 = time.time()
+    verify_sha256(corpus, sidecar)
+    verify_sec = time.time() - t0
+
     def one_build():
         t0 = time.time()
-        verify_sha256(corpus, sidecar)
         idx = build_index(corpus, cfg, order_cols=["repo", "path"],
                           num_partitions=cores * 2, eager=True)
         return time.time() - t0, idx
@@ -127,16 +132,43 @@ def child(cores: int, n_docs: int) -> None:
             ts.append(time.time() - t0)
         warm.append(sorted(ts)[len(ts) // 2])
 
+    # positional build + phrase query (vectorized exact-phrase path): one
+    # timed build per level — a second scaling datapoint with positions on
+    from lucene_spark.query import PhraseQuery
+
+    pos_cfg = IndexConfig(chain="code", seg_size=1 << 13, block_size=128,
+                          with_positions=True)
+    t0 = time.time()
+    pidx = build_index(corpus, pos_cfg, order_cols=["repo", "path"],
+                       num_partitions=cores * 2, eager=True)
+    pos_build_sec = time.time() - t0
+    ps = Searcher(pidx, dtype=np.float32, preload_stats=True)
+    phrase_q = PhraseQuery(terms=("commit", "index"))
+    t0 = time.time()
+    ps.top_docs(phrase_q, 10)
+    phrase_cold = time.time() - t0
+    ts = []
+    for _ in range(QUERY_REPS):
+        t0 = time.time()
+        ps.top_docs(phrase_q, 10)
+        ts.append(time.time() - t0)
+    phrase_warm = sorted(ts)[len(ts) // 2]
+
     print(
         json.dumps(
             {
                 "cores": cores,
                 "n_docs": n_docs,
+                "verify_sec": round(verify_sec, 2),
                 "build_secs": [round(b, 2) for b in builds],
                 "build_sec": round(build_sec, 2),
                 "docs_per_sec": round(n_docs / build_sec, 1),
+                "pos_build_sec": round(pos_build_sec, 2),
+                "pos_docs_per_sec": round(n_docs / pos_build_sec, 1),
                 "query_cold_p50_sec": round(sorted(cold)[len(cold) // 2], 3),
                 "query_warm_p50_ms": round(sorted(warm)[len(warm) // 2] * 1000, 2),
+                "phrase_cold_sec": round(phrase_cold, 3),
+                "phrase_warm_ms": round(phrase_warm * 1000, 2),
             }
         )
     )
@@ -163,11 +195,15 @@ def main() -> None:
     for lo, hi in pairs:
         ratio = hi / lo
         eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / ratio
+        pos_eff = (
+            results[hi]["pos_docs_per_sec"] / results[lo]["pos_docs_per_sec"]
+        ) / ratio
         ceiling = (calib[hi] / calib[lo]) / ratio
         pair_reports.append(
             {
                 "pair": f"{lo}->{hi}",
                 "efficiency_raw": round(eff, 3),
+                "efficiency_positional": round(pos_eff, 3),
                 "hardware_ceiling": round(ceiling, 3),
                 "efficiency_vs_ceiling": round(eff / ceiling, 3),
             }
@@ -178,12 +214,14 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     level_rows = "\n".join(
         f"| local[{c}] | {results[c]['build_sec']} | {results[c]['docs_per_sec']} "
-        f"| {results[c]['query_cold_p50_sec']} | {results[c]['query_warm_p50_ms']} |"
+        f"| {results[c]['pos_build_sec']} | {results[c]['pos_docs_per_sec']} "
+        f"| {results[c]['query_cold_p50_sec']} | {results[c]['query_warm_p50_ms']} "
+        f"| {results[c]['phrase_cold_sec']} | {results[c]['phrase_warm_ms']} |"
         for c in levels
     )
     pair_rows = "\n".join(
-        f"| {p['pair']} | {p['efficiency_raw']} | {p['hardware_ceiling']} "
-        f"| {p['efficiency_vs_ceiling']} |"
+        f"| {p['pair']} | {p['efficiency_raw']} | {p['efficiency_positional']} "
+        f"| {p['hardware_ceiling']} | {p['efficiency_vs_ceiling']} |"
         for p in pair_reports
     )
     md = f"""# BENCH/BASELINE.md — measured baseline + scaling evidence
@@ -202,12 +240,18 @@ vCPUs are noisy). Query latency: cold = first execution (includes bounds/
 postings fetch), warm = p50 of {QUERY_REPS} repeats via ``Searcher.top_docs``
 (hot driver cache — the page-cache analog).
 
-| level | build wall (s) | docs/sec | query cold p50 (s) | query warm p50 (ms) |
-|---|---|---|---|---|
+Build timings EXCLUDE the per-row sha256 verify gate (timed separately —
+an ingest integrity check, not index throughput; round-1 baseline included
+it). The positional columns are a second build of the SAME corpus with
+``with_positions=True`` (single timed build per level) and a vectorized
+exact-phrase query ("commit index") on that index.
+
+| level | build wall (s) | docs/sec | pos build (s) | pos docs/sec | query cold p50 (s) | query warm p50 (ms) | phrase cold (s) | phrase warm (ms) |
+|---|---|---|---|---|---|---|---|---|
 {level_rows}
 
-| pair | efficiency (raw) | hardware ceiling | efficiency vs ceiling |
-|---|---|---|---|
+| pair | efficiency (raw) | efficiency (positional) | hardware ceiling | efficiency vs ceiling |
+|---|---|---|---|---|
 {pair_rows}
 
 efficiency(raw) = (docs_per_sec[4N] / docs_per_sec[N]) / 4. The hardware
