@@ -32,6 +32,7 @@ from lucene_spark.query import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     FeatureQuery,
+    IntervalQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
     PhraseQuery,
@@ -331,6 +332,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_near_unordered": lambda sp, d: _topk_df(
             _searcher(sp, d),
             SpanNearQuery(terms=("spark", "table"), slop=4, in_order=False),
+            10,
+        ),
+        "q_intervals_ordered": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalQuery(terms=("the", "fast", "table"), ordered=True, max_gaps=8),
+            10,
+        ),
+        "q_intervals_unordered": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalQuery(terms=("spark", "table"), ordered=False),
             10,
         ),
         "q_span_or": lambda sp, d: _topk_df(
@@ -777,6 +788,8 @@ def oracle_sql() -> dict[str, str]:
         "q_span_near_ordered": _span_near_sql(["spark", "table"], 4, True),
         "q_span_near_ordered3": _span_near_sql(["the", "fast", "table"], 6, True),
         "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
+        "q_intervals_ordered": _intervals_sql(["the", "fast", "table"], True, 8),
+        "q_intervals_unordered": _intervals_sql(["spark", "table"], False, -1),
         # span algebra: point spans weigh 1/(1+(end-start)) = 0.5 each
         "q_span_or": _freq_rank_sql(
             "  SELECT doc_id, count(*) * 0.5 AS freq\n"
@@ -1530,6 +1543,60 @@ agg AS (
 )
 """
         + _rank_tail("score", "FROM agg", k)
+    )
+
+
+def _intervals_sql(terms: list[str], ordered: bool, max_gaps: int, k: int = 10) -> str:
+    """IntervalQuery parity SQL (lucene_spark/matchers.py minimal-interval
+    staircases). Ordered: backward greedy chains q_{i-1} = max{pos(t_{i-1})
+    < q_i} from each last-term occurrence give the latest start per end;
+    unordered: per candidate end e, start = min over terms of the latest
+    occurrence <= e. Minimality = smallest end per start. freq = Σ
+    1/max(length - n + 1, 1); score = 1 - 1/(freq + 1) (saturation pivot 1)."""
+    n = len(terms)
+    if ordered:
+        ctes = [
+            f", b{n-1} AS (SELECT doc_id, pos AS e, pos AS q FROM tokp"
+            f" WHERE term = '{terms[n-1]}')"
+        ]
+        for i in range(n - 2, -1, -1):
+            ctes.append(
+                f", b{i} AS (\n"
+                f"  SELECT b.doc_id, b.e, max(t.pos) AS q\n"
+                f"  FROM b{i+1} b JOIN tokp t ON t.doc_id = b.doc_id"
+                f" AND t.term = '{terms[i]}' AND t.pos < b.q\n"
+                f"  GROUP BY b.doc_id, b.e\n)"
+            )
+        win = "SELECT doc_id, e, q AS s FROM b0"
+    else:
+        lits = ", ".join(f"'{t}'" for t in terms)
+        ctes = [
+            f""", ue AS (SELECT DISTINCT doc_id, pos AS e FROM tokp WHERE term IN ({lits})),
+lt AS (
+  SELECT ue.doc_id, ue.e, t.term, max(t.pos) AS mx
+  FROM ue JOIN tokp t ON t.doc_id = ue.doc_id AND t.term IN ({lits})
+       AND t.pos <= ue.e
+  GROUP BY ue.doc_id, ue.e, t.term
+)"""
+        ]
+        win = (
+            f"SELECT doc_id, e, min(mx) AS s FROM lt "
+            f"GROUP BY doc_id, e HAVING count(*) = {n}"
+        )
+    gaps_pred = f"WHERE (e - s + 1) - {n} <= {max_gaps}" if max_gaps >= 0 else ""
+    return (
+        _PRELUDE
+        + "".join(ctes)
+        + f"""
+, win AS ({win}),
+iv AS (SELECT doc_id, s, min(e) AS e FROM win GROUP BY doc_id, s),
+pf AS (
+  SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {n} + 1, 1)) AS freq
+  FROM iv {gaps_pred} GROUP BY doc_id
+),
+ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
+"""
+        + _rank_tail("score", "FROM ivsc", k)
     )
 
 

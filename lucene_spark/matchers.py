@@ -262,6 +262,88 @@ def _span_unordered2_freqs(pos_a, pos_b, slop: int, n_docs: int) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Minimal intervals (queries/intervals parity)
+# ---------------------------------------------------------------------------
+
+
+def ordered_minimal_intervals(g_by_clause: List[np.ndarray]):
+    """Minimal ordered intervals over point-term clauses
+    (OrderedIntervalsSource.java nextInterval + its minimizing loop): for
+    each end e (occurrence of the last clause), the backward greedy chain
+    q_{i-1} = max{pos(t_{i-1}) < q_i} yields the latest valid start; the
+    emitted set keeps only the SMALLEST end per start (no interval contains
+    another). Inputs/outputs use doc-offset global coordinates."""
+    g_last = g_by_clause[-1]
+    if any(len(a) == 0 for a in g_by_clause):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    cur = g_last
+    valid = np.ones(len(g_last), dtype=bool)
+    for arr in reversed(g_by_clause[:-1]):
+        j = np.searchsorted(arr, cur, side="left") - 1
+        ok = j >= 0
+        cur = np.where(ok, arr[np.maximum(j, 0)], cur)
+        valid &= ok
+    valid &= (cur >> _DOC_SHIFT) == (g_last >> _DOC_SHIFT)
+    s, e = cur[valid], g_last[valid]
+    if len(s) == 0:
+        return s, e
+    keep = np.ones(len(s), dtype=bool)
+    keep[1:] = s[1:] != s[:-1]  # e ascending => first e per start is minimal
+    return s[keep], e[keep]
+
+
+def unordered_minimal_intervals(g_by_clause: List[np.ndarray]):
+    """Minimal unordered intervals (UnorderedIntervalsSource.java): for each
+    candidate end e in the union of positions, the window start is
+    min over clauses of (latest occurrence <= e); keep the smallest end per
+    start — the classic minimal-window staircase."""
+    if any(len(a) == 0 for a in g_by_clause):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    union = np.sort(np.concatenate(g_by_clause))
+    L = None
+    valid = np.ones(len(union), dtype=bool)
+    for arr in g_by_clause:
+        j = np.searchsorted(arr, union, side="right") - 1
+        ok = j >= 0
+        m = arr[np.maximum(j, 0)]
+        ok &= (m >> _DOC_SHIFT) == (union >> _DOC_SHIFT)
+        L = m if L is None else np.minimum(L, m)
+        valid &= ok
+    s, e = L[valid], union[valid]
+    if len(s) == 0:
+        return s, e
+    keep = np.ones(len(s), dtype=bool)
+    keep[1:] = s[1:] != s[:-1]
+    return s[keep], e[keep]
+
+
+def interval_freqs(
+    pos_by_clause: List[List], ordered: bool, max_gaps: int, n_docs: int
+) -> np.ndarray:
+    """Per-doc interval sloppy freq (IntervalScorer.java:69-74):
+    Σ 1 / max(length - minExtent + 1, 1) over the minimal intervals, after
+    the optional maxgaps filter (FilteredIntervalsSource.maxGaps); minExtent
+    = clause count for point terms."""
+    n = len(pos_by_clause)
+    g = [_concat_global(lists) for lists in pos_by_clause]
+    s, e = (
+        ordered_minimal_intervals(g) if ordered else unordered_minimal_intervals(g)
+    )
+    out = np.zeros(n_docs, dtype=np.float64)
+    if len(s) == 0:
+        return out
+    length = e - s + 1
+    if max_gaps >= 0:
+        sel = (length - n) <= max_gaps
+        s, e, length = s[sel], e[sel], length[sel]
+    if len(s) == 0:
+        return out
+    w = 1.0 / np.maximum(length - n + 1, 1).astype(np.float64)
+    np.add.at(out, (e >> _DOC_SHIFT).astype(np.int64), w)
+    return out
+
+
 def _span_unordered_walk(pos_lists: List[np.ndarray], slop: int) -> float:
     """Literal NearSpansUnordered walk, one doc: check the current state,
     advance the min-start clause, repeat until one clause exhausts."""

@@ -97,6 +97,21 @@ class SpanFirstQuery(Query):
 
 
 @dataclass(frozen=True)
+class IntervalQuery(Query):
+    """Minimal-interval proximity (queries/intervals/IntervalQuery.java)
+    over term sources: Intervals.ordered / Intervals.unordered with an
+    optional maxgaps filter. freq = Σ 1/max(length - minExtent + 1, 1) over
+    the MINIMAL interval set (IntervalScorer.java:69-74); score = boost *
+    (1 - pivot/(freq + pivot)) — the saturation function, pivot default 1
+    (IntervalScoreFunction.java:56-75) — idf- and norm-free."""
+
+    terms: Tuple[str, ...] = ()
+    ordered: bool = True
+    max_gaps: int = -1  # -1 = unlimited (Intervals.maxgaps absent)
+    pivot: float = 1.0
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: Tuple[str, ...] = ()
 

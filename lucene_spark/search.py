@@ -42,6 +42,7 @@ from .query import (
     MatchNoDocsQuery,
     MultiPhraseQuery,
     Occur,
+    IntervalQuery,
     PhraseQuery,
     SpanFirstQuery,
     SpanNearQuery,
@@ -685,6 +686,8 @@ class Searcher:
             return self._eval_span_not(q)
         if isinstance(q, SpanFirstQuery):
             return self._eval_span_first(q)
+        if isinstance(q, IntervalQuery):
+            return self._eval_intervals(q)
         if isinstance(q, ConstantScoreQuery):
             inner = self._eval(q.query, needs_scores=False)
             return inner.select("doc_id").distinct().withColumn(
@@ -1127,6 +1130,48 @@ class Searcher:
             F.col("freq") > 0
         )
         return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
+
+    def _eval_intervals(self, q: IntervalQuery) -> DataFrame:
+        """IntervalQuery (queries/intervals): minimal ordered/unordered
+        intervals via the vectorized staircase kernels in matchers.py; freq
+        and the saturation score per IntervalScorer/IntervalScoreFunction —
+        no norms, no idf (interval scoring is similarity-free)."""
+        terms = list(q.terms)
+        if len(set(terms)) != len(terms):
+            raise NotImplementedError("interval sources with duplicate terms")
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return self._empty()
+        ordered, max_gaps = bool(q.ordered), int(q.max_gaps)
+        terms_t = tuple(terms)
+
+        @F.pandas_udf("double")
+        def iv_freq(plist: pd.Series) -> pd.Series:
+            from . import matchers
+
+            n_docs = len(plist)
+            by_term = {t: [None] * n_docs for t in terms_t}
+            for i, entries in enumerate(plist):
+                for e in entries:
+                    by_term[e["term"]][i] = np.asarray(e["positions"], dtype=np.int64)
+            return pd.Series(
+                matchers.interval_freqs(
+                    [by_term[t] for t in terms_t], ordered, max_gaps, n_docs
+                )
+            )
+
+        grouped = self._grouped_positions(terms, min_terms=len(terms))
+        scored = grouped.withColumn("freq", iv_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        pivot = float(q.pivot)
+        return scored.select(
+            "doc_id",
+            (
+                F.lit(float(q.boost))
+                * (F.lit(1.0) - F.lit(pivot) / (F.col("freq") + F.lit(pivot)))
+            ).alias("score"),
+        )
 
     def _eval_span_or(self, q: SpanOrQuery) -> DataFrame:
         """SpanOrQuery (search/spans/SpanOrQuery.java): docs matching ANY

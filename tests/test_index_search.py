@@ -345,6 +345,34 @@ def test_multi_term_constant_score_is_distributed(searcher, built):
         S.MAX_CLAUSE_COUNT = old
 
 
+@pytest.mark.parametrize("ordered,max_gaps", [(True, 3), (True, -1), (False, -1), (False, 2)])
+def test_interval_query(searcher, oracle, ordered, max_gaps):
+    from lucene_spark.query import IntervalQuery
+    from test_matchers import _brute_minimal_intervals
+
+    w = ["the", "query"]
+    n = len(w)
+    exp_scores = {}
+    for d in range(oracle.doc_count):
+        pos = oracle.positions[d]
+        if any(t not in pos for t in w):
+            continue
+        freq = 0.0
+        for s, e in _brute_minimal_intervals([pos[t] for t in w], ordered):
+            length = e - s + 1
+            if max_gaps >= 0 and (length - n) > max_gaps:
+                continue
+            freq += 1.0 / max(length - n + 1, 1)
+        if freq > 0:
+            exp_scores[d] = np.float32(1.0 - 1.0 / (freq + 1.0))
+    exp = BruteForceIndex.topk(exp_scores, 10)
+    assert len(exp) > 0
+    got = searcher.search(
+        IntervalQuery(terms=tuple(w), ordered=ordered, max_gaps=max_gaps), 10
+    )
+    assert_topk_equal(got, exp)
+
+
 def test_feature_query_scoring(searcher, built):
     import math
 

@@ -129,6 +129,46 @@ def test_exact_phrase_vectorized_equals_set_intersection(a, b, c):
     assert got == len(cands)
 
 
+def _brute_minimal_intervals(lists, ordered):
+    """Enumerate every candidate interval, keep the non-containing minimal
+    set — the definition the lazy iterators implement."""
+    import itertools
+
+    cands = set()
+    for tup in itertools.product(*lists):
+        if ordered:
+            if not all(tup[i] < tup[i + 1] for i in range(len(tup) - 1)):
+                continue
+        cands.add((min(tup), max(tup)))
+    return {
+        (s, e)
+        for (s, e) in cands
+        if not any(
+            (s2 >= s and e2 <= e and (s2, e2) != (s, e)) for (s2, e2) in cands
+        )
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(positions, positions, positions, st.booleans(), st.integers(-1, 6))
+def test_interval_freqs_match_brute_minimal_windows(a, b, c, ordered, max_gaps):
+    b = _disjoint(a, b)
+    c = _disjoint(a + b, c)
+    lists = [a, b, c]
+    n = 3
+    got = matchers.interval_freqs(
+        [[np.asarray(x, dtype=np.int64)] for x in lists], ordered, max_gaps, 1
+    )[0]
+    minimal = _brute_minimal_intervals(lists, ordered)
+    exp = 0.0
+    for s, e in minimal:
+        length = e - s + 1
+        if max_gaps >= 0 and (length - n) > max_gaps:
+            continue
+        exp += 1.0 / max(length - n + 1, 1)
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
 def test_exact_phrase_multi_doc_batch():
     # cross-doc isolation: doc 0 "x y", doc 1 "y x", doc 2 "x ... y"
     pos_by_term = {
