@@ -12,6 +12,7 @@ history (SURVEY.md §7.4 hot-term requirement).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Iterator, List
 
@@ -46,6 +47,94 @@ def plan_merges(
         for i in range(0, len(small), max_segments_per_merge)
     ]
     return MergePlan(groups=[g for g in groups if len(g) > 1])
+
+
+def plan_merges_tiered(
+    segment_sizes: dict,
+    max_merge_at_once: int = 10,
+    segs_per_tier: float = 10.0,
+    floor_docs: int = 1024,
+    max_merged_docs: int = 5_000_000,
+) -> MergePlan:
+    """TieredMergePolicy.findMerges parity, in doc-count units
+    (index/TieredMergePolicy.java:380-437 budget, :460-560 candidate
+    enumeration, :644-692 scoring; deletes don't exist per-segment here so
+    nonDelRatio = 1):
+
+    - segments larger than max_merged_docs/2 are ineligible (too big);
+    - allowed segment budget from the tier geometry: levelSize starts at
+      max(smallest eligible, floor_docs); each tier admits segs_per_tier
+      segments; the level grows by mergeFactor = min(max_merge_at_once,
+      segs_per_tier) until the remainder fits one tier;
+    - while over budget: every size-descending window of up to mergeFactor
+      segments is a candidate (smaller segments are packed in when the max
+      merged size is hit); score = skew * totAfter^0.05 with skew =
+      floorSize(first)/Σ floorSize — lowest score wins; at most one
+      too-large merge per pass."""
+    mf = int(min(max_merge_at_once, segs_per_tier))
+    too_big_cut = max_merged_docs / 2.0
+    eligible = sorted(
+        (s for s, n in segment_sizes.items() if n <= too_big_cut),
+        key=lambda s: (-segment_sizes[s], s),
+    )
+    if not eligible:
+        return MergePlan(groups=[])
+
+    def floor_size(n: int) -> float:
+        return float(max(n, floor_docs))
+
+    # allowed segment budget (TieredMergePolicy.java:401-414)
+    tot = sum(segment_sizes[s] for s in eligible)
+    level = max(min(segment_sizes[s] for s in eligible), floor_docs)
+    remaining = float(tot)
+    allowed = 0.0
+    while True:
+        seg_count_level = remaining / level
+        if seg_count_level < segs_per_tier or level >= max_merged_docs:
+            allowed += math.ceil(seg_count_level)
+            break
+        allowed += segs_per_tier
+        remaining -= segs_per_tier * level
+        level = min(max_merged_docs, level * mf)
+    allowed = max(allowed, segs_per_tier)
+
+    groups: List[List[int]] = []
+    have_large = False
+    while len(eligible) > allowed:
+        best, best_score, best_large = None, None, False
+        for start in range(len(eligible)):
+            cand: List[int] = []
+            cand_docs = 0
+            hit_too_large = False
+            for idx in range(start, len(eligible)):
+                if len(cand) >= mf or cand_docs >= max_merged_docs:
+                    break
+                n = segment_sizes[eligible[idx]]
+                if cand_docs + n > max_merged_docs:
+                    hit_too_large = True
+                    if not cand:
+                        cand.append(eligible[idx])
+                    continue  # keep packing smaller segments
+                cand.append(eligible[idx])
+                cand_docs += n
+            if len(cand) < 2 or (hit_too_large and have_large):
+                continue
+            tot_after = sum(segment_sizes[s] for s in cand)
+            tot_floored = sum(floor_size(segment_sizes[s]) for s in cand)
+            if hit_too_large:
+                skew = 1.0 / mf
+            else:
+                skew = floor_size(segment_sizes[cand[0]]) / tot_floored
+            score = skew * (tot_after ** 0.05)
+            if best_score is None or score < best_score:
+                best, best_score, best_large = cand, score, hit_too_large
+        if best is None:
+            break
+        groups.append(best)
+        have_large = have_large or best_large
+        chosen = set(best)
+        eligible = [s for s in eligible if s not in chosen]
+    return MergePlan(groups=groups)
 
 
 def merge_metrics(before: Index, after: Index, wall_sec: float) -> dict:

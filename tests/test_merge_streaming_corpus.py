@@ -276,3 +276,34 @@ def test_append_documents_equals_full_build(spark):
         f = [(int(r["doc_id"]), np.float32(r["score"]))
              for r in s_f.search(q, 15, prune=False).collect()]
         assert a == f
+
+
+def test_plan_merges_tiered_budget_and_scoring():
+    from lucene_spark.merge import plan_merges_tiered
+
+    # 25 uniform small segments, floor 1024: budget = segs_per_tier (10);
+    # the planner merges balanced windows of 10 until within budget
+    sizes = {i: 100 for i in range(25)}
+    plan = plan_merges_tiered(sizes, max_merge_at_once=10, segs_per_tier=10,
+                              floor_docs=1024)
+    merged = [s for g in plan.groups for s in g]
+    assert len(merged) == len(set(merged))  # no segment in two merges
+    assert all(len(g) == 10 for g in plan.groups[:1])
+    # enough merges planned to bring 25 under the budget of 10
+    assert 25 - sum(len(g) - 1 for g in plan.groups) <= 10
+
+    # tiered geometry: one big segment + ten floor-size ones is over budget
+    # only by the small tier; merges never include the too-big segment
+    sizes2 = {0: 4_000_000, **{i: 500 for i in range(1, 30)}}
+    plan2 = plan_merges_tiered(sizes2, max_merged_docs=5_000_000)
+    assert all(0 not in g for g in plan2.groups)
+
+    # a balanced window scores better than a lopsided one: with one huge
+    # eligible segment and many small, the chosen merges are all-small
+    # (skew = floor(first)/Σfloor punishes the huge-segment window)
+    sizes3 = {0: 900_000, **{i: 1000 for i in range(1, 41)}}
+    plan3 = plan_merges_tiered(sizes3, segs_per_tier=4, floor_docs=1024)
+    assert plan3.groups and all(0 not in g for g in plan3.groups)
+
+    # under budget -> no merges
+    assert plan_merges_tiered({0: 10_000, 1: 12_000}).groups == []
