@@ -58,6 +58,46 @@ def duckdb_token_re() -> str:
     return TOKEN_RE.replace("'", "''")
 
 
+def _build_fold_map() -> dict:
+    """ASCIIFoldingFilter analog (analysis/common/.../miscellaneous/
+    ASCIIFoldingFilter.java): map accented Latin letters to their ASCII
+    base. Derived from NFKD decomposition minus combining marks over
+    U+0080..U+024F (Latin-1 Supplement + Latin Extended-A/B head), plus the
+    special cases the reference folds that have no decomposition."""
+    import unicodedata
+
+    m: dict = {}
+    for cp in range(0x80, 0x250):
+        ch = chr(cp)
+        d = unicodedata.normalize("NFKD", ch)
+        a = "".join(c for c in d if not unicodedata.combining(c))
+        if a and a != ch and all(ord(c) < 128 for c in a):
+            m[cp] = a
+    for k, v in {
+        "ß": "ss", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+        "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+        "þ": "th", "Þ": "TH", "ł": "l", "Ł": "L", "ı": "i",
+    }.items():
+        m[ord(k)] = v
+    return m
+
+
+FOLD_MAP = _build_fold_map()
+
+
+def fold_ascii(text: str) -> str:
+    """Fold accented Latin characters to ASCII, BEFORE tokenization (so
+    'café' stays one token instead of stopping at the non-ASCII char)."""
+    return text.translate(FOLD_MAP)
+
+
+def _resolve_chain(chain: str) -> Tuple[str, bool]:
+    """'standard_fold' / 'code_fold' = ASCII folding + the base chain."""
+    if chain.endswith("_fold"):
+        return chain[:-5], True
+    return chain, False
+
+
 def _chop(tok: str) -> Iterable[str]:
     if len(tok) <= MAX_TOKEN_LENGTH:
         yield tok
@@ -98,10 +138,14 @@ def code_analyze(text: str) -> List[str]:
 def analyze_series(texts: pd.Series, chain: str = "standard") -> pd.Series:
     """Vectorized analysis of a pandas Series of strings -> Series of
     list[str] token arrays. This is the Arrow-UDF entry point."""
-    fn = standard_analyze if chain == "standard" else code_analyze
+    base, fold = _resolve_chain(chain)
+    fn = standard_analyze if base == "standard" else code_analyze
+    texts = texts.fillna("")
+    if fold:
+        texts = texts.str.translate(FOLD_MAP)
     # pd.Series.map over a C-regex finditer; no Python object churn beyond
     # the token lists themselves (which are the output).
-    return texts.fillna("").map(fn)
+    return texts.map(fn)
 
 
 def terms_with_positions(tokens: List[str]) -> List[Tuple[str, int]]:
@@ -137,7 +181,10 @@ def flat_tokenize(
       a token and parts never span connector punctuation.
     """
     texts = texts.fillna("")
-    if chain == "standard":
+    base, fold = _resolve_chain(chain)
+    if fold:
+        texts = texts.str.translate(FOLD_MAP)
+    if base == "standard":
         lists = texts.str.lower().str.findall(_TOKEN_PATTERN)
     else:
         lists = texts.str.findall(_WDF_PART)
@@ -145,13 +192,13 @@ def flat_tokenize(
     import itertools
 
     flat = np.array(list(itertools.chain.from_iterable(lists)), dtype=object)
-    if chain != "standard" and len(flat):
+    if base != "standard" and len(flat):
         flat = pd.Series(flat).str.lower().to_numpy(dtype=object)
     # maxTokenLength chop (rare): only rebuild rows containing long tokens
     if len(flat):
         lens = pd.Series(flat).str.len().to_numpy()
         if lens.max() > MAX_TOKEN_LENGTH:
-            fn = standard_analyze if chain == "standard" else code_analyze
+            fn = standard_analyze if base == "standard" else code_analyze
             rebuilt = texts.map(fn)
             counts = rebuilt.map(len).to_numpy(dtype=np.int64)
             flat = np.array(

@@ -124,3 +124,41 @@ def test_duckdb_and_spark_regex_agree():
             params=[t],
         ).fetchone()[0]
         assert got == standard_analyze(t), t
+
+
+# ---- ASCII folding chain (ASCIIFoldingFilter analog) ----
+
+
+def test_fold_ascii_reference_cases():
+    from lucene_spark.analysis import fold_ascii
+
+    assert fold_ascii("Crème Brûlée") == "Creme Brulee"
+    assert fold_ascii("café ñoño Ærø") == "cafe nono AEro"
+    assert fold_ascii("straße Łódź") == "strasse Lodz"
+    assert fold_ascii("Þór døgn") == "THor dogn"
+    assert fold_ascii("plain ascii 123") == "plain ascii 123"
+
+
+def test_fold_chain_tokenizes_whole_words():
+    import pandas as pd
+
+    from lucene_spark.analysis import flat_tokenize
+
+    s = pd.Series(["Crème café ß"])
+    flat, counts = flat_tokenize(s, chain="standard_fold")
+    assert list(flat) == ["creme", "cafe", "ss"]
+    assert counts.tolist() == [3]
+    # WITHOUT folding the non-ASCII chars break tokens apart
+    flat2, _ = flat_tokenize(s, chain="standard")
+    assert "creme" not in list(flat2)
+
+
+def test_fold_chain_batch_equals_scalar():
+    import pandas as pd
+
+    from lucene_spark.analysis import analyze_series, flat_tokenize
+
+    texts = pd.Series(["École élève", "naïve coöperate", "Ærøskøbing"])
+    flat, counts = flat_tokenize(texts, chain="standard_fold")
+    via_series = [t for lst in analyze_series(texts, chain="standard_fold") for t in lst]
+    assert list(flat) == via_series
