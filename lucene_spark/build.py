@@ -680,8 +680,16 @@ def write_index(index: Index, path: str) -> dict:
     )
     index.terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
     index.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    # live-docs state is part of the commit point (Lucene90LiveDocsFormat
+    # writes per-generation .liv files; soft deletes persist as doc values)
+    for name, tomb in (("deletes", index.deletes),
+                       ("soft_deletes", index.soft_deletes)):
+        if tomb is not None:
+            tomb.write.mode("overwrite").parquet(os.path.join(path, name))
     manifest = {
         "generation": int(time.time()),
+        "has_deletes": index.deletes is not None,
+        "has_soft_deletes": index.soft_deletes is not None,
         "doc_count": index.stats.doc_count,
         "sum_total_term_freq": index.stats.sum_total_term_freq,
         "config": {
@@ -713,4 +721,14 @@ def read_index(spark: SparkSession, path: str) -> Index:
             sum_total_term_freq=manifest["sum_total_term_freq"],
         ),
         config=cfg,
+        deletes=(
+            spark.read.parquet(os.path.join(path, "deletes"))
+            if manifest.get("has_deletes")
+            else None
+        ),
+        soft_deletes=(
+            spark.read.parquet(os.path.join(path, "soft_deletes"))
+            if manifest.get("has_soft_deletes")
+            else None
+        ),
     )

@@ -185,3 +185,22 @@ def test_drill_down_and_sideways(spark, built):
             exp_src[str(i % 2)] = exp_src.get(str(i % 2), 0) + 1
     for lbl, c in exp_src.items():
         assert got[("src", lbl)] == c
+
+
+def test_write_read_index_persists_tombstones(spark, built, tmp_path):
+    from lucene_spark.build import read_index, write_index
+
+    idx = built.delete_docs([1, 2]).soft_delete_docs([5])
+    path = str(tmp_path / "idx_tombs")
+    write_index(idx, path)
+    reopened = read_index(spark, path)
+    s = Searcher(reopened, dtype=np.float32)
+    hits = set(_ids(s.matches(TermQuery(term="the")).select("doc_id")))
+    assert not ({1, 2, 5} & hits)
+    # stats unchanged by tombstones (delete semantics preserved on reopen)
+    assert reopened.stats.doc_count == built.stats.doc_count
+    # an index without tombstones reads back with none
+    path2 = str(tmp_path / "idx_clean")
+    write_index(built, path2)
+    clean = read_index(spark, path2)
+    assert clean.deletes is None and clean.soft_deletes is None
