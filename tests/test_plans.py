@@ -85,3 +85,46 @@ def test_boolean_agg_is_partial_aggregated(written):
     assert "HashAggregate" in plan and "Exchange" in plan
     pre, _, _post = plan.partition("Exchange")
     assert "HashAggregate" in pre  # partial agg upstream of the shuffle
+
+
+def test_suggest_prefix_pushdown(written):
+    from lucene_spark.functions.suggest import suggest_prefix
+
+    plan = _plan(suggest_prefix(written.terms, "de", 5))
+    assert "PushedFilters" in plan
+    assert "StringStartsWith(term,de)" in plan
+    # top-k is a TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multi_term_semi_join_no_collect(written):
+    from lucene_spark.query import PrefixQuery
+
+    s = Searcher(written, dtype=np.float32)
+    plan = _plan(s.matches(PrefixQuery(prefix="de")))
+    # distributed expansion: postings semi-joined against the filtered terms
+    assert "LeftSemi" in plan
+    # the prefix predicate reaches the terms-table Parquet scan
+    assert "StringStartsWith(term,de)" in plan
+
+
+def test_span_or_is_jvm_only(written):
+    # SpanOrQuery freq aggregation never leaves the JVM except the block
+    # decoder itself; the aggregation layer shows partial HashAggregates
+    from lucene_spark.query import SpanOrQuery
+
+    s = Searcher(written, dtype=np.float32)
+    plan = _plan(s.matches(SpanOrQuery(terms=("def", "merge"))))
+    assert "HashAggregate" in plan
+
+
+def test_jaccard_prefix_filter_in_plan(spark):
+    # the candidate join reads from the rank-filtered prefix, not raw tokens:
+    # the plan must contain the window rank filter upstream of the self-join
+    from lucene_spark.functions.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"common u{i}a u{i}b") for i in range(20)], "doc_id long, text string"
+    )
+    plan = _plan(jaccard_pairs(df, "doc_id", "text", min_sim=0.8))
+    assert "row_number" in plan or "RunningWindowFunction" in plan or "Window" in plan
