@@ -529,6 +529,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").cast("long").alias("cnt"))
             .orderBy("bucket")
         ),
+        "q_facet_taxonomy": lambda sp, d: (
+            lambda s: ffacets.taxonomy_counts(
+                s.matches(TermQuery(term="table")),
+                s.index.docs.select(
+                    "doc_id",
+                    F.concat_ws("/", F.col("lang"), F.col("source")).alias("path"),
+                ),
+                "path",
+            )
+        )(_searcher(sp, d)),
         "q_drilldown": lambda sp, d: (
             lambda s: ffacets.drill_down(
                 s.matches(TermQuery(term="table")),
@@ -615,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- monitor / percolator (standing queries over a doc batch) ----
         "q_monitor": lambda sp, d: _monitor_matches(sp, d),
+        # ---- stateful streaming dedup (applyInPandasWithState) ----
+        "stream_dedup_first_seen": lambda sp, d: _stream_dedup(sp, d),
         # ---- alternate similarities (SURVEY §2.6) ----
         "q_sim_classic": lambda sp, d: _topk_df(
             _searcher(sp, d, sim="classic"), TermQuery(term="spark"), 10
@@ -750,6 +762,39 @@ MONITOR_QUERIES = [
     ("mq2", TermQuery(term="merge")),
     ("mq3", PhraseQuery(terms=("fast", "table"))),
 ]
+
+
+def _stream_dedup(sp: SparkSession, d: str) -> DataFrame:
+    """Cross-batch stateful dedup run as a one-batch availableNow stream
+    over the documents table (the applyInPandasWithState operator; see
+    lucene_spark/streaming/dedup_stream.py). Deterministic: the first-seen
+    winner per content hash is the smallest doc_id."""
+    import tempfile
+
+    from lucene_spark.streaming.dedup_stream import dedup_stream
+
+    key = f"{d}::__stream_dedup"
+    if key not in _CACHE:
+        tmp = tempfile.mkdtemp(prefix="ls_stream_dedup_")
+        src = os.path.join(tmp, "src")
+        outp = os.path.join(tmp, "out")
+        ck = os.path.join(tmp, "ck")
+        _docs(sp, d).select("doc_id", "text").coalesce(4).write.mode(
+            "overwrite"
+        ).json(src)
+        stream = sp.readStream.schema("doc_id long, text string").json(src)
+        q = (
+            dedup_stream(stream, shards=8)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        _CACHE[key] = outp
+    return sp.read.parquet(_CACHE[key]).orderBy("doc_id")
 
 
 def _monitor_matches(sp: SparkSession, d: str) -> DataFrame:
@@ -922,6 +967,19 @@ FROM documents d WHERE EXISTS (
   SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'table')
 GROUP BY bucket ORDER BY bucket
 """,
+        "q_facet_taxonomy": _PRELUDE
+        + """
+, base AS (
+  SELECT d.doc_id, d.lang || '/' || d.source AS path FROM documents d
+  WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'table')
+),
+pref AS (
+  SELECT doc_id, lang AS path FROM (
+    SELECT doc_id, string_split(path, '/')[1] AS lang FROM base)
+  UNION ALL SELECT doc_id, path FROM base
+)
+SELECT path, count(*)::BIGINT AS cnt FROM pref GROUP BY path ORDER BY path
+""",
         "q_drilldown": _PRELUDE
         + """
 SELECT DISTINCT d.doc_id::BIGINT AS doc_id
@@ -1030,6 +1088,13 @@ SELECT rank, doc_id, score FROM (
 ) WHERE rank > 10 AND rank <= 20 ORDER BY rank
 """,
         "q_monitor": _monitor_sql(),
+        "stream_dedup_first_seen": """
+SELECT doc_id, text_md5 FROM (
+  SELECT doc_id::BIGINT AS doc_id, md5(text) AS text_md5,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY doc_id
+""",
         # ClassicSimilarity: sqrt(freq) * (ln((N+1)/(df+1)) + 1) * 1/sqrt(dlq)
         # (ClassicSimilarity.java:38-64, TFIDFSimilarity.java:455-474)
         "q_sim_classic": _PRELUDE

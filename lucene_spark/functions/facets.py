@@ -42,6 +42,31 @@ def drill_down(
     return _apply_filters(matches, dims, filters)
 
 
+def taxonomy_counts(
+    matches: DataFrame, dims: DataFrame, path_col: str, sep: str = "/"
+) -> DataFrame:
+    """Hierarchical taxonomy counts (facet/taxonomy: FacetsConfig
+    hierarchical dims + TaxonomyFacetCounts): every PREFIX of a doc's
+    ``sep``-separated path accumulates the doc — e.g. path 'en/src1' counts
+    under both 'en' and 'en/src1'. One explode over path depth (tiny) + one
+    count aggregation; getTopChildren(path) is then a prefix filter over
+    the result."""
+    parts = F.split(F.col(path_col), sep)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, F.lit(1), i), sep),
+    )
+    return (
+        matches.select("doc_id")
+        .distinct()
+        .join(dims.select("doc_id", path_col), "doc_id")
+        .select(F.explode(prefixes).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("path")
+    )
+
+
 def drill_sideways(
     matches: DataFrame,
     dims: DataFrame,

@@ -307,3 +307,43 @@ def test_plan_merges_tiered_budget_and_scoring():
 
     # under budget -> no merges
     assert plan_merges_tiered({0: 10_000, 1: 12_000}).groups == []
+
+
+def test_dedup_stream_across_batches(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: hashes seen in run 1 are
+    still deduped in run 2 (state survives via the streaming checkpoint)."""
+    import json as _json
+
+    from lucene_spark.streaming.dedup_stream import dedup_stream
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = (
+            dedup_stream(stream, shards=4)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(src / "a.json", "w") as fh:
+        for i, t in ((0, "alpha text"), (1, "beta text"), (2, "alpha text")):
+            fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    run_once()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert len(got1) == 2 and 1 in got1  # one of {0,2} + doc 1
+
+    with open(src / "b.json", "w") as fh:
+        for i, t in ((3, "alpha text"), (4, "gamma text")):
+            fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    run_once()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == got1 | {4}  # doc 3's hash was seen in run 1 -> dropped
