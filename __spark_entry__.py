@@ -667,6 +667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": lambda sp, d: fdedup.jaccard_pairs(
             _docs(sp, d), "doc_id", "text", min_sim=0.8
         ),
+        "dedup_embedding": lambda sp, d: fdedup.embedding_near_dup_pairs(
+            _emb(sp, d), min_cos=0.4, tables=8, bits=6
+        ),
         # ---- similarity search over embeddings ----
         "sim_cosine_topk": lambda sp, d: fsim.cosine_topk(
             _emb(sp, d), [0, 1, 2], k=5
@@ -1328,6 +1331,36 @@ SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
        round(i / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i / (sa.sz + sb.sz - i) >= 0.8 ORDER BY doc_a, doc_b
+""",
+        # embedding near-dup: mirrors the Spark blocking exactly (8 tables x
+        # 6 bits of md5-derived Rademacher planes) + exact cosine verify
+        "dedup_embedding": """
+WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT t.i AS t, b.i AS b, j.i AS j,
+         CASE WHEN substr(md5(t.i::VARCHAR || ':' || b.i::VARCHAR || ':' || j.i::VARCHAR), 1, 1) >= '8'
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM generate_series(0, 7) t(i), generate_series(0, 5) b(i), generate_series(0, 63) j(i)
+),
+proj AS (
+  SELECT e.vec_id, p.t, p.b, sum(p.s * e.v[p.j + 1]) AS pr
+  FROM e CROSS JOIN planes p GROUP BY 1, 2, 3
+),
+buck AS (
+  SELECT vec_id, t AS tbl,
+         sum(CASE WHEN pr > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buck a JOIN buck b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos FROM (
+  SELECT cand.vec_a, cand.vec_b,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+  FROM cand JOIN e ea ON ea.vec_id = cand.vec_a JOIN e eb ON eb.vec_id = cand.vec_b
+) WHERE cos >= 0.4 ORDER BY vec_a, vec_b
 """,
         "sim_cosine_topk": """
 WITH q AS (SELECT vec_id::BIGINT AS query_id, embedding::DOUBLE[] AS qv

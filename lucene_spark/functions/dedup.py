@@ -236,6 +236,56 @@ def simhash_near_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    min_cos: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 8,
+    bits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates must share >= 1
+    multi-table random-hyperplane LSH bucket (equi-join per table, never an
+    all-pairs cross join), then exact cosine >= min_cos verifies. Precision
+    is exact; recall is the LSH collision probability — ~1.0 for
+    near-dup-grade similarity (cos >= 0.9 gives per-table p ≈ 0.39, miss
+    over 8 tables ≈ 0.018; measured on the clustered test fixture). The
+    deterministic md5-derived planes keep the SQL oracle bit-identical."""
+    from .simsearch import _dot, _norm, rh_lsh_buckets
+
+    b = rh_lsh_buckets(emb, id_col, vec_col, tables, bits)
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = emb.select(
+        F.col(id_col).cast("long").alias("vec_a"), F.col(vec_col).alias("av")
+    )
+    vb = emb.select(
+        F.col(id_col).cast("long").alias("vec_b"), F.col(vec_col).alias("bv")
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("av"), F.col("bv"))
+                / (_norm(F.col("av")) * _norm(F.col("bv"))),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= min_cos)
+        .select("vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, min_sim: float = 0.8
 ) -> DataFrame:

