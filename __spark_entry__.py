@@ -120,6 +120,7 @@ def _docs_df(s: Searcher, q: Query) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _TOKRE = duckdb_token_re()
+_BPERE = ftext.BPE_RE.replace("'", "''")
 
 # shared CTE prefix: tokens, tf, doc length, SmallFloat norm byte + decoded
 # quantized length, collection stats (doc_count = all rows, matching the
@@ -1441,6 +1442,7 @@ SELECT query_id, rank, vec_id, sim FROM (
 SELECT doc_id::BIGINT AS doc_id,
        len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
        len(regexp_extract_all(lower(text), '{_TOKRE}'))::BIGINT AS re_tokens,
+       len(regexp_extract_all(text, '{_BPERE}'))::BIGINT AS bpe_ish_tokens,
        len(list_distinct(regexp_extract_all(lower(text), '{_TOKRE}')))::BIGINT AS uniq_terms
 FROM documents ORDER BY doc_id
 """,

@@ -17,19 +17,29 @@ LANG_MARKERS = {
 }
 FP_MOD = 1 << 40  # keeps (h*31 + x) < 2^46, far from int64 overflow
 
+# BPE-ish pre-tokenizer: the GPT-2 pre-merge split pattern, restricted to a
+# lookahead-free ASCII form so the SAME regex runs under Java (Spark) and
+# RE2 (DuckDB): contraction suffixes, space-prefixed letter/digit runs,
+# space-prefixed punctuation runs, whitespace runs. Counting these matches
+# approximates the pre-merge BPE piece count.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
 
 def _toks(text_col: str):
     return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
 
 
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Whitespace tokens, analyzer tokens, distinct terms per doc."""
+    """Whitespace tokens, analyzer tokens, BPE-ish pieces, distinct terms."""
     return df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
         .cast("long")
         .alias("ws_tokens"),
         F.size(_toks(text_col)).cast("long").alias("re_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
         F.size(F.array_distinct(_toks(text_col))).cast("long").alias("uniq_terms"),
     ).orderBy("doc_id")
 

@@ -274,11 +274,18 @@ def test_lsh_topk_within_bucket_only(emb):
 
 
 def test_token_counts(docs):
+    import re
+
     rows = {r["doc_id"]: r for r in textstats.token_counts(docs, "doc_id", "text").collect()}
     toks = standard_analyze(TEXTS[0])
     assert rows[0]["re_tokens"] == len(toks)
     assert rows[0]["ws_tokens"] == len(TEXTS[0].split())
     assert rows[0]["uniq_terms"] == len(set(toks))
+    assert rows[0]["bpe_ish_tokens"] == len(re.findall(textstats.BPE_RE, TEXTS[0]))
+    # BPE-ish splitting behaves like the GPT-2 pre-tokenizer on contractions
+    assert re.findall(textstats.BPE_RE, "it's 42 words!") == [
+        "it", "'s", " 42", " words", "!"
+    ]
 
 
 def test_quality_scores_bounds(docs):
