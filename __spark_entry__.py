@@ -92,10 +92,15 @@ def _searcher(spark: SparkSession, sf_dir: str, sim: str = "bm25") -> Searcher:
 
 
 def _topk_df(s: Searcher, q: Query, k: int = 10) -> DataFrame:
-    top = s.search(q, k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # rank on the ROUNDED score (ties -> doc_id): sums of floats differ by
+    # ulps between engines (and across DuckDB's parallel agg orders), so a
+    # 6-decimal tie must order deterministically; the +8 margin lets the
+    # rounded re-rank pull in boundary docs the unrounded top-k order split
+    top = s.search(q, k + 8)
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
     return (
         top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
         .select(
             F.col("rank").cast("int"),
             F.col("doc_id").cast("long"),
@@ -193,9 +198,11 @@ def _scored_cte(terms: list[str], boosts: dict[str, float] | None = None) -> str
 
 
 def _rank_tail(score_expr: str, from_clause: str, k: int = 10) -> str:
+    # rank on the ROUNDED score (see _topk_df): 6-decimal ties order by
+    # doc_id, immune to float-sum order differences across engines/threads
     return f"""
 SELECT rank, doc_id, score FROM (
-  SELECT row_number() OVER (ORDER BY {score_expr} DESC, doc_id ASC)::INT AS rank,
+  SELECT row_number() OVER (ORDER BY round({score_expr}, 6) DESC, doc_id ASC)::INT AS rank,
          doc_id::BIGINT AS doc_id, round({score_expr}, 6) AS score
   {from_clause}
 ) WHERE rank <= {k} ORDER BY rank
@@ -580,7 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "rank_in_group",
                 F.row_number().over(
                     Window.partitionBy("lang").orderBy(
-                        F.desc("score"), F.asc("doc_id")
+                        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id")
                     )
                 ).cast("int"),
             )
@@ -602,7 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "rn",
                 F.row_number().over(
                     Window.partitionBy("lang").orderBy(
-                        F.desc("score"), F.asc("doc_id")
+                        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id")
                     )
                 ),
             )
@@ -1025,7 +1032,7 @@ SELECT 'lang' AS dim, label, cnt FROM (
 SELECT lang, rank_in_group, doc_id, score FROM (
   SELECT d.lang, sc.doc_id::BIGINT AS doc_id, round(sc.score, 6) AS score,
          row_number() OVER (PARTITION BY d.lang
-                            ORDER BY sc.score DESC, sc.doc_id ASC)::INT AS rank_in_group
+                            ORDER BY round(sc.score, 6) DESC, sc.doc_id ASC)::INT AS rank_in_group
   FROM sc JOIN documents d ON d.doc_id = sc.doc_id
 ) WHERE rank_in_group <= 2 ORDER BY lang, rank_in_group
 """,
@@ -1071,7 +1078,8 @@ ORDER BY doc_id
         + """
 SELECT lang, doc_id, score FROM (
   SELECT d.lang, sc.doc_id::BIGINT AS doc_id, round(sc.score, 6) AS score,
-         row_number() OVER (PARTITION BY d.lang ORDER BY sc.score DESC, sc.doc_id ASC) AS rn
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY round(sc.score, 6) DESC, sc.doc_id ASC) AS rn
   FROM sc JOIN documents d ON d.doc_id = sc.doc_id
 ) WHERE rn = 1 ORDER BY lang
 """,
@@ -1086,7 +1094,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         + _scored_cte(["table"])
         + """
 SELECT rank, doc_id, score FROM (
-  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
+  SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC)::INT AS rank,
          doc_id::BIGINT AS doc_id, round(score, 6) AS score
   FROM sc
 ) WHERE rank > 10 AND rank <= 20 ORDER BY rank

@@ -37,12 +37,14 @@ from .merge import (  # noqa: E402,F401
     append_documents,
     merge_metrics,
     merge_segments,
+    plan_merges_tiered,
 )
 from .query import (  # noqa: E402,F401
     BooleanQuery,
     DisjunctionMaxQuery,
     FeatureQuery,
     FuzzyQuery,
+    IntervalQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     MultiPhraseQuery,
@@ -50,7 +52,10 @@ from .query import (  # noqa: E402,F401
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -58,5 +63,11 @@ from .query import (  # noqa: E402,F401
     WildcardQuery,
     bool_query,
     parse,
+    parse_multifield,
 )
-from .search import Explanation, Searcher  # noqa: E402,F401
+from .search import (  # noqa: E402,F401
+    Explanation,
+    MultiFieldSearcher,
+    Searcher,
+    TooManyClauses,
+)
