@@ -36,6 +36,8 @@ from lucene_spark.query import (
     MatchAllDocsQuery,
     MultiPhraseQuery,
     PhraseQuery,
+    PointInSetQuery,
+    PointRangeQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
@@ -481,6 +483,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_range": const_docs(TermRangeQuery(lower="query", upper="sort")),
         "q_term_in_set": const_docs(TermInSetQuery(terms=("spark", "vector", "nope"))),
         "q_fuzzy": const_docs(FuzzyQuery(term="sprk", max_edits=1)),
+        # ---- point (numeric doc-values) queries ----
+        "q_point_range": const_docs(
+            PointRangeQuery(field_col="n_chars", lower=200, upper=400)
+        ),
+        "q_point_in_set": const_docs(
+            PointInSetQuery(field_col="n_chars", values=(200, 250, 300))
+        ),
         # ---- counts / match-all ----
         "q_total_hits": lambda sp, d: sp.createDataFrame(
             [(int(_searcher(sp, d).count(bool_query(must=[TermQuery(term="spark"), TermQuery(term="vector")]))),)],
@@ -941,6 +950,14 @@ SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tok WHERE term LIKE '0%' ORDER BY 
         "q_term_range": _const_docs_sql("t.term >= 'query' AND t.term <= 'sort'"),
         "q_term_in_set": _const_docs_sql("t.term IN ('spark', 'vector', 'nope')"),
         "q_fuzzy": _const_docs_sql("levenshtein(t.term, 'sprk') <= 1"),
+        "q_point_range": """
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents
+WHERE n_chars IS NOT NULL AND n_chars BETWEEN 200 AND 400 ORDER BY doc_id
+""",
+        "q_point_in_set": """
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents
+WHERE n_chars IN (200, 250, 300) ORDER BY doc_id
+""",
         "q_total_hits": _PRELUDE
         + """
 SELECT count(*)::BIGINT AS total_hits FROM (

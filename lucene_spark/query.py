@@ -155,6 +155,27 @@ class TermInSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class PointRangeQuery(Query):
+    """Numeric range over a doc-values column (search/PointRangeQuery.java
+    via LongPoint/DoublePoint.newRangeQuery): constant-score matches where
+    lower <= col <= upper (None = open end). Evaluates as a native Catalyst
+    range filter pushed into the docs Parquet scan — the BKD tree's role."""
+
+    field_col: str = ""
+    lower: Optional[float] = None
+    upper: Optional[float] = None
+
+
+@dataclass(frozen=True)
+class PointInSetQuery(Query):
+    """Numeric set membership (search/PointInSetQuery.java): constant-score
+    matches where the doc-values column equals any given value."""
+
+    field_col: str = ""
+    values: Tuple[float, ...] = ()
+
+
+@dataclass(frozen=True)
 class FeatureQuery(Query):
     """Static per-doc feature boost (document/FeatureField.java analog,
     SURVEY §2.4 'score + log(feature_col)'): matches every doc whose

@@ -42,6 +42,8 @@ from .query import (
     MatchNoDocsQuery,
     MultiPhraseQuery,
     Occur,
+    PointInSetQuery,
+    PointRangeQuery,
     IntervalQuery,
     PhraseQuery,
     SpanFirstQuery,
@@ -695,6 +697,21 @@ class Searcher:
             )
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, TermInSetQuery, FuzzyQuery)):
             return self._eval_multi_term(q)
+        if isinstance(q, (PointRangeQuery, PointInSetQuery)):
+            if q.field_col not in self.index.docs.columns:
+                return self._empty()
+            col = F.col(q.field_col)
+            if isinstance(q, PointRangeQuery):
+                cond = col.isNotNull()
+                if q.lower is not None:
+                    cond = cond & (col >= q.lower)
+                if q.upper is not None:
+                    cond = cond & (col <= q.upper)
+            else:
+                cond = col.isin(list(q.values))
+            return self.index.docs.filter(cond).select(
+                "doc_id", F.lit(float(np.float32(q.boost))).alias("score")
+            )
         if isinstance(q, FeatureQuery):
             if q.feature not in self.index.docs.columns:
                 return self._empty()

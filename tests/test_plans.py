@@ -128,3 +128,16 @@ def test_jaccard_prefix_filter_in_plan(spark):
     )
     plan = _plan(jaccard_pairs(df, "doc_id", "text", min_sim=0.8))
     assert "row_number" in plan or "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_point_range_pushdown(written):
+    from lucene_spark.query import PointInSetQuery, PointRangeQuery
+
+    s = Searcher(written, dtype=np.float32)
+    plan = _plan(s.matches(PointRangeQuery(field_col="length", lower=5, upper=50)))
+    # the numeric range reaches the docs Parquet scan (the BKD-tree role)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(length,5" in plan and "LessThanOrEqual(length,50" in plan
+    assert "Python" not in plan  # pure JVM
+    plan2 = _plan(s.matches(PointInSetQuery(field_col="length", values=(7, 9))))
+    assert "In(length," in plan2
