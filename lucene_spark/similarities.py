@@ -231,79 +231,146 @@ class LMJelinekMercer(Similarity):
         return _FnScorer(fn, dtype)
 
 
+def _make_normalization(kind: str, c: float, mu: float, z: float):
+    """Normalization component (Normalization.java family): returns
+    tfn(f, dl, ctx) with ctx = per-term stats dict."""
+    if kind == "h1":  # NormalizationH1.java:56-58: tf * c * (avgfl / len)
+        return lambda f, dl, ctx: f * c * (ctx["avgfl"] / dl)
+    if kind == "h2":  # NormalizationH2.java:57-59: tf * log2(1 + c*avgfl/len)
+        return lambda f, dl, ctx: f * np.log2(1.0 + c * ctx["avgfl"] / dl)
+    if kind == "h3":  # NormalizationH3.java:48-52
+        return lambda f, dl, ctx: (
+            (f + mu * ((ctx["ttf"] + 1.0) / (ctx["nft"] + 1.0))) / (dl + mu) * mu
+        )
+    if kind == "z":  # NormalizationZ.java:49-51: tf * (avgfl/len)^z
+        return lambda f, dl, ctx: f * np.power(ctx["avgfl"] / dl, z)
+    if kind == "none":  # Normalization.NoNormalization
+        return lambda f, dl, ctx: f
+    raise ValueError(f"unknown normalization {kind!r}")
+
+
 class DFR(Similarity):
-    """DFRSimilarity.java:104-108 with BasicModelG + AfterEffectB +
-    NormalizationH2(c=1) — the GB2 configuration:
-    tfn = freq * log2(1 + c*avgfl/dl)          [NormalizationH2.java:57-59]
-    aeTimes1pTfn = (F+1)/n, F = ttf+1, n = df+1 [AfterEffectB.java:32-36]
-    lambda = F/(N+F); A = log2(lambda+1); B = log2((1+lambda)/lambda);
-    score = boost * (B - (B-A)/(1+tfn)) * aeTimes1pTfn [BasicModelG.java:36-50]
-    """
+    """DFRSimilarity.java:104-108, component-configurable: basic_model in
+    {g, if, in, ine} (BasicModelG.java:36-50, BasicModelIF/In/Ine.java:34-45),
+    after_effect in {b, l} (AfterEffectB.java:32-36 = (F+1)/n with F=ttf+1,
+    n=df+1; AfterEffectL.java:32-34 = 1), normalization in
+    {h1, h2, h3, z, none}. Default = the GB2 configuration."""
 
     name = "dfr"
 
-    def __init__(self, c: float = 1.0):
-        self.c = float(c)
+    def __init__(self, basic_model: str = "g", after_effect: str = "b",
+                 normalization: str = "h2", c: float = 1.0, mu: float = 800.0,
+                 z: float = 0.30):
+        self.basic_model, self.after_effect = basic_model, after_effect
+        self.norm = _make_normalization(normalization, c, mu, z)
 
     def scorer(self, boost, ts, stats, dtype=np.float32):
-        F_ = ts.total_term_freq + 1.0
         N = float(stats.doc_count)
-        lam = F_ / (N + F_)
-        A = np.log2(lam + 1.0)
-        Bv = np.log2((1.0 + lam) / lam)
-        ae = (F_ + 1.0) / (ts.doc_freq + 1.0)
-        avgfl = stats.sum_total_term_freq / float(stats.doc_count)
-        b, c = float(boost), self.c
+        F_raw = float(ts.total_term_freq)
+        n_raw = float(ts.doc_freq)
+        ae = (
+            (F_raw + 2.0) / (n_raw + 1.0) if self.after_effect == "b" else 1.0
+        )
+        bm = self.basic_model
+        if bm == "g":
+            F_ = F_raw + 1.0
+            lam = F_ / (N + F_)
+            A = np.log2(lam + 1.0)
+            Bv = np.log2((1.0 + lam) / lam)
+            model = lambda tfn: (Bv - (Bv - A) / (1.0 + tfn)) * ae
+        else:
+            if bm == "if":
+                A = np.log2(1.0 + (N + 1.0) / (F_raw + 0.5))
+            elif bm == "in":
+                A = np.log2((N + 1.0) / (n_raw + 0.5))
+            elif bm == "ine":
+                ne = N * (1.0 - ((N - 1.0) / N) ** F_raw)
+                A = np.log2((N + 1.0) / (ne + 0.5))
+            else:
+                raise ValueError(f"unknown basic model {bm!r}")
+            model = lambda tfn: A * ae * (1.0 - 1.0 / (1.0 + tfn))
+        ctx = {
+            "avgfl": stats.sum_total_term_freq / float(stats.doc_count),
+            "ttf": F_raw, "nft": float(stats.sum_total_term_freq),
+        }
+        b, norm = float(boost), self.norm
 
         def fn(f, dl):
-            tfn = f * np.log2(1.0 + c * avgfl / dl)
-            return b * (Bv - (Bv - A) / (1.0 + tfn)) * ae
+            return b * model(norm(f, dl, ctx))
 
         return _FnScorer(fn, dtype)
 
 
 class IB(Similarity):
-    """IBSimilarity.java:93-96 with DistributionLL + LambdaDF +
-    NormalizationH2(c=1) — the LL-DF-H2 configuration:
-    lambda = (float)((df+1)/(N+1))   [LambdaDF.java:32-39, float32 cast]
-    tfn = freq * log2(1 + c*avgfl/dl)
-    score = boost * -ln(lambda / (tfn + lambda)) [DistributionLL.java:33-35]
-    """
+    """IBSimilarity.java:93-96, component-configurable: distribution in
+    {ll, spl} (DistributionLL.java:33-35; DistributionSPL.java:35-59 with
+    the nextafter guards), lam in {df, ttf} (LambdaDF/LambdaTTF.java:32-40,
+    float32-cast like the reference), normalization as in DFR. Default =
+    the LL-DF-H2 configuration."""
 
     name = "ib"
 
-    def __init__(self, c: float = 1.0):
-        self.c = float(c)
+    def __init__(self, distribution: str = "ll", lam: str = "df",
+                 normalization: str = "h2", c: float = 1.0, mu: float = 800.0,
+                 z: float = 0.30):
+        self.distribution, self.lam_kind = distribution, lam
+        self.norm = _make_normalization(normalization, c, mu, z)
 
     def scorer(self, boost, ts, stats, dtype=np.float32):
-        lam = float(np.float32((ts.doc_freq + 1.0) / (stats.doc_count + 1.0)))
-        avgfl = stats.sum_total_term_freq / float(stats.doc_count)
-        b, c = float(boost), self.c
+        num = ts.doc_freq if self.lam_kind == "df" else ts.total_term_freq
+        lam = float(np.float32((num + 1.0) / (stats.doc_count + 1.0)))
+        if lam == 1.0:  # Lambda*.java nextDown/nextUp guard
+            lam = float(np.nextafter(np.float32(1.0), np.float32(0.0)))
+        ctx = {
+            "avgfl": stats.sum_total_term_freq / float(stats.doc_count),
+            "ttf": float(ts.total_term_freq),
+            "nft": float(stats.sum_total_term_freq),
+        }
+        b, norm, dist = float(boost), self.norm, self.distribution
 
         def fn(f, dl):
-            tfn = f * np.log2(1.0 + c * avgfl / dl)
-            return b * -np.log(lam / (tfn + lam))
+            tfn = norm(f, dl, ctx)
+            if dist == "ll":
+                return b * -np.log(lam / (tfn + lam))
+            # SPL: q = 1 - 1/(tfn+1) (clamped below 1); pow = lam^q nudged
+            # off lam so the log stays finite (DistributionSPL.java:38-58)
+            q = 1.0 - 1.0 / (tfn + 1.0)
+            q = np.where(q == 1.0, np.nextafter(1.0, 0.0), q)
+            pw = np.power(lam, q)
+            nudge = np.nextafter(lam, 0.0 if lam > 1 else 2.0)
+            pw = np.where(pw == lam, nudge, pw)
+            return b * -np.log((pw - lam) / (1.0 - lam))
 
         return _FnScorer(fn, dtype)
 
 
 class DFI(Similarity):
-    """DFISimilarity.java:58-69 with IndependenceChiSquared (the default):
+    """DFISimilarity.java:58-69, independence in {chi2, standardized,
+    saturated} (IndependenceChiSquared/Standardized/Saturated.java:33-35):
     expected = (ttf+1) * docLen / (numberOfFieldTokens+1); freq <= expected
-    scores 0; else score = boost * log2(chi2 + 1),
-    chi2 = (freq-expected)^2 / expected [IndependenceChiSquared.java:33-35]."""
+    scores 0; else score = boost * log2(measure + 1)."""
 
     name = "dfi"
+
+    def __init__(self, independence: str = "chi2"):
+        self.independence = independence
 
     def scorer(self, boost, ts, stats, dtype=np.float32):
         ttf1 = ts.total_term_freq + 1.0
         nft1 = stats.sum_total_term_freq + 1.0
-        b = float(boost)
+        b, ind = float(boost), self.independence
 
         def fn(f, dl):
             expected = ttf1 * dl / nft1
-            chi2 = (f - expected) * (f - expected) / expected
-            return np.where(f <= expected, 0.0, b * np.log2(chi2 + 1.0))
+            if ind == "chi2":
+                m = (f - expected) * (f - expected) / expected
+            elif ind == "standardized":
+                m = (f - expected) / np.sqrt(expected)
+            elif ind == "saturated":
+                m = (f - expected) / expected
+            else:
+                raise ValueError(f"unknown independence {ind!r}")
+            return np.where(f <= expected, 0.0, b * np.log2(m + 1.0))
 
         return _FnScorer(fn, dtype)
 
@@ -321,6 +388,27 @@ class AxiomaticF2EXP(Similarity):
     def scorer(self, boost, ts, stats, dtype=np.float32):
         avgfl = stats.sum_total_term_freq / float(stats.doc_count)
         idf = ((stats.doc_count + 1.0) / ts.doc_freq) ** self.k
+        b, s = float(boost), self.s
+
+        def fn(f, dl):
+            tfln = f / (f + s + s * dl / avgfl)
+            return np.maximum(0.0, b * tfln * idf)
+
+        return _FnScorer(fn, dtype)
+
+
+class AxiomaticF2LOG(Similarity):
+    """AxiomaticF2LOG.java:49-69 (s=0.35): like F2EXP but
+    idf = ln((N+1)/df)."""
+
+    name = "axiomatic_f2log"
+
+    def __init__(self, s: float = 0.35):
+        self.s = float(s)
+
+    def scorer(self, boost, ts, stats, dtype=np.float32):
+        avgfl = stats.sum_total_term_freq / float(stats.doc_count)
+        idf = np.log((stats.doc_count + 1.0) / ts.doc_freq)
         b, s = float(boost), self.s
 
         def fn(f, dl):
@@ -379,4 +467,5 @@ SIMILARITIES = {
     "ib": IB,
     "dfi": DFI,
     "axiomatic": AxiomaticF2EXP,
+    "axiomatic_f2log": AxiomaticF2LOG,
 }

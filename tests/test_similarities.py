@@ -171,3 +171,48 @@ def test_multi_scorer_sums_idf():
         a = single.score(np.array([3]), np.array([50]))[0]
         b = multi.score(np.array([3]), np.array([50]))[0]
         assert b > a  # summed idf weight is larger
+
+
+@pytest.mark.parametrize(
+    "sim",
+    [
+        DFR(basic_model="if"), DFR(basic_model="in"), DFR(basic_model="ine"),
+        DFR(after_effect="l"), DFR(normalization="h1"),
+        DFR(normalization="h3"), DFR(normalization="z"),
+        IB(distribution="spl"), IB(lam="ttf"), IB(normalization="h1"),
+        DFI(independence="standardized"), DFI(independence="saturated"),
+    ],
+)
+def test_component_variants_properties(sim):
+    """Every configurable DFR/IB/DFI component combination keeps the
+    BaseSimilarityTestCase contract: finite, >= 0, freq-monotone."""
+    s = sim.scorer(1.0, TS, STATS, dtype=np.float32)
+    freqs = np.arange(1, 200)
+    by_freq = s.score(freqs, np.full(len(freqs), 60))
+    assert np.all(np.isfinite(by_freq)) and np.all(by_freq >= 0)
+    assert np.all(np.diff(by_freq) >= -1e-6)
+
+
+def test_dfr_basic_model_in_reference():
+    s = DFR(basic_model="in").scorer(1.0, TS, STATS, dtype=np.float64)
+    got = s.score(FREQS, NORMS)
+    A = math.log2((1000 + 1) / (30 + 0.5))
+    ae = (120 + 2.0) / (30 + 1.0)
+    for i, (f, n) in enumerate(zip(FREQS, NORMS)):
+        dl = _dl(n)
+        tfn = f * math.log2(1 + 50.0 / dl)
+        exp = A * ae * (1 - 1 / (1 + tfn))
+        assert got[i] == pytest.approx(exp, rel=1e-12)
+
+
+def test_ib_spl_reference():
+    s = IB(distribution="spl").scorer(1.0, TS, STATS, dtype=np.float64)
+    got = s.score(FREQS, NORMS)
+    lam = float(np.float32((30 + 1.0) / (1000 + 1.0)))
+    for i, (f, n) in enumerate(zip(FREQS, NORMS)):
+        dl = _dl(n)
+        tfn = f * math.log2(1 + 50.0 / dl)
+        q = 1 - 1 / (tfn + 1)
+        exp = -math.log((lam ** q - lam) / (1 - lam))
+        assert got[i] == pytest.approx(exp, rel=1e-10)
+    assert np.all(np.isfinite(got))
