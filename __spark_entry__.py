@@ -329,6 +329,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_slop2": lambda sp, d: _topk_df(
             _searcher(sp, d), PhraseQuery(terms=("fast", "table"), slop=2), 10
         ),
+        "q_phrase_stop_holes": lambda sp, d: _topk_df(
+            # StopFilter hole semantics end-to-end: stopwords drop from the
+            # index (stats shrink) but positions keep their holes, so the
+            # sloppy matcher sees the pre-filter gaps
+            _stop_searcher(sp, d), PhraseQuery(terms=("fast", "table"), slop=2), 10
+        ),
         "q_span_near_ordered": lambda sp, d: _topk_df(
             _searcher(sp, d),
             SpanNearQuery(terms=("spark", "table"), slop=4, in_order=True),
@@ -744,6 +750,23 @@ def _multifield_topk(sp: SparkSession, d: str) -> DataFrame:
     return _topk_df(_multifield_searcher(sp, d), parse("lang:en AND spark"), 10)
 
 
+def _stop_searcher(sp: SparkSession, d: str) -> Searcher:
+    """Documents index with a StopFilter chain (stopwords 'the', 'a'):
+    dropped tokens leave position holes; doc lengths/norms/stats shrink."""
+    key = f"{d}::__stopchain"
+    if key not in _CACHE:
+        cfg = IndexConfig(
+            chain="standard", seg_size=1 << 12, block_size=128,
+            with_positions=True, stopwords=frozenset({"the", "a"}),
+        )
+        idx = build_index(
+            _docs(sp, d), cfg, content_col="text", doc_id_col="doc_id",
+            eager=True,
+        )
+        _CACHE[key] = Searcher(idx, dtype=np.float64)
+    return _CACHE[key]
+
+
 def _customer_prefix_docs(sp: SparkSession, d: str) -> DataFrame:
     """CONSTANT_SCORE multi-term rewrite at >1024 expanded terms: the
     uncapped distributed semi-join path (search/MultiTermQuery.java
@@ -850,6 +873,9 @@ def oracle_sql() -> dict[str, str]:
         "q_multifield": _multifield_sql(),
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_phrase_slop2": _phrase_slop_sql(["fast", "table"], 2),
+        "q_phrase_stop_holes": _phrase_slop_sql(
+            ["fast", "table"], 2, prelude=_stop_prelude(("the", "a"))
+        ),
         "q_span_near_ordered": _span_near_sql(["spark", "table"], 4, True),
         "q_span_near_ordered3": _span_near_sql(["the", "fast", "table"], 6, True),
         "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
@@ -1766,7 +1792,7 @@ agg AS (
 
 
 def _freq_rank_sql(match_cte: str, idf_terms: list[str], k: int = 10,
-                   extra: str = "") -> str:
+                   extra: str = "", prelude: str | None = None) -> str:
     """Shared tail for positional queries: `pf(doc_id, freq)` -> BM25 with
     idf summed over the PRESENT query terms (docFreq-0 terms contribute
     nothing, like Lucene's Weight skipping null termStatistics). ``extra``
@@ -1778,7 +1804,7 @@ def _freq_rank_sql(match_cte: str, idf_terms: list[str], k: int = 10,
     )
     inv = _INV.format(k1=K1, b=B)
     return (
-        _PRELUDE
+        (prelude if prelude is not None else _PRELUDE)
         + extra
         + f"""
 , pf AS (
@@ -1871,7 +1897,27 @@ uu AS (SELECT * FROM ux UNION ALL SELECT * FROM uy)
     return _freq_rank_sql(match, terms, k, extra=extra)
 
 
-def _phrase_slop_sql(terms: list[str], slop: int, k: int = 10) -> str:
+def _stop_prelude(stopset: tuple) -> str:
+    """_PRELUDE with StopFilter hole semantics: stopwords are dropped from
+    tok/tokp (so tf/dl/norms shrink) but positions keep their PRE-filter
+    ordinals — dropped tokens leave holes, exactly the engine's
+    FilteringTokenFilter position-increment behavior."""
+    lits = ", ".join(f"'{t}'" for t in stopset)
+    out = _PRELUDE.replace(
+        "tok AS (\n  SELECT doc_id, unnest(toks) AS term FROM tokarr\n)",
+        "tok0 AS (\n  SELECT doc_id, unnest(toks) AS term FROM tokarr\n),\n"
+        f"tok AS (SELECT * FROM tok0 WHERE term NOT IN ({lits}))",
+    )
+    out = out.replace(
+        "tokp AS (\n  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos\n  FROM tokarr\n)",
+        "tokp0 AS (\n  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos\n  FROM tokarr\n),\n"
+        f"tokp AS (SELECT * FROM tokp0 WHERE term NOT IN ({lits}))",
+    )
+    return out
+
+
+def _phrase_slop_sql(terms: list[str], slop: int, k: int = 10,
+                     prelude: str | None = None) -> str:
     """Sloppy PhraseQuery parity SQL (2 distinct terms): the recursive
     crossing chain equivalent to SloppyPhraseMatcher's PQ walk (proven in
     tests/test_matchers.py::test_sloppy2_crossing_chain_equals_pq_walk):
@@ -1919,7 +1965,7 @@ gaps AS (
         f"  SELECT doc_id, sum(1.0 / (1 + gap)) AS freq\n"
         f"  FROM gaps WHERE gap <= {slop} GROUP BY doc_id"
     )
-    sql = _freq_rank_sql(match, terms, k, extra=extra)
+    sql = _freq_rank_sql(match, terms, k, extra=extra, prelude=prelude)
     return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
