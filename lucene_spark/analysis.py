@@ -39,6 +39,13 @@ import pandas as pd
 
 MAX_TOKEN_LENGTH = 255
 
+# EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (analysis/en/EnglishAnalyzer.java:
+# 46-51) — pass as IndexConfig(stopwords=...) for the classic English chain
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
 # ASCII UAX#29 word span (see module docstring). NUM rule listed first in the
 # reference grammar, but a single alternation covers both because the combined
 # span is the maximal munch either way.

@@ -162,3 +162,13 @@ def test_fold_chain_batch_equals_scalar():
     flat, counts = flat_tokenize(texts, chain="standard_fold")
     via_series = [t for lst in analyze_series(texts, chain="standard_fold") for t in lst]
     assert list(flat) == via_series
+
+
+def test_english_stop_words_set():
+    from lucene_spark.analysis import ENGLISH_STOP_WORDS, stop_filter
+
+    assert len(ENGLISH_STOP_WORDS) == 33  # EnglishAnalyzer.java:46-51
+    assert {"the", "into", "such", "will"} <= ENGLISH_STOP_WORDS
+    assert "from" not in ENGLISH_STOP_WORDS  # famously NOT in the set
+    kept = stop_filter(["the", "quick", "fox"], ENGLISH_STOP_WORDS)
+    assert kept == [("quick", 1), ("fox", 2)]  # hole at position 0
