@@ -142,11 +142,25 @@ def code_analyze(text: str) -> List[str]:
     return out
 
 
+def english_analyze(text: str) -> List[str]:
+    """EnglishAnalyzer chain minus the stopset (stopwords are applied by
+    IndexConfig(stopwords=...), preserving position holes): standard
+    tokenize -> lowercase -> possessive strip -> Porter stem
+    (analysis/en/EnglishAnalyzer.java:110-122)."""
+    from .stem import porter_stem, strip_possessive
+
+    return [porter_stem(strip_possessive(t)) for t in standard_analyze(text)]
+
+
 def analyze_series(texts: pd.Series, chain: str = "standard") -> pd.Series:
     """Vectorized analysis of a pandas Series of strings -> Series of
     list[str] token arrays. This is the Arrow-UDF entry point."""
     base, fold = _resolve_chain(chain)
-    fn = standard_analyze if base == "standard" else code_analyze
+    fn = {
+        "standard": standard_analyze,
+        "code": code_analyze,
+        "english": english_analyze,
+    }[base]
     texts = texts.fillna("")
     if fold:
         texts = texts.str.translate(FOLD_MAP)
@@ -191,7 +205,7 @@ def flat_tokenize(
     base, fold = _resolve_chain(chain)
     if fold:
         texts = texts.str.translate(FOLD_MAP)
-    if base == "standard":
+    if base in ("standard", "english"):
         lists = texts.str.lower().str.findall(_TOKEN_PATTERN)
     else:
         lists = texts.str.findall(_WDF_PART)
@@ -199,13 +213,27 @@ def flat_tokenize(
     import itertools
 
     flat = np.array(list(itertools.chain.from_iterable(lists)), dtype=object)
-    if base != "standard" and len(flat):
+    if base == "code" and len(flat):
         flat = pd.Series(flat).str.lower().to_numpy(dtype=object)
+    if base == "english" and len(flat):
+        # stem each DISTINCT surface form once (factorize dedup): the Porter
+        # pass is O(vocab per batch), not O(tokens)
+        from .stem import porter_stem, strip_possessive
+
+        codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+        stemmed = np.array(
+            [porter_stem(strip_possessive(t)) for t in uniq], dtype=object
+        )
+        flat = stemmed[codes]
     # maxTokenLength chop (rare): only rebuild rows containing long tokens
     if len(flat):
         lens = pd.Series(flat).str.len().to_numpy()
         if lens.max() > MAX_TOKEN_LENGTH:
-            fn = standard_analyze if base == "standard" else code_analyze
+            fn = {
+                "standard": standard_analyze,
+                "code": code_analyze,
+                "english": english_analyze,
+            }[base]
             rebuilt = texts.map(fn)
             counts = rebuilt.map(len).to_numpy(dtype=np.int64)
             flat = np.array(
