@@ -25,15 +25,88 @@ from ..query import Query
 from ..search import Searcher
 
 
+def _presearch_terms(q: Query) -> tuple:
+    """(required, any) term sets for the presearcher filter
+    (monitor/.../TermFilteredPresearcher.java idea): a query CANNOT match a
+    batch unless every `required` term and, when `required` is empty, at
+    least one `any` term occurs somewhere in the batch. Unanalyzable nodes
+    return (None, None) = never skip (the presearcher's ANYTOKEN)."""
+    from ..query import (
+        BooleanClause,
+        BooleanQuery,
+        DisjunctionMaxQuery,
+        Occur,
+        PhraseQuery,
+        SpanNearQuery,
+        SynonymQuery,
+        TermQuery,
+    )
+
+    if isinstance(q, TermQuery):
+        return {q.term}, {q.term}
+    if isinstance(q, (PhraseQuery, SpanNearQuery)):
+        return set(q.terms), set(q.terms)
+    if isinstance(q, SynonymQuery):
+        return None, set(q.terms)
+    if isinstance(q, DisjunctionMaxQuery):
+        anys = set()
+        for d in q.disjuncts:
+            _r, a = _presearch_terms(d)
+            if a is None:
+                return None, None
+            anys |= a
+        return None, anys
+    if isinstance(q, BooleanQuery):
+        req: set | None = set()
+        anys: set | None = set()
+        n_pos = 0
+        for c in q.clauses:
+            if c.occur == Occur.MUST_NOT:
+                continue
+            r, a = _presearch_terms(c.query)
+            n_pos += 1
+            if c.occur in (Occur.MUST, Occur.FILTER) and r is not None and req is not None:
+                req |= r
+            elif c.occur in (Occur.MUST, Occur.FILTER) and r is None:
+                pass  # unanalyzable required clause: no required terms known
+            if a is None:
+                anys = None
+            elif anys is not None:
+                anys |= a
+        if n_pos == 0:
+            return None, None
+        return (req or None), anys
+    return None, None  # MatchAll, multi-term, feature... never skip
+
+
 class Monitor:
-    """Standing-query registry + batch matcher (percolator)."""
+    """Standing-query registry + batch matcher (percolator) with a
+    presearcher: each registered query carries its (required, any) term
+    sets, and match_batch evaluates ONLY the queries whose term sets are
+    compatible with the batch's vocabulary — the Monitor module's
+    TermFilteredPresearcher role (at scale: thousands of standing queries,
+    a handful touched per batch)."""
 
     def __init__(self, config: IndexConfig | None = None):
         self.config = config or IndexConfig(seg_size=1 << 12)
         self._queries: Dict[str, Query] = {}
+        self._presearch: Dict[str, tuple] = {}
 
     def register(self, query_id: str, query: Query) -> None:
         self._queries[query_id] = query
+        self._presearch[query_id] = _presearch_terms(query)
+
+    def _candidate_queries(self, batch_vocab: set) -> List[str]:
+        out = []
+        for qid, (req, anys) in self._presearch.items():
+            if req is not None and req and not (req <= batch_vocab):
+                continue
+            if (req is None or not req) and anys is not None and not (
+                anys & batch_vocab
+            ):
+                continue
+            out.append(qid)
+        return out
 
     def match_batch(
         self, batch: DataFrame, content_col: str = "text", id_col: str = "doc_id"
@@ -48,8 +121,14 @@ class Monitor:
         ).persist()
         try:
             s = Searcher(idx)
+            # presearcher: one tiny job for the batch vocabulary, then only
+            # compatible standing queries are evaluated (queries live on the
+            # driver, so the vocab set comes to the driver — bounded by the
+            # batch's DISTINCT terms, not its size)
+            vocab = {r["term"] for r in idx.terms.select("term").collect()}
             parts: List[DataFrame] = []
-            for qid, q in self._queries.items():
+            for qid in self._candidate_queries(vocab):
+                q = self._queries[qid]
                 parts.append(
                     s.matches(q).select(
                         F.lit(qid).alias("query_id"), F.col("doc_id").cast("long")

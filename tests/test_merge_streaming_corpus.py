@@ -347,3 +347,39 @@ def test_dedup_stream_across_batches(spark, tmp_path):
     run_once()
     got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got2 == got1 | {4}  # doc 3's hash was seen in run 1 -> dropped
+
+
+def test_monitor_presearcher_skips_incompatible_queries(spark):
+    from lucene_spark.query import (
+        MatchAllDocsQuery,
+        PhraseQuery,
+        SynonymQuery,
+    )
+    from lucene_spark.streaming.monitor import Monitor, _presearch_terms
+
+    m = Monitor(IndexConfig(seg_size=8))
+    m.register("q_red", TermQuery(term="red"))
+    m.register("q_absent", TermQuery(term="zebra"))  # term not in batch
+    m.register("q_and_partial", bool_query(
+        must=[TermQuery(term="red"), TermQuery(term="zebra")]))  # half absent
+    m.register("q_phrase", PhraseQuery(terms=("red", "blue")))
+    m.register("q_syn", SynonymQuery(terms=("zebra", "blue")))
+    m.register("q_all", MatchAllDocsQuery())  # unanalyzable: never skipped
+    batch = spark.createDataFrame(
+        [(0, "red fish"), (1, "blue red mix")], "doc_id long, text string"
+    )
+    vocab = {"red", "fish", "blue", "mix"}
+    cands = set(m._candidate_queries(vocab))
+    # absent-required-term queries are pruned WITHOUT evaluation
+    assert cands == {"q_red", "q_phrase", "q_syn", "q_all"}
+    got = {(r["query_id"], r["doc_id"]) for r in m.match_batch(batch).collect()}
+    assert got == {
+        ("q_red", 0), ("q_red", 1), ("q_syn", 1),
+        ("q_all", 0), ("q_all", 1),
+    }
+    # presearch term extraction shapes
+    assert _presearch_terms(TermQuery(term="x")) == ({"x"}, {"x"})
+    req, anys = _presearch_terms(bool_query(should=[TermQuery(term="a"),
+                                                    TermQuery(term="b")]))
+    assert req is None and anys == {"a", "b"}
+    assert _presearch_terms(MatchAllDocsQuery()) == (None, None)
