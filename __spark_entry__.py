@@ -57,6 +57,7 @@ from lucene_spark.query import (
 from lucene_spark.search import Searcher
 from lucene_spark.functions import dedup as fdedup
 from lucene_spark.functions import facets as ffacets
+from lucene_spark.functions import geo as fgeo
 from lucene_spark.functions import highlight as fhigh
 from lucene_spark.functions import multimodal as fmm
 from lucene_spark.functions import simsearch as fsim
@@ -489,6 +490,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_range": const_docs(TermRangeQuery(lower="query", upper="sort")),
         "q_term_in_set": const_docs(TermInSetQuery(terms=("spark", "vector", "nope"))),
         "q_fuzzy": const_docs(FuzzyQuery(term="sprk", max_edits=1)),
+        # ---- geo distance (LatLonPoint.newDistanceQuery analog) ----
+        "q_geo_distance": lambda sp, d: (
+            fgeo.geo_distance(
+                sp.read.parquet(os.path.join(d, "customer.parquet")).select(
+                    F.col("c_custkey").cast("long").alias("doc_id"),
+                    ((F.col("c_custkey") * 7 % 180) - 90 + 0.5)
+                    .cast("double").alias("lat"),
+                    ((F.col("c_custkey") * 13 % 360) - 180 + 0.5)
+                    .cast("double").alias("lon"),
+                ),
+                "lat", "lon", 10.0, 20.0, 2_000_000.0,
+            )
+            .select("doc_id", "distance_m")
+            .orderBy("doc_id")
+        ),
         # ---- point (numeric doc-values) queries ----
         "q_point_range": const_docs(
             PointRangeQuery(field_col="n_chars", lower=200, upper=400)
@@ -976,6 +992,27 @@ SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tok WHERE term LIKE '0%' ORDER BY 
         "q_term_range": _const_docs_sql("t.term >= 'query' AND t.term <= 'sort'"),
         "q_term_in_set": _const_docs_sql("t.term IN ('spark', 'vector', 'nope')"),
         "q_fuzzy": _const_docs_sql("levenshtein(t.term, 'sprk') <= 1"),
+        # deterministic pseudo-coordinates from c_custkey; same haversine
+        # (mean radius 6371008.7714 m) on both engines, rounded to mm
+        "q_geo_distance": """
+WITH pts AS (
+  SELECT c_custkey::BIGINT AS doc_id,
+         ((c_custkey * 7) % 180 - 90 + 0.5)::DOUBLE AS lat,
+         ((c_custkey * 13) % 360 - 180 + 0.5)::DOUBLE AS lon
+  FROM customer
+),
+dist AS (
+  SELECT doc_id,
+         round(2.0 * 6371008.7714 * asin(least(1.0, sqrt(
+           pow(sin(radians(lat - 10.0) / 2), 2)
+           + cos(radians(10.0)) * cos(radians(lat))
+             * pow(sin(radians(lon - 20.0) / 2), 2)
+         ))), 3) AS distance_m
+  FROM pts
+)
+SELECT doc_id, distance_m FROM dist
+WHERE distance_m <= 2000000.0 ORDER BY doc_id
+""",
         "q_point_range": """
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents
 WHERE n_chars IS NOT NULL AND n_chars BETWEEN 200 AND 400 ORDER BY doc_id

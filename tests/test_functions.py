@@ -364,3 +364,37 @@ def test_embedding_near_dup_recall_and_precision(spark):
         k for k in got if truth.get(k) is None and got[k] >= 0.9
     }
     assert len(set(got) & set(truth)) / len(truth) >= 0.95
+
+
+def test_geo_box_and_distance(spark):
+    import math
+
+    from lucene_spark.functions import geo
+
+    rows = [
+        (0, 0.0, 0.0), (1, 0.5, 0.5), (2, 10.0, 10.0),
+        (3, -89.0, 170.0), (4, 45.0, -179.5), (5, 45.0, 179.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lat double, lon double")
+    # plain box
+    got = {r["doc_id"] for r in geo.geo_box(df, "lat", "lon", -1, 1, -1, 1).collect()}
+    assert got == {0, 1}
+    # antimeridian-crossing box: min_lon > max_lon wraps
+    wrap = {r["doc_id"] for r in geo.geo_box(df, "lat", "lon", 40, 50, 179, -179).collect()}
+    assert wrap == {4, 5}
+    # distance: exact haversine against a python reference
+    out = {r["doc_id"]: r["distance_m"]
+           for r in geo.geo_distance(df, "lat", "lon", 0.0, 0.0, 200_000.0).collect()}
+    assert set(out) == {0, 1}
+
+    def hav(lat1, lon1, lat2, lon2):
+        rl1, rl2 = math.radians(lat1), math.radians(lat2)
+        a = (math.sin(math.radians(lat2 - lat1) / 2) ** 2
+             + math.cos(rl1) * math.cos(rl2)
+             * math.sin(math.radians(lon2 - lon1) / 2) ** 2)
+        return 2 * geo.EARTH_RADIUS_M * math.asin(min(1.0, math.sqrt(a)))
+
+    assert out[1] == pytest.approx(round(hav(0.5, 0.5, 0.0, 0.0), 3), abs=1e-3)
+    # the bounding-box prefilter never drops a true member near the edge
+    edge = geo.geo_distance(df, "lat", "lon", 0.0, 0.0, hav(0.5, 0.5, 0, 0) + 1).collect()
+    assert {r["doc_id"] for r in edge} == {0, 1}
