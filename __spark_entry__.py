@@ -487,6 +487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prefix_broad": lambda sp, d: _customer_prefix_docs(sp, d),
         "q_wildcard": const_docs(WildcardQuery(pattern="*a*k")),
         "q_regexp": const_docs(RegexpQuery(regexp="[sv].*r")),
+        # Lucene RegExp syntax: '@' = ANYSTRING, quoted literal segment
+        "q_regexp_lucene_syntax": const_docs(RegexpQuery(regexp='"s"@')),
         "q_term_range": const_docs(TermRangeQuery(lower="query", upper="sort")),
         "q_term_in_set": const_docs(TermInSetQuery(terms=("spark", "vector", "nope"))),
         "q_fuzzy": const_docs(FuzzyQuery(term="sprk", max_edits=1)),
@@ -989,6 +991,9 @@ SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tok WHERE term LIKE '0%' ORDER BY 
 """,
         "q_wildcard": _const_docs_sql("regexp_matches(t.term, '^(?:.*a.*k)$')"),
         "q_regexp": _const_docs_sql("regexp_matches(t.term, '^(?:[sv].*r)$')"),
+        "q_regexp_lucene_syntax": _const_docs_sql(
+            "regexp_matches(t.term, '^(?:s.*)$')"
+        ),
         "q_term_range": _const_docs_sql("t.term >= 'query' AND t.term <= 'sort'"),
         "q_term_in_set": _const_docs_sql("t.term IN ('spark', 'vector', 'nope')"),
         "q_fuzzy": _const_docs_sql("levenshtein(t.term, 'sprk') <= 1"),

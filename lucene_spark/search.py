@@ -70,6 +70,48 @@ class TooManyClauses(RuntimeError):
     exceeded MAX_CLAUSE_COUNT (constant-score rewrites are uncapped)."""
 
 
+def lucene_regexp_to_java(pattern: str) -> str:
+    """Translate the reference's RegExp syntax (util/automaton/RegExp.java)
+    into an equivalent Java/RE2 regex for the shared operator subset: the
+    core operators (. ? * + {n,m} | () [] \\x escapes) coincide; '@'
+    (ANYSTRING) becomes '.*'; "quoted strings" become escaped literals;
+    RegExp is always fully anchored (callers wrap ^(?:...)$). The
+    automaton-only operators & (intersection), ~ (complement), # (EMPTY)
+    and <n-m> (numeric interval) have no regex equivalent and raise."""
+    out, i = [], 0
+    in_class = False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if ch == "[":
+            in_class = True
+        elif ch == "]":
+            in_class = False
+        if not in_class:
+            if ch == "@":
+                out.append(".*")
+                i += 1
+                continue
+            if ch == '"':
+                j = pattern.find('"', i + 1)
+                if j < 0:
+                    raise ValueError("unterminated quoted string in RegExp")
+                out.append(re.escape(pattern[i + 1 : j]))
+                i = j + 1
+                continue
+            if ch in "&~#<>":
+                raise NotImplementedError(
+                    f"Lucene RegExp operator {ch!r} is automaton-only "
+                    "(util/automaton/RegExp.java); no regex equivalent"
+                )
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 @dataclass(frozen=True)
 class Explanation:
     """Score-decomposition node (search/Explanation.java analog)."""
@@ -1315,7 +1357,9 @@ class Searcher:
                 i += 1
             return F.col("term").rlike("^(?:" + pat + ")$")
         if isinstance(q, RegexpQuery):
-            return F.col("term").rlike("^(?:" + q.regexp + ")$")
+            return F.col("term").rlike(
+                "^(?:" + lucene_regexp_to_java(q.regexp) + ")$"
+            )
         if isinstance(q, TermRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:

@@ -176,3 +176,18 @@ def test_parse_multifield_expands_bare_terms():
     # ...while the explicitly qualified leaf kept its field
     qual = [n for n in flat if getattr(n, "term", None) == "en"]
     assert [n.field for n in qual] == ["lang"]
+
+
+def test_lucene_regexp_translation():
+    from lucene_spark.search import lucene_regexp_to_java
+
+    assert lucene_regexp_to_java("[sv].*r") == "[sv].*r"  # shared subset
+    assert lucene_regexp_to_java("s@") == "s.*"           # ANYSTRING
+    assert lucene_regexp_to_java('"a.b"x') == "a\\.bx"    # quoted literal
+    assert lucene_regexp_to_java("a\\&b") == "a\\&b"      # escaped passes
+    assert lucene_regexp_to_java("[<a>]") == "[<a>]"      # class chars literal
+    import pytest as _pytest
+
+    for bad in ("a&b", "~abc", "#", "<1-9>"):
+        with _pytest.raises((NotImplementedError,)):
+            lucene_regexp_to_java(bad)
