@@ -336,6 +336,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # sloppy matcher sees the pre-filter gaps
             _stop_searcher(sp, d), PhraseQuery(terms=("fast", "table"), slop=2), 10
         ),
+        "q_phrase_slop_rpts": lambda sp, d: _topk_df(
+            # repeated-term sloppy phrase: SloppyPhraseMatcher hasRpts path
+            # (repeat groups + collision resolution, matchers.py)
+            _searcher(sp, d),
+            PhraseQuery(terms=("table", "the", "table"), slop=3),
+            10,
+        ),
         "q_span_near_ordered": lambda sp, d: _topk_df(
             _searcher(sp, d),
             SpanNearQuery(terms=("spark", "table"), slop=4, in_order=True),
@@ -891,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         "q_multifield": _multifield_sql(),
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_phrase_slop2": _phrase_slop_sql(["fast", "table"], 2),
+        "q_phrase_slop_rpts": _phrase_slop_rpts_sql(["table", "the", "table"], 3),
         "q_phrase_stop_holes": _phrase_slop_sql(
             ["fast", "table"], 2, prelude=_stop_prelude(("the", "a"))
         ),
@@ -1838,12 +1846,27 @@ def _freq_rank_sql(match_cte: str, idf_terms: list[str], k: int = 10,
     """Shared tail for positional queries: `pf(doc_id, freq)` -> BM25 with
     idf summed over the PRESENT query terms (docFreq-0 terms contribute
     nothing, like Lucene's Weight skipping null termStatistics). ``extra``
-    injects additional CTEs (each starting with ', ') before pf."""
-    in_list = ", ".join(f"'{t}'" for t in idf_terms)
-    idf_sum = (
-        f"(SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) "
-        f"FROM dfreq WHERE term IN ({in_list}))"
-    )
+    injects additional CTEs (each starting with ', ') before pf.
+
+    idf counts term MULTIPLICITY: a phrase's termStats array has one entry
+    per position (PhraseWeight), so a repeated term contributes its idf
+    once per occurrence in the query."""
+    counts: dict[str, int] = {}
+    for t in idf_terms:
+        counts[t] = counts.get(t, 0) + 1
+    if any(c > 1 for c in counts.values()):
+        vals = ", ".join(f"('{t}', {c})" for t, c in counts.items())
+        idf_sum = (
+            f"(SELECT sum(m.cnt * ln(1 + (s.n - df + 0.5) / (df + 0.5))) "
+            f"FROM dfreq JOIN (VALUES {vals}) AS m(term, cnt) "
+            f"ON m.term = dfreq.term)"
+        )
+    else:
+        in_list = ", ".join(f"'{t}'" for t in counts)
+        idf_sum = (
+            f"(SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) "
+            f"FROM dfreq WHERE term IN ({in_list}))"
+        )
     inv = _INV.format(k1=K1, b=B)
     return (
         (prelude if prelude is not None else _PRELUDE)
@@ -2008,6 +2031,150 @@ gaps AS (
         f"  FROM gaps WHERE gap <= {slop} GROUP BY doc_id"
     )
     sql = _freq_rank_sql(match, terms, k, extra=extra, prelude=prelude)
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+def _phrase_slop_rpts_sql(terms: list[str], slop: int, k: int = 10) -> str:
+    """Sloppy PhraseQuery with REPEATED terms: a small-step recursive-CTE
+    transcription of SloppyPhraseMatcher's hasRpts walk
+    (search/SloppyPhraseMatcher.java:174-206 nextMatch,
+    286-344 advanceRpts/collide/lesser, 435-467 advanceRepeatGroups).
+
+    State row per doc: per-PP pointer i_j into its (shared per-term,
+    offset-adjusted) position list l_j, the PP in hand, the collision-chase
+    pointer, current `end`, matchLength, the (deliberately stale, like the
+    reference's cached `next`) queue-top position, accumulated freq, and a
+    phase: 'adv' (advance hand), 'res' (resolve repeater collisions by
+    advancing the (position, offset)-lesser = higher-offset group member),
+    'chk' (minimize or emit + re-pop), 'fin'. The PQ is a sorted set keyed
+    by (adjusted position, offset) — offsets are distinct, so list_sort of
+    [pos, pp] pairs gives pops. Init: j-th repeat-group member (offset
+    order) starts advanced j times; exhaustion at init = no match.
+    Cross-checked against matchers.sloppy_phrase_freqs_rpts on randomized
+    corpora in tests/test_matchers.py."""
+    n = len(terms)
+    uniq = list(dict.fromkeys(terms))
+    tord = {t: j for j, t in enumerate(uniq)}
+    tid = [tord[t] for t in terms]
+    groups: dict[int, list[int]] = {}
+    for i in range(n):
+        groups.setdefault(tid[i], []).append(i)
+    groups = {t: g for t, g in groups.items() if len(g) > 1}
+    rank = [0] * n
+    for g in groups.values():
+        for j, i in enumerate(g):
+            rank[i] = j
+    group_of = [groups.get(tid[i]) for i in range(n)]
+    J = list(range(1, n + 1))
+
+    lits = ", ".join(f"'{t}'" for t in uniq)
+    first_cols = ",\n    ".join(
+        f"first(ps) FILTER (term = '{t}') AS u{j}" for j, t in enumerate(uniq)
+    )
+    llists = ",\n    ".join(
+        f"list_transform(u{tid[i]}, p -> p - {i}) AS l{i+1}" for i in range(n)
+    )
+    icols0 = ", ".join(f"{rank[i]}::BIGINT AS i{i+1}" for i in range(n))
+    lcols = ", ".join(f"l{j}" for j in J)
+    icols = ", ".join(f"i{j}" for j in J)
+
+    def case_by(var: str, exprs: dict) -> str:
+        arms = " ".join(f"WHEN {j} THEN {e}" for j, e in exprs.items())
+        return f"CASE {var} {arms} END"
+
+    srt_list = ", ".join(f"[p{j}, {j}::BIGINT]" for j in J)
+    kcol_arms = {}
+    for i in range(n):
+        g = group_of[i]
+        if g is None:
+            continue
+        inner = " ".join(
+            f"WHEN i{m+1} = i{i+1} THEN {m+1}::BIGINT" for m in g if m != i
+        )
+        kcol_arms[i + 1] = f"(CASE {inner} END)"
+    kcol = case_by("chase", kcol_arms) if kcol_arms else "NULL::BIGINT"
+    init_exh = " OR ".join(f"i{j} >= len(l{j})" for j in J)
+    init_ps = ", ".join(f"(l{j})[(i{j}+1)::INT] AS p{j}" for j in J)
+    end0 = "greatest(" + ", ".join(f"p{j}" for j in J) + ")"
+    i_next = ", ".join(
+        f"i{j} + (CASE WHEN (ph = 'adv' AND hand = {j}) OR "
+        f"(ph = 'res' AND kcol IS NOT NULL AND lsr = {j}) "
+        f"THEN 1 ELSE 0 END) AS i{j}"
+        for j in J
+    )
+    exh_hand = case_by("hand", {j: f"i{j} + 1 >= len(l{j})" for j in J})
+    exh_lsr = case_by("lsr", {j: f"i{j} + 1 >= len(l{j})" for j in J})
+    q_hand = case_by("hand", {j: f"(l{j})[(i{j}+2)::INT]" for j in J})
+    q_lsr = case_by("lsr", {j: f"(l{j})[(i{j}+2)::INT]" for j in J})
+    p_hand = case_by("hand", {j: f"p{j}" for j in J})
+    p_cur = ", ".join(f"(l{j})[(i{j}+1)::INT] AS p{j}" for j in J)
+
+    extra = f"""
+, pl AS (
+  SELECT doc_id, term, list_sort(list(pos)) AS ps
+  FROM tokp WHERE term IN ({lits}) GROUP BY doc_id, term
+),
+cand AS (
+  SELECT doc_id,
+    {first_cols}
+  FROM pl GROUP BY doc_id
+  HAVING count(*) = {len(uniq)}
+),
+ini AS (
+  SELECT doc_id,
+    {llists}
+  FROM cand
+),
+st0 AS (SELECT doc_id, {lcols}, {icols0} FROM ini),
+stA AS (SELECT *, {init_ps} FROM st0 WHERE NOT ({init_exh})),
+stB AS (SELECT *, list_sort([{srt_list}]) AS srt, {end0} AS end0 FROM stA),
+machine(doc_id, {lcols}, {icols}, hand, chase, end_, ml, nxt, freq, ph) AS (
+  SELECT doc_id, {lcols}, {icols},
+         (srt[1])[2], 0::BIGINT, end0,
+         end0 - (srt[1])[1], (srt[2])[1], 0.0::DOUBLE, 'adv'
+  FROM stB
+  UNION ALL
+  SELECT doc_id, {lcols},
+    {i_next},
+    CASE WHEN pop THEN (srt[1])[2] ELSE hand END,
+    CASE WHEN ph = 'adv' THEN hand
+         WHEN ph = 'res' AND kcol IS NOT NULL THEN lsr
+         ELSE chase END,
+    CASE WHEN exh THEN end_
+         WHEN ph = 'adv' THEN greatest(end_, qhand)
+         WHEN ph = 'res' AND kcol IS NOT NULL THEN greatest(end_, qlsr)
+         ELSE end_ END,
+    CASE WHEN pop THEN end_ - (srt[1])[1]
+         WHEN ph = 'chk' THEN least(ml, end_ - phand)
+         ELSE ml END,
+    CASE WHEN pop THEN (srt[2])[1] ELSE nxt END,
+    freq + (CASE WHEN (exh OR pop) AND ml <= {slop} THEN 1.0 / (1 + ml) ELSE 0.0 END),
+    CASE WHEN exh THEN 'fin'
+         WHEN ph = 'adv' THEN 'res'
+         WHEN ph = 'res' THEN (CASE WHEN kcol IS NULL THEN 'chk' ELSE 'res' END)
+         ELSE 'adv' END
+  FROM (
+    SELECT *,
+      (ph = 'adv' AND {exh_hand})
+        OR (ph = 'res' AND kcol IS NOT NULL AND {exh_lsr}) AS exh,
+      ph = 'chk' AND phand > nxt AS pop,
+      {q_hand} AS qhand,
+      {q_lsr} AS qlsr
+    FROM (
+      SELECT *,
+        greatest(chase, kcol) AS lsr,
+        {p_hand} AS phand,
+        list_sort([{srt_list}]) AS srt
+      FROM (
+        SELECT m.*, {p_cur}
+        FROM machine m WHERE m.ph <> 'fin'
+      ) sa
+      CROSS JOIN LATERAL (SELECT {kcol} AS kcol) sk
+    ) sb
+  ) sc
+)"""
+    match = "  SELECT doc_id, freq FROM machine WHERE ph = 'fin' AND freq > 0"
+    sql = _freq_rank_sql(match, terms, k, extra=extra)
     return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 

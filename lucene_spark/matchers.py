@@ -129,12 +129,13 @@ def sloppy_phrase_freqs(
     exact kernel above). For 2-term phrases the walk is equivalent to an
     alternating crossing chain (t_{k+1} = min{opposite side > t_k}, match
     gap t_k - pred_opposite(t_k)) — that form is what the SQL oracle
-    encodes; ties (exact alignments) pop slot 0 first per PhraseQueue."""
+    encodes; ties (exact alignments) pop slot 0 first per PhraseQueue.
+
+    Phrases with REPEATED terms take the repeat-group walk
+    (SloppyPhraseMatcher hasRpts — initComplex/advanceRpts parity for
+    single-term postings; see sloppy_phrase_freqs_rpts)."""
     if len(set(terms)) != len(terms):
-        raise NotImplementedError(
-            "sloppy phrase with repeated terms (SloppyPhraseMatcher hasRpts) "
-            "is out of scope; exact (slop=0) phrases support repeats"
-        )
+        return sloppy_phrase_freqs_rpts(pos_by_term, terms, slop, n_docs)
     adj = [
         [
             None if p is None else np.asarray(p, dtype=np.int64) - off
@@ -184,6 +185,137 @@ def _sloppy_walk(adj_lists: List[np.ndarray], slop: int) -> float:
             ml2 = end - pos
             if ml2 < match_length:
                 match_length = ml2
+
+
+def sloppy_phrase_freqs_rpts(
+    pos_by_term: Dict[str, List], terms: Sequence[str], slop: int, n_docs: int
+) -> np.ndarray:
+    """Sloppy phrase with REPEATED terms — SloppyPhraseMatcher's hasRpts
+    path (search/SloppyPhraseMatcher.java:286-467) for single-term postings
+    (plain PhraseQuery; multi-term repeats, i.e. MultiPhraseQuery with
+    shared alternatives, still raise in search.py).
+
+    Repeat groups are query-determined here: PPs sharing a term, sorted by
+    query offset (sortRptGroups) — positions-based group discovery in the
+    reference reduces to term identity when each PP has one term. Per doc:
+    initComplex places every PP at its first position then advances the
+    j-th group member j times (advanceRepeatGroups, single-term case);
+    the nextMatch walk resolves collisions by advancing the (position,
+    offset)-lesser of the colliding pair (advanceRpts/lesser/collide) —
+    collision <=> equal index into the shared positions array."""
+    uniq = list(dict.fromkeys(terms))
+    term_ord = {t: j for j, t in enumerate(uniq)}
+    tlists = [pos_by_term[t] for t in uniq]
+    n = len(terms)
+    offsets = list(range(n))
+    tid = [term_ord[t] for t in terms]
+    groups: Dict[int, List[int]] = {}
+    for i in range(n):
+        groups.setdefault(tid[i], []).append(i)
+    groups = {t: g for t, g in groups.items() if len(g) > 1}
+    rank = [0] * n
+    for g in groups.values():
+        for j, i in enumerate(g):  # PP order == offset order
+            rank[i] = j
+    group_of = [groups.get(tid[i]) for i in range(n)]
+    out = np.zeros(n_docs, dtype=np.float64)
+    for d in range(n_docs):
+        arrs = [
+            None if tl[d] is None else np.asarray(tl[d], dtype=np.int64)
+            for tl in tlists
+        ]
+        if any(a is None or len(a) == 0 for a in arrs):
+            continue
+        out[d] = _sloppy_walk_rpts(
+            [arrs[tid[i]] for i in range(n)], offsets, rank, group_of, slop
+        )
+    return out
+
+
+def _sloppy_walk_rpts(
+    arrs: List[np.ndarray],
+    offsets: List[int],
+    rank: List[int],
+    group_of: List,
+    slop: int,
+) -> float:
+    """One-doc literal transcription of SloppyPhraseMatcher.nextMatch with
+    repeats. arrs[i] is PP i's (shared per-term) sorted actual-position
+    array; adjusted position = arrs[i][idx[i]] - offsets[i]. The PQ is
+    treated as a sorted set keyed by (adjusted position, offset, ord) —
+    the reference's rptStack re-queue dance only repairs heap internals
+    after in-place advances, so set semantics are identical; `nxt` stays
+    deliberately stale across collision resolution like the reference's
+    cached `next`."""
+    n = len(arrs)
+    idx = list(rank)  # advanceRepeatGroups: j-th group member advanced j times
+    for i in range(n):
+        if idx[i] >= len(arrs[i]):
+            return 0.0  # PPs exhausted at init: doc cannot match
+
+    def adj(i):
+        return int(arrs[i][idx[i]]) - offsets[i]
+
+    end = max(adj(i) for i in range(n))
+    heap = [(adj(i), offsets[i], i) for i in range(n)]
+    heapq.heapify(heap)
+    freq = 0.0
+    while True:
+        pos, _off, i = heapq.heappop(heap)
+        ml = end - pos
+        nxt = heap[0][0]
+        while True:
+            # advancePP(hand)
+            idx[i] += 1
+            if idx[i] >= len(arrs[i]):
+                if ml <= slop:
+                    freq += 1.0 / (1.0 + ml)
+                return freq
+            if adj(i) > end:
+                end = adj(i)
+            # advanceRpts: chase collisions from the just-advanced PP
+            if group_of[i] is not None:
+                c = i
+                touched = False
+                while True:
+                    g = group_of[c]
+                    k = next(
+                        (j for j in g if j != c and idx[j] == idx[c]), None
+                    )
+                    if k is None:
+                        break
+                    lsr = (
+                        c
+                        if (adj(c), offsets[c]) < (adj(k), offsets[k])
+                        else k
+                    )
+                    idx[lsr] += 1
+                    if idx[lsr] >= len(arrs[lsr]):
+                        if ml <= slop:
+                            freq += 1.0 / (1.0 + ml)
+                        return freq
+                    if adj(lsr) > end:
+                        end = adj(lsr)
+                    touched = touched or lsr != i
+                    c = lsr
+                if touched:  # queue members moved: rebuild keys (re-queue)
+                    heap = [
+                        (adj(j), offsets[j], j) for j in range(n) if j != i
+                    ]
+                    heapq.heapify(heap)
+            p = adj(i)
+            if p > nxt:
+                heapq.heappush(heap, (p, offsets[i], i))
+                if ml <= slop:
+                    freq += 1.0 / (1.0 + ml)
+                    break  # return true; next call re-pops
+                pos, _off, i = heapq.heappop(heap)
+                nxt = heap[0][0]
+                ml = end - pos
+            else:
+                ml2 = end - p
+                if ml2 < ml:
+                    ml = ml2
 
 
 # ---------------------------------------------------------------------------

@@ -894,13 +894,6 @@ class Searcher:
         batch-vectorized in matchers.py: one offset-intersection / merged
         sweep per Arrow batch, no per-doc Python loop in the hot path."""
         terms = list(q.terms)
-        if q.slop > 0 and len(set(terms)) != len(terms):
-            # fail on the driver, not inside the Arrow UDF (matchers raises
-            # the same way — SloppyPhraseMatcher's repeat handling is out of
-            # scope; exact phrases support repeats)
-            raise NotImplementedError(
-                "sloppy phrase with repeated terms (SloppyPhraseMatcher hasRpts)"
-            )
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
             return self._empty()

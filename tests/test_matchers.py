@@ -179,10 +179,91 @@ def test_exact_phrase_multi_doc_batch():
     assert got.tolist() == [1, 0, 0]
 
 
-def test_sloppy_repeated_terms_raises():
-    with pytest.raises(NotImplementedError):
-        matchers.sloppy_phrase_freqs(
-            {"x": [np.array([0, 2])]}, ("x", "x"), 2, 1
+def test_sloppy_repeated_terms_hand_traces():
+    # "x x"~1 on positions [0, 2]: init PP0@0, PP1@(2-1)=1; end=1; pop PP0
+    # (ml=1); advance PP0 -> collision (idx 1,1) -> lesser = higher offset
+    # PP1 -> exhausted -> final emit ml=1 <= 1 -> 1/(1+1)
+    got = matchers.sloppy_phrase_freqs(
+        {"x": [np.array([0, 2])]}, ("x", "x"), 1, 1
+    )
+    assert got[0] == pytest.approx(0.5)
+    # adjacent repeat "x x" on [0, 1]: exact alignment, weight 1.0
+    got = matchers.sloppy_phrase_freqs(
+        {"x": [np.array([0, 1])]}, ("x", "x"), 1, 1
+    )
+    assert got[0] == pytest.approx(1.0)
+    # occurrences < group size: no match possible
+    got = matchers.sloppy_phrase_freqs(
+        {"x": [np.array([4])], "y": [np.array([5])]}, ("x", "y", "x"), 3, 1
+    )
+    assert got[0] == 0.0
+
+
+def _rpts_machine_freqs_duckdb(docs, terms, slop):
+    """Run the __spark_entry__ recursive-CTE hasRpts machine (the oracle's
+    independent encoding of SloppyPhraseMatcher) on token-list docs."""
+    import duckdb
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    full = entry._phrase_slop_rpts_sql(list(terms), slop)
+    # carve the machine CTEs out of the full oracle (between the prelude's
+    # dfreq CTE and the ', pf AS' scoring tail), keep `matches` as the probe
+    start = full.index(", pl AS (")
+    end = full.index("\n, pf AS (")
+    ctes = full[start:end]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, toks VARCHAR[])")
+    for i, d in enumerate(docs):
+        con.execute("INSERT INTO docs VALUES (?, ?)", [i, d])
+    sql = (
+        "WITH RECURSIVE tokp AS (SELECT doc_id, unnest(toks) AS term, "
+        "generate_subscripts(toks,1)-1 AS pos FROM docs)"
+        + ctes
+        + "\nSELECT doc_id, freq FROM machine WHERE ph = 'fin' AND freq > 0"
+    )
+    return dict(con.execute(sql).fetchall())
+
+
+@pytest.mark.parametrize(
+    "terms,slop",
+    [
+        (("a", "b", "a"), 2),
+        (("a", "a"), 1),
+        (("a", "a", "b"), 3),
+        (("a", "b", "a", "b"), 4),
+        (("a", "a", "a"), 2),
+    ],
+)
+def test_sloppy_rpts_python_equals_sql_machine(terms, slop):
+    # the engine walk (matchers._sloppy_walk_rpts) and the oracle's
+    # recursive-CTE machine are INDEPENDENT encodings of
+    # SloppyPhraseMatcher's hasRpts algorithm; they must agree everywhere
+    import random
+
+    rng = random.Random(20260817)
+    docs = [
+        [rng.choice("abc") for _ in range(rng.randint(1, 14))]
+        for _ in range(200)
+    ]
+    uniq = list(dict.fromkeys(terms))
+    pos_by_term = {
+        t: [
+            np.array([p for p, w in enumerate(d) if w == t], dtype=np.int64)
+            if t in d
+            else None
+            for d in docs
+        ]
+        for t in uniq
+    }
+    want = matchers.sloppy_phrase_freqs(pos_by_term, terms, slop, len(docs))
+    got = _rpts_machine_freqs_duckdb(docs, terms, slop)
+    for i in range(len(docs)):
+        assert got.get(i, 0.0) == pytest.approx(want[i], abs=1e-9), (
+            i,
+            docs[i],
         )
 
 
