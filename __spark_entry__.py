@@ -368,6 +368,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             IntervalQuery(terms=("spark", "table"), ordered=False),
             10,
         ),
+        # ---- duplicate-term spans / intervals (RepeatingIntervalsSource
+        # dedup + tie-tolerant NearSpansUnordered walk) ----
+        "q_span_unordered_dup": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            SpanNearQuery(terms=("table", "table"), slop=2, in_order=False),
+            10,
+        ),
+        "q_span_unordered_dup3": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            SpanNearQuery(terms=("table", "the", "table"), slop=5, in_order=False),
+            10,
+        ),
+        "q_intervals_unordered_dup": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalQuery(terms=("table", "table"), ordered=False, max_gaps=3),
+            10,
+        ),
+        "q_intervals_unordered_dup3": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalQuery(terms=("table", "the", "table"), ordered=False, max_gaps=6),
+            10,
+        ),
+        "q_intervals_ordered_dup": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalQuery(terms=("table", "the", "table"), ordered=True, max_gaps=8),
+            10,
+        ),
+        "q_intervals_ordered_dup_adj": lambda sp, d: _topk_df(
+            # adjacent repeat collapses to a RepeatingIntervalsSource run:
+            # minExtent 2, gaps still count all three positions
+            _searcher(sp, d),
+            IntervalQuery(terms=("the", "table", "table"), ordered=True, max_gaps=6),
+            10,
+        ),
         "q_span_or": lambda sp, d: _topk_df(
             _searcher(sp, d), SpanOrQuery(terms=("spark", "merge")), 10
         ),
@@ -907,6 +941,20 @@ def oracle_sql() -> dict[str, str]:
         "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
         "q_intervals_ordered": _intervals_sql(["the", "fast", "table"], True, 8),
         "q_intervals_unordered": _intervals_sql(["spark", "table"], False, -1),
+        "q_span_unordered_dup": _span_unordered_dup2_sql("table", 2),
+        "q_span_unordered_dup3": _span_unordered_machine_sql(
+            ["table", "the", "table"], 5
+        ),
+        "q_intervals_unordered_dup": _intervals_dup_windows_sql("table", 2, 3),
+        "q_intervals_unordered_dup3": _intervals_unordered_dups_machine_sql(
+            ["table", "the", "table"], 6
+        ),
+        "q_intervals_ordered_dup": _intervals_sql(
+            ["table", "the", "table"], True, 8
+        ),
+        "q_intervals_ordered_dup_adj": _intervals_sql(
+            ["the", "table", "table"], True, 6, min_extent=2
+        ),
         # span algebra: point spans weigh 1/(1+(end-start)) = 0.5 each
         "q_span_or": _freq_rank_sql(
             "  SELECT doc_id, count(*) * 0.5 AS freq\n"
@@ -1747,7 +1795,8 @@ agg AS (
     )
 
 
-def _intervals_sql(terms: list[str], ordered: bool, max_gaps: int, k: int = 10) -> str:
+def _intervals_sql(terms: list[str], ordered: bool, max_gaps: int, k: int = 10,
+                   min_extent: int | None = None) -> str:
     """IntervalQuery parity SQL (lucene_spark/matchers.py minimal-interval
     staircases). Ordered: backward greedy chains q_{i-1} = max{pos(t_{i-1})
     < q_i} from each last-term occurrence give the latest start per end;
@@ -1755,6 +1804,8 @@ def _intervals_sql(terms: list[str], ordered: bool, max_gaps: int, k: int = 10) 
     occurrence <= e. Minimality = smallest end per start. freq = Σ
     1/max(length - n + 1, 1); score = 1 - 1/(freq + 1) (saturation pivot 1)."""
     n = len(terms)
+    if min_extent is None:
+        min_extent = n  # distinct point terms; adjacent-run dedup shrinks it
     if ordered:
         ctes = [
             f", b{n-1} AS (SELECT doc_id, pos AS e, pos AS q FROM tokp"
@@ -1792,7 +1843,7 @@ lt AS (
 , win AS ({win}),
 iv AS (SELECT doc_id, s, min(e) AS e FROM win GROUP BY doc_id, s),
 pf AS (
-  SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {n} + 1, 1)) AS freq
+  SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {min_extent} + 1, 1)) AS freq
   FROM iv {gaps_pred} GROUP BY doc_id
 ),
 ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
@@ -2031,6 +2082,270 @@ gaps AS (
         f"  FROM gaps WHERE gap <= {slop} GROUP BY doc_id"
     )
     sql = _freq_rank_sql(match, terms, k, extra=extra, prelude=prelude)
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+def _span_unordered_dup2_sql(term: str, slop: int, k: int = 10) -> str:
+    """Unordered SpanNearQuery with the SAME term twice ("x x"~slop):
+    closed form of the NearSpansUnordered advance-min walk over two
+    interchangeable iterators on one positions list. Visited states are the
+    m self-states (p_i, p_i) — matchLength 1, always within slop (the
+    overlap quirk: a single occurrence matches) — and the m-1
+    consecutive-pair states (p_i, p_{i+1}) with matchLength d+1 (d the
+    position delta), matching iff (d+1)-2 <= slop, each weighing
+    1/(1+matchLength)."""
+    extra = f"""
+, occ AS (
+  SELECT doc_id, pos, lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tokp WHERE term = '{term}'
+),
+selfst AS (SELECT doc_id, count(*) * 0.5 AS f FROM occ GROUP BY doc_id),
+pairst AS (
+  SELECT doc_id, sum(1.0 / (nxt - pos + 2)) AS f
+  FROM occ WHERE nxt IS NOT NULL AND nxt - pos <= {slop} + 1
+  GROUP BY doc_id
+)
+"""
+    match = (
+        "  SELECT s.doc_id, s.f + coalesce(p.f, 0.0) AS freq\n"
+        "  FROM selfst s LEFT JOIN pairst p ON p.doc_id = s.doc_id"
+    )
+    return _freq_rank_sql(match, [term, term], k, extra=extra)
+
+
+def _span_unordered_machine_sql(terms: list[str], slop: int, k: int = 10) -> str:
+    """Unordered SpanNearQuery for any clause count / multiset — a
+    small-step recursive-CTE transcription of the NearSpansUnordered walk
+    (NearSpansUnordered.java SpanTotalLengthEndPositionWindow): check the
+    state (matchLength = maxEnd - minStart; match iff matchLength - n <=
+    slop, weight 1/(1+matchLength)), advance the min-start clause, repeat
+    until one clause exhausts. Duplicate clauses are interchangeable
+    iterators over one list, so min-tie order cannot change the visited
+    multiset; maxEnd = current max (positions are monotone per clause)."""
+    n = len(terms)
+    uniq = list(dict.fromkeys(terms))
+    tord = {t: j for j, t in enumerate(uniq)}
+    J = list(range(1, n + 1))
+    lits = ", ".join(f"'{t}'" for t in uniq)
+    first_cols = ",\n    ".join(
+        f"first(ps) FILTER (term = '{t}') AS u{j}" for j, t in enumerate(uniq)
+    )
+    lsel = ",\n    ".join(f"u{tord[terms[i]]} AS l{i+1}" for i in range(n))
+    lcols = ", ".join(f"l{j}" for j in J)
+    icols = ", ".join(f"i{j}" for j in J)
+    icols0 = ", ".join(f"0::BIGINT AS i{j}" for j in J)
+    pexprs = ", ".join(f"(l{j})[(i{j}+1)::INT] AS p{j}" for j in J)
+    pmax = "greatest(" + ", ".join(f"p{j}" for j in J) + ")"
+    pmin = "least(" + ", ".join(f"p{j}" for j in J) + ")"
+    srt = "list_sort([" + ", ".join(f"[p{j}, {j}::BIGINT]" for j in J) + "])"
+    exh = (
+        "CASE amin "
+        + " ".join(f"WHEN {j} THEN i{j} + 1 >= len(l{j})" for j in J)
+        + " END"
+    )
+    i_next = ", ".join(
+        f"i{j} + (CASE WHEN amin = {j} THEN 1 ELSE 0 END) AS i{j}" for j in J
+    )
+    extra = f"""
+, pl AS (
+  SELECT doc_id, term, list_sort(list(pos)) AS ps
+  FROM tokp WHERE term IN ({lits}) GROUP BY doc_id, term
+),
+cand AS (
+  SELECT doc_id,
+    {first_cols}
+  FROM pl GROUP BY doc_id
+  HAVING count(*) = {len(uniq)}
+),
+ini AS (
+  SELECT doc_id,
+    {lsel}
+  FROM cand
+),
+machine(doc_id, {lcols}, {icols}, freq, ph) AS (
+  SELECT doc_id, {lcols}, {icols0}, 0.0::DOUBLE, 'st' FROM ini
+  UNION ALL
+  SELECT doc_id, {lcols},
+    {i_next},
+    freq + (CASE WHEN ml - {n} <= {slop} THEN 1.0 / (1 + ml) ELSE 0.0 END),
+    CASE WHEN {exh} THEN 'fin' ELSE 'st' END
+  FROM (
+    SELECT *, ({srt}[1])[2] AS amin FROM (
+      SELECT *, {pmax} + 1 - {pmin} AS ml FROM (
+        SELECT m.*, {pexprs}
+        FROM machine m WHERE m.ph <> 'fin'
+      ) sa
+    ) sb
+  ) sc
+)
+"""
+    match = "  SELECT doc_id, freq FROM machine WHERE ph = 'fin' AND freq > 0"
+    sql = _freq_rank_sql(match, terms, k, extra=extra)
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+def _intervals_dup_windows_sql(term: str, count: int, max_gaps: int, k: int = 10) -> str:
+    """Unordered IntervalQuery with one term repeated `count` times: the
+    reference deduplicates it into a single RepeatingIntervalsSource
+    (UnorderedIntervalsSource.build unwraps a lone sub), whose stream is
+    the sliding window of `count` consecutive occurrences; minExtent is the
+    CHILD's 1, gaps = width - count. freq = Σ 1/max(length - 1 + 1, 1) =
+    Σ 1/length over windows passing maxgaps."""
+    gaps_pred = (
+        f"AND (e - s + 1) - {count} <= {max_gaps}" if max_gaps >= 0 else ""
+    )
+    return (
+        _PRELUDE
+        + f"""
+, occ AS (
+  SELECT doc_id, pos AS s,
+         lead(pos, {count - 1}) OVER (PARTITION BY doc_id ORDER BY pos) AS e
+  FROM tokp WHERE term = '{term}'
+),
+pf AS (
+  SELECT doc_id, sum(1.0 / (e - s + 1)) AS freq
+  FROM occ WHERE e IS NOT NULL {gaps_pred} GROUP BY doc_id
+),
+ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
+"""
+        + _rank_tail("score", "FROM ivsc", k)
+    )
+
+
+def _intervals_unordered_dups_machine_sql(
+    terms: list[str], max_gaps: int, k: int = 10
+) -> str:
+    """Unordered IntervalQuery with duplicate terms among distinct ones: a
+    recursive-CTE transcription of UnorderedIntervalIterator over the
+    deduplicated sub streams (each repeated term becomes a
+    RepeatingIntervalsSource sliding window of `count` consecutive
+    occurrences). Queue order (start asc, end desc); per emission: skip
+    past the previous start, minimize until the top's end reaches the
+    running queueEnd, emit on reach / queueEnd growth / sub exhaustion.
+    minExtent = sub count (each Repeating contributes its child's 1);
+    gaps = width - Σ counts."""
+    counts: dict[str, int] = {}
+    for t in terms:
+        counts[t] = counts.get(t, 0) + 1
+    subs = list(counts.items())  # (term, count) in first-appearance order
+    M = len(subs)
+    minext = M
+    total_w = sum(counts.values())
+    J = list(range(1, M + 1))
+    lits = ", ".join(f"'{t}'" for t, _ in subs)
+    first_cols = ",\n    ".join(
+        f"first(ps) FILTER (term = '{t}') AS u{j}" for j, (t, _) in enumerate(subs)
+    )
+    sl = []
+    for j, (_t, c) in enumerate(subs, start=1):
+        if c == 1:
+            sl.append(f"u{j-1} AS ss{j}, u{j-1} AS se{j}")
+        else:
+            sl.append(
+                f"u{j-1}[1:len(u{j-1})-{c-1}] AS ss{j}, "
+                f"u{j-1}[{c}:len(u{j-1})] AS se{j}"
+            )
+    subsel = ",\n    ".join(sl)
+    scols = ", ".join(f"ss{j}, se{j}" for j in J)
+    icols = ", ".join(f"i{j}" for j in J)
+    icols0 = ", ".join(f"0::BIGINT AS i{j}" for j in J)
+    nonempty = " AND ".join(f"len(ss{j}) > 0" for j in J)
+    qend0 = "greatest(" + ", ".join(f"(se{j})[1]" for j in J) + ")"
+    cur = ", ".join(
+        f"(ss{j})[(i{j}+1)::INT] AS s{j}, (se{j})[(i{j}+1)::INT] AS e{j}"
+        for j in J
+    )
+    srt = (
+        "list_sort(["
+        + ", ".join(f"[s{j}, -e{j}, {j}::BIGINT]" for j in J)
+        + "])"
+    )
+    exh_top = (
+        "CASE topj "
+        + " ".join(f"WHEN {j} THEN i{j} + 1 >= len(ss{j})" for j in J)
+        + " END"
+    )
+    ne_top = (
+        "CASE topj "
+        + " ".join(f"WHEN {j} THEN (se{j})[(i{j}+2)::INT]" for j in J)
+        + " END"
+    )
+    i_next = ", ".join(
+        f"i{j} + (CASE WHEN adv AND topj = {j} THEN 1 ELSE 0 END) AS i{j}"
+        for j in J
+    )
+    gaps_ok = (
+        "TRUE" if max_gaps < 0 else f"(sve - svs + 1) - {total_w} <= {max_gaps}"
+    )
+    extra = f"""
+, pl AS (
+  SELECT doc_id, term, list_sort(list(pos)) AS ps
+  FROM tokp WHERE term IN ({lits}) GROUP BY doc_id, term
+),
+cand AS (
+  SELECT doc_id,
+    {first_cols}
+  FROM pl GROUP BY doc_id
+  HAVING count(*) = {M}
+),
+ini AS (
+  SELECT doc_id,
+    {subsel}
+  FROM cand
+),
+ini2 AS (SELECT * FROM ini WHERE {nonempty}),
+machine(doc_id, {scols}, {icols}, qend, prev, freq, ph) AS (
+  SELECT doc_id, {scols}, {icols0}, {qend0}, -1::BIGINT, 0.0::DOUBLE, 'skip'
+  FROM ini2
+  UNION ALL
+  SELECT doc_id, {scols},
+    {i_next},
+    CASE WHEN adv AND NOT exh THEN greatest(qend, netop) ELSE qend END,
+    CASE WHEN emit AND NOT exh THEN svs ELSE prev END,
+    freq + (CASE WHEN emit THEN w ELSE 0.0 END),
+    CASE WHEN exh THEN 'fin'
+         WHEN ph = 'skip' THEN (CASE WHEN adv THEN 'skip' ELSE 'min' END)
+         WHEN emit THEN 'skip'
+         ELSE 'min' END
+  FROM (
+    SELECT *,
+      ph = 'min'
+        AND (tope = sve OR exh
+             OR (adv AND NOT exh AND greatest(qend, netop) <> sve)) AS emit
+    FROM (
+      SELECT *,
+        adv AND {exh_top} AS exh,
+        CASE WHEN adv THEN {ne_top} END AS netop,
+        CASE WHEN {gaps_ok}
+             THEN 1.0 / greatest((sve - svs + 1) - {minext} + 1, 1)
+             ELSE 0.0 END AS w
+      FROM (
+        SELECT *,
+          CASE WHEN ph = 'skip' THEN tops = prev
+               ELSE tope <> sve END AS adv
+        FROM (
+          SELECT *,
+            ({srt}[1])[1] AS tops,
+            -(({srt}[1])[2]) AS tope,
+            ({srt}[1])[3] AS topj,
+            ({srt}[1])[1] AS svs, qend AS sve
+          FROM (
+            SELECT m.*, {cur}
+            FROM machine m WHERE m.ph <> 'fin'
+          ) sa
+        ) sb
+      ) sc
+    ) sd
+  ) se
+)
+"""
+    match_tail = f"""
+, pf AS (
+  SELECT doc_id, freq FROM machine WHERE ph = 'fin' AND freq > 0
+),
+ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf)
+"""
+    sql = _PRELUDE + extra + match_tail + _rank_tail("score", "FROM ivsc", k)
     return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 

@@ -353,9 +353,17 @@ def span_ordered_freqs(
 
 
 def span_unordered_freqs(
-    pos_by_clause: List[List], slop: int, n_docs: int
+    pos_by_clause: List[List], slop: int, n_docs: int, distinct: bool = True
 ) -> np.ndarray:
-    if len(pos_by_clause) == 2:
+    """``distinct=False`` flags duplicate-term clauses: the closed form
+    assumes distinct-term positions never tie, so duplicates take the
+    per-doc walk. Duplicate clauses need no special machinery — two
+    iterators over the same positions list that sit on the same position
+    are in identical states, so the reference heap's arbitrary tie order
+    cannot change the visited-state multiset (NearSpansUnordered has no
+    repeat handling; a doc with a single 'x' matches "x x"~0 because both
+    clauses sit on the same token — the classic overlap quirk)."""
+    if len(pos_by_clause) == 2 and distinct:
         return _span_unordered2_freqs(
             pos_by_clause[0], pos_by_clause[1], slop, n_docs
         )
@@ -451,13 +459,27 @@ def unordered_minimal_intervals(g_by_clause: List[np.ndarray]):
 
 
 def interval_freqs(
-    pos_by_clause: List[List], ordered: bool, max_gaps: int, n_docs: int
+    pos_by_clause: List[List],
+    ordered: bool,
+    max_gaps: int,
+    n_docs: int,
+    min_extent: int | None = None,
 ) -> np.ndarray:
     """Per-doc interval sloppy freq (IntervalScorer.java:69-74):
     Σ 1 / max(length - minExtent + 1, 1) over the minimal intervals, after
     the optional maxgaps filter (FilteredIntervalsSource.maxGaps); minExtent
-    = clause count for point terms."""
+    = clause count for distinct point terms. With duplicate terms the
+    caller passes the reference's deduplicated minExtent: adjacent equal
+    sources collapse into a RepeatingIntervalsSource whose minExtent is its
+    CHILD's (RepeatingIntervalsSource.java minExtent), so each run of equal
+    adjacent terms contributes 1 — while the maxgaps filter keeps counting
+    every position (gaps = width - Σ sub widths, sub width = run length).
+    The ordered chain itself needs no repeat handling: a repeat-run window
+    (p_i .. p_{i+c-1}) of consecutive occurrences produces exactly the same
+    backward-greedy (start, end) chains as c strict point steps."""
     n = len(pos_by_clause)
+    if min_extent is None:
+        min_extent = n
     g = [_concat_global(lists) for lists in pos_by_clause]
     s, e = (
         ordered_minimal_intervals(g) if ordered else unordered_minimal_intervals(g)
@@ -471,9 +493,107 @@ def interval_freqs(
         s, e, length = s[sel], e[sel], length[sel]
     if len(s) == 0:
         return out
-    w = 1.0 / np.maximum(length - n + 1, 1).astype(np.float64)
+    w = 1.0 / np.maximum(length - min_extent + 1, 1).astype(np.float64)
     np.add.at(out, (e >> _DOC_SHIFT).astype(np.int64), w)
     return out
+
+
+def unordered_intervals_dups_freqs(
+    pos_by_term: Dict[str, List],
+    counts: Dict[str, int],
+    max_gaps: int,
+    n_docs: int,
+) -> np.ndarray:
+    """Unordered intervals with DUPLICATE terms. The reference deduplicates
+    repeated sub-sources into RepeatingIntervalsSource sliding windows of
+    `count` consecutive occurrences (UnorderedIntervalsSource.deduplicate,
+    RepeatingIntervalsSource.java), then runs the advance-min-start queue
+    walk over the sub streams; a single deduplicated sub IS the source
+    (build() unwraps it), emitting raw windows. minExtent = number of subs
+    (each Repeating contributes its child's 1); gaps keep counting every
+    position (sub width = count)."""
+    terms = list(counts)
+    min_extent = len(terms)
+    total_width = sum(counts.values())
+    out = np.zeros(n_docs, dtype=np.float64)
+    for d in range(n_docs):
+        subs = []
+        dead = False
+        for t in terms:
+            p = pos_by_term[t][d]
+            c = counts[t]
+            if p is None or len(p) < c:
+                dead = True
+                break
+            p = np.asarray(p, dtype=np.int64)
+            if c == 1:
+                subs.append((p, p, 1))
+            else:
+                subs.append((p[: len(p) - c + 1], p[c - 1 :], c))
+        if dead:
+            continue
+        if len(subs) == 1:
+            s, e = subs[0][0], subs[0][1]
+            gaps = (e - s + 1) - total_width
+        else:
+            s, e, gaps = _unordered_intervals_walk(subs, total_width)
+        if len(s) == 0:
+            continue
+        s, e, gaps = (np.asarray(s), np.asarray(e), np.asarray(gaps))
+        if max_gaps >= 0:
+            sel = gaps <= max_gaps
+            s, e = s[sel], e[sel]
+        length = e - s + 1
+        out[d] = np.sum(1.0 / np.maximum(length - min_extent + 1, 1))
+    return out
+
+
+def _unordered_intervals_walk(subs, total_width: int):
+    """One-doc literal transcription of UnorderedIntervalIterator
+    (UnorderedIntervalsSource.java nextInterval): queue ordered by (start
+    asc, end desc), running queueEnd right extreme; per emission, skip past
+    the previous start, then minimize until the top interval's end reaches
+    queueEnd or queueEnd grows / a sub exhausts. subs = [(starts, ends,
+    width)]; emitted gaps = (end - start + 1) - Σ sub widths."""
+    n = len(subs)
+    idx = [0] * n
+    heap = [(int(subs[j][0][0]), -int(subs[j][1][0]), j) for j in range(n)]
+    heapq.heapify(heap)
+    queue_end = max(int(subs[j][1][0]) for j in range(n))
+    alive = True
+    out_s: List[int] = []
+    out_e: List[int] = []
+    out_g: List[int] = []
+    prev_start = -1
+
+    def advance_top():
+        nonlocal queue_end, alive
+        _s, _ne, j = heapq.heappop(heap)
+        idx[j] += 1
+        if idx[j] >= len(subs[j][0]):
+            alive = False
+            return
+        ns, ne = int(subs[j][0][idx[j]]), int(subs[j][1][idx[j]])
+        heapq.heappush(heap, (ns, -ne, j))
+        if ne > queue_end:
+            queue_end = ne
+
+    while True:
+        while alive and heap[0][0] == prev_start:
+            advance_top()
+        if not alive:
+            return out_s, out_e, out_g
+        while True:
+            start, end = heap[0][0], queue_end
+            if -heap[0][1] == end:
+                break
+            advance_top()
+            if not (alive and end == queue_end):
+                break
+        out_s.append(start)
+        out_e.append(end)
+        out_g.append(end - start + 1 - total_width)
+        prev_start = start
 
 
 def _span_unordered_walk(pos_lists: List[np.ndarray], slop: int) -> float:

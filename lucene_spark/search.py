@@ -1155,16 +1155,17 @@ class Searcher:
         Σ 1/(1 + (endPosition - startPosition)) over span matches
         (SpanScorer.setFreqCurrentDoc). Vectorized via searchsorted chains /
         merged sweeps in matchers.py — bounded memory, no tuple enumeration.
-        Duplicate terms are supported for in_order; unordered duplicates
-        raise (the reference heap's tie order is unobservable)."""
+        Duplicate terms are supported for both orders: unordered duplicate
+        clauses are interchangeable iterators over one positions list, so
+        the reference heap's tie order cannot change the visited states
+        (NearSpansUnordered has no repeat machinery)."""
         terms = list(q.terms)
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
             return self._empty()
-        if not q.in_order and len(set(terms)) != len(terms):
-            raise NotImplementedError("unordered span near with duplicate terms")
         slop = int(q.slop)
         in_order = bool(q.in_order)
+        distinct = len(set(terms)) == len(terms)
         terms_t = tuple(terms)
         scorer = self.multi_scorer_for(q.boost, [stats[t] for t in terms])
 
@@ -1181,7 +1182,9 @@ class Searcher:
             if in_order:
                 out = matchers.span_ordered_freqs(pos_by_clause, slop, n_docs)
             else:
-                out = matchers.span_unordered_freqs(pos_by_clause, slop, n_docs)
+                out = matchers.span_unordered_freqs(
+                    pos_by_clause, slop, n_docs, distinct=distinct
+                )
             return pd.Series(out)
 
         grouped = self._grouped_positions(terms, min_terms=len(set(terms)))
@@ -1194,32 +1197,57 @@ class Searcher:
         """IntervalQuery (queries/intervals): minimal ordered/unordered
         intervals via the vectorized staircase kernels in matchers.py; freq
         and the saturation score per IntervalScorer/IntervalScoreFunction —
-        no norms, no idf (interval scoring is similarity-free)."""
+        no norms, no idf (interval scoring is similarity-free).
+
+        Duplicate terms follow the reference's deduplication
+        (Ordered/UnorderedIntervalsSource.deduplicate): ordered collapses
+        ADJACENT equal sources, unordered collapses ALL equal sources, each
+        into a RepeatingIntervalsSource sliding window whose minExtent is
+        its child's — so minExtent = run count (ordered) / distinct-term
+        count (unordered), while maxgaps keeps counting every position."""
         terms = list(q.terms)
-        if len(set(terms)) != len(terms):
-            raise NotImplementedError("interval sources with duplicate terms")
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
             return self._empty()
         ordered, max_gaps = bool(q.ordered), int(q.max_gaps)
         terms_t = tuple(terms)
+        # adjacent-run dedup (ordered): each run contributes minExtent 1
+        min_extent = 1 + sum(
+            1 for i in range(1, len(terms)) if terms[i] != terms[i - 1]
+        )
+        counts: Dict[str, int] = {}
+        for t in terms:
+            counts[t] = counts.get(t, 0) + 1
+        has_dups = len(set(terms)) != len(terms)
 
         @F.pandas_udf("double")
         def iv_freq(plist: pd.Series) -> pd.Series:
             from . import matchers
 
             n_docs = len(plist)
-            by_term = {t: [None] * n_docs for t in terms_t}
+            by_term = {t: [None] * n_docs for t in set(terms_t)}
             for i, entries in enumerate(plist):
                 for e in entries:
                     by_term[e["term"]][i] = np.asarray(e["positions"], dtype=np.int64)
-            return pd.Series(
-                matchers.interval_freqs(
-                    [by_term[t] for t in terms_t], ordered, max_gaps, n_docs
+            if ordered:
+                out = matchers.interval_freqs(
+                    [by_term[t] for t in terms_t],
+                    True,
+                    max_gaps,
+                    n_docs,
+                    min_extent=min_extent,
                 )
-            )
+            elif has_dups:
+                out = matchers.unordered_intervals_dups_freqs(
+                    by_term, counts, max_gaps, n_docs
+                )
+            else:
+                out = matchers.interval_freqs(
+                    [by_term[t] for t in terms_t], False, max_gaps, n_docs
+                )
+            return pd.Series(out)
 
-        grouped = self._grouped_positions(terms, min_terms=len(terms))
+        grouped = self._grouped_positions(terms, min_terms=len(set(terms)))
         scored = grouped.withColumn("freq", iv_freq(F.col("plist"))).filter(
             F.col("freq") > 0
         )

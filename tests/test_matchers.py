@@ -199,6 +199,54 @@ def test_sloppy_repeated_terms_hand_traces():
     assert got[0] == 0.0
 
 
+def test_span_unordered_dup_overlap_quirk():
+    # a single occurrence matches "x x"~0: both clauses sit on the same
+    # token (NearSpansUnordered has no overlap exclusion), ml=1, w=1/2
+    got = matchers.span_unordered_freqs(
+        [[np.array([3])], [np.array([3])]], 0, 1, distinct=False
+    )
+    assert got[0] == pytest.approx(0.5)
+    # two occurrences at gap d: 2 self-states + 1 pair state (d<=slop+1)
+    got = matchers.span_unordered_freqs(
+        [[np.array([0, 4])], [np.array([0, 4])]], 3, 1, distinct=False
+    )
+    assert got[0] == pytest.approx(0.5 + 0.5 + 1.0 / 6.0)
+
+
+def test_unordered_intervals_dup_windows():
+    # single repeated term -> RepeatingIntervalsSource raw windows
+    pbt = {"x": [np.array([0, 2, 7])]}
+    got = matchers.unordered_intervals_dups_freqs(pbt, {"x": 2}, -1, 1)
+    # windows (0,2) len 3 w=1/3; (2,7) len 6 w=1/6
+    assert got[0] == pytest.approx(1.0 / 3.0 + 1.0 / 6.0)
+    # maxgaps: gaps = len-2; window (2,7) has gaps 4 > 2 -> dropped
+    got = matchers.unordered_intervals_dups_freqs(pbt, {"x": 2}, 2, 1)
+    assert got[0] == pytest.approx(1.0 / 3.0)
+    # fewer occurrences than count -> no match
+    got = matchers.unordered_intervals_dups_freqs(
+        {"x": [np.array([5])]}, {"x": 2}, -1, 1
+    )
+    assert got[0] == 0.0
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=8, unique=True),
+    st.lists(st.integers(0, 30), min_size=1, max_size=8, unique=True),
+    st.lists(st.integers(0, 30), min_size=1, max_size=8, unique=True),
+)
+@settings(max_examples=60, deadline=None)
+def test_unordered_intervals_walk_equals_staircase_on_distinct_points(a, b, c):
+    # the literal UnorderedIntervalIterator transcription must agree with
+    # the vectorized minimal-window staircase wherever both apply
+    lists = [np.array(sorted(set(a))), np.array(sorted(set(b))), np.array(sorted(set(c)))]
+    pbt = {"a": [lists[0]], "b": [lists[1]], "c": [lists[2]]}
+    w1 = matchers.unordered_intervals_dups_freqs(
+        pbt, {"a": 1, "b": 1, "c": 1}, -1, 1
+    )
+    w2 = matchers.interval_freqs([[x] for x in lists], False, -1, 1)
+    assert w1[0] == pytest.approx(w2[0], abs=1e-12)
+
+
 def _rpts_machine_freqs_duckdb(docs, terms, slop):
     """Run the __spark_entry__ recursive-CTE hasRpts machine (the oracle's
     independent encoding of SloppyPhraseMatcher) on token-list docs."""
