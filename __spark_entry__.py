@@ -532,7 +532,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regexp_lucene_syntax": const_docs(RegexpQuery(regexp='"s"@')),
         "q_term_range": const_docs(TermRangeQuery(lower="query", upper="sort")),
         "q_term_in_set": const_docs(TermInSetQuery(terms=("spark", "vector", "nope"))),
-        "q_fuzzy": const_docs(FuzzyQuery(term="sprk", max_edits=1)),
+        "q_fuzzy": const_docs(
+            # classic Levenshtein variant (transpositions=False)
+            FuzzyQuery(term="sprk", max_edits=1, transpositions=False)
+        ),
+        "q_fuzzy_transpositions": const_docs(
+            # reference-default OSA metric: 'sprak'~1 reaches 'spark' via one
+            # adjacent transposition (classic distance would be 2); at
+            # max_edits=1 OSA coincides with unrestricted Damerau, so the
+            # oracle's independent damerau_levenshtein is exact parity
+            FuzzyQuery(term="sprak", max_edits=1)
+        ),
         # ---- geo distance (LatLonPoint.newDistanceQuery analog) ----
         "q_geo_distance": lambda sp, d: (
             fgeo.geo_distance(
@@ -1053,6 +1063,9 @@ SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tok WHERE term LIKE '0%' ORDER BY 
         "q_term_range": _const_docs_sql("t.term >= 'query' AND t.term <= 'sort'"),
         "q_term_in_set": _const_docs_sql("t.term IN ('spark', 'vector', 'nope')"),
         "q_fuzzy": _const_docs_sql("levenshtein(t.term, 'sprk') <= 1"),
+        "q_fuzzy_transpositions": _const_docs_sql(
+            "damerau_levenshtein(t.term, 'sprak') <= 1"
+        ),
         # deterministic pseudo-coordinates from c_custkey; same haversine
         # (mean radius 6371008.7714 m) on both engines, rounded to mm
         "q_geo_distance": """

@@ -138,6 +138,10 @@ class FuzzyQuery(Query):
     term: str = ""
     max_edits: int = 2
     prefix_length: int = 0  # leading chars that must match exactly (FuzzyQuery.java)
+    # the reference default measures Damerau-Levenshtein with the optimal
+    # string alignment restriction (FuzzyQuery.java:30-31, 61-81 —
+    # transpositions=true); False selects classic Levenshtein
+    transpositions: bool = True
     field: Optional[str] = None
 
 

@@ -1398,6 +1398,8 @@ class Searcher:
             # cheap JVM band filters (length window, optional shared prefix —
             # FuzzyQuery's prefixLength) before the O(len^2) edit distance;
             # the length band is implied by the distance so recall is exact
+            # for BOTH metrics (OSA >= |len diff| too), and Catalyst splits
+            # the conjunction so the band still pushes into the Parquet scan
             # (vs the reference's Levenshtein automaton intersection,
             # search/FuzzyTermsEnum.java:409)
             n = len(q.term)
@@ -1405,6 +1407,19 @@ class Searcher:
             pl = int(getattr(q, "prefix_length", 0) or 0)
             if pl > 0:
                 cond = cond & F.col("term").startswith(q.term[:pl])
+            if getattr(q, "transpositions", True):
+                # reference default: Damerau-Levenshtein with the optimal
+                # string alignment restriction (FuzzyQuery.java:61-81);
+                # vectorized batch DP over the band-pruned candidates
+                tq, me = q.term, int(q.max_edits)
+
+                @F.pandas_udf("boolean")
+                def osa_ok(s: pd.Series) -> pd.Series:
+                    from .editdist import osa_distances
+
+                    return pd.Series(osa_distances(s.tolist(), tq) <= me)
+
+                return cond & osa_ok(F.col("term"))
             return cond & (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
         raise NotImplementedError(type(q).__name__)
 
