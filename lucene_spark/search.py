@@ -77,7 +77,10 @@ def lucene_regexp_to_java(pattern: str) -> str:
     (ANYSTRING) becomes '.*'; "quoted strings" become escaped literals;
     RegExp is always fully anchored (callers wrap ^(?:...)$). The
     automaton-only operators & (intersection), ~ (complement), # (EMPTY)
-    and <n-m> (numeric interval) have no regex equivalent and raise."""
+    and <n-m> (numeric interval) have no regex equivalent and raise; a
+    bare '>' only terminates an interval, so outside one it is the legal
+    literal character the reference parses (RegExp.parseSimpleExp
+    matchChar) and passes through escaped."""
     out, i = [], 0
     in_class = False
     while i < len(pattern):
@@ -102,11 +105,15 @@ def lucene_regexp_to_java(pattern: str) -> str:
                 out.append(re.escape(pattern[i + 1 : j]))
                 i = j + 1
                 continue
-            if ch in "&~#<>":
+            if ch in "&~#<":
                 raise NotImplementedError(
                     f"Lucene RegExp operator {ch!r} is automaton-only "
                     "(util/automaton/RegExp.java); no regex equivalent"
                 )
+            if ch == ">":
+                out.append(re.escape(ch))
+                i += 1
+                continue
         out.append(ch)
         i += 1
     return "".join(out)
@@ -187,17 +194,35 @@ class Searcher:
         # DirectoryReader) — tombstones are loaded once at open. Deleted docs
         # (hard AND soft) never match; stats still include them (Lucene
         # delete semantics; soft deletes are just reversible tombstones).
+        # The driver snapshot is capacity-gated like every other driver
+        # cache here (LUCENE_SPARK_DRIVER_META_MAX): above the cap no numpy
+        # array is built (fetch stops at cap+1 rows), driver-side hot top-k
+        # is disabled, and _apply_deletes drops the broadcast hint so the
+        # anti-join plans as a regular shuffle join — billions of tombstones
+        # must not OOM the driver at open time.
         self._deleted: Optional[np.ndarray] = None
+        self._tombs_over_cap = False
         tombs = [
             t
             for t in (index.deletes, getattr(index, "soft_deletes", None))
             if t is not None
         ]
         if tombs:
+            from .prune import _driver_meta_max
+
+            cap = _driver_meta_max()
             allt = tombs[0] if len(tombs) == 1 else tombs[0].unionByName(tombs[1])
-            self._deleted = np.array(
-                sorted({r["doc_id"] for r in allt.collect()}), dtype=np.int64
+            rows = (
+                allt.select("doc_id").distinct().limit(cap + 1).collect()
+                if cap > 0
+                else []
             )
+            if cap > 0 and len(rows) <= cap:
+                self._deleted = np.array(
+                    sorted(r["doc_id"] for r in rows), dtype=np.int64
+                )
+            else:
+                self._tombs_over_cap = True
 
     def preload_bounds(self, terms: Optional[Sequence[str]] = None) -> int:
         """Bulk-warm the driver block-bounds cache (boost 1.0) — the analog
@@ -235,7 +260,10 @@ class Searcher:
     def _apply_deletes(self, df: DataFrame) -> DataFrame:
         for tomb in (self.index.deletes, getattr(self.index, "soft_deletes", None)):
             if tomb is not None:
-                df = df.join(F.broadcast(tomb), "doc_id", "left_anti")
+                # broadcast only when the snapshot proved the tombstone set
+                # small; above the cap let AQE pick the join strategy
+                side = F.broadcast(tomb) if not self._tombs_over_cap else tomb
+                df = df.join(side, "doc_id", "left_anti")
         return df
 
     # ---------------- public API ----------------
@@ -362,6 +390,11 @@ class Searcher:
         ]
 
     def _try_hot_topk(self, q: Query, k: int) -> Optional[DataFrame]:
+        if self._tombs_over_cap:
+            # no driver tombstone snapshot: _rank_rows cannot filter deleted
+            # docs, so hot top-k must fall back to the distributed path
+            # (whose _apply_deletes anti-join stays cluster-side)
+            return None
         rows = self._hot_topk_rows(q, k)
         if rows is None:
             return None

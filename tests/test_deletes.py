@@ -204,3 +204,37 @@ def test_write_read_index_persists_tombstones(spark, built, tmp_path):
     write_index(built, path2)
     clean = read_index(spark, path2)
     assert clean.deletes is None and clean.soft_deletes is None
+
+
+def test_tombstone_snapshot_capacity_gated(spark, built, monkeypatch):
+    """Above LUCENE_SPARK_DRIVER_META_MAX the Searcher must not build a
+    driver tombstone array, must not broadcast-hint the anti-join, and must
+    still exclude deleted docs via the distributed path."""
+    base = Searcher(built, dtype=np.float32)
+    top = base.search(TermQuery(term="spark"), 5, prune=False).collect()
+    victim = int(top[0]["doc_id"])
+    deleted = built.delete_docs([victim, victim + 1, 0, 1, 2])
+
+    monkeypatch.setenv("LUCENE_SPARK_DRIVER_META_MAX", "3")
+    s = Searcher(deleted, dtype=np.float32)
+    assert s._deleted is None and s._tombs_over_cap
+    # hot driver path disabled (it cannot filter deletes without a snapshot)
+    assert s._try_hot_topk(TermQuery(term="spark"), 5) is None
+    # plan: the left-anti against the tombstones carries no broadcast hint
+    df = s.matches(TermQuery(term="spark"))
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in plan.lower()
+    # distributed path still excludes the deleted docs
+    got = _ids(s.search(TermQuery(term="spark"), 5))
+    assert victim not in got
+
+    # under the cap: snapshot built, hint kept
+    monkeypatch.setenv("LUCENE_SPARK_DRIVER_META_MAX", "100000")
+    s2 = Searcher(deleted, dtype=np.float32)
+    assert s2._deleted is not None and not s2._tombs_over_cap
+    df2 = s2.matches(TermQuery(term="spark"))
+    plan2 = df2._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in plan2.lower()
+    assert _ids(s2.search(TermQuery(term="spark"), 4)) == _ids(
+        s.search(TermQuery(term="spark"), 4)
+    )
