@@ -446,7 +446,15 @@ def parse(query: str, analyze=None) -> Query:
                 advance()
                 boost = float(t2[1:])
             fz = _FUZZY_RE.search(raw)
-            if fz and not (fz.start() > 0 and raw[fz.start() - 1] == "\\"):
+            # '~' is escaped iff preceded by an ODD run of backslashes (the
+            # reference unescapes pairwise, QueryParserBase.discardEscapeChar)
+            nbs = 0
+            if fz:
+                j = fz.start() - 1
+                while j >= 0 and raw[j] == "\\":
+                    nbs += 1
+                    j -= 1
+            if fz and nbs % 2 == 0:
                 max_edits = int(fz.group(1) or 2)
                 raw = raw[: fz.start()]
                 return (

@@ -113,9 +113,10 @@ class Monitor:
     ) -> DataFrame:
         """(query_id, doc_id) for every standing query matching a batch doc.
         The result STAYS a DataFrame: it is materialized cluster-side
-        (persist + count) before the ephemeral index is released, never
-        round-tripped through the driver — at scale a percolator batch can
-        match far more rows than the driver should hold."""
+        (eager localCheckpoint, which also cuts lineage to the ephemeral
+        per-batch index) before that index is released, never round-tripped
+        through the driver — at scale a percolator batch can match far more
+        rows than the driver should hold."""
         idx = build_index(
             batch, self.config, content_col=content_col, doc_id_col=id_col
         ).persist()
@@ -141,9 +142,13 @@ class Monitor:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-            # pin the matches in executor storage before the index goes away
-            out = out.persist()
-            out.count()
+            # materialize AND cut lineage before the ephemeral index goes
+            # away: localCheckpoint stores the blocks executor-side and
+            # detaches them from the index lineage, so callers may hold the
+            # result indefinitely (storage is released when the frame is
+            # GC'd) and a block eviction fails loudly instead of silently
+            # rebuilding the whole per-batch index
+            out = out.localCheckpoint(eager=True)
             return out
         finally:
             idx.unpersist()

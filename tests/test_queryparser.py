@@ -191,3 +191,26 @@ def test_lucene_regexp_translation():
     for bad in ("a&b", "~abc", "#", "<1-9>"):
         with _pytest.raises((NotImplementedError,)):
             lucene_regexp_to_java(bad)
+
+
+def test_fuzzy_after_escaped_backslash_is_operator():
+    # 'term\\~2': the backslash run before '~' has EVEN length, so '~2' is
+    # a live fuzzy operator on the unescaped term 'term\'
+    q = parse("term\\\\~2")
+    assert isinstance(q, FuzzyQuery) and q.max_edits == 2
+    assert q.term.startswith("term")
+    # single backslash: '~' escaped, stays literal text
+    q2 = parse("ter\\~2")
+    assert not isinstance(q2, FuzzyQuery)
+
+
+def test_lucene_regexp_bare_gt_is_literal():
+    from lucene_spark.search import lucene_regexp_to_java
+    import re as _re
+
+    assert _re.fullmatch(lucene_regexp_to_java("a>b"), "a>b")
+    # '<' still raises (numeric interval operator, automaton-only)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        lucene_regexp_to_java("<1-3>")
