@@ -32,6 +32,7 @@ from lucene_spark.query import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     FeatureQuery,
+    IntervalFilterQuery,
     IntervalQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
@@ -393,6 +394,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_intervals_ordered_dup": lambda sp, d: _topk_df(
             _searcher(sp, d),
             IntervalQuery(terms=("table", "the", "table"), ordered=True, max_gaps=8),
+            10,
+        ),
+        # ---- interval filter algebra (containing / overlapping / before…) ----
+        "q_intervals_containing": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalFilterQuery(
+                kind="containing",
+                source=IntervalQuery(terms=("fast", "table"), ordered=False),
+                reference=IntervalQuery(terms=("the",)),
+            ),
+            10,
+        ),
+        "q_intervals_not_containing": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalFilterQuery(
+                kind="not_containing",
+                source=IntervalQuery(terms=("fast", "table"), ordered=False),
+                reference=IntervalQuery(terms=("the",)),
+            ),
+            10,
+        ),
+        "q_intervals_contained_by": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalFilterQuery(
+                kind="contained_by",
+                source=IntervalQuery(terms=("fast",)),
+                reference=IntervalQuery(terms=("the", "table"), ordered=False),
+            ),
+            10,
+        ),
+        "q_intervals_not_contained_by": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalFilterQuery(
+                kind="not_contained_by",
+                source=IntervalQuery(terms=("fast",)),
+                reference=IntervalQuery(terms=("the", "table"), ordered=False),
+            ),
+            10,
+        ),
+        "q_intervals_overlapping": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalFilterQuery(
+                kind="overlapping",
+                source=IntervalQuery(terms=("fast", "table"), ordered=False),
+                reference=IntervalQuery(terms=("the", "value"), ordered=False),
+            ),
+            10,
+        ),
+        "q_intervals_non_overlapping": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalFilterQuery(
+                kind="non_overlapping",
+                source=IntervalQuery(terms=("fast", "table"), ordered=False),
+                reference=IntervalQuery(terms=("the", "value"), ordered=False),
+            ),
+            10,
+        ),
+        "q_intervals_before": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalFilterQuery(
+                kind="before",
+                source=IntervalQuery(terms=("fast",)),
+                reference=IntervalQuery(terms=("table",)),
+            ),
+            10,
+        ),
+        "q_intervals_after": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalFilterQuery(
+                kind="after",
+                source=IntervalQuery(terms=("table",)),
+                reference=IntervalQuery(terms=("fast",)),
+            ),
             10,
         ),
         "q_intervals_ordered_dup_adj": lambda sp, d: _topk_df(
@@ -964,6 +1038,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_intervals_ordered_dup_adj": _intervals_sql(
             ["the", "table", "table"], True, 6, min_extent=2
+        ),
+        "q_intervals_containing": _interval_filter_sql(
+            "containing", ["fast", "table"], False, ["the"], True
+        ),
+        "q_intervals_not_containing": _interval_filter_sql(
+            "not_containing", ["fast", "table"], False, ["the"], True
+        ),
+        "q_intervals_contained_by": _interval_filter_sql(
+            "contained_by", ["fast"], True, ["the", "table"], False
+        ),
+        "q_intervals_not_contained_by": _interval_filter_sql(
+            "not_contained_by", ["fast"], True, ["the", "table"], False
+        ),
+        "q_intervals_overlapping": _interval_filter_sql(
+            "overlapping", ["fast", "table"], False, ["the", "value"], False
+        ),
+        "q_intervals_non_overlapping": _interval_filter_sql(
+            "non_overlapping", ["fast", "table"], False, ["the", "value"], False
+        ),
+        "q_intervals_before": _interval_filter_sql(
+            "before", ["fast"], True, ["table"], True
+        ),
+        "q_intervals_after": _interval_filter_sql(
+            "after", ["table"], True, ["fast"], True
         ),
         # span algebra: point spans weigh 1/(1+(end-start)) = 0.5 each
         "q_span_or": _freq_rank_sql(
@@ -1808,56 +1906,135 @@ agg AS (
     )
 
 
-def _intervals_sql(terms: list[str], ordered: bool, max_gaps: int, k: int = 10,
-                   min_extent: int | None = None) -> str:
-    """IntervalQuery parity SQL (lucene_spark/matchers.py minimal-interval
-    staircases). Ordered: backward greedy chains q_{i-1} = max{pos(t_{i-1})
-    < q_i} from each last-term occurrence give the latest start per end;
-    unordered: per candidate end e, start = min over terms of the latest
-    occurrence <= e. Minimality = smallest end per start. freq = Σ
-    1/max(length - n + 1, 1); score = 1 - 1/(freq + 1) (saturation pivot 1)."""
+def _iv_ctes(terms: list[str], ordered: bool, max_gaps: int, pfx: str = "") -> str:
+    """CTE chain computing `iv{pfx}(doc_id, s, e)` — the minimal-interval
+    set of an ordered/unordered point-term source, maxgaps-filtered.
+    Ordered: backward greedy chains q_{i-1} = max{pos(t_{i-1}) < q_i} from
+    each last-term occurrence give the latest start per end; unordered: per
+    candidate end e, start = min over terms of the latest occurrence <= e.
+    Minimality = smallest end per start."""
     n = len(terms)
-    if min_extent is None:
-        min_extent = n  # distinct point terms; adjacent-run dedup shrinks it
     if ordered:
         ctes = [
-            f", b{n-1} AS (SELECT doc_id, pos AS e, pos AS q FROM tokp"
+            f", {pfx}b{n-1} AS (SELECT doc_id, pos AS e, pos AS q FROM tokp"
             f" WHERE term = '{terms[n-1]}')"
         ]
         for i in range(n - 2, -1, -1):
             ctes.append(
-                f", b{i} AS (\n"
+                f", {pfx}b{i} AS (\n"
                 f"  SELECT b.doc_id, b.e, max(t.pos) AS q\n"
-                f"  FROM b{i+1} b JOIN tokp t ON t.doc_id = b.doc_id"
+                f"  FROM {pfx}b{i+1} b JOIN tokp t ON t.doc_id = b.doc_id"
                 f" AND t.term = '{terms[i]}' AND t.pos < b.q\n"
                 f"  GROUP BY b.doc_id, b.e\n)"
             )
-        win = "SELECT doc_id, e, q AS s FROM b0"
+        win = f"SELECT doc_id, e, q AS s FROM {pfx}b0"
     else:
         lits = ", ".join(f"'{t}'" for t in terms)
         ctes = [
-            f""", ue AS (SELECT DISTINCT doc_id, pos AS e FROM tokp WHERE term IN ({lits})),
-lt AS (
+            f""", {pfx}ue AS (SELECT DISTINCT doc_id, pos AS e FROM tokp WHERE term IN ({lits})),
+{pfx}lt AS (
   SELECT ue.doc_id, ue.e, t.term, max(t.pos) AS mx
-  FROM ue JOIN tokp t ON t.doc_id = ue.doc_id AND t.term IN ({lits})
+  FROM {pfx}ue ue JOIN tokp t ON t.doc_id = ue.doc_id AND t.term IN ({lits})
        AND t.pos <= ue.e
   GROUP BY ue.doc_id, ue.e, t.term
 )"""
         ]
         win = (
-            f"SELECT doc_id, e, min(mx) AS s FROM lt "
+            f"SELECT doc_id, e, min(mx) AS s FROM {pfx}lt "
             f"GROUP BY doc_id, e HAVING count(*) = {n}"
         )
-    gaps_pred = f"WHERE (e - s + 1) - {n} <= {max_gaps}" if max_gaps >= 0 else ""
+    gaps_pred = (
+        f" WHERE (e - s + 1) - {n} <= {max_gaps}" if max_gaps >= 0 else ""
+    )
+    return (
+        "".join(ctes)
+        + f"""
+, {pfx}win AS ({win}),
+iv{pfx} AS (
+  SELECT doc_id, s, e FROM (
+    SELECT doc_id, s, min(e) AS e FROM {pfx}win GROUP BY doc_id, s
+  ){gaps_pred}
+)"""
+    )
+
+
+def _intervals_sql(terms: list[str], ordered: bool, max_gaps: int, k: int = 10,
+                   min_extent: int | None = None) -> str:
+    """IntervalQuery parity SQL (lucene_spark/matchers.py minimal-interval
+    staircases): freq = Σ 1/max(length - minExtent + 1, 1); score =
+    1 - 1/(freq + 1) (saturation pivot 1)."""
+    n = len(terms)
+    if min_extent is None:
+        min_extent = n  # distinct point terms; adjacent-run dedup shrinks it
     return (
         _PRELUDE
-        + "".join(ctes)
+        + _iv_ctes(terms, ordered, max_gaps)
         + f"""
-, win AS ({win}),
-iv AS (SELECT doc_id, s, min(e) AS e FROM win GROUP BY doc_id, s),
-pf AS (
+, pf AS (
   SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {min_extent} + 1, 1)) AS freq
-  FROM iv {gaps_pred} GROUP BY doc_id
+  FROM iv GROUP BY doc_id
+),
+ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
+"""
+        + _rank_tail("score", "FROM ivsc", k)
+    )
+
+
+def _interval_filter_sql(
+    kind: str,
+    src_terms: list[str],
+    src_ordered: bool,
+    ref_terms: list[str],
+    ref_ordered: bool,
+    src_max_gaps: int = -1,
+    ref_max_gaps: int = -1,
+    k: int = 10,
+) -> str:
+    """Interval filter algebra parity SQL. Each reference streaming loop is
+    equivalent to a per-interval predicate on minimal streams (starts AND
+    ends strictly increase):
+
+    - containing:      EXISTS b inside a          (Containing...java)
+    - contained_by:    EXISTS b containing a      (ContainedBy...java)
+    - overlapping:     EXISTS b overlapping a     (Overlapping...java)
+    - non_overlapping: NOT overlapping            (NonOverlapping...java)
+    - not_contained_by: NOT contained_by          (NotContainedBy...java)
+    - not_containing:  the reference's quirk verbatim: the resting b is the
+      FIRST with (b.s >= a.s OR b.e >= a.e) = argmin start among such; a is
+      emitted iff that b is absent or starts past a.e — an overlapping but
+      not contained b still suppresses a (NotContaining...java).
+    - before / after:  EXISTS b starting after a.e / ending before a.s
+      (Intervals.before/after via containedBy of an extended offset stream).
+
+    Difference kinds emit all source intervals in docs lacking the
+    reference; conjunction kinds require both (Difference- vs
+    ConjunctionIntervalsSource doc approximations). minExtent = source's."""
+    n_src = len(src_terms)
+    b = "(SELECT 1 FROM ivr b WHERE b.doc_id = a.doc_id AND {p})"
+    preds = {
+        "containing": "EXISTS " + b.format(p="b.s >= a.s AND b.e <= a.e"),
+        "contained_by": "EXISTS " + b.format(p="b.s <= a.s AND b.e >= a.e"),
+        "overlapping": "EXISTS " + b.format(p="b.e >= a.s AND b.s <= a.e"),
+        "non_overlapping": "NOT EXISTS "
+        + b.format(p="b.e >= a.s AND b.s <= a.e"),
+        "not_contained_by": "NOT EXISTS "
+        + b.format(p="b.s <= a.s AND b.e >= a.e"),
+        "not_containing": (
+            "coalesce((SELECT min(b.s) FROM ivr b WHERE b.doc_id = a.doc_id"
+            " AND (b.s >= a.s OR b.e >= a.e)), a.e + 1) > a.e"
+        ),
+        "before": "EXISTS " + b.format(p="b.s > a.e"),
+        "after": "EXISTS " + b.format(p="b.e < a.s"),
+    }
+    return (
+        _PRELUDE
+        + _iv_ctes(src_terms, src_ordered, src_max_gaps, pfx="s")
+        + _iv_ctes(ref_terms, ref_ordered, ref_max_gaps, pfx="r")
+        + f"""
+, keep AS (SELECT a.* FROM ivs a WHERE {preds[kind]}),
+pf AS (
+  SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {n_src} + 1, 1)) AS freq
+  FROM keep GROUP BY doc_id
 ),
 ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
 """

@@ -498,6 +498,111 @@ def interval_freqs(
     return out
 
 
+def _minimal_intervals_global(pos_by_clause: List[List], ordered: bool, max_gaps: int):
+    g = [_concat_global(lists) for lists in pos_by_clause]
+    s, e = (
+        ordered_minimal_intervals(g) if ordered else unordered_minimal_intervals(g)
+    )
+    if max_gaps >= 0 and len(s):
+        sel = ((e - s + 1) - len(pos_by_clause)) <= max_gaps
+        s, e = s[sel], e[sel]
+    return s, e
+
+
+#: filter kinds whose doc approximation is a CONJUNCTION (reference absent
+#: in a doc => no match there); the difference kinds emit every source
+#: interval when the reference stream is exhausted/absent
+#: (ConjunctionIntervalsSource vs DifferenceIntervalsSource/RelativeIterator)
+_CONJ_FILTER_KINDS = frozenset(
+    ("containing", "contained_by", "overlapping", "before", "after")
+)
+
+
+def interval_filter_freqs(
+    kind: str,
+    a_clauses: List[List],
+    a_ordered: bool,
+    a_max_gaps: int,
+    b_clauses: List[List],
+    b_ordered: bool,
+    b_max_gaps: int,
+    n_docs: int,
+) -> np.ndarray:
+    """Interval filter algebra over two minimal-interval streams — the
+    reference's Containing/ContainedBy/NotContaining/NotContainedBy/
+    Overlapping/NonOverlapping IntervalsSources plus Intervals.before/after
+    (containedBy against an extended offset stream). Emitted intervals are
+    always the SOURCE side's (FilteringIntervalIterator start()/end()
+    delegate to `a`); minExtent is the source's (each filter source's
+    minExtent() returns its a-side's), so freq =
+    Σ 1/max(length_a - minExtent_a + 1, 1) over survivors.
+
+    Each streaming loop reduces to a per-interval predicate because minimal
+    streams have strictly increasing starts AND ends: the loop's resting
+    position is the first b with a monotone property, i.e. one searchsorted.
+    notContaining keeps the reference's quirk verbatim: the resting b is
+    the first with (b.start >= a.start OR b.end >= a.end), and a is emitted
+    iff that b is past a.end or absent — so an overlapping-but-not-contained
+    b still suppresses a (NotContainingIntervalsSource.java nextInterval)."""
+    sa, ea = _minimal_intervals_global(a_clauses, a_ordered, a_max_gaps)
+    sb, eb = _minimal_intervals_global(b_clauses, b_ordered, b_max_gaps)
+    min_extent = len(a_clauses)
+    out = np.zeros(n_docs, dtype=np.float64)
+    if len(sa) == 0:
+        return out
+    da = (sa >> _DOC_SHIFT).astype(np.int64)
+    if len(sb) == 0:
+        emit = (
+            np.zeros(len(sa), dtype=bool)
+            if kind in _CONJ_FILTER_KINDS
+            else np.ones(len(sa), dtype=bool)
+        )
+    else:
+        db = sb >> _DOC_SHIFT
+
+        def at(j):
+            ok = (j >= 0) & (j < len(sb))
+            jj = np.clip(j, 0, len(sb) - 1)
+            return ok, jj
+
+        if kind == "containing":
+            ok, jj = at(np.searchsorted(sb, sa, side="left"))
+            emit = ok & (db[jj] == da) & (eb[jj] <= ea)
+        elif kind == "contained_by":
+            ok, jj = at(np.searchsorted(eb, ea, side="left"))
+            emit = ok & (db[jj] == da) & (sb[jj] <= sa)
+        elif kind == "overlapping":
+            ok, jj = at(np.searchsorted(eb, sa, side="left"))
+            emit = ok & (db[jj] == da) & (sb[jj] <= ea)
+        elif kind == "not_containing":
+            j = np.minimum(
+                np.searchsorted(sb, sa, side="left"),
+                np.searchsorted(eb, ea, side="left"),
+            )
+            ok, jj = at(j)
+            emit = ~(ok & (db[jj] == da) & (sb[jj] <= ea))
+        elif kind == "not_contained_by":
+            ok, jj = at(np.searchsorted(eb, ea, side="left"))
+            emit = ~(ok & (db[jj] == da) & (sb[jj] <= sa))
+        elif kind == "non_overlapping":
+            ok, jj = at(np.searchsorted(eb, sa, side="left"))
+            emit = ~(ok & (db[jj] == da) & (sb[jj] <= ea))
+        elif kind == "before":
+            ok, jj = at(np.searchsorted(sb, ea, side="right"))
+            emit = ok & (db[jj] == da)
+        elif kind == "after":
+            ok, jj = at(np.searchsorted(eb, sa, side="left") - 1)
+            emit = ok & ((eb[jj] >> _DOC_SHIFT) == da)
+        else:
+            raise ValueError(f"unknown interval filter kind {kind!r}")
+    if not emit.any():
+        return out
+    length = (ea - sa + 1)[emit]
+    w = 1.0 / np.maximum(length - min_extent + 1, 1).astype(np.float64)
+    np.add.at(out, da[emit], w)
+    return out
+
+
 def unordered_intervals_dups_freqs(
     pos_by_term: Dict[str, List],
     counts: Dict[str, int],

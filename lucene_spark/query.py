@@ -112,6 +112,23 @@ class IntervalQuery(Query):
 
 
 @dataclass(frozen=True)
+class IntervalFilterQuery(Query):
+    """Interval filter algebra (queries/intervals filter sources +
+    Intervals.before/after): emits the SOURCE side's minimal intervals that
+    stand in `kind`'s relation to the reference stream. Conjunction kinds
+    (containing, contained_by, overlapping, before, after) require both
+    operands in a doc; difference kinds (not_containing, not_contained_by,
+    non_overlapping) emit every source interval where the reference is
+    absent (DifferenceIntervalsSource semantics). Scoring mirrors
+    IntervalQuery with the source's minExtent."""
+
+    kind: str = "containing"
+    source: Optional[IntervalQuery] = None
+    reference: Optional[IntervalQuery] = None
+    pivot: float = 1.0
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: Tuple[str, ...] = ()
 

@@ -44,6 +44,7 @@ from .query import (
     Occur,
     PointInSetQuery,
     PointRangeQuery,
+    IntervalFilterQuery,
     IntervalQuery,
     PhraseQuery,
     SpanFirstQuery,
@@ -765,6 +766,8 @@ class Searcher:
             return self._eval_span_first(q)
         if isinstance(q, IntervalQuery):
             return self._eval_intervals(q)
+        if isinstance(q, IntervalFilterQuery):
+            return self._eval_interval_filter(q)
         if isinstance(q, ConstantScoreQuery):
             inner = self._eval(q.query, needs_scores=False)
             return inner.select("doc_id").distinct().withColumn(
@@ -1282,6 +1285,72 @@ class Searcher:
 
         grouped = self._grouped_positions(terms, min_terms=len(set(terms)))
         scored = grouped.withColumn("freq", iv_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        pivot = float(q.pivot)
+        return scored.select(
+            "doc_id",
+            (
+                F.lit(float(q.boost))
+                * (F.lit(1.0) - F.lit(pivot) / (F.col("freq") + F.lit(pivot)))
+            ).alias("score"),
+        )
+
+    def _eval_interval_filter(self, q: "IntervalFilterQuery") -> DataFrame:
+        """Interval filter algebra (Containing/ContainedBy/NotContaining/
+        NotContainedBy/Overlapping/NonOverlapping IntervalsSources +
+        Intervals.before/after): each streaming filter loop reduces to one
+        searchsorted over the two minimal-interval streams — vectorized in
+        matchers.interval_filter_freqs. Operands are distinct-point-term
+        ordered/unordered sources (duplicate terms inside a filter operand
+        are out of scope and raise)."""
+        src, ref = q.source, q.reference
+        for side in (src, ref):
+            if len(set(side.terms)) != len(side.terms):
+                raise NotImplementedError(
+                    "duplicate terms inside an interval filter operand"
+                )
+        src_terms, ref_terms = list(src.terms), list(ref.terms)
+        stats = self.term_stats(src_terms + ref_terms)
+        if any(t not in stats for t in src_terms):
+            return self._empty()
+        conj = q.kind in {"containing", "contained_by", "overlapping", "before", "after"}
+        if conj and any(t not in stats for t in ref_terms):
+            return self._empty()
+        all_terms = list(dict.fromkeys(src_terms + ref_terms))
+        min_terms = (
+            len(all_terms) if conj else len(set(src_terms))
+        )
+        kind = q.kind
+        sterms, rterms = tuple(src_terms), tuple(ref_terms)
+        s_ord, s_mg = bool(src.ordered), int(src.max_gaps)
+        r_ord, r_mg = bool(ref.ordered), int(ref.max_gaps)
+
+        @F.pandas_udf("double")
+        def ivf_freq(plist: pd.Series) -> pd.Series:
+            from . import matchers
+
+            n_docs = len(plist)
+            by_term = {t: [None] * n_docs for t in set(sterms + rterms)}
+            for i, entries in enumerate(plist):
+                for e in entries:
+                    by_term[e["term"]][i] = np.asarray(e["positions"], dtype=np.int64)
+            empty = [None] * n_docs
+            return pd.Series(
+                matchers.interval_filter_freqs(
+                    kind,
+                    [by_term[t] for t in sterms],
+                    s_ord,
+                    s_mg,
+                    [by_term.get(t, empty) for t in rterms],
+                    r_ord,
+                    r_mg,
+                    n_docs,
+                )
+            )
+
+        grouped = self._grouped_positions(all_terms, min_terms=min_terms)
+        scored = grouped.withColumn("freq", ivf_freq(F.col("plist"))).filter(
             F.col("freq") > 0
         )
         pivot = float(q.pivot)

@@ -324,3 +324,47 @@ def test_span_batch_cross_doc_isolation():
     got = matchers.span_ordered_freqs(by_clause, 4, 2)
     assert got[0] == pytest.approx(1.0 / 3.0)  # matchLength = 2
     assert got[1] == 0.0
+
+
+def test_interval_filter_not_containing_quirk():
+    # reference quirk: an overlapping-but-not-contained b still suppresses a
+    # (NotContainingIntervalsSource's resting-b check is b.start > a.end,
+    # not "no contained b")
+    a = [[np.array([2])], [np.array([5])]]  # source ordered (2,5)
+    b_overlap = [[np.array([5, 9])]]  # b=(5,5) overlaps a's end, not contained
+    got = matchers.interval_filter_freqs(
+        "not_containing", a, True, -1, b_overlap, True, -1, 1
+    )
+    assert got[0] == 0.0
+    b_past = [[np.array([9])]]  # b entirely past a -> emit
+    got = matchers.interval_filter_freqs(
+        "not_containing", a, True, -1, b_past, True, -1, 1
+    )
+    assert got[0] == pytest.approx(1.0 / max(4 - 2 + 1, 1))
+    b_inside = [[np.array([3])]]  # contained -> suppressed
+    got = matchers.interval_filter_freqs(
+        "not_containing", a, True, -1, b_inside, True, -1, 1
+    )
+    assert got[0] == 0.0
+
+
+def test_interval_filter_absence_semantics():
+    a = [[np.array([1])], [np.array([3])]]
+    none = [[None]]
+    # difference kinds emit everything when the reference is absent
+    for kind in ("not_containing", "not_contained_by", "non_overlapping"):
+        got = matchers.interval_filter_freqs(kind, a, True, -1, none, True, -1, 1)
+        assert got[0] > 0, kind
+    # conjunction kinds need the reference present
+    for kind in ("containing", "contained_by", "overlapping", "before", "after"):
+        got = matchers.interval_filter_freqs(kind, a, True, -1, none, True, -1, 1)
+        assert got[0] == 0.0, kind
+
+
+def test_interval_filter_before_after():
+    src = [[np.array([2, 8])]]
+    ref = [[np.array([5])]]
+    got = matchers.interval_filter_freqs("before", src, True, -1, ref, True, -1, 1)
+    assert got[0] == pytest.approx(1.0)  # only (2,2) is before 5
+    got = matchers.interval_filter_freqs("after", src, True, -1, ref, True, -1, 1)
+    assert got[0] == pytest.approx(1.0)  # only (8,8) is after 5
