@@ -42,6 +42,7 @@ from lucene_spark.query import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanContainQuery,
     SpanFirstQuery,
     SpanNearQuery,
     SpanNotQuery,
@@ -474,6 +475,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # minExtent 2, gaps still count all three positions
             _searcher(sp, d),
             IntervalQuery(terms=("the", "table", "table"), ordered=True, max_gaps=6),
+            10,
+        ),
+        "q_span_containing": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            SpanContainQuery(
+                kind="containing",
+                big=SpanNearQuery(terms=("the", "table"), slop=6, in_order=True),
+                little="fast",
+            ),
+            10,
+        ),
+        "q_span_within": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            SpanContainQuery(
+                kind="within",
+                big=SpanNearQuery(terms=("the", "table"), slop=8, in_order=False),
+                little="fast",
+            ),
             10,
         ),
         "q_span_or": lambda sp, d: _topk_df(
@@ -1025,6 +1044,12 @@ def oracle_sql() -> dict[str, str]:
         "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
         "q_intervals_ordered": _intervals_sql(["the", "fast", "table"], True, 8),
         "q_intervals_unordered": _intervals_sql(["spark", "table"], False, -1),
+        "q_span_containing": _span_containing_sql(
+            ("near", ("the", "table"), 6, True), ("term", ("fast",), 0, True)
+        ),
+        "q_span_within": _span_within_sql(
+            ("near", ("the", "table"), 8, False), ("term", ("fast",), 0, True)
+        ),
         "q_span_unordered_dup": _span_unordered_dup2_sql("table", 2),
         "q_span_unordered_dup3": _span_unordered_machine_sql(
             ["table", "the", "table"], 5
@@ -2371,6 +2396,121 @@ machine(doc_id, {lcols}, {icols}, freq, ph) AS (
 """
     match = "  SELECT doc_id, freq FROM machine WHERE ph = 'fin' AND freq > 0"
     sql = _freq_rank_sql(match, terms, k, extra=extra)
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+def _span_set_ctes(spec, pfx: str) -> str:
+    """CTEs computing `sp{pfx}(doc_id, s, e)` — an operand's actual span
+    stream: term points (pos, pos+1), NearSpansOrdered greedy chains, or
+    NearSpansUnordered matching states (2 distinct clauses)."""
+    mode, terms, slop, in_order = spec
+    if mode == "term":
+        return (
+            f", sp{pfx} AS (SELECT doc_id, pos AS s, pos + 1 AS e FROM tokp"
+            f" WHERE term = '{terms[0]}')"
+        )
+    n = len(terms)
+    if in_order:
+        ctes = [
+            f", {pfx}s0 AS (SELECT doc_id, pos AS p0, pos AS q0 FROM tokp"
+            f" WHERE term = '{terms[0]}')"
+        ]
+        for i in range(1, n):
+            ctes.append(
+                f", {pfx}s{i} AS (\n"
+                f"  SELECT s.doc_id, s.p0, min(t.pos) AS q{i}\n"
+                f"  FROM {pfx}s{i-1} s JOIN tokp t ON t.doc_id = s.doc_id"
+                f" AND t.term = '{terms[i]}' AND t.pos > s.q{i-1}\n"
+                f"  GROUP BY s.doc_id, s.p0\n)"
+            )
+        return "".join(ctes) + (
+            f", sp{pfx} AS (SELECT doc_id, p0 AS s, q{n-1} + 1 AS e"
+            f" FROM {pfx}s{n-1} WHERE q{n-1} - p0 - {n-1} <= {slop})"
+        )
+    assert n == 2, "unordered span-set oracle derived for 2 distinct clauses"
+    t0, t1 = terms
+    return f"""
+, {pfx}ux AS (
+  SELECT a.doc_id, a.pos AS x, min(b.pos) AS m
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.term = '{t1}' AND b.pos > a.pos
+  WHERE a.term = '{t0}' GROUP BY a.doc_id, a.pos
+),
+{pfx}uy AS (
+  SELECT a.doc_id, a.pos AS x, min(b.pos) AS m
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.term = '{t0}' AND b.pos > a.pos
+  WHERE a.term = '{t1}' GROUP BY a.doc_id, a.pos
+),
+sp{pfx} AS (
+  SELECT doc_id, x AS s, m + 1 AS e
+  FROM (SELECT * FROM {pfx}ux UNION ALL SELECT * FROM {pfx}uy)
+  WHERE m - x - 1 <= {slop}
+)"""
+
+
+def _span_containing_sql(big_spec, little_spec, k: int = 10) -> str:
+    """SpanContainingQuery parity SQL: the reference's little cursor only
+    advances on start (monotone in big.start), so its resting position per
+    big span is independent — the first little with start >= big.start in
+    (s, e) order; emit big iff its end >= that little's end
+    (SpanContainingQuery.java:92-130). freq = Σ 1/(1+(e-s)) over emitted
+    big spans; idf over the distinct operand terms."""
+    all_terms = sorted({t for sp in (big_spec, little_spec) for t in sp[1]})
+    extra = (
+        _span_set_ctes(big_spec, "b")
+        + _span_set_ctes(little_spec, "l")
+    )
+    match = """  SELECT doc_id, sum(1.0 / (1 + (e - s))) AS freq FROM (
+    SELECT b.doc_id, b.s, b.e FROM spb b
+    WHERE (SELECT l.e FROM spl l WHERE l.doc_id = b.doc_id AND l.s >= b.s
+           ORDER BY l.s, l.e LIMIT 1) <= b.e
+  ) GROUP BY doc_id"""
+    return _freq_rank_sql(match, all_terms, k, extra=extra)
+
+
+def _span_within_sql(big_spec, little_spec, k: int = 10) -> str:
+    """SpanWithinQuery parity SQL: the big cursor advances while
+    big.end < little.end, and near-span ends are NOT monotone, so the
+    cursor is stateful — a small recursive-CTE two-pointer machine
+    transcribing SpanWithinQuery.java:93-131. Emits little spans with
+    big.start <= little.start at the resting cursor; big exhaustion ends
+    the doc."""
+    all_terms = sorted({t for sp in (big_spec, little_spec) for t in sp[1]})
+    extra = (
+        _span_set_ctes(big_spec, "b")
+        + _span_set_ctes(little_spec, "l")
+        + """
+, barr AS (
+  SELECT doc_id, list_sort(list([s, e])) AS bp FROM spb GROUP BY doc_id
+),
+larr AS (
+  SELECT doc_id, list_sort(list([s, e])) AS lp FROM spl GROUP BY doc_id
+),
+wini AS (
+  SELECT b.doc_id, b.bp, l.lp FROM barr b JOIN larr l ON l.doc_id = b.doc_id
+),
+wmach(doc_id, bp, lp, bi, li, freq, ph) AS (
+  SELECT doc_id, bp, lp, 1::BIGINT, 1::BIGINT, 0.0::DOUBLE, 'st' FROM wini
+  UNION ALL
+  SELECT doc_id, bp, lp,
+    CASE WHEN adv THEN bi + 1 ELSE bi END,
+    CASE WHEN adv THEN li ELSE li + 1 END,
+    freq + (CASE WHEN NOT adv AND (bp[bi::INT])[1] <= ls
+                 THEN 1.0 / (1 + (le - ls)) ELSE 0.0 END),
+    CASE WHEN (adv AND bi + 1 > len(bp)) OR (NOT adv AND li + 1 > len(lp))
+         THEN 'fin' ELSE 'st' END
+  FROM (
+    SELECT *, (bp[bi::INT])[2] < le AS adv FROM (
+      SELECT m.*, (lp[li::INT])[1] AS ls, (lp[li::INT])[2] AS le
+      FROM wmach m WHERE m.ph <> 'fin'
+    ) wa
+  ) wb
+)
+"""
+    )
+    match = (
+        "  SELECT doc_id, freq FROM wmach WHERE ph = 'fin' AND freq > 0"
+    )
+    sql = _freq_rank_sql(match, all_terms, k, extra=extra)
     return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 

@@ -701,6 +701,96 @@ def _unordered_intervals_walk(subs, total_width: int):
         prev_start = start
 
 
+def ordered_chain_spans(pos_lists: List[np.ndarray], slop: int):
+    """One-doc NearSpansOrdered match spans (local coords): for each p0,
+    the greedy monotone chain; returns (starts, ends_exclusive) of chains
+    within slop, start-sorted — the exact span stream the reference emits."""
+    if any(a is None or len(a) == 0 for a in pos_lists):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    g0 = np.asarray(pos_lists[0], dtype=np.int64)
+    cur = g0
+    alive = np.ones(len(g0), dtype=bool)
+    for arr in pos_lists[1:]:
+        arr = np.asarray(arr, dtype=np.int64)
+        j = np.searchsorted(arr, cur, side="right")
+        ok = j < len(arr)
+        alive &= ok
+        cur = np.where(ok, arr[np.minimum(j, len(arr) - 1)], cur)
+    n = len(pos_lists)
+    sel = alive & ((cur - g0 - (n - 1)) <= slop)
+    return g0[sel], cur[sel] + 1
+
+
+def unordered_state_spans(pos_lists: List[np.ndarray], slop: int):
+    """One-doc NearSpansUnordered matching states as spans (local coords),
+    in emission order (non-decreasing (start, end) per the span queue's
+    positionsOrdered): each visited state with
+    (maxEnd - minStart) - n <= slop yields (minStart, maxEnd)."""
+    n = len(pos_lists)
+    if any(a is None or len(a) == 0 for a in pos_lists):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    idx = [0] * n
+    heap = [(int(arr[0]), i) for i, arr in enumerate(pos_lists)]
+    heapq.heapify(heap)
+    max_end = max(h[0] for h in heap) + 1
+    ss: List[int] = []
+    es: List[int] = []
+    while True:
+        ml = max_end - heap[0][0]
+        if ml - n <= slop:
+            ss.append(heap[0][0])
+            es.append(max_end)
+        _pos, i = heapq.heappop(heap)
+        idx[i] += 1
+        if idx[i] >= len(pos_lists[i]):
+            return np.asarray(ss, np.int64), np.asarray(es, np.int64)
+        p = int(pos_lists[i][idx[i]])
+        if p + 1 > max_end:
+            max_end = p + 1
+        heapq.heappush(heap, (p, i))
+
+
+def span_contain_filter(kind: str, bs, be, ls, le):
+    """Two-pointer containment filters over one doc's span streams —
+    literal transcriptions of SpanContainingQuery / SpanWithinQuery
+    (search/spans/SpanContainingQuery.java:92-130,
+    SpanWithinQuery.java:93-131). Streams sorted by (start, end).
+
+    containing: iterate big; advance little while little.start < big.start
+    (exhaustion ends the doc); emit big iff big.end >= little.end.
+    within: iterate little; advance big while big.end < little.end
+    (ends are NOT monotone for near spans, so the pointer is stateful —
+    exactly the reference's persistent littleSpans/bigSpans cursors);
+    emit little iff big.start <= little.start.
+
+    Returns (starts, ends) of the emitted SOURCE spans."""
+    out_s: List[int] = []
+    out_e: List[int] = []
+    if kind == "containing":
+        i = 0
+        for k in range(len(bs)):
+            while i < len(ls) and ls[i] < bs[k]:
+                i += 1
+            if i >= len(ls):
+                break
+            if be[k] >= le[i]:
+                out_s.append(int(bs[k]))
+                out_e.append(int(be[k]))
+    elif kind == "within":
+        i = 0
+        for j in range(len(ls)):
+            while i < len(bs) and be[i] < le[j]:
+                i += 1
+            if i >= len(bs):
+                break
+            if bs[i] <= ls[j]:
+                out_s.append(int(ls[j]))
+                out_e.append(int(le[j]))
+    else:
+        raise ValueError(f"unknown span contain kind {kind!r}")
+    return np.asarray(out_s, np.int64), np.asarray(out_e, np.int64)
+
+
 def _span_unordered_walk(pos_lists: List[np.ndarray], slop: int) -> float:
     """Literal NearSpansUnordered walk, one doc: check the current state,
     advance the min-start clause, repeat until one clause exhausts."""

@@ -74,6 +74,23 @@ class SpanOrQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanContainQuery(Query):
+    """SpanContainingQuery / SpanWithinQuery
+    (search/spans/SpanContainingQuery.java, SpanWithinQuery.java):
+    kind='containing' emits BIG spans that contain a LITTLE span,
+    kind='within' emits LITTLE spans lying inside a BIG span — both via
+    the reference's persistent two-pointer cursors over the operand span
+    streams (ends are not monotone for near spans, so the cursor state
+    matters). Operands are a term (str) or a SpanNearQuery. freq =
+    Σ 1/(1+(end-start)) over emitted source spans; idf over the distinct
+    terms of both operands (SpanWeight collects the whole tree)."""
+
+    kind: str = "containing"
+    big: object = None  # str | SpanNearQuery
+    little: object = None  # str | SpanNearQuery
+
+
+@dataclass(frozen=True)
 class SpanNotQuery(Query):
     """Include spans with no exclude span overlapping the window
     [start - pre, end + post) (search/spans/SpanNotQuery.java): a point

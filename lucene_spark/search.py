@@ -47,6 +47,7 @@ from .query import (
     IntervalFilterQuery,
     IntervalQuery,
     PhraseQuery,
+    SpanContainQuery,
     SpanFirstQuery,
     SpanNearQuery,
     SpanNotQuery,
@@ -758,6 +759,8 @@ class Searcher:
             return self._eval_multi_phrase(q)
         if isinstance(q, SpanNearQuery):
             return self._eval_span_near(q)
+        if isinstance(q, SpanContainQuery):
+            return self._eval_span_contain(q)
         if isinstance(q, SpanOrQuery):
             return self._eval_span_or(q)
         if isinstance(q, SpanNotQuery):
@@ -1295,6 +1298,70 @@ class Searcher:
                 * (F.lit(1.0) - F.lit(pivot) / (F.col("freq") + F.lit(pivot)))
             ).alias("score"),
         )
+
+    def _eval_span_contain(self, q: "SpanContainQuery") -> DataFrame:
+        """SpanContainingQuery / SpanWithinQuery: per doc, enumerate each
+        operand's actual span stream (term points, NearSpansOrdered greedy
+        chains, NearSpansUnordered matching states — matchers.py), then run
+        the reference's two-pointer containment cursor. Docs need every
+        term of both operands (ConjunctionSpans approximation); freq =
+        Σ 1/(1+(end-start)) over the emitted source spans; idf summed over
+        the distinct operand terms in sorted order (SpanWeight builds its
+        scorer from the term-sorted states map)."""
+
+        def spec(op):
+            if isinstance(op, str):
+                return ("term", (op,), 0, True)
+            if isinstance(op, SpanNearQuery):
+                return ("near", tuple(op.terms), int(op.slop), bool(op.in_order))
+            raise NotImplementedError(f"span contain operand {type(op).__name__}")
+
+        big_spec, little_spec = spec(q.big), spec(q.little)
+        all_terms = sorted({t for s in (big_spec, little_spec) for t in s[1]})
+        stats = self.term_stats(all_terms)
+        if any(t not in stats for t in all_terms):
+            return self._empty()
+        scorer = self.multi_scorer_for(q.boost, [stats[t] for t in all_terms])
+        kind = "containing" if q.kind == "containing" else "within"
+
+        @F.pandas_udf("double")
+        def contain_freq(plist: pd.Series) -> pd.Series:
+            from . import matchers
+
+            n_docs = len(plist)
+            by_term = {t: [None] * n_docs for t in all_terms}
+            for i, entries in enumerate(plist):
+                for e in entries:
+                    by_term[e["term"]][i] = np.asarray(e["positions"], dtype=np.int64)
+
+            def doc_spans(sp, d):
+                mode, terms, slop, in_order = sp
+                lists = [by_term[t][d] for t in terms]
+                if mode == "term":
+                    p = lists[0]
+                    if p is None:
+                        return np.empty(0, np.int64), np.empty(0, np.int64)
+                    return p, p + 1
+                if in_order:
+                    return matchers.ordered_chain_spans(lists, slop)
+                return matchers.unordered_state_spans(lists, slop)
+
+            out = np.zeros(n_docs, dtype=np.float64)
+            for d in range(n_docs):
+                bs, be = doc_spans(big_spec, d)
+                ls, le = doc_spans(little_spec, d)
+                if len(bs) == 0 or len(ls) == 0:
+                    continue
+                es, ee = matchers.span_contain_filter(kind, bs, be, ls, le)
+                if len(es):
+                    out[d] = np.sum(1.0 / (1.0 + (ee - es).astype(np.float64)))
+            return pd.Series(out)
+
+        grouped = self._grouped_positions(all_terms, min_terms=len(all_terms))
+        scored = grouped.withColumn("freq", contain_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
 
     def _eval_interval_filter(self, q: "IntervalFilterQuery") -> DataFrame:
         """Interval filter algebra (Containing/ContainedBy/NotContaining/

@@ -368,3 +368,29 @@ def test_interval_filter_before_after():
     assert got[0] == pytest.approx(1.0)  # only (2,2) is before 5
     got = matchers.interval_filter_freqs("after", src, True, -1, ref, True, -1, 1)
     assert got[0] == pytest.approx(1.0)  # only (8,8) is after 5
+
+
+def test_span_contain_filter_hand_cases():
+    # big spans (0,5),(7,9); little points at 3 (inside first), 8 (inside second)
+    bs, be = np.array([0, 7]), np.array([5, 9])
+    ls, le = np.array([3, 8]), np.array([4, 9])
+    es, ee = matchers.span_contain_filter("containing", bs, be, ls, le)
+    assert list(es) == [0, 7] and list(ee) == [5, 9]
+    es, ee = matchers.span_contain_filter("within", bs, be, ls, le)
+    assert list(es) == [3, 8]
+    # little exhaustion mid-stream ends the doc (stream break, not a skip)
+    bs, be = np.array([0, 6]), np.array([5, 9])
+    ls, le = np.array([1]), np.array([2])
+    es, _ = matchers.span_contain_filter("containing", bs, be, ls, le)
+    assert list(es) == [0]  # second big never checked: little exhausted
+
+
+def test_ordered_chain_and_unordered_state_spans():
+    a, b = np.array([0, 6]), np.array([2, 8])
+    s, e = matchers.ordered_chain_spans([a, b], 4)
+    # chains (0,2+1) width 1<=4; (6,8+1) width 1
+    assert list(s) == [0, 6] and list(e) == [3, 9]
+    s, e = matchers.unordered_state_spans([a, b], 1)
+    # states: (0,3) ml3-2=1 ok; (2,7)x... walk: heads (0,2) maxend 3;
+    # advance 0->6: (2,7) ml5-2=3 >1; advance 2->8: (6,9) ml3-2=1 ok
+    assert list(zip(s, e)) == [(0, 3), (6, 9)]
