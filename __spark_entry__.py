@@ -96,6 +96,59 @@ def _searcher(spark: SparkSession, sf_dir: str, sim: str = "bm25") -> Searcher:
     return _CACHE[key]
 
 
+def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with a DECLARED index sort (IndexWriterConfig.setIndexSort
+    analog): order_cols=(n_chars, doc_id) makes the assigned doc_id the
+    rank of that sort key, enabling Searcher.search_sorted's sorted-segment
+    early termination."""
+    key = f"{sf_dir}::sorted"
+    if key not in _CACHE:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).repartition(spark.sparkContext.defaultParallelism)
+        cfg = IndexConfig(
+            chain="standard",
+            seg_size=1 << 10,
+            block_size=128,
+            with_positions=False,
+            store_cols=("n_chars",),
+        )
+        idx = build_index(
+            docs, cfg, content_col="text", order_cols=["n_chars", "doc_id"]
+        ).persist()
+        _CACHE[key] = Searcher(idx, dtype=np.float64)
+    return _CACHE[key]
+
+
+def _sorted_topk(sp: SparkSession, d: str, k: int, ascending: bool) -> DataFrame:
+    s = _sorted_searcher(sp, d)
+    hits = s.search_sorted(TermQuery(term="vector"), k, ascending=ascending)
+    return hits.join(s.index.docs.select("doc_id", "n_chars"), "doc_id").select(
+        F.col("doc_id").cast("long"), F.col("n_chars").cast("long")
+    )
+
+
+def _sorted_topk_sql(term: str, k: int, ascending: bool) -> str:
+    """Oracle: doc_id on the sorted index = row_number over (n_chars,
+    original doc_id); early-terminated sorted top-k = smallest/largest k
+    ranks among matching docs."""
+    direction = "" if ascending else "DESC"
+    return (
+        _PRELUDE
+        + f"""
+, m AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}'),
+ids AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS nid
+  FROM documents
+)
+SELECT ids.nid AS doc_id, ids.n_chars::BIGINT AS n_chars
+FROM ids JOIN m ON m.doc_id = ids.doc_id
+ORDER BY ids.nid {direction} LIMIT {k}
+"""
+    )
+
+
 def _topk_df(s: Searcher, q: Query, k: int = 10) -> DataFrame:
     # rank on the ROUNDED score (ties -> doc_id): sums of floats differ by
     # ulps between engines (and across DuckDB's parallel agg orders), so a
@@ -802,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(10)
             .select(F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
         ),
+        "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
+        "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
             # page 2 (ranks 11..20) of q_term_common — searchAfter analog
             _topk_df(_searcher(sp, d), TermQuery(term="table"), 20).filter(
@@ -1367,6 +1422,8 @@ FROM documents d WHERE EXISTS (
   SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'vector')
 ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
 """,
+        "q_index_sorted_topk": _sorted_topk_sql("vector", 10, True),
+        "q_index_sorted_topk_desc": _sorted_topk_sql("vector", 10, False),
         "q_search_after": _PRELUDE
         + _scored_cte(["table"])
         + """

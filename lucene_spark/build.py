@@ -30,7 +30,7 @@ import json
 import os
 import time
 from dataclasses import dataclass
-from typing import Iterator, List, Optional
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -398,6 +398,13 @@ class Index:
     # drop them) until expunge_soft_deletes(), and undelete_all_soft()
     # restores them, like reopening past the soft-deletes field.
     soft_deletes: Optional[DataFrame] = None
+    # declared index sort (IndexWriterConfig.setIndexSort analog,
+    # index/IndexWriterConfig.java:476): when build_index assigns doc_ids by
+    # order_cols rank, doc_id IS the sort rank — queries sorting by this key
+    # can early-terminate on the doc_id-sorted postings blocks
+    # (Searcher.search_sorted), the TopFieldCollector sorted-segment pruning
+    # analog.
+    index_sort: Optional[Tuple[str, ...]] = None
 
     def soft_delete_docs(self, doc_ids) -> "Index":
         """Mark docs soft-deleted (IndexWriter.softUpdateDocument's delete
@@ -655,6 +662,7 @@ def build_index(
     idx = Index(
         docs=docs, terms=terms, postings=postings, stats=stats, config=config,
         tf=None if eager else tf,
+        index_sort=tuple(order_cols) if order_cols else None,
     )
     if eager:
         idx.terms.persist(StorageLevel.MEMORY_AND_DISK).count()
@@ -700,6 +708,7 @@ def write_index(index: Index, path: str) -> dict:
             "k1": index.config.k1,
             "b": index.config.b,
         },
+        "index_sort": list(index.index_sort) if index.index_sort else None,
         "build_wall_sec": round(time.time() - t0, 3),
     }
     with open(os.path.join(path, "manifest.json"), "w") as fh:
@@ -730,5 +739,8 @@ def read_index(spark: SparkSession, path: str) -> Index:
             spark.read.parquet(os.path.join(path, "soft_deletes"))
             if manifest.get("has_soft_deletes")
             else None
+        ),
+        index_sort=(
+            tuple(manifest["index_sort"]) if manifest.get("index_sort") else None
         ),
     )

@@ -184,6 +184,8 @@ class Searcher:
         self._bounds_bulk: Optional[tuple] = None
         # per-query exact k-th-score cache (minCompetitiveScore carry-over)
         self._theta_cache: Dict[tuple, float] = {}
+        # transient block-metadata predicate for sorted early termination
+        self._block_pred = None
         # driver-resident decoded postings for hot terms — the analog of
         # Lucene serving postings from the OS page cache. Bounded by
         # LUCENE_SPARK_HOT_CACHE_POSTINGS total postings (0 disables).
@@ -390,6 +392,65 @@ class Searcher:
             (int(r["doc_id"]), float(r["score"]))
             for r in self.search(q, k).collect()
         ]
+
+    def search_sorted(
+        self, q: Query, k: int = 10, ascending: bool = True
+    ) -> DataFrame:
+        """Top-k matching docs in INDEX-SORT order with sorted-segment early
+        termination — the TopFieldCollector early-exit on a declared index
+        sort (IndexWriterConfig.setIndexSort,
+        index/IndexWriterConfig.java:476; TopFieldCollector's
+        canEarlyTerminate pruning). build_index(order_cols=...) assigns
+        doc_ids by the sort rank, so sort order IS doc_id order and
+        postings blocks (doc-id-sorted by construction) can be pruned by a
+        doc-id frontier: only blocks intersecting [0, bound) (ascending; the
+        mirrored tail descending) are decoded, with the frontier widening
+        geometrically until k matches accumulate. The block predicate sits
+        on plain metadata columns and reaches the Parquet scan, so at 100 TB
+        a selective sorted query touches a small prefix of the index instead
+        of every block. Returns (doc_id) rows, sort order, no scores
+        (constant-score collection like Lucene's early-terminated sort)."""
+        if not self.index.index_sort:
+            raise ValueError(
+                "search_sorted needs an index built with order_cols "
+                "(a declared index sort)"
+            )
+        n = int(self.index.stats.doc_count)
+        q = rewrite(q)
+        bound = max(8 * k, 1024)
+        probes = 0
+        while True:
+            probes += 1
+            if ascending:
+                self._block_pred = F.col("base_doc") < bound
+            else:
+                self._block_pred = F.col("last_doc") >= n - bound
+            try:
+                m = self._apply_deletes(
+                    self._eval(q, needs_scores=False)
+                ).select("doc_id").distinct()
+                m = (
+                    m.filter(F.col("doc_id") < bound)
+                    if ascending
+                    else m.filter(F.col("doc_id") >= n - bound)
+                )
+                rows = (
+                    m.orderBy(
+                        F.asc("doc_id") if ascending else F.desc("doc_id")
+                    )
+                    .limit(k)
+                    .collect()
+                )
+            finally:
+                self._block_pred = None
+            if len(rows) >= k or bound >= n:
+                # observability for tests/telemetry: how far the frontier
+                # had to widen before k sorted matches accumulated
+                self._last_sorted_probe = {"bound": bound, "probes": probes}
+                return self.spark.createDataFrame(
+                    [(int(r["doc_id"]),) for r in rows], "doc_id long"
+                )
+            bound *= 8
 
     def _try_hot_topk(self, q: Query, k: int) -> Optional[DataFrame]:
         if self._tombs_over_cap:
@@ -658,7 +719,14 @@ class Searcher:
     # ---------------- decoders ----------------
 
     def _postings_for(self, terms: Sequence[str]) -> DataFrame:
-        return self.index.postings.filter(F.col("term").isin(list(terms)))
+        df = self.index.postings.filter(F.col("term").isin(list(terms)))
+        if self._block_pred is not None:
+            # sorted-segment early termination (search_sorted): restrict the
+            # decode to blocks intersecting the current doc-id frontier —
+            # the predicate is on plain block-metadata columns, so it pushes
+            # into the postings Parquet scan (row-group pruning)
+            df = df.filter(self._block_pred)
+        return df
 
     def decode_scored(
         self, scorers: Dict[str, BM25Scorer], keep_term: bool = False

@@ -141,3 +141,44 @@ def test_point_range_pushdown(written):
     assert "Python" not in plan  # pure JVM
     plan2 = _plan(s.matches(PointInSetQuery(field_col="length", values=(7, 9))))
     assert "In(length," in plan2
+
+
+def test_index_sort_persisted_and_early_terminated(written):
+    # order_cols build declares the index sort and survives the commit point
+    assert written.index_sort == ("repo", "path")
+    s = Searcher(written, dtype=np.float64)
+    # the frontier predicate reaches the postings Parquet scan
+    s._block_pred = __import__("pyspark.sql.functions", fromlist=["col"]).col(
+        "base_doc"
+    ) < 64
+    try:
+        plan = _plan(s.matches(TermQuery(term="def")))
+    finally:
+        s._block_pred = None
+    assert any(
+        "base_doc" in l for l in plan.splitlines() if "PushedFilters" in l
+    ), plan[:2000]
+
+    # sorted top-k == brute sort of the full match set, both directions
+    q = TermQuery(term="def")
+    full = [
+        int(r["doc_id"])
+        for r in s.matches(q).select("doc_id").distinct().orderBy("doc_id").collect()
+    ]
+    got_asc = [int(r["doc_id"]) for r in s.search_sorted(q, 7).collect()]
+    assert got_asc == full[:7]
+    # a common term fills k in the first frontier probe (the early exit)
+    assert s._last_sorted_probe["probes"] == 1
+    assert s._last_sorted_probe["bound"] < written.stats.doc_count or written.stats.doc_count <= 1024
+    got_desc = [int(r["doc_id"]) for r in s.search_sorted(q, 7, ascending=False).collect()]
+    assert got_desc == list(reversed(full))[:7]
+    # rare term: frontier widens but result stays exact
+    rare_rows = written.terms.filter("doc_freq <= 3 AND doc_freq >= 1").limit(1).collect()
+    if rare_rows:
+        rq = TermQuery(term=rare_rows[0]["term"])
+        fullr = [
+            int(r["doc_id"])
+            for r in s.matches(rq).select("doc_id").distinct().orderBy("doc_id").collect()
+        ]
+        gotr = [int(r["doc_id"]) for r in s.search_sorted(rq, 5).collect()]
+        assert gotr == fullr[:5]
