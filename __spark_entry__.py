@@ -120,6 +120,28 @@ def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return _CACHE[key]
 
 
+def _syn_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with index-time synonyms: 'fast' also indexes 'quick' at the
+    same position (posIncr=0 overlap); norms discount the injected tokens."""
+    key = f"{sf_dir}::syn"
+    if key not in _CACHE:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).repartition(spark.sparkContext.defaultParallelism)
+        cfg = IndexConfig(
+            chain="standard",
+            seg_size=1 << 10,
+            block_size=128,
+            with_positions=True,
+            synonyms=(("fast", ("quick",)),),
+        )
+        idx = build_index(
+            docs, cfg, content_col="text", doc_id_col="doc_id"
+        ).persist()
+        _CACHE[key] = Searcher(idx, dtype=np.float64)
+    return _CACHE[key]
+
+
 def _sorted_topk(sp: SparkSession, d: str, k: int, ascending: bool) -> DataFrame:
     s = _sorted_searcher(sp, d)
     hits = s.search_sorted(TermQuery(term="vector"), k, ascending=ascending)
@@ -855,6 +877,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(10)
             .select(F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
         ),
+        "q_synonym_index_term": lambda sp, d: _topk_df(
+            # 'quick' was injected at every 'fast' position (posIncr=0):
+            # matches fast-docs, idf/tf from the expanded postings, norms
+            # discounted by numOverlap
+            _syn_searcher(sp, d), TermQuery(term="quick"), 10
+        ),
+        "q_synonym_index_phrase": lambda sp, d: _topk_df(
+            # phrase accepts the injected synonym at the base position
+            _syn_searcher(sp, d), PhraseQuery(terms=("quick", "table")), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -1422,6 +1454,12 @@ FROM documents d WHERE EXISTS (
   SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'vector')
 ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
 """,
+        "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
+        + _scored_cte(["quick"])
+        + _rank_tail("score", "FROM sc", 10),
+        "q_synonym_index_phrase": _phrase_sql(
+            ["quick", "table"], prelude=_syn_prelude([("fast", ["quick"])])
+        ),
         "q_index_sorted_topk": _sorted_topk_sql("vector", 10, True),
         "q_index_sorted_topk_desc": _sorted_topk_sql("vector", 10, False),
         "q_search_after": _PRELUDE
@@ -1863,7 +1901,7 @@ FROM f ORDER BY doc_id, frame_idx
     }
 
 
-def _phrase_sql(terms: list[str], k: int = 10) -> str:
+def _phrase_sql(terms: list[str], k: int = 10, prelude: str | None = None) -> str:
     """Exact-phrase BM25: freq = consecutive-position matches; idf = sum of
     per-term idfs."""
     joins, conds = [], []
@@ -1880,7 +1918,7 @@ def _phrase_sql(terms: list[str], k: int = 10) -> str:
     )
     inv = _INV.format(k1=K1, b=B)
     return (
-        _PRELUDE
+        (prelude if prelude is not None else _PRELUDE)
         + f"""
 , pf AS (
   SELECT p0.doc_id, count(*)::BIGINT AS freq
@@ -2300,6 +2338,42 @@ def _stop_prelude(stopset: tuple) -> str:
         "tokp AS (\n  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos\n  FROM tokarr\n)",
         "tokp0 AS (\n  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos\n  FROM tokarr\n),\n"
         f"tokp AS (SELECT * FROM tokp0 WHERE term NOT IN ({lits}))",
+    )
+    return out
+
+
+def _syn_prelude(synonyms: list[tuple[str, list[str]]]) -> str:
+    """_PRELUDE with index-time synonym (posIncr=0) semantics: injected
+    tokens join tok/tokp at the SAME position (tf/df/sttf grow) while the
+    norm-length chain (dl -> nrm -> dlq) counts only BASE tokens — the
+    numOverlap discount (IndexingChain.java:1196; BM25 discountOverlaps)."""
+    adds_tok = "\n".join(
+        f"  UNION ALL SELECT doc_id, '{extra}' AS term FROM tok0 WHERE term = '{base}'"
+        for base, extras in synonyms
+        for extra in extras
+    )
+    adds_tokp = "\n".join(
+        f"  UNION ALL SELECT doc_id, '{extra}' AS term, pos FROM tokp0 WHERE term = '{base}'"
+        for base, extras in synonyms
+        for extra in extras
+    )
+    out = _PRELUDE.replace(
+        "tok AS (\n  SELECT doc_id, unnest(toks) AS term FROM tokarr\n)",
+        "tok0 AS (\n  SELECT doc_id, unnest(toks) AS term FROM tokarr\n),\n"
+        "tok AS (\n  SELECT * FROM tok0\n" + adds_tok + "\n)",
+    )
+    out = out.replace(
+        "tokp AS (\n  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos\n  FROM tokarr\n)",
+        "tokp0 AS (\n  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos\n  FROM tokarr\n),\n"
+        "tokp AS (\n  SELECT * FROM tokp0\n" + adds_tokp + "\n)",
+    )
+    out = out.replace(
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY 1)",
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok0 GROUP BY 1)",
+    )
+    out = out.replace(
+        "(SELECT coalesce(sum(len), 0) FROM dl)::DOUBLE AS sttf",
+        "(SELECT count(*) FROM tok)::DOUBLE AS sttf",
     )
     return out
 

@@ -58,6 +58,10 @@ TF_SCHEMA = StructType(
         StructField("term", StringType()),
         StructField("freq", IntegerType()),
         StructField("norm", IntegerType()),
+        # discounted field length (length - numOverlap): what the norm byte
+        # quantizes; equals the token count unless index-time synonyms
+        # injected posIncr=0 overlaps
+        StructField("dlen", IntegerType()),
         StructField("positions", ArrayType(IntegerType())),
     ]
 )
@@ -163,6 +167,7 @@ def _invert_core(config: IndexConfig, pairs):
     (norm byte = intToByte4(length), IndexingChain.java:1096-1112)."""
     chain, stopwords = config.chain, config.stopwords
     seg_size, with_pos = config.seg_size, config.with_positions
+    syn_map = {b: list(extras) for b, extras in (config.synonyms or ())}
 
     for batch_docs, content in pairs:
             flat, counts = flat_tokenize(content, chain=chain)
@@ -180,19 +185,46 @@ def _invert_core(config: IndexConfig, pairs):
                 total = len(flat)
                 if total == 0:
                     continue
+            base_counts = counts
+            if syn_map:
+                # SynonymFilter posIncr=0: inject extras at the SAME
+                # position; injected tokens are overlaps (count into
+                # length/tf, discounted from the norm below)
+                mask = np.isin(flat, list(syn_map))
+                if mask.any():
+                    add_t, add_r, add_p = [], [], []
+                    for i in np.nonzero(mask)[0]:
+                        for extra in syn_map[flat[i]]:
+                            add_t.append(extra)
+                            add_r.append(row_idx[i])
+                            add_p.append(pos[i])
+                    flat = np.concatenate([flat, np.array(add_t, dtype=object)])
+                    row_idx = np.concatenate(
+                        [row_idx, np.array(add_r, dtype=row_idx.dtype)]
+                    )
+                    pos = np.concatenate([pos, np.array(add_p, dtype=np.int64)])
+                    counts = np.bincount(
+                        row_idx, minlength=len(batch_docs)
+                    ).astype(np.int64)
+                    total = len(flat)
             # one vectorized (row, term) aggregation for the whole batch:
             codes, _ = pd.factorize(pd.Series(flat), sort=False)
             key = row_idx.astype(np.int64) * (codes.max() + 1) + codes
-            order = np.argsort(key, kind="stable")  # pos stays ascending
+            if syn_map:
+                # injected tokens break the pre-sorted pos invariant
+                order = np.lexsort((pos, key))
+            else:
+                order = np.argsort(key, kind="stable")  # pos stays ascending
             key_s = key[order]
             bounds = np.concatenate(
                 ([0], np.nonzero(np.diff(key_s))[0] + 1, [total])
             )
             first = order[bounds[:-1]]
             freqs = np.diff(bounds).astype(np.int32)
-            g_rows = row_idx[first]
+            g_rows = row_idx[order][bounds[:-1]]
             doc_ids = batch_docs[g_rows]
-            norms = int_to_byte4(counts).astype(np.int32)[g_rows]
+            norms = int_to_byte4(base_counts).astype(np.int32)[g_rows]
+            dlens = base_counts.astype(np.int32)[g_rows]
             pos_sorted = pos[order]
             out = {
                 "doc_id": doc_ids,
@@ -200,6 +232,7 @@ def _invert_core(config: IndexConfig, pairs):
                 "term": flat[first],
                 "freq": freqs,
                 "norm": norms,
+                "dlen": dlens,
                 "positions": (
                     [a.astype(np.int32) for a in np.split(pos_sorted, bounds[1:-1])]
                     if with_pos
@@ -612,7 +645,14 @@ def build_index(
     # docs / norms: derive length from the persisted tf (sum of freqs);
     # docs with zero tokens keep norm 0. doc_ids are dense 0..n-1, so with no
     # stored columns the doc table needs NO pass over the corpus at all.
-    lengths = tf.groupBy("doc_id").agg(F.sum("freq").alias("length"))
+    # length = Σ freq (FieldInvertState.length semantics: overlaps count);
+    # the norm byte was computed at invert from the DISCOUNTED length
+    # (length - numOverlap) and rides along on every tf row
+    lengths = tf.groupBy("doc_id").agg(
+        F.sum("freq").alias("length"),
+        F.max("norm").alias("_tf_norm"),
+        F.max("dlen").alias("_tf_dlen"),
+    )
     if parted is not None and not config.store_cols:
         id_side = spark.range(0, n).withColumnRenamed("id", "doc_id")
     elif parted is not None:
@@ -648,10 +688,14 @@ def build_index(
     else:
         id_side = df.select("doc_id", *config.store_cols)
     docs = id_side.join(lengths, "doc_id", "left").fillna({"length": 0})
-    norm_udf = F.pandas_udf(
-        lambda s: pd.Series(int_to_byte4(s.to_numpy(dtype=np.int64))), "int"
+    docs = (
+        docs.withColumn("norm", F.coalesce(F.col("_tf_norm"), F.lit(0)).cast("int"))
+        .withColumn(
+            "num_overlap",
+            (F.col("length") - F.coalesce(F.col("_tf_dlen"), F.lit(0))).cast("long"),
+        )
+        .drop("_tf_norm", "_tf_dlen")
     )
-    docs = docs.withColumn("norm", norm_udf(F.col("length")))
 
     sttf = int(
         tf.agg(F.sum("freq").alias("sttf")).collect()[0]["sttf"] or 0
@@ -707,6 +751,9 @@ def write_index(index: Index, path: str) -> dict:
             "with_positions": index.config.with_positions,
             "k1": index.config.k1,
             "b": index.config.b,
+            "store_cols": list(index.config.store_cols),
+            "stopwords": sorted(index.config.stopwords),
+            "synonyms": [[b, list(e)] for b, e in index.config.synonyms],
         },
         "index_sort": list(index.index_sort) if index.index_sort else None,
         "build_wall_sec": round(time.time() - t0, 3),
@@ -720,7 +767,13 @@ def read_index(spark: SparkSession, path: str) -> Index:
     """Open a written index (DirectoryReader.open analog)."""
     with open(os.path.join(path, "manifest.json")) as fh:
         manifest = json.load(fh)
-    cfg = IndexConfig(**{k: v for k, v in manifest["config"].items()})
+    mc = dict(manifest["config"])
+    mc["store_cols"] = tuple(mc.get("store_cols") or ())
+    mc["stopwords"] = frozenset(mc.get("stopwords") or ())
+    mc["synonyms"] = tuple(
+        (b, tuple(e)) for b, e in (mc.get("synonyms") or ())
+    )
+    cfg = IndexConfig(**mc)
     return Index(
         docs=spark.read.parquet(os.path.join(path, "docs")),
         terms=spark.read.parquet(os.path.join(path, "terms")),

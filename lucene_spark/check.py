@@ -112,8 +112,9 @@ def check_index(index: Index, deep: bool = True) -> dict:
     norm_udf = F.pandas_udf(
         lambda s: pd.Series(int_to_byte4(s.to_numpy(dtype=np.int64))), "int"
     )
+    eff_len = F.col("length") - F.coalesce(F.col("num_overlap"), F.lit(0))
     bad_norms = index.docs.filter(
-        F.col("norm") != norm_udf(F.col("length"))
+        F.col("norm") != norm_udf(eff_len)
     ).count()
     if bad_norms:
         raise ValueError(f"check_index: {bad_norms} docs with wrong norm byte")

@@ -211,11 +211,10 @@ def build_checkpointed(
             .write.mode("overwrite")
             .parquet(os.path.join(tmp, "postings"))
         )
-        lengths = tf.groupBy("doc_id").agg(F.sum("freq").alias("length"))
-        import pandas as pd
-
-        norm_udf = F.pandas_udf(
-            lambda s: pd.Series(int_to_byte4(s.to_numpy(dtype=np.int64))), "int"
+        lengths = tf.groupBy("doc_id").agg(
+            F.sum("freq").alias("length"),
+            F.max("norm").alias("_tf_norm"),
+            F.max("dlen").alias("_tf_dlen"),
         )
         rng = spark.range(sh["doc_base"], sh["doc_base"] + sh["rows"]).withColumnRenamed(
             "id", "doc_id"
@@ -223,7 +222,12 @@ def build_checkpointed(
         docs = (
             rng.join(lengths, "doc_id", "left")
             .fillna({"length": 0})
-            .withColumn("norm", norm_udf(F.col("length")))
+            .withColumn("norm", F.coalesce(F.col("_tf_norm"), F.lit(0)).cast("int"))
+            .withColumn(
+                "num_overlap",
+                (F.col("length") - F.coalesce(F.col("_tf_dlen"), F.lit(0))).cast("long"),
+            )
+            .drop("_tf_norm", "_tf_dlen")
         )
         docs.write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
         agg = tf.agg(

@@ -33,3 +33,9 @@ class IndexConfig:
     field: str = "content"
     # stopwords: empty by default, like 9.x StandardAnalyzer
     stopwords: frozenset = dc_field(default_factory=frozenset)
+    # index-time synonyms (SynonymFilter with posIncr=0): base term ->
+    # extra tokens injected at the SAME position after stop filtering.
+    # Injected tokens are overlaps: they count into length/tf/sttf but the
+    # norm discounts them (FieldInvertState.numOverlap,
+    # index/IndexingChain.java:1196; BM25Similarity discountOverlaps).
+    synonyms: Tuple[Tuple[str, Tuple[str, ...]], ...] = ()

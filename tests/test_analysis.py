@@ -172,3 +172,46 @@ def test_english_stop_words_set():
     assert "from" not in ENGLISH_STOP_WORDS  # famously NOT in the set
     kept = stop_filter(["the", "quick", "fox"], ENGLISH_STOP_WORDS)
     assert kept == [("quick", 1), ("fox", 2)]  # hole at position 0
+
+
+def test_index_time_synonyms_overlaps_and_norm_discount(spark):
+    """posIncr=0 synonym injection: length/tf/sttf count the injected
+    token, the norm byte discounts it (numOverlap), phrases accept the
+    synonym at the base position, and the commit point round-trips the
+    config."""
+    import numpy as np
+    from lucene_spark.build import IndexConfig, build_index, read_index, write_index
+    from lucene_spark.check import check_index
+    from lucene_spark.query import PhraseQuery, TermQuery
+    from lucene_spark.search import Searcher
+
+    rows = [(0, "the fast table runs"), (1, "a quick brown fox"), (2, "fast and slow")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = IndexConfig(
+        chain="standard", with_positions=True, seg_size=64,
+        synonyms=(("fast", ("quick",)),),
+    )
+    idx = build_index(df, cfg, content_col="text", doc_id_col="doc_id",
+                      auto_seg_size=False, eager=True)
+    got = {
+        int(r["doc_id"]): (int(r["length"]), int(r["num_overlap"]), int(r["norm"]))
+        for r in idx.docs.collect()
+    }
+    # doc0: 4 base tokens + 1 injected -> length 5, overlap 1, norm byte4(4)
+    assert got == {0: (5, 1, 4), 1: (4, 0, 4), 2: (4, 1, 3)}
+    assert idx.stats.sum_total_term_freq == 13  # 11 base + 2 injected
+    s = Searcher(idx, dtype=np.float64)
+    assert sorted(
+        int(r["doc_id"]) for r in s.matches(TermQuery(term="quick")).collect()
+    ) == [0, 1, 2]
+    assert [
+        int(r["doc_id"])
+        for r in s.matches(PhraseQuery(terms=("quick", "table"))).collect()
+    ] == [0]
+    check_index(idx)
+    path = str(__import__("tempfile").mkdtemp()) + "/synidx"
+    write_index(idx, path)
+    r = read_index(spark, path)
+    assert r.config.synonyms == (("fast", ("quick",)),)
+    check_index(r)
+    idx.unpersist()
