@@ -91,6 +91,9 @@ def main() -> None:
             should=[TermQuery(term=t) for t in ("spark", "merge", "vector")]
         ),
         "bm25_phrase": PhraseQuery(terms=("fast", "table")),
+        # 3-term sloppy phrase: exercises the merged-order batch kernel
+        # (sloppy_freqs_batch) that replaced the per-doc n>=3 heap walk
+        "bm25_phrase3_slop": PhraseQuery(terms=("the", "fast", "table"), slop=4),
     }
     cold_lat = {}
     for name, q in qset.items():

@@ -133,23 +133,25 @@ def sloppy_phrase_freqs(
 
     Phrases with REPEATED terms take the repeat-group walk
     (SloppyPhraseMatcher hasRpts — initComplex/advanceRpts parity for
-    single-term postings; see sloppy_phrase_freqs_rpts)."""
+    single-term postings; see sloppy_phrase_freqs_rpts).
+
+    The no-repeats path is batch-vectorized (sloppy_freqs_batch): one
+    merged sort + n searchsorted passes over the whole doc batch, with the
+    hand-first tie adjustment reproducing the cached-`next` tie behavior
+    exactly. Adjusted positions are biased by +n so offset subtraction can
+    never wrap a position into the previous doc's global range."""
     if len(set(terms)) != len(terms):
         return sloppy_phrase_freqs_rpts(pos_by_term, terms, slop, n_docs)
+    n = len(terms)
     adj = [
         [
-            None if p is None else np.asarray(p, dtype=np.int64) - off
+            None if p is None else np.asarray(p, dtype=np.int64) - off + n
             for p in pos_by_term[t]
         ]
         for off, t in enumerate(terms)
     ]
-    out = np.zeros(n_docs, dtype=np.float64)
-    for d in range(n_docs):
-        lists = [a[d] for a in adj]
-        if any(x is None or len(x) == 0 for x in lists):
-            continue
-        out[d] = _sloppy_walk(lists, slop)
-    return out
+    g = [_concat_global(a) for a in adj]
+    return sloppy_freqs_batch(g, slop, n_docs)
 
 
 def _sloppy_walk(adj_lists: List[np.ndarray], slop: int) -> float:
@@ -185,6 +187,21 @@ def _sloppy_walk(adj_lists: List[np.ndarray], slop: int) -> float:
             ml2 = end - pos
             if ml2 < match_length:
                 match_length = ml2
+
+
+def sloppy_phrase_freqs_global(
+    g_by_term: Dict[str, np.ndarray], terms: Sequence[str], slop: int, n_docs: int
+) -> np.ndarray:
+    """Sloppy phrase (no repeats) straight from doc-offset GLOBAL position
+    arrays (the hot driver cache's native layout — no per-doc list
+    round-trip): bias-adjust per slot and run the merged-order batch
+    kernel."""
+    n = len(terms)
+    g = [
+        np.asarray(g_by_term[t], dtype=np.int64) - off + n
+        for off, t in enumerate(terms)
+    ]
+    return sloppy_freqs_batch(g, slop, n_docs)
 
 
 def sloppy_phrase_freqs_rpts(
@@ -319,6 +336,167 @@ def _sloppy_walk_rpts(
 
 
 # ---------------------------------------------------------------------------
+# Merged-order batch kernels: the PQ walks' advance order IS the k-way-merge
+# order of the per-clause position arrays, so both walks vectorize:
+#   - each clause's CURRENT element at time t (t retirements done) is its
+#     first element with merged index >= t — one searchsorted per clause;
+#   - the unordered-span walk checks one state per retirement;
+#   - the sloppy walk's match emissions are one per maximal same-slot RUN
+#     in merged (pos, offset) order (tie-free docs; ties fall back to the
+#     literal walk), with matchLength = (max current at run start) - (last
+#     run element) — the run never raises `end` because every consumed
+#     position is <= the cached `next` <= end;
+#   - both stop at the first retirement of a clause's doc-last element.
+# ---------------------------------------------------------------------------
+
+
+def _merged_arrays(g_by_clause: List[np.ndarray], hand_first_ties: bool = False):
+    """Merge global per-clause sorted arrays by (value, clause). Returns
+    (P, C, doc, mx, ok, lastflag): per merged index t — the value, clause,
+    doc, max over clauses of their current value at time t, whether every
+    clause's current stays in t's doc, and whether P[t] is its clause's
+    doc-last element.
+
+    ``hand_first_ties`` reproduces SloppyPhraseMatcher's tie behavior: the
+    minimization loop compares only POSITIONS against the cached `next`, so
+    when the hand's next element ties the queue top, the hand retires it
+    first regardless of offset order. Within each equal-value group the
+    member whose slot retired the immediately preceding element is rotated
+    to the front (runs that reach a tie always continue through it — if
+    another slot still held an earlier element, the run would have ended
+    before the tie). Only tied groups are touched, left to right, so
+    chained adjustments see the already-adjusted predecessor."""
+    n = len(g_by_clause)
+    lens = [len(g) for g in g_by_clause]
+    vals = np.concatenate(g_by_clause)
+    cls = np.repeat(np.arange(n, dtype=np.int64), lens)
+    order = np.lexsort((cls, vals))
+    P, C = vals[order], cls[order]
+    L = len(P)
+    if hand_first_ties and L > 1:
+        cont = P[1:] == P[:-1]
+        if cont.any():
+            is_start = np.empty(L - 1, dtype=bool)
+            is_start[0] = cont[0]
+            np.logical_and(cont[1:], ~cont[:-1], out=is_start[1:])
+            starts_g = np.flatnonzero(is_start)
+            stop_mask = np.empty(L, dtype=bool)
+            np.logical_not(cont, out=stop_mask[:-1])
+            stop_mask[-1] = True
+            stops = np.flatnonzero(stop_mask)
+            ends_g = stops[np.searchsorted(stops, starts_g)]
+            # predecessor in another doc => fresh doc, no incoming hand
+            # (same doc is implied within a group: equal global values)
+            prev_ok = (starts_g > 0) & (
+                (P[np.maximum(starts_g - 1, 0)] >> _DOC_SHIFT)
+                == (P[starts_g] >> _DOC_SHIFT)
+            )
+            Cl = C.tolist()  # small-group scans in plain python
+            for gs, ge, okp in zip(
+                starts_g.tolist(), ends_g.tolist(), prev_ok.tolist()
+            ):
+                if not okp:
+                    continue
+                h = Cl[gs - 1]
+                grp = Cl[gs : ge + 1]
+                if h in grp:
+                    jj = grp.index(h)
+                    if jj:
+                        C[gs : ge + 1] = [h] + grp[:jj] + grp[jj + 1 :]
+                        Cl[gs : ge + 1] = [h] + grp[:jj] + grp[jj + 1 :]
+    ts = np.arange(L, dtype=np.int64)
+    doc = P >> _DOC_SHIFT
+    mx = np.full(L, np.int64(-(2**62)), dtype=np.int64)
+    ok = np.ones(L, dtype=bool)
+    lastflag = np.zeros(L, dtype=bool)
+    for c in range(n):
+        mi = ts[C == c]
+        if len(mi) == 0:
+            ok[:] = False
+            continue
+        gv = P[mi]
+        j = np.searchsorted(mi, ts, side="left")
+        has = j < len(mi)
+        nxv = gv[np.minimum(j, len(mi) - 1)]
+        ok &= has & ((nxv >> _DOC_SHIFT) == doc)
+        mx = np.maximum(mx, np.where(has, nxv, np.int64(-(2**62))))
+        lf = np.ones(len(mi), dtype=bool)
+        lf[:-1] = (gv[1:] >> _DOC_SHIFT) != (gv[:-1] >> _DOC_SHIFT)
+        lastflag[mi[lf]] = True
+    return P, C, doc, mx, ok, lastflag
+
+
+def _doc_T_and_segments(P: np.ndarray, doc: np.ndarray, lastflag: np.ndarray):
+    """Per merged index: the doc-segment id and that doc's stop index T
+    (first retirement of a clause-doc-last element)."""
+    L = len(P)
+    ts = np.arange(L, dtype=np.int64)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(doc)) + 1))
+    fidx = np.where(lastflag, ts, L)
+    Tmin = np.minimum.reduceat(fidx, starts)
+    seg_len = np.diff(np.concatenate((starts, [L])))
+    doc_seg = np.repeat(np.arange(len(starts)), seg_len)
+    return doc_seg, Tmin
+
+
+def span_unordered_freqs_batch(
+    g_by_clause: List[np.ndarray], slop: int, n_docs: int
+) -> np.ndarray:
+    """Batch NearSpansUnordered over global doc-offset arrays: one state
+    check per retirement t with matchLength = max current end - min current
+    start = (mx[t] + 1) - P[t], stopping per doc at the first exhausting
+    retirement. Duplicate clauses are fine: the merge's (value, clause) tie
+    order equals the walk's interchangeable-iterator tie order."""
+    n = len(g_by_clause)
+    out = np.zeros(n_docs, dtype=np.float64)
+    if any(len(g) == 0 for g in g_by_clause):
+        return out
+    P, _C, doc, mx, ok, lastflag = _merged_arrays(g_by_clause)
+    doc_seg, Tmin = _doc_T_and_segments(P, doc, lastflag)
+    ts = np.arange(len(P), dtype=np.int64)
+    ml = mx + 1 - P
+    sel = ok & (ts <= Tmin[doc_seg]) & (ml - n <= slop)
+    if sel.any():
+        np.add.at(
+            out,
+            (P[sel] >> _DOC_SHIFT).astype(np.int64),
+            1.0 / (1.0 + ml[sel].astype(np.float64)),
+        )
+    return out
+
+
+def sloppy_freqs_batch(
+    g_by_slot: List[np.ndarray], slop: int, n_docs: int
+) -> np.ndarray:
+    """Batch SloppyPhraseMatcher (no repeats) over global ADJUSTED per-slot
+    arrays. Emissions are one per maximal same-slot run in the hand-first
+    tie-adjusted merged order (see _merged_arrays): matchLength =
+    end_at_run_start - last run element; runs past the doc's stop index
+    never happen."""
+    out = np.zeros(n_docs, dtype=np.float64)
+    if any(len(g) == 0 for g in g_by_slot):
+        return out
+    P, C, doc, mx, ok, lastflag = _merged_arrays(g_by_slot, hand_first_ties=True)
+    doc_seg, Tmin = _doc_T_and_segments(P, doc, lastflag)
+    L = len(P)
+    # run segmentation: slot change or doc change starts a new run
+    bnd = np.ones(L, dtype=bool)
+    bnd[1:] = (C[1:] != C[:-1]) | (doc[1:] != doc[:-1])
+    rs = np.flatnonzero(bnd)
+    re = np.concatenate((rs[1:] - 1, [L - 1]))
+    end_r = mx[rs]
+    ml = end_r - P[re]
+    sel = ok[rs] & (re <= Tmin[doc_seg[rs]]) & (ml <= slop)
+    if sel.any():
+        np.add.at(
+            out,
+            (P[rs[sel]] >> _DOC_SHIFT).astype(np.int64),
+            1.0 / (1.0 + ml[sel].astype(np.float64)),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Span near (NearSpansOrdered / NearSpansUnordered parity)
 # ---------------------------------------------------------------------------
 
@@ -367,16 +545,8 @@ def span_unordered_freqs(
         return _span_unordered2_freqs(
             pos_by_clause[0], pos_by_clause[1], slop, n_docs
         )
-    out = np.zeros(n_docs, dtype=np.float64)
-    for d in range(n_docs):
-        lists = [
-            np.asarray(c[d], dtype=np.int64) if c[d] is not None else None
-            for c in pos_by_clause
-        ]
-        if any(x is None or len(x) == 0 for x in lists):
-            continue
-        out[d] = _span_unordered_walk(lists, slop)
-    return out
+    g = [_concat_global(lists) for lists in pos_by_clause]
+    return span_unordered_freqs_batch(g, slop, n_docs)
 
 
 def _span_unordered2_freqs(pos_a, pos_b, slop: int, n_docs: int) -> np.ndarray:

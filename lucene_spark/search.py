@@ -574,6 +574,12 @@ class Searcher:
             freqs = matchers.exact_phrase_freqs_global(
                 g_by_term, terms, n_docs
             ).astype(np.float64)
+        elif len(set(terms)) == len(terms):
+            # no per-doc list round-trip: the cache layout IS the batch
+            # kernel's input (doc-offset global arrays)
+            freqs = matchers.sloppy_phrase_freqs_global(
+                g_by_term, terms, slop, n_docs
+            )
         else:
             pos_by_term = {
                 t: np.split(

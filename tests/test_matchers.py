@@ -394,3 +394,55 @@ def test_ordered_chain_and_unordered_state_spans():
     # states: (0,3) ml3-2=1 ok; (2,7)x... walk: heads (0,2) maxend 3;
     # advance 0->6: (2,7) ml5-2=3 >1; advance 2->8: (6,9) ml3-2=1 ok
     assert list(zip(s, e)) == [(0, 3), (6, 9)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(positions, positions, positions, st.integers(0, 10))
+def test_sloppy_batch_equals_walk_3slots(a, b, c, slop):
+    b = _disjoint(a, b)
+    c = _disjoint(a + b, c)
+    per = {"x": [np.asarray(a, np.int64)], "y": [np.asarray(b, np.int64)],
+           "z": [np.asarray(c, np.int64)]}
+    got = matchers.sloppy_phrase_freqs(per, ("x", "y", "z"), slop, 1)[0]
+    adj = [np.asarray(a, np.int64), np.asarray(b, np.int64) - 1,
+           np.asarray(c, np.int64) - 2]
+    exp = matchers._sloppy_walk(adj, slop)
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(positions, positions, st.integers(0, 8))
+def test_sloppy_batch_tie_fallback_agrees(a, b, slop):
+    # deliberately colliding adjusted positions (b NOT disjoint from a+1):
+    # the dispatch must still equal the literal walk via the tie fallback
+    per = {"x": [np.asarray(a, np.int64)], "y": [np.asarray(b, np.int64)]}
+    got = matchers.sloppy_phrase_freqs(per, ("x", "y"), slop, 1)[0]
+    exp = matchers._sloppy_walk(
+        [np.asarray(a, np.int64), np.asarray(b, np.int64) - 1], slop
+    )
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(positions, positions, positions, st.integers(0, 10))
+def test_span_unordered_batch_equals_walk(a, b, c, slop):
+    b = _disjoint(a, b)
+    c = _disjoint(a + b, c)
+    lists = [np.asarray(x, np.int64) for x in (a, b, c)]
+    got = matchers.span_unordered_freqs_batch(
+        [x.copy() for x in lists], slop, 1
+    )[0]
+    exp = matchers._span_unordered_walk(lists, slop)
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(positions, positions, st.integers(0, 8))
+def test_span_unordered_batch_duplicate_clause(a, b, slop):
+    b = _disjoint(a, b)
+    arr_a, arr_b = np.asarray(a, np.int64), np.asarray(b, np.int64)
+    got = matchers.span_unordered_freqs(
+        [[arr_a], [arr_b], [arr_a]], slop, 1, distinct=False
+    )[0]
+    exp = matchers._span_unordered_walk([arr_a, arr_b, arr_a.copy()], slop)
+    assert got == pytest.approx(exp, abs=1e-12)
