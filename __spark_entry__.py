@@ -171,6 +171,21 @@ ORDER BY ids.nid {direction} LIMIT {k}
     )
 
 
+def _ivf_topk(sp: SparkSession, d: str) -> DataFrame:
+    """IVF ANN with the SQL-reproducible static quantizer: centroids are the
+    embeddings of vec_ids 0..15 (k-means with zero refinement steps), probes
+    = 4 nearest centroids per query, exact cosine within probed lists only.
+    The k-means-refined quantizer is exercised by the recall test
+    (tests/test_functions.py) instead — iterative training is not
+    SQL-expressible."""
+    emb = _emb(sp, d)
+    import lucene_spark.functions.simsearch as fsim_
+
+    cent = fsim_.static_centroids(emb, list(range(16)))
+    assigned = fsim_.ivf_assign(emb, cent)
+    return fsim_.ivf_topk(assigned, cent, [20, 21, 22], k=5, nprobe=4)
+
+
 def _topk_df(s: Searcher, q: Query, k: int = 10) -> DataFrame:
     # rank on the ROUNDED score (ties -> doc_id): sums of floats differ by
     # ulps between engines (and across DuckDB's parallel agg orders), so a
@@ -952,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_rh_lsh_topk": lambda sp, d: fsim.rh_lsh_topk(
             _emb(sp, d), [0, 1, 2], k=10, tables=20, bits=4
         ),
+        "sim_ivf_topk": lambda sp, d: _ivf_topk(sp, d),
         # ---- text analysis ----
         "text_token_counts": lambda sp, d: ftext.token_counts(
             _docs(sp, d), "doc_id", "text"
@@ -1742,6 +1758,39 @@ SELECT vec_a, vec_b, cos FROM (
          round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
   FROM cand JOIN e ea ON ea.vec_id = cand.vec_a JOIN e eb ON eb.vec_id = cand.vec_b
 ) WHERE cos >= 0.4 ORDER BY vec_a, vec_b
+""",
+        # IVF: static centroids = embeddings of vec_id 0..15 (centroid_id ==
+        # vec_id), assignment/probes by rounded cosine with ties to the lower
+        # centroid id, exact cosine within the 4 probed lists per query
+        "sim_ivf_topk": """
+WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id::INT AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+asg AS (
+  SELECT e.vec_id, e.v,
+         (SELECT c.centroid_id FROM cent c
+          ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id
+          LIMIT 1) AS centroid_id
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (20, 21, 22)),
+probes AS (
+  SELECT q.query_id, c.centroid_id, q.qv
+  FROM q CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY q.query_id
+    ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.centroid_id
+  ) <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, round(list_cosine_similarity(p.qv, a.v), 6) AS sim
+  FROM probes p JOIN asg a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id NOT IN (20, 21, 22)
+)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
 """,
         "sim_cosine_topk": """
 WITH q AS (SELECT vec_id::BIGINT AS query_id, embedding::DOUBLE[] AS qv

@@ -277,3 +277,154 @@ def lsh_cosine_topk(
         .select("query_id", "rank", "vec_id", "sim")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> per-centroid posting lists ->
+# probe the nprobe nearest centroids only. The 100-TB shape: assignments are
+# an equi-join key (partition/bucket by centroid_id on write, so a query
+# touches nprobe/n_centroids of the data); no cross join anywhere.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    iters: int = 5,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means on a deterministic hash sample (rows with
+    hash(id) % sample_mod == 0), refined driver-side in numpy — centroids
+    are tiny. Seeds = the sample's first n_centroids rows by id. Returns
+    L2-normalized (n_centroids, dim) float64."""
+    s = emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+    if sample_mod > 1:
+        s = s.filter(F.pmod(F.xxhash64(F.col("i")), F.lit(sample_mod)) == 0)
+    rows = s.orderBy("i").collect()
+    mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    cent = mat[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(n_centroids):
+            sel = mat[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    return cent
+
+
+def static_centroids(
+    emb: DataFrame,
+    centroid_ids: List[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Quantizer whose centroids ARE the vectors of fixed ids (k-means with
+    zero refinement steps) — fully reproducible in plain SQL, which is what
+    the sim_ivf_topk oracle relies on."""
+    rows = (
+        emb.filter(F.col(id_col).isin(list(centroid_ids)))
+        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    by_id = {int(r["i"]): np.asarray(r["v"], dtype=np.float64) for r in rows}
+    cent = np.stack([by_id[i] for i in centroid_ids])
+    return cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector its nearest centroid (rounded cosine, ties to the
+    lower centroid id — the rounding keeps numpy and SQL argmaxes in
+    agreement). Arrow-batched GEMM; at scale, write the result partitioned
+    by centroid_id so probes prune at the scan."""
+    cent = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            sims = np.round(mat @ cent.T, 6)
+            # argmax with ties to the LOWER centroid id
+            cid = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["centroid_id"] = cid.astype(np.int32)
+            yield out
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, {vec_col} array<float>, centroid_id int"
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_ids: List[int],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: per query, probe the nprobe nearest centroids (rounded
+    cosine, ties to lower id — computed driver-side against the tiny
+    centroid matrix), then exact cosine ONLY over vectors assigned to the
+    probed centroids. The probe table (query_id, centroid_id, qv) is
+    broadcast and equi-joined on centroid_id — no cross join; with
+    assignments partitioned by centroid_id the probe predicate prunes the
+    scan to nprobe/n_centroids of the data."""
+    spark = assigned.sparkSession
+    qrows = (
+        assigned.filter(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    qby = {int(r["i"]): np.asarray(r["v"], dtype=np.float64) for r in qrows}
+    cent = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+    )
+    probe_rows = []
+    for qid in query_ids:
+        qv = qby[qid]
+        qn = qv / max(np.linalg.norm(qv), 1e-30)
+        sims = np.round(qn @ cent.T, 6)
+        order = np.lexsort((np.arange(len(sims)), -sims))[:nprobe]
+        for cid in order:
+            probe_rows.append((int(qid), int(cid), [float(x) for x in qv]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, centroid_id int, qv array<double>"
+    )
+    c = assigned.filter(~F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        "centroid_id",
+    )
+    scored = (
+        c.join(F.broadcast(probes), "centroid_id")
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ),
+        )
+        .select("query_id", "vec_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+        .orderBy("query_id", "rank")
+    )
