@@ -560,6 +560,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             10,
         ),
+        "q_intervals_or_slot": lambda sp, d: _topk_df(
+            # Intervals.or nested in an ordered source: slot 0 matches
+            # fast OR slow (union of point positions)
+            _searcher(sp, d),
+            IntervalQuery(
+                terms=(("fast", "slow"), "table"), ordered=True, max_gaps=5
+            ),
+            10,
+        ),
+        "q_intervals_or_slot_unordered": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalQuery(
+                terms=(("fast", "slow"), ("table", "value")),
+                ordered=False,
+                max_gaps=6,
+            ),
+            10,
+        ),
         "q_intervals_ordered_dup_adj": lambda sp, d: _topk_df(
             # adjacent repeat collapses to a RepeatingIntervalsSource run:
             # minExtent 2, gaps still count all three positions
@@ -727,6 +745,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             FuzzyQuery(term="sprak", max_edits=1)
         ),
         # ---- geo distance (LatLonPoint.newDistanceQuery analog) ----
+        "q_geo_polygon": lambda sp, d: (
+            fgeo.geo_polygon(
+                sp.read.parquet(os.path.join(d, "customer.parquet")).select(
+                    F.col("c_custkey").cast("long").alias("doc_id"),
+                    ((F.col("c_custkey") * 7 % 180) - 90 + 0.5)
+                    .cast("double").alias("lat"),
+                    ((F.col("c_custkey") * 13 % 360) - 180 + 0.5)
+                    .cast("double").alias("lon"),
+                ),
+                "lat", "lon",
+                [(0.0, -60.0), (45.0, -10.0), (60.0, -90.0), (10.0, -120.0)],
+            )
+            .select("doc_id", "lat", "lon")
+            .orderBy("doc_id")
+        ),
         "q_geo_distance": lambda sp, d: (
             fgeo.geo_distance(
                 sp.read.parquet(os.path.join(d, "customer.parquet")).select(
@@ -813,6 +846,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
                 "path",
             )
+        )(_searcher(sp, d)),
+        "q_facet_taxonomy_deep": lambda sp, d: (
+            # 3-level hierarchical rollup (lang/source/size-bucket), then a
+            # getTopChildren('en')-style prefix cut
+            lambda s: ffacets.taxonomy_counts(
+                s.matches(TermQuery(term="table")),
+                s.index.docs.select(
+                    "doc_id",
+                    F.concat_ws(
+                        "/",
+                        F.col("lang"),
+                        F.col("source"),
+                        F.when(F.col("n_chars") >= 300, "big").otherwise("small"),
+                    ).alias("path"),
+                ),
+                "path",
+            ).filter(F.col("path").startswith("en"))
         )(_searcher(sp, d)),
         "q_drilldown": lambda sp, d: (
             lambda s: ffacets.drill_down(
@@ -1161,6 +1211,12 @@ def oracle_sql() -> dict[str, str]:
         "q_intervals_unordered_dup3": _intervals_unordered_dups_machine_sql(
             ["table", "the", "table"], 6
         ),
+        "q_intervals_or_slot": _intervals_slots_sql(
+            [["fast", "slow"], ["table"]], True, 5
+        ),
+        "q_intervals_or_slot_unordered": _intervals_slots_sql(
+            [["fast", "slow"], ["table", "value"]], False, 6
+        ),
         "q_intervals_ordered_dup": _intervals_sql(
             ["table", "the", "table"], True, 8
         ),
@@ -1294,6 +1350,18 @@ SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tok WHERE term LIKE '0%' ORDER BY 
         ),
         # deterministic pseudo-coordinates from c_custkey; same haversine
         # (mean radius 6371008.7714 m) on both engines, rounded to mm
+        "q_geo_polygon": """
+WITH pts AS (
+  SELECT c_custkey::BIGINT AS doc_id,
+         ((c_custkey * 7) % 180 - 90 + 0.5)::DOUBLE AS lat,
+         ((c_custkey * 13) % 360 - 180 + 0.5)::DOUBLE AS lon
+  FROM customer
+)
+SELECT doc_id, lat, lon FROM pts
+WHERE lat >= 0.0 AND lat <= 60.0 AND lon >= -120.0 AND lon <= -10.0
+  AND ((CASE WHEN ((0.0 > lat) <> (45.0 > lat)) AND (lon < (-10.0 - -60.0) * (lat - 0.0) / (45.0 - 0.0) + -60.0) THEN 1 ELSE 0 END) + (CASE WHEN ((45.0 > lat) <> (60.0 > lat)) AND (lon < (-90.0 - -10.0) * (lat - 45.0) / (60.0 - 45.0) + -10.0) THEN 1 ELSE 0 END) + (CASE WHEN ((60.0 > lat) <> (10.0 > lat)) AND (lon < (-120.0 - -90.0) * (lat - 60.0) / (10.0 - 60.0) + -90.0) THEN 1 ELSE 0 END) + (CASE WHEN ((10.0 > lat) <> (0.0 > lat)) AND (lon < (-60.0 - -120.0) * (lat - 10.0) / (0.0 - 10.0) + -120.0) THEN 1 ELSE 0 END)) % 2 = 1
+ORDER BY doc_id
+""",
         "q_geo_distance": """
 WITH pts AS (
   SELECT c_custkey::BIGINT AS doc_id,
@@ -1370,6 +1438,24 @@ pref AS (
   UNION ALL SELECT doc_id, path FROM base
 )
 SELECT path, count(*)::BIGINT AS cnt FROM pref GROUP BY path ORDER BY path
+""",
+        "q_facet_taxonomy_deep": _PRELUDE
+        + """
+, base AS (
+  SELECT d.doc_id,
+         d.lang || '/' || d.source || '/' ||
+         (CASE WHEN d.n_chars >= 300 THEN 'big' ELSE 'small' END) AS path
+  FROM documents d
+  WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'table')
+),
+pref AS (
+  SELECT doc_id, string_split(path, '/')[1] AS path FROM base
+  UNION ALL
+  SELECT doc_id, string_split(path, '/')[1] || '/' || string_split(path, '/')[2] FROM base
+  UNION ALL SELECT doc_id, path FROM base
+)
+SELECT path, count(*)::BIGINT AS cnt FROM pref
+WHERE path LIKE 'en%' GROUP BY path ORDER BY path
 """,
         "q_drilldown": _PRELUDE
         + """
@@ -2142,6 +2228,69 @@ def _intervals_sql(terms: list[str], ordered: bool, max_gaps: int, k: int = 10,
 , pf AS (
   SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {min_extent} + 1, 1)) AS freq
   FROM iv GROUP BY doc_id
+),
+ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
+"""
+        + _rank_tail("score", "FROM ivsc", k)
+    )
+
+
+def _intervals_slots_sql(
+    slots: list, ordered: bool, max_gaps: int, k: int = 10
+) -> str:
+    """IntervalQuery with OR-alternation slots (Intervals.or nested in
+    ordered/unordered): each slot's point stream is the union of its
+    alternatives' positions; minExtent = slot count."""
+    n = len(slots)
+    slots = [s if isinstance(s, (list, tuple)) else [s] for s in slots]
+
+    def pred(s):
+        return "term IN (" + ", ".join(f"'{t}'" for t in s) + ")"
+
+    if ordered:
+        ctes = [
+            f", b{n-1} AS (SELECT doc_id, pos AS e, pos AS q FROM tokp"
+            f" WHERE {pred(slots[n-1])})"
+        ]
+        for i in range(n - 2, -1, -1):
+            ctes.append(
+                f", b{i} AS (\n"
+                f"  SELECT b.doc_id, b.e, max(t.pos) AS q\n"
+                f"  FROM b{i+1} b JOIN tokp t ON t.doc_id = b.doc_id"
+                f" AND t.{pred(slots[i])} AND t.pos < b.q\n"
+                f"  GROUP BY b.doc_id, b.e\n)"
+            )
+        win = "SELECT doc_id, e, q AS s FROM b0"
+    else:
+        unions = "\n  UNION ALL ".join(
+            f"SELECT doc_id, pos, {i} AS slot FROM tokp WHERE {pred(s)}"
+            for i, s in enumerate(slots)
+        )
+        ctes = [
+            f""", slotp AS (
+  {unions}
+),
+ue AS (SELECT DISTINCT doc_id, pos AS e FROM slotp),
+lt AS (
+  SELECT ue.doc_id, ue.e, s.slot, max(s.pos) AS mx
+  FROM ue JOIN slotp s ON s.doc_id = ue.doc_id AND s.pos <= ue.e
+  GROUP BY ue.doc_id, ue.e, s.slot
+)"""
+        ]
+        win = (
+            f"SELECT doc_id, e, min(mx) AS s FROM lt "
+            f"GROUP BY doc_id, e HAVING count(*) = {n}"
+        )
+    gaps_pred = f"WHERE (e - s + 1) - {n} <= {max_gaps}" if max_gaps >= 0 else ""
+    return (
+        _PRELUDE
+        + "".join(ctes)
+        + f"""
+, win AS ({win}),
+iv AS (SELECT doc_id, s, min(e) AS e FROM win GROUP BY doc_id, s),
+pf AS (
+  SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {n} + 1, 1)) AS freq
+  FROM iv {gaps_pred} GROUP BY doc_id
 ),
 ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
 """

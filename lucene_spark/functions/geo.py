@@ -72,3 +72,43 @@ def geo_distance(
     return boxed.withColumn("distance_m", F.round(dist, 3)).filter(
         F.col("distance_m") <= radius_m
     )
+
+
+def geo_polygon(
+    docs: DataFrame, lat_col: str, lon_col: str, points,
+) -> DataFrame:
+    """Docs inside a simple (non-self-intersecting, no holes) polygon —
+    the semantic analog of LatLonPoint.newPolygonQuery
+    (document/LatLonPoint.java; geo/Polygon.java): a bounding-box
+    prefilter (plain range predicates, pushed to the Parquet scan — the
+    BKD-tree role) followed by an even-odd ray-cast membership test
+    unrolled over the polygon's edges as pure JVM column expressions (no
+    UDF, whole-stage codegen). Boundary behavior follows the standard
+    half-open ray-cast rule, matching the reference's SEMANTICS of
+    containment rather than GeoUtils' exact bit patterns (same documented
+    envelope as geo_distance). ``points``: [(lat, lon), ...], any
+    orientation, closing edge implied."""
+    pts = [(float(a), float(b)) for a, b in points]
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    min_lat, max_lat = min(p[0] for p in pts), max(p[0] for p in pts)
+    min_lon, max_lon = min(p[1] for p in pts), max(p[1] for p in pts)
+    boxed = docs.filter(
+        (lat >= min_lat) & (lat <= max_lat) & (lon >= min_lon) & (lon <= max_lon)
+    )
+    crossings = F.lit(0)
+    n = len(pts)
+    for i in range(n):
+        y1, x1 = pts[i]
+        y2, x2 = pts[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses the horizontal ray
+        cond = (
+            ((F.lit(y1) > lat) != (F.lit(y2) > lat))
+            & (
+                lon
+                < F.lit(x2 - x1) * (lat - F.lit(y1)) / F.lit(y2 - y1)
+                + F.lit(x1)
+            )
+        )
+        crossings = crossings + F.when(cond, F.lit(1)).otherwise(F.lit(0))
+    return boxed.filter(crossings % 2 == 1)

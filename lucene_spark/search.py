@@ -1317,11 +1317,24 @@ class Searcher:
         ADJACENT equal sources, unordered collapses ALL equal sources, each
         into a RepeatingIntervalsSource sliding window whose minExtent is
         its child's — so minExtent = run count (ordered) / distinct-term
-        count (unordered), while maxgaps keeps counting every position."""
-        terms = list(q.terms)
-        stats = self.term_stats(terms)
-        if any(t not in stats for t in terms):
+        count (unordered), while maxgaps keeps counting every position.
+
+        A terms entry may be a TUPLE of alternatives — Intervals.or over
+        term sources nested in the ordered/unordered parent
+        (DisjunctionIntervalsSource): a point-union's minimal intervals are
+        just the union of positions, so each slot's position list is the
+        sorted merge of its alternatives (slot minExtent 1, like the
+        disjunction's min over subs). Multi-alternative slots skip the
+        duplicate-source rewrites (distinct slots assumed)."""
+        slots = [t if isinstance(t, (tuple, list)) else (t,) for t in q.terms]
+        multi_alt = any(len(s) > 1 for s in slots)
+        flat_terms = [t for s in slots for t in s]
+        stats = self.term_stats(flat_terms)
+        if any(all(t not in stats for t in s) for s in slots):
             return self._empty()
+        if multi_alt:
+            return self._eval_intervals_slots(q, slots)
+        terms = list(q.terms)
         ordered, max_gaps = bool(q.ordered), int(q.max_gaps)
         terms_t = tuple(terms)
         # adjacent-run dedup (ordered): each run contributes minExtent 1
@@ -1436,6 +1449,55 @@ class Searcher:
             F.col("freq") > 0
         )
         return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
+
+    def _eval_intervals_slots(self, q: IntervalQuery, slots) -> DataFrame:
+        """IntervalQuery with OR-alternation slots: per slot, the minimal
+        intervals of Intervals.or over point terms are the sorted union of
+        the alternatives' positions; the ordered/unordered staircases then
+        run on per-slot point lists unchanged. minExtent = slot count."""
+        ordered, max_gaps = bool(q.ordered), int(q.max_gaps)
+        slots_t = tuple(tuple(s) for s in slots)
+        all_terms = sorted({t for s in slots_t for t in s})
+
+        @F.pandas_udf("double")
+        def ivs_freq(plist: pd.Series) -> pd.Series:
+            from . import matchers
+
+            n_docs = len(plist)
+            by_term = {t: [None] * n_docs for t in all_terms}
+            for i, entries in enumerate(plist):
+                for e in entries:
+                    by_term[e["term"]][i] = np.asarray(e["positions"], dtype=np.int64)
+            by_slot = []
+            for s in slots_t:
+                col = []
+                for i in range(n_docs):
+                    parts = [by_term[t][i] for t in s if by_term[t][i] is not None]
+                    if not parts:
+                        col.append(None)
+                    elif len(parts) == 1:
+                        col.append(parts[0])
+                    else:
+                        col.append(np.unique(np.concatenate(parts)))
+                by_slot.append(col)
+            return pd.Series(
+                matchers.interval_freqs(
+                    by_slot, ordered, max_gaps, n_docs, min_extent=len(slots_t)
+                )
+            )
+
+        grouped = self._grouped_positions(all_terms, min_terms=1)
+        scored = grouped.withColumn("freq", ivs_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        pivot = float(q.pivot)
+        return scored.select(
+            "doc_id",
+            (
+                F.lit(float(q.boost))
+                * (F.lit(1.0) - F.lit(pivot) / (F.col("freq") + F.lit(pivot)))
+            ).alias("score"),
+        )
 
     def _eval_interval_filter(self, q: "IntervalFilterQuery") -> DataFrame:
         """Interval filter algebra (Containing/ContainedBy/NotContaining/
