@@ -731,6 +731,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regexp": const_docs(RegexpQuery(regexp="[sv].*r")),
         # Lucene RegExp syntax: '@' = ANYSTRING, quoted literal segment
         "q_regexp_lucene_syntax": const_docs(RegexpQuery(regexp='"s"@')),
+        "q_regexp_intersection": const_docs(
+            # top-level automaton intersection: starts with s AND contains a
+            RegexpQuery(regexp="s.*&.*a.*")
+        ),
+        "q_regexp_complement": const_docs(
+            # intersection with a complemented operand: s-terms NOT ending k
+            RegexpQuery(regexp="s.*&~(.*k)")
+        ),
+        "q_regexp_interval": lambda sp, d: _docs_df(
+            # <n-m> numeric interval (digits=0: any leading zeros) over the
+            # customer-name index: matches the zero-padded key tokens 1..20
+            _customer_searcher(sp, d), RegexpQuery(regexp="<1-20>")
+        ),
         "q_term_range": const_docs(TermRangeQuery(lower="query", upper="sort")),
         "q_term_in_set": const_docs(TermInSetQuery(terms=("spark", "vector", "nope"))),
         "q_fuzzy": const_docs(
@@ -1082,13 +1095,7 @@ def _stop_searcher(sp: SparkSession, d: str) -> Searcher:
     return _CACHE[key]
 
 
-def _customer_prefix_docs(sp: SparkSession, d: str) -> DataFrame:
-    """CONSTANT_SCORE multi-term rewrite at >1024 expanded terms: the
-    uncapped distributed semi-join path (search/MultiTermQuery.java
-    CONSTANT_SCORE_REWRITE builds a bitset over EVERY matching term; only
-    scoring rewrites cap at 1024, where expand_terms raises TooManyClauses).
-    PrefixQuery('0') over the customer-name index expands to ~1500 digit
-    terms at sf0.01."""
+def _customer_searcher(sp: SparkSession, d: str) -> Searcher:
     key = f"{d}::__customer"
     if key not in _CACHE:
         cust = sp.read.parquet(os.path.join(d, "customer.parquet")).repartition(
@@ -1101,7 +1108,17 @@ def _customer_prefix_docs(sp: SparkSession, d: str) -> DataFrame:
             cust, cfg, content_col="c_name", doc_id_col="c_custkey", eager=True
         )
         _CACHE[key] = Searcher(idx, dtype=np.float64)
-    return _docs_df(_CACHE[key], PrefixQuery(prefix="0"))
+    return _CACHE[key]
+
+
+def _customer_prefix_docs(sp: SparkSession, d: str) -> DataFrame:
+    """CONSTANT_SCORE multi-term rewrite at >1024 expanded terms: the
+    uncapped distributed semi-join path (search/MultiTermQuery.java
+    CONSTANT_SCORE_REWRITE builds a bitset over EVERY matching term; only
+    scoring rewrites cap at 1024, where expand_terms raises TooManyClauses).
+    PrefixQuery('0') over the customer-name index expands to ~1500 digit
+    terms at sf0.01."""
+    return _docs_df(_customer_searcher(sp, d), PrefixQuery(prefix="0"))
 
 
 def _docs(sp: SparkSession, d: str) -> DataFrame:
@@ -1342,6 +1359,21 @@ SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tok WHERE term LIKE '0%' ORDER BY 
         "q_regexp_lucene_syntax": _const_docs_sql(
             "regexp_matches(t.term, '^(?:s.*)$')"
         ),
+        "q_regexp_intersection": _const_docs_sql(
+            "regexp_matches(t.term, '^(?:s.*)$') AND regexp_matches(t.term, '^(?:.*a.*)$')"
+        ),
+        "q_regexp_complement": _const_docs_sql(
+            "regexp_matches(t.term, '^(?:s.*)$') AND NOT regexp_matches(t.term, '^(?:.*k)$')"
+        ),
+        "q_regexp_interval": f"""
+WITH tok AS (
+  SELECT c_custkey AS doc_id,
+         unnest(regexp_extract_all(lower(c_name), '{_TOKRE}')) AS term
+  FROM customer
+)
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tok
+WHERE regexp_matches(term, '^(?:0*(?:[1-9]|1[0-9]|20))$') ORDER BY doc_id
+""",
         "q_term_range": _const_docs_sql("t.term >= 'query' AND t.term <= 'sort'"),
         "q_term_in_set": _const_docs_sql("t.term IN ('spark', 'vector', 'nope')"),
         "q_fuzzy": _const_docs_sql("levenshtein(t.term, 'sprk') <= 1"),

@@ -72,6 +72,110 @@ class TooManyClauses(RuntimeError):
     exceeded MAX_CLAUSE_COUNT (constant-score rewrites are uncapped)."""
 
 
+def _fixed_width_range_regex(lo: str, hi: str) -> str:
+    """Regex for zero-padded decimal strings of width len(lo) with value in
+    [lo, hi] (classic digit-range decomposition)."""
+    if lo == hi:
+        return lo
+    if len(lo) == 1:
+        return f"[{lo}-{hi}]"
+    if lo[0] == hi[0]:
+        return lo[0] + "(?:" + _fixed_width_range_regex(lo[1:], hi[1:]) + ")"
+    d = len(lo) - 1
+    parts = [lo[0] + "(?:" + _fixed_width_range_regex(lo[1:], "9" * d) + ")"]
+    if int(hi[0]) - int(lo[0]) >= 2:
+        a, b = str(int(lo[0]) + 1), str(int(hi[0]) - 1)
+        parts.append((f"[{a}-{b}]" if a != b else a) + f"[0-9]{{{d}}}")
+    parts.append(hi[0] + "(?:" + _fixed_width_range_regex("0" * d, hi[1:]) + ")")
+    return "(?:" + "|".join(parts) + ")"
+
+
+def _decimal_interval_regex(mn: int, mx: int, digits: int) -> str:
+    """Regex equivalent of Automata.makeDecimalInterval
+    (util/automaton/Automata.java:457): digits > 0 = exactly that many
+    zero-padded digits; digits == 0 = any number of leading zeros before
+    the canonical representation (the <n-m> parse sets digits =
+    len(min-str) when both bounds were written with equal width,
+    RegExp.java:1321-1323)."""
+    if digits > 0:
+        return _fixed_width_range_regex(
+            str(mn).zfill(digits), str(mx).zfill(digits)
+        )
+    parts = []
+    if mn == 0:
+        parts.append("0")
+        mn = 1
+    for L in range(len(str(max(mn, 1))), len(str(mx)) + 1):
+        lo = max(mn, 1 if L == 1 else 10 ** (L - 1))
+        hi = min(mx, 10**L - 1)
+        if lo <= hi:
+            parts.append(_fixed_width_range_regex(str(lo), str(hi)))
+    if not parts:
+        return "(?:x^)"  # empty language guard (mn > mx after 0-handling)
+    return "0*(?:" + "|".join(parts) + ")"
+
+
+def split_lucene_regexp_ops(pattern: str):
+    """Split a Lucene RegExp on TOP-LEVEL automaton operators into
+    disjunctive normal form over plain-regex leaves:
+    returns [branch, ...] where each branch is [(negated, subpattern), ...]
+    — OR over branches of AND over leaves (RegExp grammar: '|' binds looser
+    than '&'; '~' supported when it complements a parenthesized group
+    spanning a whole intersection operand; '#' = the empty language drops
+    its branch). Operators nested inside groups still raise in
+    lucene_regexp_to_java — the loud envelope shrinks to genuinely
+    automaton-shaped compositions."""
+    def top_split(s: str, sep: str):
+        out, depth, cls, i, start = [], 0, False, 0, 0
+        while i < len(s):
+            ch = s[i]
+            if ch == "\\":
+                i += 2
+                continue
+            if cls:
+                if ch == "]":
+                    cls = False
+            elif ch == "[":
+                cls = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == '"':
+                j = s.find('"', i + 1)
+                i = j if j >= 0 else len(s)
+            elif ch == sep and depth == 0:
+                out.append(s[start:i])
+                start = i + 1
+            i += 1
+        out.append(s[start:])
+        return out
+
+    branches = []
+    for branch in top_split(pattern, "|"):
+        leaves = []
+        empty = False
+        for part in top_split(branch, "&"):
+            part = part.strip()
+            if part == "#":
+                empty = True  # intersection with the empty language
+                break
+            neg = False
+            if part.startswith("~"):
+                body = part[1:]
+                if not (body.startswith("(") and body.endswith(")")):
+                    raise NotImplementedError(
+                        "Lucene RegExp '~' is supported only when it "
+                        "complements a parenthesized group spanning a whole "
+                        "intersection operand (util/automaton/RegExp.java)"
+                    )
+                neg, part = True, body[1:-1]
+            leaves.append((neg, part))
+        if not empty:
+            branches.append(leaves)
+    return branches
+
+
 def lucene_regexp_to_java(pattern: str) -> str:
     """Translate the reference's RegExp syntax (util/automaton/RegExp.java)
     into an equivalent Java/RE2 regex for the shared operator subset: the
@@ -107,10 +211,29 @@ def lucene_regexp_to_java(pattern: str) -> str:
                 out.append(re.escape(pattern[i + 1 : j]))
                 i = j + 1
                 continue
-            if ch in "&~#<":
+            if ch == "<":
+                j = pattern.find(">", i + 1)
+                body = pattern[i + 1 : j] if j > 0 else ""
+                m = re.fullmatch(r"(\d+)-(\d+)", body)
+                if m is None:
+                    raise NotImplementedError(
+                        "Lucene RegExp '<...>' named automata are "
+                        "automaton-only (util/automaton/RegExp.java); only "
+                        "numeric intervals <n-m> translate"
+                    )
+                smin, smax = m.group(1), m.group(2)
+                digits = len(smin) if len(smin) == len(smax) else 0
+                lo, hi = int(smin), int(smax)
+                if lo > hi:
+                    lo, hi = hi, lo
+                out.append("(?:" + _decimal_interval_regex(lo, hi, digits) + ")")
+                i = j + 1
+                continue
+            if ch in "&~#":
                 raise NotImplementedError(
                     f"Lucene RegExp operator {ch!r} is automaton-only "
-                    "(util/automaton/RegExp.java); no regex equivalent"
+                    "(util/automaton/RegExp.java); translate top-level "
+                    "compositions via split_lucene_regexp_ops"
                 )
             if ch == ">":
                 out.append(re.escape(ch))
@@ -1683,9 +1806,27 @@ class Searcher:
                 i += 1
             return F.col("term").rlike("^(?:" + pat + ")$")
         if isinstance(q, RegexpQuery):
-            return F.col("term").rlike(
-                "^(?:" + lucene_regexp_to_java(q.regexp) + ")$"
-            )
+            # top-level & (intersection), ~ (complement of a whole operand)
+            # and # (empty) compose as Catalyst predicates over the
+            # per-leaf full-match regexes; <n-m> intervals translate inside
+            # lucene_regexp_to_java
+            branches = split_lucene_regexp_ops(q.regexp)
+            if not branches:
+                return F.lit(False)  # '#': the empty language
+            cond = None
+            for leaves in branches:
+                bc = None
+                for neg, sub in leaves:
+                    lc = F.col("term").rlike(
+                        "^(?:" + lucene_regexp_to_java(sub) + ")$"
+                    )
+                    if neg:
+                        lc = ~lc
+                    bc = lc if bc is None else (bc & lc)
+                if bc is None:
+                    bc = F.lit(True)
+                cond = bc if cond is None else (cond | bc)
+            return cond
         if isinstance(q, TermRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:

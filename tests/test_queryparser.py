@@ -188,7 +188,9 @@ def test_lucene_regexp_translation():
     assert lucene_regexp_to_java("[<a>]") == "[<a>]"      # class chars literal
     import pytest as _pytest
 
-    for bad in ("a&b", "~abc", "#", "<1-9>"):
+    # <n-m> now translates (test_lucene_regexp_decimal_interval); named
+    # automata stay automaton-only
+    for bad in ("a&b", "~abc", "#", "<foo>"):
         with _pytest.raises((NotImplementedError,)):
             lucene_regexp_to_java(bad)
 
@@ -209,8 +211,45 @@ def test_lucene_regexp_bare_gt_is_literal():
     import re as _re
 
     assert _re.fullmatch(lucene_regexp_to_java("a>b"), "a>b")
-    # '<' still raises (numeric interval operator, automaton-only)
+    # named automata (non-numeric <...>) stay automaton-only
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        lucene_regexp_to_java("<1-3>")
+        lucene_regexp_to_java("<myauto>")
+
+
+def test_lucene_regexp_decimal_interval():
+    import re as _re
+    from lucene_spark.search import _decimal_interval_regex, lucene_regexp_to_java
+
+    # brute-force the digits=0 (leading zeros allowed) and fixed-width forms
+    for mn, mx, digits in [(1, 20, 0), (0, 255, 0), (12, 3456, 0),
+                           (7, 7, 1), (0, 99, 2), (17, 23, 2), (90, 210, 0)]:
+        r = _re.compile("^(?:" + _decimal_interval_regex(mn, mx, digits) + ")$")
+        for v in range(0, min(mx * 2 + 5, 5000)):
+            for pad in (0, 1, 3):
+                s = str(v).zfill(len(str(v)) + pad)
+                if digits > 0:
+                    want = mn <= v <= mx and len(s) == digits
+                else:
+                    want = mn <= v <= mx
+                assert bool(r.match(s)) == want, (mn, mx, digits, s)
+    # <n-m> composes inside a pattern; equal-width bounds pin the width
+    r = _re.compile("^(?:" + lucene_regexp_to_java("v<1-20>x") + ")$")
+    assert r.match("v7x") and r.match("v007x") and not r.match("v21x")
+    r2 = _re.compile("^(?:" + lucene_regexp_to_java("<01-20>") + ")$")
+    assert r2.match("07") and r2.match("20") and not r2.match("7")
+
+
+def test_lucene_regexp_top_level_ops():
+    from lucene_spark.search import split_lucene_regexp_ops
+
+    assert split_lucene_regexp_ops("s.*&.*k") == [[(False, "s.*"), (False, ".*k")]]
+    assert split_lucene_regexp_ops("~(s.*)&.*k") == [[(True, "s.*"), (False, ".*k")]]
+    assert split_lucene_regexp_ops("a|#|b") == [[(False, "a")], [(False, "b")]]
+    # & inside a group is NOT split here (and still raises downstream)
+    assert split_lucene_regexp_ops("(a&b)c") == [[(False, "(a&b)c")]]
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        split_lucene_regexp_ops("~abc")  # unparenthesized complement
