@@ -29,10 +29,13 @@ from pyspark.sql.window import Window
 from lucene_spark.analysis import duckdb_token_re
 from lucene_spark.build import IndexConfig, build_index, term_vectors
 from lucene_spark.query import (
+    AtLeastIntervalQuery,
     DisjunctionMaxQuery,
+    ExtendedIntervalQuery,
     FuzzyQuery,
     FeatureQuery,
     IntervalFilterQuery,
+    IntervalMultiTerm,
     IntervalQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
@@ -566,6 +569,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _searcher(sp, d),
             IntervalQuery(
                 terms=(("fast", "slow"), "table"), ordered=True, max_gaps=5
+            ),
+            10,
+        ),
+        # ---- multi-term interval sources (Intervals.prefix/wildcard/
+        # fuzzyTerm -> MultiTermIntervalsSource, expansion-capped) ----
+        "q_intervals_prefix": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalQuery(
+                terms=("fast", IntervalMultiTerm(kind="prefix", pattern="s")),
+                ordered=True,
+                max_gaps=6,
+            ),
+            10,
+        ),
+        "q_intervals_wildcard": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalQuery(
+                terms=(IntervalMultiTerm(kind="wildcard", pattern="*ow"), "table"),
+                ordered=False,
+                max_gaps=5,
+            ),
+            10,
+        ),
+        "q_intervals_fuzzy": lambda sp, d: _topk_df(
+            # 'tbale'~1 reaches 'table' only through the OSA transposition
+            _searcher(sp, d),
+            IntervalQuery(
+                terms=(
+                    "the",
+                    IntervalMultiTerm(kind="fuzzy", pattern="tbale", max_edits=1),
+                ),
+                ordered=True,
+                max_gaps=8,
+            ),
+            10,
+        ),
+        # ---- Intervals.extend / Intervals.atLeast ----
+        "q_intervals_extend": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            ExtendedIntervalQuery(
+                source=IntervalQuery(
+                    terms=("fast", "table"), ordered=True, max_gaps=4
+                ),
+                before=1,
+                after=2,
+            ),
+            10,
+        ),
+        "q_intervals_atleast": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            AtLeastIntervalQuery(
+                terms=("spark", "table", "fast", "data"),
+                min_should_match=3,
+                max_gaps=6,
+            ),
+            10,
+        ),
+        "q_intervals_atleast_or_slot": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            AtLeastIntervalQuery(
+                terms=(("fast", "slow"), "table", "merge"),
+                min_should_match=2,
             ),
             10,
         ),
@@ -1233,6 +1298,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_intervals_or_slot_unordered": _intervals_slots_sql(
             [["fast", "slow"], ["table", "value"]], False, 6
+        ),
+        "q_intervals_prefix": _intervals_slots_sql(
+            [["fast"], "{term} LIKE 's%'"], True, 6
+        ),
+        "q_intervals_wildcard": _intervals_slots_sql(
+            ["{term} LIKE '%ow'", ["table"]], False, 5
+        ),
+        # OSA and true Damerau-Levenshtein coincide at max_edits=1, so
+        # DuckDB's damerau_levenshtein is an independent parity metric here
+        "q_intervals_fuzzy": _intervals_slots_sql(
+            [["the"], "damerau_levenshtein({term}, 'tbale') <= 1"], True, 8
+        ),
+        "q_intervals_extend": _intervals_ext_sql(
+            [["fast"], ["table"]], True, 4, 1, 2
+        ),
+        "q_intervals_atleast": _intervals_atleast_sql(
+            [["spark"], ["table"], ["fast"], ["data"]], 3, 6
+        ),
+        "q_intervals_atleast_or_slot": _intervals_atleast_sql(
+            [["fast", "slow"], ["table"], ["merge"]], 2, -1
         ),
         "q_intervals_ordered_dup": _intervals_sql(
             ["table", "the", "table"], True, 8
@@ -2267,35 +2352,39 @@ ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0
     )
 
 
-def _intervals_slots_sql(
-    slots: list, ordered: bool, max_gaps: int, k: int = 10
-) -> str:
-    """IntervalQuery with OR-alternation slots (Intervals.or nested in
-    ordered/unordered): each slot's point stream is the union of its
-    alternatives' positions; minExtent = slot count."""
+def _slot_pred(s, col: str = "term") -> str:
+    """Slot spec -> SQL predicate: a list of alternatives becomes an IN
+    list; a bare string is a raw predicate template over ``{term}`` (LIKE /
+    damerau_levenshtein / regexp) — how the oracle expresses a multi-term
+    interval source independently of the engine's dictionary expansion."""
+    if isinstance(s, str):
+        return s.format(term=col)
+    return f"{col} IN (" + ", ".join(f"'{t}'" for t in s) + ")"
+
+
+def _slots_win_sql(slots: list, ordered: bool) -> tuple[str, str]:
+    """Shared CTE chain for slot-based interval sources: returns
+    (cte_body, win_select) where win(doc_id, e, s) holds, per candidate
+    end, the latest valid start (ordered backward-greedy chain /
+    unordered min-of-latest-occurrences)."""
     n = len(slots)
-    slots = [s if isinstance(s, (list, tuple)) else [s] for s in slots]
-
-    def pred(s):
-        return "term IN (" + ", ".join(f"'{t}'" for t in s) + ")"
-
     if ordered:
         ctes = [
             f", b{n-1} AS (SELECT doc_id, pos AS e, pos AS q FROM tokp"
-            f" WHERE {pred(slots[n-1])})"
+            f" WHERE {_slot_pred(slots[n-1])})"
         ]
         for i in range(n - 2, -1, -1):
             ctes.append(
                 f", b{i} AS (\n"
                 f"  SELECT b.doc_id, b.e, max(t.pos) AS q\n"
                 f"  FROM b{i+1} b JOIN tokp t ON t.doc_id = b.doc_id"
-                f" AND t.{pred(slots[i])} AND t.pos < b.q\n"
+                f" AND {_slot_pred(slots[i], 't.term')} AND t.pos < b.q\n"
                 f"  GROUP BY b.doc_id, b.e\n)"
             )
         win = "SELECT doc_id, e, q AS s FROM b0"
     else:
         unions = "\n  UNION ALL ".join(
-            f"SELECT doc_id, pos, {i} AS slot FROM tokp WHERE {pred(s)}"
+            f"SELECT doc_id, pos, {i} AS slot FROM tokp WHERE {_slot_pred(s)}"
             for i, s in enumerate(slots)
         )
         ctes = [
@@ -2313,10 +2402,105 @@ lt AS (
             f"SELECT doc_id, e, min(mx) AS s FROM lt "
             f"GROUP BY doc_id, e HAVING count(*) = {n}"
         )
+    return "".join(ctes), win
+
+
+def _intervals_ext_sql(
+    slots: list,
+    ordered: bool,
+    max_gaps: int,
+    before: int,
+    after: int,
+    k: int = 10,
+) -> str:
+    """Intervals.extend parity SQL: the wrapped source's minimal intervals
+    (maxgaps applied FIRST, on unextended widths) stretch to
+    (greatest(s - before, 0), e + after) and weigh with
+    minExtent + before + after."""
+    n = len(slots)
+    slots = [s if isinstance(s, (list, tuple, str)) else [s] for s in slots]
+    body, win = _slots_win_sql(slots, ordered)
+    gaps_pred = f"WHERE (e - s + 1) - {n} <= {max_gaps}" if max_gaps >= 0 else ""
+    ext_min = n + before + after
+    return (
+        _PRELUDE
+        + body
+        + f"""
+, win AS ({win}),
+iv0 AS (SELECT doc_id, s, min(e) AS e FROM win GROUP BY doc_id, s),
+iv AS (
+  SELECT doc_id, greatest(s - {before}, 0) AS s, e + {after} AS e
+  FROM iv0 {gaps_pred}
+),
+pf AS (
+  SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {ext_min} + 1, 1)) AS freq
+  FROM iv GROUP BY doc_id
+),
+ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
+"""
+        + _rank_tail("score", "FROM ivsc", k)
+    )
+
+
+def _intervals_atleast_sql(
+    slots: list, m: int, max_gaps: int, k: int = 10
+) -> str:
+    """Intervals.atLeast(m, ...) parity SQL
+    (MinimumShouldMatchIntervalsSource): per candidate end e, the tightest
+    window covering >= m distinct slots starts at the m-th LARGEST of the
+    per-slot latest-occurrence-<= e values (row_number over mx DESC);
+    minimality = smallest end per start; minExtent = m."""
+    slots = [s if isinstance(s, (list, tuple, str)) else [s] for s in slots]
+    unions = "\n  UNION ALL ".join(
+        f"SELECT doc_id, pos, {i} AS slot FROM tokp WHERE {_slot_pred(s)}"
+        for i, s in enumerate(slots)
+    )
+    gaps_pred = f"WHERE (e - s + 1) - {m} <= {max_gaps}" if max_gaps >= 0 else ""
+    return (
+        _PRELUDE
+        + f"""
+, slotp AS (
+  {unions}
+),
+ue AS (SELECT DISTINCT doc_id, pos AS e FROM slotp),
+lt AS (
+  SELECT ue.doc_id, ue.e, s.slot, max(s.pos) AS mx
+  FROM ue JOIN slotp s ON s.doc_id = ue.doc_id AND s.pos <= ue.e
+  GROUP BY ue.doc_id, ue.e, s.slot
+),
+ranked AS (
+  SELECT doc_id, e, mx,
+         row_number() OVER (PARTITION BY doc_id, e ORDER BY mx DESC) AS rn
+  FROM lt
+),
+win AS (SELECT doc_id, e, mx AS s FROM ranked WHERE rn = {m}),
+iv0 AS (SELECT doc_id, s, min(e) AS e FROM win GROUP BY doc_id, s),
+iv AS (SELECT doc_id, s, e FROM iv0 {gaps_pred}),
+pf AS (
+  SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {m} + 1, 1)) AS freq
+  FROM iv GROUP BY doc_id
+),
+ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
+"""
+        + _rank_tail("score", "FROM ivsc", k)
+    )
+
+
+def _intervals_slots_sql(
+    slots: list, ordered: bool, max_gaps: int, k: int = 10
+) -> str:
+    """IntervalQuery with OR-alternation slots (Intervals.or nested in
+    ordered/unordered): each slot's point stream is the union of its
+    alternatives' positions; minExtent = slot count. A slot may also be a
+    raw SQL predicate string over `term` — the oracle's independent stand-in
+    for a multi-term expansion (Intervals.prefix/wildcard/fuzzyTerm)."""
+    n = len(slots)
+    slots = [s if isinstance(s, (list, tuple, str)) else [s] for s in slots]
+    body, win = _slots_win_sql(slots, ordered)
     gaps_pred = f"WHERE (e - s + 1) - {n} <= {max_gaps}" if max_gaps >= 0 else ""
     return (
         _PRELUDE
-        + "".join(ctes)
+        + body
         + f"""
 , win AS ({win}),
 iv AS (SELECT doc_id, s, min(e) AS e FROM win GROUP BY doc_id, s),

@@ -982,3 +982,110 @@ def _span_unordered_walk(pos_lists: List[np.ndarray], slop: int) -> float:
         if p + 1 > max_end:
             max_end = p + 1
         heapq.heappush(heap, (p, i))
+
+
+# ---------------------------------------------------------------------------
+# Extended / minimum-should-match interval sources
+# (queries/intervals/ExtendedIntervalsSource.java,
+#  MinimumShouldMatchIntervalsSource.java)
+# ---------------------------------------------------------------------------
+
+
+def extended_interval_freqs(
+    pos_by_clause: List[List],
+    ordered: bool,
+    max_gaps: int,
+    n_docs: int,
+    before: int,
+    after: int,
+    min_extent: int | None = None,
+) -> np.ndarray:
+    """Intervals.extend(source, before, after)
+    (queries/intervals/ExtendedIntervalsSource.java): each interval of the
+    wrapped source maps to (max(start - before, 0), end + after) — the
+    stream is NOT re-minimized (the reference emits the mapped intervals
+    as-is; a 1:1 map of a minimal stream). The wrapped source's maxgaps
+    filter applies BEFORE extension (filters compose inside-out), and
+    minExtent grows by before + after (ExtendedIntervalsSource.minExtent),
+    so freq = Σ 1/max(extLength - (minExtent + before + after) + 1, 1) —
+    identical to the unextended weight except where the start clamps at
+    position 0. Global doc-offset coordinates: the per-doc clamp floor is
+    the doc's base offset."""
+    n = len(pos_by_clause)
+    if min_extent is None:
+        min_extent = n
+    g = [_concat_global(lists) for lists in pos_by_clause]
+    s, e = (
+        ordered_minimal_intervals(g) if ordered else unordered_minimal_intervals(g)
+    )
+    out = np.zeros(n_docs, dtype=np.float64)
+    if len(s) == 0:
+        return out
+    if max_gaps >= 0:
+        sel = ((e - s + 1) - n) <= max_gaps
+        s, e = s[sel], e[sel]
+    if len(s) == 0:
+        return out
+    doc_base = (s >> _DOC_SHIFT) << _DOC_SHIFT
+    s2 = np.maximum(s - before, doc_base)
+    e2 = e + after
+    ext_min = min_extent + before + after
+    w = 1.0 / np.maximum((e2 - s2 + 1) - ext_min + 1, 1).astype(np.float64)
+    np.add.at(out, (e2 >> _DOC_SHIFT).astype(np.int64), w)
+    return out
+
+
+def atleast_minimal_intervals(g_by_slot: List[np.ndarray], m: int):
+    """Minimal intervals covering at least `m` of the point-term slots
+    (queries/intervals/MinimumShouldMatchIntervalsSource.java): for each
+    candidate end e (any slot occurrence), the tightest window ending at e
+    that still covers m distinct slots starts at the m-th LARGEST of the
+    per-slot latest-occurrence-<= e values; minimality is the usual
+    smallest-end-per-start staircase (starts are nondecreasing in e, so
+    dedup-by-start suffices). Global doc-offset coordinates."""
+    nonempty = [a for a in g_by_slot if len(a)]
+    if len(nonempty) < m:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    union = np.unique(np.concatenate(nonempty))
+    k = len(nonempty)
+    # L[i, j] = latest occurrence of slot i at-or-before union[j] (same doc),
+    # else -1 — one searchsorted per slot over the merged event stream
+    L = np.full((k, len(union)), -1, dtype=np.int64)
+    for i, arr in enumerate(nonempty):
+        j = np.searchsorted(arr, union, side="right") - 1
+        ok = j >= 0
+        v = arr[np.maximum(j, 0)]
+        ok &= (v >> _DOC_SHIFT) == (union >> _DOC_SHIFT)
+        L[i] = np.where(ok, v, -1)
+    # m-th largest per column == (k-m)-th order statistic ascending
+    s = np.partition(L, k - m, axis=0)[k - m]
+    valid = s >= 0
+    s, e = s[valid], union[valid]
+    if len(s) == 0:
+        return s, e
+    keep = np.ones(len(s), dtype=bool)
+    keep[1:] = s[1:] != s[:-1]
+    return s[keep], e[keep]
+
+
+def atleast_interval_freqs(
+    pos_by_slot: List[List], m: int, max_gaps: int, n_docs: int
+) -> np.ndarray:
+    """Per-doc freq for Intervals.atLeast(m, sources...): minExtent is the
+    sum of the m smallest sub-extents — m for point-term slots
+    (MinimumShouldMatchIntervalsSource.minExtent) — and the optional
+    maxgaps filter counts width - m as everywhere else."""
+    g = [_concat_global(lists) for lists in pos_by_slot]
+    s, e = atleast_minimal_intervals(g, m)
+    out = np.zeros(n_docs, dtype=np.float64)
+    if len(s) == 0:
+        return out
+    length = e - s + 1
+    if max_gaps >= 0:
+        sel = (length - m) <= max_gaps
+        s, e, length = s[sel], e[sel], length[sel]
+    if len(s) == 0:
+        return out
+    w = 1.0 / np.maximum(length - m + 1, 1).astype(np.float64)
+    np.add.at(out, (e >> _DOC_SHIFT).astype(np.int64), w)
+    return out

@@ -146,6 +146,55 @@ class IntervalFilterQuery(Query):
 
 
 @dataclass(frozen=True)
+class IntervalMultiTerm:
+    """A multi-term interval source usable as a slot inside IntervalQuery /
+    AtLeastIntervalQuery terms (queries/intervals/Intervals.java prefix() /
+    wildcard() / fuzzyTerm() → MultiTermIntervalsSource): the pattern
+    expands against the terms dictionary into Intervals.or over the
+    matching point terms, capped at max_expansions — the reference throws
+    once the automaton expands past the cap (default 128,
+    Intervals.DEFAULT_MAX_EXPANSIONS), which is what keeps the expansion
+    driver-bounded at any corpus scale."""
+
+    kind: str = "prefix"  # prefix | wildcard | fuzzy
+    pattern: str = ""
+    max_expansions: int = 128
+    # fuzzy() only — FuzzyQuery defaults (fuzzyTerm delegates to them)
+    max_edits: int = 2
+    prefix_length: int = 0
+    transpositions: bool = True
+
+
+@dataclass(frozen=True)
+class ExtendedIntervalQuery(Query):
+    """Intervals.extend(source, before, after)
+    (queries/intervals/ExtendedIntervalsSource.java): each interval of the
+    wrapped source stretches to (max(start - before, 0), end + after); the
+    source's maxgaps applies before extension, minExtent grows by
+    before + after. Scoring mirrors IntervalQuery (saturation, pivot)."""
+
+    source: Optional[IntervalQuery] = None
+    before: int = 0
+    after: int = 0
+    pivot: float = 1.0
+
+
+@dataclass(frozen=True)
+class AtLeastIntervalQuery(Query):
+    """Intervals.atLeast(minShouldMatch, sources...)
+    (queries/intervals/MinimumShouldMatchIntervalsSource.java): minimal
+    intervals covering at least min_should_match of the slot sources; a
+    slot is a term, a tuple of alternatives (Intervals.or), or an
+    IntervalMultiTerm. minExtent = sum of the m smallest sub-extents = m
+    for point slots; scoring mirrors IntervalQuery."""
+
+    terms: Tuple = ()
+    min_should_match: int = 1
+    max_gaps: int = -1
+    pivot: float = 1.0
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: Tuple[str, ...] = ()
 

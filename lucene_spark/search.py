@@ -44,7 +44,10 @@ from .query import (
     Occur,
     PointInSetQuery,
     PointRangeQuery,
+    AtLeastIntervalQuery,
+    ExtendedIntervalQuery,
     IntervalFilterQuery,
+    IntervalMultiTerm,
     IntervalQuery,
     PhraseQuery,
     SpanContainQuery,
@@ -65,6 +68,32 @@ from .query import (
 
 MATCH_SCHEMA = "doc_id long, score double"
 MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount default
+
+
+def _slot_position_lists(plist: pd.Series, slots_t, all_terms):
+    """Arrow-batch (term, positions) structs → per-SLOT per-doc position
+    lists: a slot with several alternatives (Intervals.or / multi-term
+    expansion) gets the sorted union of its alternatives' positions — the
+    minimal intervals of a point-term disjunction are just the union of
+    points (DisjunctionIntervalsSource over TermIntervalsSource)."""
+    n_docs = len(plist)
+    by_term = {t: [None] * n_docs for t in all_terms}
+    for i, entries in enumerate(plist):
+        for e in entries:
+            by_term[e["term"]][i] = np.asarray(e["positions"], dtype=np.int64)
+    by_slot = []
+    for s in slots_t:
+        col = []
+        for i in range(n_docs):
+            parts = [by_term[t][i] for t in s if by_term[t][i] is not None]
+            if not parts:
+                col.append(None)
+            elif len(parts) == 1:
+                col.append(parts[0])
+            else:
+                col.append(np.unique(np.concatenate(parts)))
+        by_slot.append(col)
+    return by_slot, n_docs
 
 
 class TooManyClauses(RuntimeError):
@@ -968,6 +997,10 @@ class Searcher:
             return self._eval_intervals(q)
         if isinstance(q, IntervalFilterQuery):
             return self._eval_interval_filter(q)
+        if isinstance(q, ExtendedIntervalQuery):
+            return self._eval_intervals_ext(q)
+        if isinstance(q, AtLeastIntervalQuery):
+            return self._eval_intervals_atleast(q)
         if isinstance(q, ConstantScoreQuery):
             inner = self._eval(q.query, needs_scores=False)
             return inner.select("doc_id").distinct().withColumn(
@@ -1449,15 +1482,15 @@ class Searcher:
         sorted merge of its alternatives (slot minExtent 1, like the
         disjunction's min over subs). Multi-alternative slots skip the
         duplicate-source rewrites (distinct slots assumed)."""
-        slots = [t if isinstance(t, (tuple, list)) else (t,) for t in q.terms]
-        multi_alt = any(len(s) > 1 for s in slots)
+        slots = self._resolve_interval_slots(q.terms)
+        multi_alt = any(len(s) != 1 for s in slots)
         flat_terms = [t for s in slots for t in s]
         stats = self.term_stats(flat_terms)
         if any(all(t not in stats for t in s) for s in slots):
             return self._empty()
         if multi_alt:
             return self._eval_intervals_slots(q, slots)
-        terms = list(q.terms)
+        terms = [s[0] for s in slots]  # resolved single-alternative slots
         ordered, max_gaps = bool(q.ordered), int(q.max_gaps)
         terms_t = tuple(terms)
         # adjacent-run dedup (ordered): each run contributes minExtent 1
@@ -1586,23 +1619,7 @@ class Searcher:
         def ivs_freq(plist: pd.Series) -> pd.Series:
             from . import matchers
 
-            n_docs = len(plist)
-            by_term = {t: [None] * n_docs for t in all_terms}
-            for i, entries in enumerate(plist):
-                for e in entries:
-                    by_term[e["term"]][i] = np.asarray(e["positions"], dtype=np.int64)
-            by_slot = []
-            for s in slots_t:
-                col = []
-                for i in range(n_docs):
-                    parts = [by_term[t][i] for t in s if by_term[t][i] is not None]
-                    if not parts:
-                        col.append(None)
-                    elif len(parts) == 1:
-                        col.append(parts[0])
-                    else:
-                        col.append(np.unique(np.concatenate(parts)))
-                by_slot.append(col)
+            by_slot, n_docs = _slot_position_lists(plist, slots_t, all_terms)
             return pd.Series(
                 matchers.interval_freqs(
                     by_slot, ordered, max_gaps, n_docs, min_extent=len(slots_t)
@@ -1618,6 +1635,160 @@ class Searcher:
             "doc_id",
             (
                 F.lit(float(q.boost))
+                * (F.lit(1.0) - F.lit(pivot) / (F.col("freq") + F.lit(pivot)))
+            ).alias("score"),
+        )
+
+    def _resolve_interval_slots(self, terms) -> list:
+        """Normalize IntervalQuery/AtLeastIntervalQuery term entries to
+        tuples of point-term alternatives: a bare term, an explicit
+        Intervals.or tuple, or an IntervalMultiTerm expanded against the
+        terms dictionary (MultiTermIntervalsSource)."""
+        slots = []
+        for t in terms:
+            if isinstance(t, IntervalMultiTerm):
+                slots.append(self._expand_interval_multiterm(t))
+            elif isinstance(t, (tuple, list)):
+                slots.append(tuple(t))
+            else:
+                slots.append((t,))
+        return slots
+
+    def _expand_interval_multiterm(self, mt: IntervalMultiTerm) -> tuple:
+        """Expand a prefix/wildcard/fuzzy interval source against the terms
+        dictionary (queries/intervals/Intervals.java prefix()/wildcard()/
+        fuzzyTerm() → MultiTermIntervalsSource): the automaton predicate is
+        pushed into the terms-table Parquet scan and the driver collects at
+        most max_expansions + 1 terms — the reference throws once the
+        expansion passes the cap (IllegalStateException, default 128), so
+        the driver round-trip is bounded by contract at any corpus size."""
+        if mt.kind == "prefix":
+            proto: Query = PrefixQuery(prefix=mt.pattern)
+        elif mt.kind == "wildcard":
+            proto = WildcardQuery(pattern=mt.pattern)
+        elif mt.kind == "fuzzy":
+            proto = FuzzyQuery(
+                term=mt.pattern,
+                max_edits=mt.max_edits,
+                prefix_length=mt.prefix_length,
+                transpositions=mt.transpositions,
+            )
+        else:
+            raise ValueError(f"unknown IntervalMultiTerm kind {mt.kind!r}")
+        cap = int(mt.max_expansions)
+        rows = (
+            self.index.terms.filter(self._multi_term_cond(proto))
+            .select("term")
+            .distinct()
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(rows) > cap:
+            raise ValueError(
+                f"interval source {mt.kind}({mt.pattern!r}) expanded to more "
+                f"than {cap} terms "
+                "(Intervals.DEFAULT_MAX_EXPANSIONS semantics)"
+            )
+        return tuple(sorted(r["term"] for r in rows))
+
+    def _eval_intervals_ext(self, q: ExtendedIntervalQuery) -> DataFrame:
+        """Intervals.extend(source, before, after)
+        (queries/intervals/ExtendedIntervalsSource.java): the wrapped
+        ordered/unordered source's minimal intervals — maxgaps applied
+        first — stretch to (max(start - before, 0), end + after) with
+        minExtent grown by before + after
+        (matchers.extended_interval_freqs). Source slots may be bare terms,
+        Intervals.or tuples, or multi-term expansions; duplicate point
+        terms inside the source are out of scope here and raise (wrap the
+        deduplicating IntervalQuery path instead)."""
+        src = q.source
+        slots = self._resolve_interval_slots(src.terms)
+        flat = [t for s in slots for t in s]
+        if len(set(flat)) != len(flat):
+            raise NotImplementedError(
+                "duplicate terms inside an extended interval source"
+            )
+        stats = self.term_stats(flat)
+        if any(all(t not in stats for t in s) for s in slots):
+            return self._empty()
+        ordered, max_gaps = bool(src.ordered), int(src.max_gaps)
+        before, after = int(q.before), int(q.after)
+        slots_t = tuple(tuple(s) for s in slots)
+        all_terms = sorted({t for s in slots_t for t in s})
+
+        @F.pandas_udf("double")
+        def ext_freq(plist: pd.Series) -> pd.Series:
+            from . import matchers
+
+            by_slot, n_docs = _slot_position_lists(plist, slots_t, all_terms)
+            return pd.Series(
+                matchers.extended_interval_freqs(
+                    by_slot,
+                    ordered,
+                    max_gaps,
+                    n_docs,
+                    before,
+                    after,
+                    min_extent=len(slots_t),
+                )
+            )
+
+        grouped = self._grouped_positions(all_terms, min_terms=1)
+        scored = grouped.withColumn("freq", ext_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        return self._interval_saturation(scored, q.boost, q.pivot)
+
+    def _eval_intervals_atleast(self, q: AtLeastIntervalQuery) -> DataFrame:
+        """Intervals.atLeast(minShouldMatch, sources...)
+        (queries/intervals/MinimumShouldMatchIntervalsSource.java): minimal
+        windows covering at least m of the point slots
+        (matchers.atleast_interval_freqs). A doc is a candidate once it
+        holds m distinct slots, so the positions pre-group prunes on
+        min_terms = m when every slot is a single term."""
+        m = int(q.min_should_match)
+        slots = self._resolve_interval_slots(q.terms)
+        if not (1 <= m <= len(slots)):
+            raise ValueError(
+                f"min_should_match {m} out of range for {len(slots)} sources"
+            )
+        flat = [t for s in slots for t in s]
+        if len(set(flat)) != len(flat):
+            raise NotImplementedError(
+                "duplicate terms across atLeast interval sources"
+            )
+        stats = self.term_stats(flat)
+        present = sum(1 for s in slots if any(t in stats for t in s))
+        if present < m:
+            return self._empty()
+        max_gaps = int(q.max_gaps)
+        slots_t = tuple(tuple(s) for s in slots)
+        all_terms = sorted({t for s in slots_t for t in s})
+        single = all(len(s) == 1 for s in slots_t)
+
+        @F.pandas_udf("double")
+        def al_freq(plist: pd.Series) -> pd.Series:
+            from . import matchers
+
+            by_slot, n_docs = _slot_position_lists(plist, slots_t, all_terms)
+            return pd.Series(
+                matchers.atleast_interval_freqs(by_slot, m, max_gaps, n_docs)
+            )
+
+        grouped = self._grouped_positions(all_terms, min_terms=m if single else 1)
+        scored = grouped.withColumn("freq", al_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        return self._interval_saturation(scored, q.boost, q.pivot)
+
+    def _interval_saturation(self, scored: DataFrame, boost, pivot) -> DataFrame:
+        """score = boost * (1 - pivot/(freq + pivot))
+        (IntervalScoreFunction.java:56-75)."""
+        pivot = float(pivot)
+        return scored.select(
+            "doc_id",
+            (
+                F.lit(float(boost))
                 * (F.lit(1.0) - F.lit(pivot) / (F.col("freq") + F.lit(pivot)))
             ).alias("score"),
         )

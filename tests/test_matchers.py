@@ -446,3 +446,103 @@ def test_span_unordered_batch_duplicate_clause(a, b, slop):
     )[0]
     exp = matchers._span_unordered_walk([arr_a, arr_b, arr_a.copy()], slop)
     assert got == pytest.approx(exp, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Intervals.extend / Intervals.atLeast kernels
+# ---------------------------------------------------------------------------
+
+
+def _brute_atleast_minimal(lists, m):
+    """Every window [s, e] over occurring positions that covers >= m of the
+    slots, minimized to the non-containing set — the definition
+    MinimumShouldMatchIntervalsSource's PQ walk implements."""
+    union = sorted({p for l in lists for p in l})
+    cands = set()
+    for s in union:
+        for e in union:
+            if e < s:
+                continue
+            cov = sum(1 for l in lists if any(s <= p <= e for p in l))
+            if cov >= m:
+                cands.add((s, e))
+    return {
+        (s, e)
+        for (s, e) in cands
+        if not any(
+            (s2 >= s and e2 <= e and (s2, e2) != (s, e)) for (s2, e2) in cands
+        )
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(positions, positions, positions, positions, st.integers(1, 4), st.integers(-1, 6))
+def test_atleast_freqs_match_brute_minimal_windows(a, b, c, d, m, max_gaps):
+    lists = [a, b, c, d]
+    got = matchers.atleast_interval_freqs(
+        [[np.asarray(x, dtype=np.int64)] for x in lists], m, max_gaps, 1
+    )[0]
+    exp = 0.0
+    for s, e in _brute_atleast_minimal(lists, m):
+        length = e - s + 1
+        if max_gaps >= 0 and (length - m) > max_gaps:
+            continue
+        exp += 1.0 / max(length - m + 1, 1)
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(positions, positions, positions)
+def test_atleast_m_equals_n_is_unordered(a, b, c):
+    b = _disjoint(a, b)
+    c = _disjoint(a + b, c)
+    lists = [[np.asarray(x, dtype=np.int64)] for x in (a, b, c)]
+    got = matchers.atleast_interval_freqs(lists, 3, -1, 1)[0]
+    ref = matchers.interval_freqs(lists, False, -1, 1)[0]
+    assert got == pytest.approx(ref, abs=1e-12)
+
+
+def test_atleast_multi_doc_batch():
+    # doc 0 has slots {x@0, y@5}; doc 1 has {x@3} only; doc 2 has {x@1, y@1}
+    lists = [
+        [np.array([0]), np.array([3]), np.array([1])],
+        [np.array([5]), None, np.array([1])],
+    ]
+    out = matchers.atleast_interval_freqs(lists, 2, -1, 3)
+    assert out[0] == pytest.approx(1.0 / (6 - 2 + 1))
+    assert out[1] == 0.0  # one slot can't reach m=2
+    assert out[2] == pytest.approx(1.0)  # width-1 window covering both
+
+
+@settings(max_examples=200, deadline=None)
+@given(positions, positions, st.booleans(), st.integers(-1, 5),
+       st.integers(0, 3), st.integers(0, 3))
+def test_extended_freqs_match_brute(a, b, ordered, max_gaps, before, after):
+    b = _disjoint(a, b)
+    lists = [a, b]
+    n = 2
+    got = matchers.extended_interval_freqs(
+        [[np.asarray(x, dtype=np.int64)] for x in lists],
+        ordered, max_gaps, 1, before, after,
+    )[0]
+    exp = 0.0
+    for s, e in _brute_minimal_intervals(lists, ordered):
+        if max_gaps >= 0 and ((e - s + 1) - n) > max_gaps:
+            continue
+        s2, e2 = max(s - before, 0), e + after
+        exp += 1.0 / max((e2 - s2 + 1) - (n + before + after) + 1, 1)
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+def test_extended_clamps_per_doc_not_globally():
+    # doc 1's interval starts at position 0: the 'before' extension clamps
+    # at THAT doc's base, never borrowing width from doc 0
+    lists = [
+        [np.array([10]), np.array([0])],
+        [np.array([11]), np.array([1])],
+    ]
+    out = matchers.extended_interval_freqs(lists, True, -1, 2, 3, 0)
+    # doc 0: s=10->7, e=11, width 5, minExt 2+3 -> 1/max(5-5+1,1)=1.0
+    assert out[0] == pytest.approx(1.0)
+    # doc 1: s=0 stays 0 (clamped), e=1, width 2, minExt 5 -> 1/max(2-5+1,1)=1.0
+    assert out[1] == pytest.approx(1.0)
