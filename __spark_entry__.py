@@ -809,6 +809,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # customer-name index: matches the zero-padded key tokens 1..20
             _customer_searcher(sp, d), RegexpQuery(regexp="<1-20>")
         ),
+        # ---- automaton ops NESTED inside groups: no RE2 equivalent, the
+        # Brzozowski-derivative DFA kernel (lucene_spark/regexp.py) runs
+        # behind a pushed literal-prefix + length prefilter ----
+        "q_regexp_nested_inter": const_docs(
+            # s + (contains 'a' AND contains 'r'): spark, stream
+            RegexpQuery(regexp="s(.*a.*&.*r.*)")
+        ),
+        "q_regexp_nested_compl": const_docs(
+            # s + (anything except the literal 'low'): s-terms minus 'slow'
+            RegexpQuery(regexp="s(~(low)&@)")
+        ),
+        "q_regexp_nested_interval": lambda sp, d: _docs_df(
+            # nested interval & plain-regex conjunction: key tokens 10..19
+            _customer_searcher(sp, d), RegexpQuery(regexp="(<1-20>&0*1[0-9])")
+        ),
         "q_term_range": const_docs(TermRangeQuery(lower="query", upper="sort")),
         "q_term_in_set": const_docs(TermInSetQuery(terms=("spark", "vector", "nope"))),
         "q_fuzzy": const_docs(
@@ -1458,6 +1473,29 @@ WITH tok AS (
 )
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tok
 WHERE regexp_matches(term, '^(?:0*(?:[1-9]|1[0-9]|20))$') ORDER BY doc_id
+""",
+        # nested-automaton-op patterns, hand-derived to plain-regex algebra:
+        # s(.*a.*&.*r.*) = 's' then a tail containing both 'a' and 'r'
+        "q_regexp_nested_inter": _const_docs_sql(
+            "regexp_matches(t.term, '^(?:s.*)$') "
+            "AND regexp_matches(substr(t.term, 2), '^(?:.*a.*)$') "
+            "AND regexp_matches(substr(t.term, 2), '^(?:.*r.*)$')"
+        ),
+        # s(~(low)&@) = 's' then any tail that is not the literal 'low'
+        "q_regexp_nested_compl": _const_docs_sql(
+            "regexp_matches(t.term, '^(?:s.*)$') AND t.term <> 'slow'"
+        ),
+        # (<1-20>&0*1[0-9]) = zero-paddable values 1..20 that are also
+        # 0*1[0-9] — i.e. the key tokens 10..19
+        "q_regexp_nested_interval": f"""
+WITH tok AS (
+  SELECT c_custkey AS doc_id,
+         unnest(regexp_extract_all(lower(c_name), '{_TOKRE}')) AS term
+  FROM customer
+)
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tok
+WHERE regexp_matches(term, '^(?:0*(?:[1-9]|1[0-9]|20))$')
+  AND regexp_matches(term, '^(?:0*1[0-9])$') ORDER BY doc_id
 """,
         "q_term_range": _const_docs_sql("t.term >= 'query' AND t.term <= 'sort'"),
         "q_term_in_set": _const_docs_sql("t.term IN ('spark', 'vector', 'nope')"),

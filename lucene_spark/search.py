@@ -151,9 +151,11 @@ def split_lucene_regexp_ops(pattern: str):
     — OR over branches of AND over leaves (RegExp grammar: '|' binds looser
     than '&'; '~' supported when it complements a parenthesized group
     spanning a whole intersection operand; '#' = the empty language drops
-    its branch). Operators nested inside groups still raise in
-    lucene_regexp_to_java — the loud envelope shrinks to genuinely
-    automaton-shaped compositions."""
+    its branch). Operators nested inside groups raise NotImplementedError
+    here, which routes the query to the Brzozowski-derivative DFA fallback
+    (Searcher._regexp_derivative_cond / lucene_spark/regexp.py) — this
+    split exists purely to keep splittable patterns on the JVM rlike fast
+    path."""
     def top_split(s: str, sep: str):
         out, depth, cls, i, start = [], 0, False, 0, 0
         while i < len(s):
@@ -1957,6 +1959,41 @@ class Searcher:
         blocks = self.index.postings.join(terms_df, "term", "left_semi")
         return blocks.mapInPandas(run, schema="doc_id long").distinct()
 
+    def _regexp_derivative_cond(self, pattern: str):
+        """Terms-dictionary predicate for Lucene RegExp patterns with
+        automaton operators nested inside groups (& ~ # <n-m> at any
+        depth, util/automaton/RegExp.java): a Brzozowski-derivative DFA
+        (lucene_spark/regexp.py) runs as an Arrow-batched kernel over the
+        terms scan, behind JVM-side structural prefilters — the forced
+        literal prefix pushes to the Parquet scan (StringStartsWith) and
+        the length window prunes before any Python runs, so the kernel
+        only sees the already-narrowed candidate set.  Named <identifier>
+        automata still raise (they need an AutomatonProvider)."""
+        from . import regexp as rx
+
+        ast = rx.parse_lucene_regexp(pattern)  # driver-side validation
+        cond = None
+        pre = rx.literal_prefix(ast)
+        if pre:
+            cond = F.col("term").startswith(pre)
+        lo = rx.min_len(ast)
+        if lo > 0:
+            c = F.length("term") >= lo
+            cond = c if cond is None else (cond & c)
+        hi = rx.max_len(ast)
+        if hi is not None:
+            c = F.length("term") <= hi
+            cond = c if cond is None else (cond & c)
+
+        @F.pandas_udf("boolean")
+        def rx_ok(s: pd.Series) -> pd.Series:
+            from .regexp import compile_lucene_regexp
+
+            return pd.Series(compile_lucene_regexp(pattern).match_batch(s.tolist()))
+
+        ok = rx_ok(F.col("term"))
+        return ok if cond is None else (cond & ok)
+
     def _multi_term_cond(self, q: Query):
         """The terms-dictionary predicate of a MultiTermQuery (the automaton/
         range that TermsEnum.intersect walks), as a Catalyst Column — pushed
@@ -1977,27 +2014,32 @@ class Searcher:
                 i += 1
             return F.col("term").rlike("^(?:" + pat + ")$")
         if isinstance(q, RegexpQuery):
-            # top-level & (intersection), ~ (complement of a whole operand)
-            # and # (empty) compose as Catalyst predicates over the
-            # per-leaf full-match regexes; <n-m> intervals translate inside
-            # lucene_regexp_to_java
-            branches = split_lucene_regexp_ops(q.regexp)
-            if not branches:
-                return F.lit(False)  # '#': the empty language
-            cond = None
-            for leaves in branches:
-                bc = None
-                for neg, sub in leaves:
-                    lc = F.col("term").rlike(
-                        "^(?:" + lucene_regexp_to_java(sub) + ")$"
-                    )
-                    if neg:
-                        lc = ~lc
-                    bc = lc if bc is None else (bc & lc)
-                if bc is None:
-                    bc = F.lit(True)
-                cond = bc if cond is None else (cond | bc)
-            return cond
+            # Fast path: top-level & (intersection), ~ (complement of a
+            # whole operand) and # (empty) compose as Catalyst predicates
+            # over per-leaf full-match regexes — pure JVM rlike, WSCG.
+            # Patterns the RE2 translation can't express (automaton ops
+            # NESTED inside groups) fall back to the Brzozowski-derivative
+            # DFA kernel, which is native for & ~ # <n-m> at any depth.
+            try:
+                branches = split_lucene_regexp_ops(q.regexp)
+                if not branches:
+                    return F.lit(False)  # '#': the empty language
+                cond = None
+                for leaves in branches:
+                    bc = None
+                    for neg, sub in leaves:
+                        lc = F.col("term").rlike(
+                            "^(?:" + lucene_regexp_to_java(sub) + ")$"
+                        )
+                        if neg:
+                            lc = ~lc
+                        bc = lc if bc is None else (bc & lc)
+                    if bc is None:
+                        bc = F.lit(True)
+                    cond = bc if cond is None else (cond | bc)
+                return cond
+            except NotImplementedError:
+                return self._regexp_derivative_cond(q.regexp)
         if isinstance(q, TermRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:

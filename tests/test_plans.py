@@ -182,3 +182,18 @@ def test_index_sort_persisted_and_early_terminated(written):
         ]
         gotr = [int(r["doc_id"]) for r in s.search_sorted(rq, 5).collect()]
         assert gotr == fullr[:5]
+
+
+def test_nested_regexp_prefix_pushdown(written):
+    """The derivative-DFA fallback for nested automaton ops must keep its
+    structural prefilters JVM-side: the forced literal prefix reaches the
+    Parquet scan as StringStartsWith and the Python kernel sits ABOVE the
+    pruned scan, never over the raw terms table."""
+    from lucene_spark.query import RegexpQuery
+
+    s = Searcher(written, dtype=np.float32)
+    q = RegexpQuery(regexp="d(.*e.*&~(x.*))")  # nested ops, prefix 'd'
+    plan = _plan(written.terms.filter(s._multi_term_cond(q)))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "StringStartsWith(term,d)" in pushed[0], plan[:2000]
+    assert "pythonUDF" in plan or "Python" in plan  # the DFA kernel
