@@ -42,6 +42,7 @@ from lucene_spark.query import (
     PhraseQuery,
     PointInSetQuery,
     PointRangeQuery,
+    FieldMaskedTerm,
     PrefixQuery,
     Query,
     RegexpQuery,
@@ -50,6 +51,7 @@ from lucene_spark.query import (
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
+    SpanPositionRangeQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -679,6 +681,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_first": lambda sp, d: _topk_df(
             _searcher(sp, d), SpanFirstQuery(term="spark", end=5), 10
         ),
+        "q_span_pos_range": lambda sp, d: _topk_df(
+            # SpanPositionRangeQuery: point spans kept iff start <= p and
+            # p + 1 <= end (SpanFirst = the start=0 specialization)
+            _searcher(sp, d),
+            SpanPositionRangeQuery(match="table", start=3, end=25),
+            10,
+        ),
+        "q_span_pos_range_near": lambda sp, d: _topk_df(
+            # position-range over NearSpansOrdered match windows
+            _searcher(sp, d),
+            SpanPositionRangeQuery(
+                match=SpanNearQuery(terms=("fast", "table"), slop=4,
+                                    in_order=True),
+                start=0, end=30,
+            ),
+            10,
+        ),
+        "q_span_masked_stop": lambda sp, d: _topk_df(
+            # FieldMaskingSpanQuery: the span query runs ON the
+            # stop-filtered field (its norms, avgdl, collection stats) but
+            # the 'the' clause streams positions from the UNFILTERED text
+            # field — the reference's canonical trick for matching
+            # stopped-out terms (position holes keep the ordinals aligned)
+            _masked_stop_searcher(sp, d),
+            SpanNearQuery(
+                terms=(FieldMaskedTerm(field="text", term="the"), "fast"),
+                slop=1, in_order=True,
+            ),
+            10,
+        ),
         # ---- multi-field (field-qualified) search ----
         "q_multifield": lambda sp, d: _multifield_topk(sp, d),
         "q_multifield_bare": lambda sp, d: _topk_df(
@@ -1158,6 +1190,19 @@ def _multifield_topk(sp: SparkSession, d: str) -> DataFrame:
     return _topk_df(_multifield_searcher(sp, d), parse("lang:en AND spark"), 10)
 
 
+def _masked_stop_searcher(sp: SparkSession, d: str):
+    """Two positional fields over the SAME documents: 'stop' (StopFilter
+    chain, the mask/default field) and 'text' (unfiltered) — the setup for
+    FieldMaskingSpanQuery across a filtered/unfiltered field pair."""
+    from lucene_spark.search import MultiFieldSearcher
+
+    return MultiFieldSearcher(
+        {"stop": _stop_searcher(sp, d), "text": _searcher(sp, d)},
+        default_field="stop",
+        dtype=np.float64,
+    )
+
+
 def _stop_searcher(sp: SparkSession, d: str) -> Searcher:
     """Documents index with a StopFilter chain (stopwords 'the', 'a'):
     dropped tokens leave position holes; doc lengths/norms/stats shrink."""
@@ -1383,6 +1428,30 @@ def oracle_sql() -> dict[str, str]:
             "  FROM tokp WHERE term = 'spark' AND pos + 1 <= 5 GROUP BY doc_id",
             ["spark"],
         ),
+        "q_span_pos_range": _freq_rank_sql(
+            "  SELECT doc_id, count(*) * 0.5 AS freq\n"
+            "  FROM tokp WHERE term = 'table' AND pos >= 3 AND pos + 1 <= 25\n"
+            "  GROUP BY doc_id",
+            ["table"],
+        ),
+        # ordered greedy chain (as q_span_near_ordered) with the
+        # position-range acceptance on the emitted window [p0, q1+1)
+        "q_span_pos_range_near": _freq_rank_sql(
+            "  SELECT doc_id, sum(1.0 / (q1 + 2 - p0)) AS freq\n"
+            "  FROM s1 WHERE q1 - p0 - 1 <= 4 AND p0 >= 0 AND q1 + 1 <= 30\n"
+            "  GROUP BY doc_id",
+            ["fast", "table"],
+            extra=(
+                ", s0 AS (SELECT doc_id, pos AS p0, pos AS q0 FROM tokp"
+                " WHERE term = 'fast')"
+                ", s1 AS (\n"
+                "  SELECT s.doc_id, s.p0, min(t.pos) AS q1\n"
+                "  FROM s0 s JOIN tokp t ON t.doc_id = s.doc_id"
+                " AND t.term = 'table' AND t.pos > s.q0\n"
+                "  GROUP BY s.doc_id, s.p0\n)"
+            ),
+        ),
+        "q_span_masked_stop": _span_masked_stop_sql(),
         "q_multifield_bare": _multifield_bare_sql("en"),
         "text_highlight": """
 WITH m AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
@@ -2773,6 +2842,49 @@ uu AS (SELECT * FROM ux UNION ALL SELECT * FROM uy)
         f"  FROM uu WHERE m - x - 1 <= {slop} GROUP BY doc_id"
     )
     return _freq_rank_sql(match, terms, k, extra=extra)
+
+
+def _span_masked_stop_sql(k: int = 10) -> str:
+    """FieldMaskingSpanQuery oracle: SpanNear(ordered, slop 1) ON the
+    stop-filtered field with the 'the' clause masked from the unfiltered
+    text field. Positions: 'the' from tokp0 (full ordinals), 'fast' from
+    tokp (stop-filtered, hole-preserved ordinals — directly comparable).
+    Scoring: norms/avgdl/collection stats from the STOP field (dlq/stats
+    of the stop prelude), idf('the') from the FULL-text docFreq (the
+    term's own TermStates), idf('fast') from the stop field's docFreq."""
+    idf = (
+        "((SELECT ln(1 + (s.n - df + 0.5) / (df + 0.5)) FROM dfreq0"
+        " WHERE term = 'the')"
+        " + (SELECT ln(1 + (s.n - df + 0.5) / (df + 0.5)) FROM dfreq"
+        " WHERE term = 'fast'))"
+    )
+    inv = _INV.format(k1=K1, b=B)
+    return (
+        _stop_prelude(("the", "a"))
+        + f"""
+, dfreq0 AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok0 GROUP BY term
+),
+s0 AS (SELECT doc_id, pos AS p0, pos AS q0 FROM tokp0 WHERE term = 'the'),
+s1 AS (
+  SELECT s.doc_id, s.p0, min(t.pos) AS q1
+  FROM s0 s JOIN tokp t ON t.doc_id = s.doc_id AND t.term = 'fast'
+    AND t.pos > s.q0
+  GROUP BY s.doc_id, s.p0
+),
+pf AS (
+  SELECT doc_id, sum(1.0 / (q1 + 2 - p0)) AS freq
+  FROM s1 WHERE q1 - p0 - 1 <= 1 GROUP BY doc_id
+),
+psc AS (
+  SELECT pf.doc_id,
+         ({idf}) - ({idf}) / (1 + pf.freq * {inv}) AS score
+  FROM pf JOIN dlq q ON q.doc_id = pf.doc_id CROSS JOIN stats s
+  WHERE pf.freq > 0
+)
+"""
+        + _rank_tail("score", "FROM psc", k)
+    )
 
 
 def _stop_prelude(stopset: tuple) -> str:

@@ -51,16 +51,38 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldMaskedTerm:
+    """FieldMaskingSpanQuery wrapping a SpanTermQuery
+    (search/spans/FieldMaskingSpanQuery.java): the wrapped term's position
+    stream comes from ``field``'s index, but the clause REPORTS the
+    enclosing span query's field — the 'mask'. This is how the reference
+    runs SpanNearQuery across parallel fields (the javadoc's teacher
+    first/last example) or matches stopped-out terms from an unfiltered
+    twin field while scoring against the filtered field's norms. Only a
+    MultiFieldSearcher can evaluate it (a single-field Searcher has no
+    other position source) — mirroring how the reference needs both
+    fields in one segment."""
+
+    field: str = ""
+    term: str = ""
+
+
+@dataclass(frozen=True)
 class SpanNearQuery(Query):
     """Positional proximity (search/spans/SpanNearQuery.java), rank-exact:
     in_order enumerates NearSpansOrdered's greedy monotone chains, unordered
     runs NearSpansUnordered's advance-min walk; freq accumulates
     1/(1 + (endPosition - startPosition)) per match, exactly SpanScorer's
-    setFreqCurrentDoc + computeSlopFactor (see lucene_spark/matchers.py)."""
+    setFreqCurrentDoc + computeSlopFactor (see lucene_spark/matchers.py).
+    A clause may be a FieldMaskedTerm (FieldMaskingSpanQuery) — positions
+    then stream from the named field's index while norms and collection
+    statistics stay on this query's field (SpanWeight.buildSimWeight uses
+    collectionStatistics(getField()) with each term's OWN TermStates)."""
 
-    terms: Tuple[str, ...] = ()
+    terms: Tuple[object, ...] = ()  # str | FieldMaskedTerm
     slop: int = 0
     in_order: bool = True
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -110,6 +132,22 @@ class SpanFirstQuery(Query):
     p + 1 <= end."""
 
     term: str = ""
+    end: int = 1
+
+
+@dataclass(frozen=True)
+class SpanPositionRangeQuery(Query):
+    """Spans whose edges fall inside [start, end]
+    (search/spans/SpanPositionRangeQuery.java acceptPosition): a span is
+    kept iff spanStart >= start AND spanEnd <= end. SpanFirstQuery is the
+    start=0 specialization. ``match`` is a term (point span: position p
+    kept iff start <= p and p + 1 <= end) or a SpanNearQuery (the filter
+    runs over the near spans' actual match windows). freq =
+    Σ 1/(1+(end-start)) over accepted spans; idf over the operand's terms
+    in multiplicity, like SpanWeight's term-states map."""
+
+    match: object = None  # str | SpanNearQuery
+    start: int = 0
     end: int = 1
 
 

@@ -50,11 +50,13 @@ from .query import (
     IntervalMultiTerm,
     IntervalQuery,
     PhraseQuery,
+    FieldMaskedTerm,
     SpanContainQuery,
     SpanFirstQuery,
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
+    SpanPositionRangeQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
@@ -995,6 +997,8 @@ class Searcher:
             return self._eval_span_not(q)
         if isinstance(q, SpanFirstQuery):
             return self._eval_span_first(q)
+        if isinstance(q, SpanPositionRangeQuery):
+            return self._eval_span_position_range(q)
         if isinstance(q, IntervalQuery):
             return self._eval_intervals(q)
         if isinstance(q, IntervalFilterQuery):
@@ -1430,6 +1434,12 @@ class Searcher:
         clauses are interchangeable iterators over one positions list, so
         the reference heap's tie order cannot change the visited states
         (NearSpansUnordered has no repeat machinery)."""
+        if any(isinstance(t, FieldMaskedTerm) for t in q.terms):
+            # FieldMaskingSpanQuery needs a second field's position source
+            raise ValueError(
+                "FieldMaskedTerm clauses require a MultiFieldSearcher "
+                "(search/spans/FieldMaskingSpanQuery.java)"
+            )
         terms = list(q.terms)
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
@@ -1932,6 +1942,82 @@ class Searcher:
         ).filter(F.col("freq") > 0)
         return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
 
+    def _eval_span_position_range(self, q: SpanPositionRangeQuery) -> DataFrame:
+        """SpanPositionRangeQuery (search/spans/SpanPositionRangeQuery.java):
+        keep spans with spanStart >= start and spanEnd <= end. A term
+        operand is a pure JVM array filter over the decoded positions (the
+        SpanFirst shape plus the lower edge); a SpanNearQuery operand runs
+        the near walk (matchers.py span streams) and filters the emitted
+        match windows."""
+        lo, hi = int(q.start), int(q.end)
+        if isinstance(q.match, str):
+            st = self.term_stats([q.match]).get(q.match)
+            if st is None:
+                return self._empty()
+            scorer = self.multi_scorer_for(q.boost, [st])
+            raw = self.decode_raw([q.match], with_positions=True)
+            scored = raw.select(
+                "doc_id",
+                "norm",
+                (
+                    F.size(
+                        F.filter(
+                            F.col("positions"),
+                            lambda p: (p >= F.lit(lo)) & (p + 1 <= F.lit(hi)),
+                        )
+                    )
+                    * F.lit(0.5)
+                ).alias("freq"),
+            ).filter(F.col("freq") > 0)
+            return self._score_freq_norm(
+                scored.select("doc_id", "freq", "norm"), scorer
+            )
+        if not isinstance(q.match, SpanNearQuery):
+            raise NotImplementedError(
+                f"span position-range operand {type(q.match).__name__}"
+            )
+        sub = q.match
+        terms = list(sub.terms)
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return self._empty()
+        scorer = self.multi_scorer_for(q.boost, [stats[t] for t in terms])
+        slop, in_order = int(sub.slop), bool(sub.in_order)
+        terms_t = tuple(terms)
+
+        @F.pandas_udf("double")
+        def pr_freq(plist: pd.Series) -> pd.Series:
+            from . import matchers
+
+            n_docs = len(plist)
+            by_term = {t: [None] * n_docs for t in set(terms_t)}
+            for i, entries in enumerate(plist):
+                for e in entries:
+                    by_term[e["term"]][i] = np.asarray(
+                        e["positions"], dtype=np.int64
+                    )
+            out = np.zeros(n_docs, dtype=np.float64)
+            for d in range(n_docs):
+                lists = [by_term[t][d] for t in terms_t]
+                if any(p is None for p in lists):
+                    continue
+                if in_order:
+                    ss, ee = matchers.ordered_chain_spans(lists, slop)
+                else:
+                    ss, ee = matchers.unordered_state_spans(lists, slop)
+                keep = (ss >= lo) & (ee <= hi)
+                if keep.any():
+                    out[d] = np.sum(
+                        1.0 / (1.0 + (ee[keep] - ss[keep]).astype(np.float64))
+                    )
+            return pd.Series(out)
+
+        grouped = self._grouped_positions(terms, min_terms=len(set(terms)))
+        scored = grouped.withColumn("freq", pr_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
+
     def _eval_multi_term(self, q: Query) -> DataFrame:
         """MultiTermQuery family, CONSTANT_SCORE_REWRITE
         (search/MultiTermQuery.java CONSTANT_SCORE_BLENDED/REWRITE): matching
@@ -2131,6 +2217,10 @@ class MultiFieldSearcher(Searcher):
     def _eval(self, q: Query, needs_scores: bool) -> DataFrame:
         import dataclasses
 
+        if isinstance(q, SpanNearQuery) and any(
+            isinstance(t, FieldMaskedTerm) for t in q.terms
+        ):
+            return self._eval_span_near_masked(q)
         fname = getattr(q, "field", None)
         if fname is not None:
             sub = self.searchers.get(fname)
@@ -2140,3 +2230,109 @@ class MultiFieldSearcher(Searcher):
         if isinstance(q, (BooleanQuery, DisjunctionMaxQuery, ConstantScoreQuery)):
             return super()._eval(q, needs_scores)  # recurses back through us
         return self.searchers[self.default_field]._eval(q, needs_scores)
+
+    def _eval_span_near_masked(self, q: SpanNearQuery) -> DataFrame:
+        """SpanNearQuery with FieldMaskingSpanQuery clauses
+        (search/spans/FieldMaskingSpanQuery.java): each FieldMaskedTerm
+        clause streams positions from ITS OWN field's index while the
+        whole near query scores on the mask field (q.field or the default
+        field) — SpanWeight.buildSimWeight takes
+        collectionStatistics(getField()) and norms of getField(), with
+        each term's statistics from its own TermStates. Clause position
+        lists are tagged (field, term) so equal term text in different
+        fields stays distinct; the near walk itself is the shared
+        matchers.py kernel (position ordinals compare across fields as-is,
+        exactly the reference's cross-field Spans comparison)."""
+        mask_field = getattr(q, "field", None) or self.default_field
+        mask = self.searchers.get(mask_field)
+        if mask is None:
+            return self._empty()
+        clauses = []  # (source_field, term) per clause, in query order
+        for t in q.terms:
+            if isinstance(t, FieldMaskedTerm):
+                clauses.append((t.field, t.term))
+            else:
+                clauses.append((mask_field, t))
+        by_field: Dict[str, List[str]] = {}
+        for f, t in clauses:
+            by_field.setdefault(f, []).append(t)
+        stats_by_field = {}
+        for f, ts in by_field.items():
+            sub = self.searchers.get(f)
+            if sub is None:
+                return self._empty()
+            stats_by_field[f] = sub.term_stats(ts)
+        sts = []
+        for f, t in clauses:
+            st = stats_by_field[f].get(t)
+            if st is None:
+                return self._empty()
+            sts.append(st)
+        # term stats keep their source field; collection stats + norms
+        # come from the mask field's index
+        scorer = mask.multi_scorer_for(q.boost, sts)
+        raws = []
+        for f, ts in by_field.items():
+            raws.append(
+                self.searchers[f]
+                .decode_raw(sorted(set(ts)), with_positions=True)
+                .select(
+                    F.concat(F.lit(f + "\x00"), F.col("term")).alias("term"),
+                    "doc_id",
+                    "positions",
+                )
+            )
+        raw = raws[0]
+        for r in raws[1:]:
+            raw = raw.unionByName(r)
+        keys = [f + "\x00" + t for f, t in clauses]
+        n_distinct = len(set(keys))
+        grouped = (
+            raw.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("nt"),
+                F.collect_list(F.struct("term", "positions")).alias("plist"),
+            )
+            .filter(F.col("nt") >= n_distinct)
+        )
+        slop, in_order = int(q.slop), bool(q.in_order)
+        # the 2-clause closed form assumes distinct-term positions never
+        # tie — valid inside one field, NOT across parallel fields (equal
+        # ordinals are the masked query's whole point), so any cross-field
+        # clause set takes the general merge walk whose (position, clause)
+        # tie order transcribes the reference heap's
+        distinct = n_distinct == len(keys) and len(by_field) == 1
+        keys_t = tuple(keys)
+
+        @F.pandas_udf("double")
+        def span_freq(plist: pd.Series) -> pd.Series:
+            from . import matchers
+
+            n_docs = len(plist)
+            by_key = {k: [None] * n_docs for k in set(keys_t)}
+            for i, entries in enumerate(plist):
+                for e in entries:
+                    by_key[e["term"]][i] = np.asarray(
+                        e["positions"], dtype=np.int64
+                    )
+            pos = [by_key[k] for k in keys_t]
+            if in_order:
+                out = matchers.span_ordered_freqs(pos, slop, n_docs)
+            else:
+                out = matchers.span_unordered_freqs(
+                    pos, slop, n_docs, distinct=distinct
+                )
+            return pd.Series(out)
+
+        scored = grouped.withColumn("freq", span_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        # norms are the MASK field's (getNormValues(getField())); a doc
+        # whose clauses are all masked still scores with the mask field's
+        # doc length, so join the per-doc norms table rather than ride a
+        # clause posting's norm
+        norms = mask.index.docs.select("doc_id", "norm")
+        scored = scored.join(norms, "doc_id", "left").fillna({"norm": 0})
+        return mask._score_freq_norm(
+            scored.select("doc_id", "freq", "norm"), scorer
+        )
