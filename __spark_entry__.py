@@ -440,6 +440,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             PhraseQuery(terms=("table", "the", "table"), slop=3),
             10,
         ),
+        "q_multi_phrase_slop": lambda sp, d: _topk_df(
+            # sloppy MultiPhraseQuery (setSlop): SloppyPhraseMatcher over
+            # per-slot UnionPostingsEnum streams, no repeats
+            _searcher(sp, d),
+            MultiPhraseQuery(slots=(("fast", "slow"), ("table",)), slop=2),
+            10,
+        ),
+        "q_multi_phrase_slop_rpts": lambda sp, d: _topk_df(
+            # multi-term repeats (hasMultiTermRpts): slot 0's 'fast'
+            # repeats in slot 2 through a multi-term slot — tpPos
+            # collisions + the advanceRepeatGroups collide-chase init
+            _searcher(sp, d),
+            MultiPhraseQuery(
+                slots=(("fast", "slow"), ("table",), ("fast",)), slop=3
+            ),
+            10,
+        ),
         "q_span_near_ordered": lambda sp, d: _topk_df(
             _searcher(sp, d),
             SpanNearQuery(terms=("spark", "table"), slop=4, in_order=True),
@@ -1331,6 +1348,12 @@ def oracle_sql() -> dict[str, str]:
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_phrase_slop2": _phrase_slop_sql(["fast", "table"], 2),
         "q_phrase_slop_rpts": _phrase_slop_rpts_sql(["table", "the", "table"], 3),
+        "q_multi_phrase_slop": _multi_phrase_slop_sql(
+            [["fast", "slow"], ["table"]], 2
+        ),
+        "q_multi_phrase_slop_rpts": _multi_phrase_slop_sql(
+            [["fast", "slow"], ["table"], ["fast"]], 3
+        ),
         "q_phrase_stop_holes": _phrase_slop_sql(
             ["fast", "table"], 2, prelude=_stop_prelude(("the", "a"))
         ),
@@ -3375,46 +3398,105 @@ ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf)
 
 
 def _phrase_slop_rpts_sql(terms: list[str], slop: int, k: int = 10) -> str:
-    """Sloppy PhraseQuery with REPEATED terms: a small-step recursive-CTE
-    transcription of SloppyPhraseMatcher's hasRpts walk
+    """Sloppy PhraseQuery with REPEATED terms: singleton-slot case of the
+    generalized multi-phrase machine below."""
+    return _multi_phrase_slop_sql([[t] for t in terms], slop, k)
+
+
+def _multi_phrase_slop_sql(slots: list[list[str]], slop: int, k: int = 10) -> str:
+    """Sloppy (Multi)PhraseQuery machine: a small-step recursive-CTE
+    transcription of SloppyPhraseMatcher's repeat-aware walk
     (search/SloppyPhraseMatcher.java:174-206 nextMatch,
     286-344 advanceRpts/collide/lesser, 435-467 advanceRepeatGroups).
+    PP i's position list is the sorted union of slot i's present
+    alternatives (MultiPhraseQuery.UnionPostingsEnum); collision is equal
+    ACTUAL position (tpPos = adjusted + offset), which on singleton slots
+    degenerates to the shared-list index equality of the plain-phrase
+    machine.
 
-    State row per doc: per-PP pointer i_j into its (shared per-term,
-    offset-adjusted) position list l_j, the PP in hand, the collision-chase
-    pointer, current `end`, matchLength, the (deliberately stale, like the
-    reference's cached `next`) queue-top position, accumulated freq, and a
-    phase: 'adv' (advance hand), 'res' (resolve repeater collisions by
-    advancing the (position, offset)-lesser = higher-offset group member),
-    'chk' (minimize or emit + re-pop), 'fin'. The PQ is a sorted set keyed
-    by (adjusted position, offset) — offsets are distinct, so list_sort of
-    [pos, pp] pairs gives pops. Init: j-th repeat-group member (offset
-    order) starts advanced j times; exhaustion at init = no match.
-    Cross-checked against matchers.sloppy_phrase_freqs_rpts on randomized
-    corpora in tests/test_matchers.py."""
-    n = len(terms)
-    uniq = list(dict.fromkeys(terms))
+    State row per doc: per-PP pointer i_j into its offset-adjusted union
+    list l_j, the PP in hand, the collision-chase pointer, current `end`,
+    matchLength, the (deliberately stale, like the reference's cached
+    `next`) queue-top position, accumulated freq, and a phase: 'adv'
+    (advance hand), 'res' (resolve repeater collisions by advancing the
+    (position, offset)-lesser = higher-offset group member), 'chk'
+    (minimize or emit + re-pop), 'fin'. The PQ is a sorted set keyed by
+    (adjusted position, offset) — offsets are distinct, so list_sort of
+    [pos, pp] pairs gives pops. Init: single-term groups advance the j-th
+    member (offset order) j times; with multi-term repeats
+    (hasMultiTermRpts) the advanceRepeatGroups collide-chase reduces, for
+    the 2-member groups this oracle supports, to one conditional advance
+    of the higher-offset member iff the first actual positions collide.
+    Cross-checked against matchers.sloppy_phrase_freqs_rpts /
+    sloppy_multi_phrase_freqs on randomized corpora in
+    tests/test_matchers.py."""
+    n = len(slots)
+    slot_sets = [list(dict.fromkeys(s)) for s in slots]
+    uniq = list(dict.fromkeys(t for s in slot_sets for t in s))
     tord = {t: j for j, t in enumerate(uniq)}
-    tid = [tord[t] for t in terms]
-    groups: dict[int, list[int]] = {}
-    for i in range(n):
-        groups.setdefault(tid[i], []).append(i)
-    groups = {t: g for t, g in groups.items() if len(g) > 1}
+    # repeat structure — mirrors matchers.sloppy_multi_phrase_freqs
+    tcnt: dict[str, int] = {}
+    for s in slot_sets:
+        for t in s:
+            tcnt[t] = tcnt.get(t, 0) + 1
+    rpt = {t for t, c in tcnt.items() if c >= 2}
+    rpt_pps = [i for i in range(n) if any(t in rpt for t in slot_sets[i])]
+    multi = any(len(slot_sets[i]) > 1 for i in rpt_pps)
+    parent = {t: t for t in rpt}
+
+    def find(t):
+        while parent[t] != t:
+            parent[t] = parent[parent[t]]
+            t = parent[t]
+        return t
+
+    for i in rpt_pps:
+        ts = [t for t in slot_sets[i] if t in rpt]
+        for t in ts[1:]:
+            parent[find(t)] = find(ts[0])
+    by_root: dict[str, list[int]] = {}
+    for i in rpt_pps:
+        r = find(next(t for t in slot_sets[i] if t in rpt))
+        by_root.setdefault(r, []).append(i)
+    groups = [sorted(g) for g in by_root.values() if len(g) > 1]
+    if multi:
+        # the collide-chase init is closed-form only for pairs; the
+        # engine kernel has no such limit
+        assert all(len(g) == 2 for g in groups), (
+            "multi-term-repeat oracle machine supports 2-member groups only"
+        )
     rank = [0] * n
-    for g in groups.values():
+    group_of: list = [None] * n
+    for g in groups:
         for j, i in enumerate(g):
             rank[i] = j
-    group_of = [groups.get(tid[i]) for i in range(n)]
+            group_of[i] = g
     J = list(range(1, n + 1))
 
     lits = ", ".join(f"'{t}'" for t in uniq)
     first_cols = ",\n    ".join(
         f"first(ps) FILTER (term = '{t}') AS u{j}" for j, t in enumerate(uniq)
     )
-    llists = ",\n    ".join(
-        f"list_transform(u{tid[i]}, p -> p - {i}) AS l{i+1}" for i in range(n)
-    )
-    icols0 = ", ".join(f"{rank[i]}::BIGINT AS i{i+1}" for i in range(n))
+
+    def union_expr(i: int) -> str:
+        parts = " || ".join(f"coalesce(u{tord[t]}, [])" for t in slot_sets[i])
+        return f"list_sort(list_transform({parts}, p -> p - {i})) AS l{i+1}"
+
+    llists = ",\n    ".join(union_expr(i) for i in range(n))
+    init_exprs = []
+    for i in range(n):
+        if group_of[i] is None or rank[i] == 0:
+            init_exprs.append(f"0::BIGINT AS i{i+1}")
+        elif not multi:
+            init_exprs.append(f"{rank[i]}::BIGINT AS i{i+1}")
+        else:
+            a = group_of[i][0]
+            init_exprs.append(
+                f"(CASE WHEN len(l{a+1}) > 0 AND len(l{i+1}) > 0 AND "
+                f"(l{a+1})[1] + {a} = (l{i+1})[1] + {i} "
+                f"THEN 1 ELSE 0 END)::BIGINT AS i{i+1}"
+            )
+    icols0 = ", ".join(init_exprs)
     lcols = ", ".join(f"l{j}" for j in J)
     icols = ", ".join(f"i{j}" for j in J)
 
@@ -3428,8 +3510,11 @@ def _phrase_slop_rpts_sql(terms: list[str], slop: int, k: int = 10) -> str:
         g = group_of[i]
         if g is None:
             continue
+        # collide: equal tpPos — actual position = adjusted + offset
         inner = " ".join(
-            f"WHEN i{m+1} = i{i+1} THEN {m+1}::BIGINT" for m in g if m != i
+            f"WHEN p{m+1} + {m} = p{i+1} + {i} THEN {m+1}::BIGINT"
+            for m in g
+            if m != i
         )
         kcol_arms[i + 1] = f"(CASE {inner} END)"
     kcol = case_by("chase", kcol_arms) if kcol_arms else "NULL::BIGINT"
@@ -3458,7 +3543,6 @@ cand AS (
   SELECT doc_id,
     {first_cols}
   FROM pl GROUP BY doc_id
-  HAVING count(*) = {len(uniq)}
 ),
 ini AS (
   SELECT doc_id,
@@ -3514,7 +3598,7 @@ machine(doc_id, {lcols}, {icols}, hand, chase, end_, ml, nxt, freq, ph) AS (
   ) sc
 )"""
     match = "  SELECT doc_id, freq FROM machine WHERE ph = 'fin' AND freq > 0"
-    sql = _freq_rank_sql(match, terms, k, extra=extra)
+    sql = _freq_rank_sql(match, [t for s in slot_sets for t in s], k, extra=extra)
     return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 

@@ -244,28 +244,146 @@ def sloppy_phrase_freqs_rpts(
         if any(a is None or len(a) == 0 for a in arrs):
             continue
         out[d] = _sloppy_walk_rpts(
-            [arrs[tid[i]] for i in range(n)], offsets, rank, group_of, slop
+            [arrs[tid[i]] for i in range(n)], offsets, list(rank), group_of, slop
         )
     return out
+
+
+def sloppy_multi_phrase_freqs(
+    pos_by_term: Dict[str, List],
+    slots: Sequence[Sequence[str]],
+    slop: int,
+    n_docs: int,
+) -> np.ndarray:
+    """Sloppy MultiPhraseQuery — SloppyPhraseMatcher over union postings
+    (search/MultiPhraseQuery.java UnionPostingsEnum): PP i's position
+    stream is the sorted distinct union of slot i's present alternatives.
+    Repeat groups are the connected regions of the PP/term bipartite graph
+    over repeating terms (SloppyPhraseMatcher.gatherRptGroups, the
+    hasMultiTermRpts branch: ppTermsBitSets + unionTermGroups); collision
+    is equal ACTUAL position — tpPos (collide at
+    SloppyPhraseMatcher.java:334-344) — which the per-PP arrays here make
+    a value comparison. Init: when any repeating PP has >1 alternative,
+    the collide-chase of advanceRepeatGroups (multi-term branch,
+    SloppyPhraseMatcher.java:435-455); else the j-advances rank init.
+    Distinct-position unions assume no index-time same-position duplicates
+    inside one slot (a standard-chain index guarantees this)."""
+    n = len(slots)
+    slot_sets = [list(dict.fromkeys(s)) for s in slots]
+    tcnt: Dict[str, int] = {}
+    for s in slot_sets:
+        for t in s:
+            tcnt[t] = tcnt.get(t, 0) + 1
+    rpt = {t for t, c in tcnt.items() if c >= 2}
+    rpt_pps = [i for i in range(n) if any(t in rpt for t in slot_sets[i])]
+    multi = any(len(slot_sets[i]) > 1 for i in rpt_pps)
+    # connected regions over shared repeating terms (union-find)
+    parent: Dict[str, str] = {t: t for t in rpt}
+
+    def find(t):
+        while parent[t] != t:
+            parent[t] = parent[parent[t]]
+            t = parent[t]
+        return t
+
+    for i in rpt_pps:
+        ts = [t for t in slot_sets[i] if t in rpt]
+        for t in ts[1:]:
+            parent[find(t)] = find(ts[0])
+    by_root: Dict[str, List[int]] = {}
+    for i in rpt_pps:
+        r = find(next(t for t in slot_sets[i] if t in rpt))
+        by_root.setdefault(r, []).append(i)
+    groups = [sorted(g) for g in by_root.values() if len(g) > 1]
+    group_of: List = [None] * n
+    rank = [0] * n
+    for g in groups:
+        for j, i in enumerate(g):
+            group_of[i] = g
+            rank[i] = j
+    offsets = list(range(n))
+    out = np.zeros(n_docs, dtype=np.float64)
+    for d in range(n_docs):
+        arrs = []
+        ok = True
+        for s in slot_sets:
+            ps = [
+                np.asarray(pos_by_term[t][d], dtype=np.int64)
+                for t in s
+                if pos_by_term[t][d] is not None
+            ]
+            if not ps:
+                ok = False
+                break
+            arrs.append(ps[0] if len(ps) == 1 else np.unique(np.concatenate(ps)))
+        if not ok:
+            continue
+        if multi:
+            idx = [0] * n
+            if not _advance_repeat_groups_multi(arrs, offsets, idx, groups):
+                continue
+        else:
+            idx = list(rank)
+        out[d] = _sloppy_walk_rpts(arrs, offsets, idx, group_of, slop)
+    return out
+
+
+def _advance_repeat_groups_multi(
+    arrs: List[np.ndarray], offsets: List[int], idx: List[int], groups
+) -> bool:
+    """advanceRepeatGroups, hasMultiTermRpts branch
+    (SloppyPhraseMatcher.java:437-455): per group, chase collisions of
+    rg[i] by advancing the (position, offset)-lesser — at equal tpPos
+    always the higher-offset member. Returns False when a PP exhausts
+    (doc cannot match)."""
+    for rg in groups:
+        i = 0
+        while i < len(rg):
+            incr = 1
+            pp = rg[i]
+            while True:
+                tp = int(arrs[pp][idx[pp]])
+                k = next(
+                    (m for m in rg if m != pp and int(arrs[m][idx[m]]) == tp),
+                    None,
+                )
+                if k is None:
+                    break
+                # lesser by (position = tpPos - offset, offset): equal
+                # tpPos makes the higher-offset member strictly lesser
+                pp2 = pp if offsets[pp] > offsets[k] else k
+                idx[pp2] += 1
+                if idx[pp2] >= len(arrs[pp2]):
+                    return False
+                if rg.index(pp2) < i:  # reference's "should not happen" guard
+                    incr = 0
+                    break
+            i += incr
+    return True
 
 
 def _sloppy_walk_rpts(
     arrs: List[np.ndarray],
     offsets: List[int],
-    rank: List[int],
+    idx0: List[int],
     group_of: List,
     slop: int,
 ) -> float:
     """One-doc literal transcription of SloppyPhraseMatcher.nextMatch with
-    repeats. arrs[i] is PP i's (shared per-term) sorted actual-position
-    array; adjusted position = arrs[i][idx[i]] - offsets[i]. The PQ is
-    treated as a sorted set keyed by (adjusted position, offset, ord) —
-    the reference's rptStack re-queue dance only repairs heap internals
-    after in-place advances, so set semantics are identical; `nxt` stays
-    deliberately stale across collision resolution like the reference's
-    cached `next`."""
+    repeats. arrs[i] is PP i's sorted actual-position array (shared
+    per-term for plain phrases, a per-slot union for MultiPhraseQuery);
+    adjusted position = arrs[i][idx[i]] - offsets[i]. idx0 is the
+    post-advanceRepeatGroups start state (rank init for single-term
+    groups, the collide-chase for multi-term ones). Collision = equal
+    ACTUAL position (tpPos, SloppyPhraseMatcher.collide) — on a shared
+    array this is index equality, on per-slot unions a value comparison.
+    The PQ is treated as a sorted set keyed by (adjusted position,
+    offset, ord) — the reference's rptStack re-queue dance only repairs
+    heap internals after in-place advances, so set semantics are
+    identical; `nxt` stays deliberately stale across collision resolution
+    like the reference's cached `next`."""
     n = len(arrs)
-    idx = list(rank)  # advanceRepeatGroups: j-th group member advanced j times
+    idx = list(idx0)
     for i in range(n):
         if idx[i] >= len(arrs[i]):
             return 0.0  # PPs exhausted at init: doc cannot match
@@ -296,8 +414,14 @@ def _sloppy_walk_rpts(
                 touched = False
                 while True:
                     g = group_of[c]
+                    tp = int(arrs[c][idx[c]])
                     k = next(
-                        (j for j in g if j != c and idx[j] == idx[c]), None
+                        (
+                            j
+                            for j in g
+                            if j != c and int(arrs[j][idx[j]]) == tp
+                        ),
+                        None,
                     )
                     if k is None:
                         break

@@ -45,9 +45,13 @@ class PhraseQuery(Query):
 @dataclass(frozen=True)
 class MultiPhraseQuery(Query):
     """Phrase with term alternatives per slot (search/MultiPhraseQuery.java):
-    slot i matches if ANY of slots[i]'s terms occurs at start_pos + i."""
+    slot i matches if ANY of slots[i]'s terms occurs at start_pos + i.
+    slop > 0 (setSlop) runs SloppyPhraseMatcher over the per-slot union
+    postings — alternatives shared across slots engage the repeat-group
+    machinery (hasMultiTermRpts)."""
 
     slots: Tuple[Tuple[str, ...], ...] = ()
+    slop: int = 0
 
 
 @dataclass(frozen=True)

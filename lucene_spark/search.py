@@ -1387,7 +1387,10 @@ class Searcher:
         """MultiPhraseQuery: slot i matches any alternative at start+i; freq =
         number of distinct start positions (search/MultiPhraseQuery.java —
         UnionPostingsEnum per slot + exact phrase matcher); idf summed over
-        every term in every slot, like the Weight's allTermStats."""
+        every term in every slot, like the Weight's allTermStats. slop > 0
+        runs SloppyPhraseMatcher over the per-slot unions — including the
+        hasMultiTermRpts repeat machinery
+        (matchers.sloppy_multi_phrase_freqs)."""
         slots = [tuple(s) for s in q.slots]
         all_terms = [t for s in slots for t in s]
         stats = self.term_stats(all_terms)
@@ -1399,6 +1402,8 @@ class Searcher:
             q.boost, [stats[t] for t in all_terms if t in stats]
         )
         present = [t for t in dict.fromkeys(all_terms) if t in stats]
+        if int(q.slop) > 0:
+            return self._eval_multi_phrase_sloppy(q, slots, present, scorer)
 
         @F.pandas_udf("int")
         def mp_freq(plist: pd.Series) -> pd.Series:
@@ -1420,6 +1425,42 @@ class Searcher:
 
         grouped = self._grouped_positions(present, min_terms=1)
         scored = grouped.withColumn("freq", mp_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
+
+    def _eval_multi_phrase_sloppy(
+        self, q: MultiPhraseQuery, slots, present, scorer
+    ) -> DataFrame:
+        """Sloppy MultiPhraseQuery (MultiPhraseQuery.setSlop →
+        SloppyPhraseMatcher over UnionPostingsEnum streams): the per-slot
+        union position lists feed the repeat-aware walk — alternatives
+        shared between slots take the reference's hasMultiTermRpts path
+        (tpPos collisions, collide-chase init; see
+        matchers.sloppy_multi_phrase_freqs)."""
+        slots_t = tuple(tuple(s) for s in slots)
+        slop = int(q.slop)
+        present_t = tuple(present)
+
+        @F.pandas_udf("double")
+        def mps_freq(plist: pd.Series) -> pd.Series:
+            from . import matchers
+
+            n_docs = len(plist)
+            by_term = {t: [None] * n_docs for t in present_t}
+            for i, entries in enumerate(plist):
+                for e in entries:
+                    by_term[e["term"]][i] = np.asarray(
+                        e["positions"], dtype=np.int64
+                    )
+            # absent-in-index alternatives never contribute positions
+            full = {t: by_term.get(t, [None] * n_docs) for s in slots_t for t in s}
+            return pd.Series(
+                matchers.sloppy_multi_phrase_freqs(full, slots_t, slop, n_docs)
+            )
+
+        grouped = self._grouped_positions(present, min_terms=1)
+        scored = grouped.withColumn("freq", mps_freq(F.col("plist"))).filter(
             F.col("freq") > 0
         )
         return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)

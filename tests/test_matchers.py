@@ -247,16 +247,10 @@ def test_unordered_intervals_walk_equals_staircase_on_distinct_points(a, b, c):
     assert w1[0] == pytest.approx(w2[0], abs=1e-12)
 
 
-def _rpts_machine_freqs_duckdb(docs, terms, slop):
-    """Run the __spark_entry__ recursive-CTE hasRpts machine (the oracle's
-    independent encoding of SloppyPhraseMatcher) on token-list docs."""
+def _machine_freqs_duckdb_sql(full, docs):
+    """Carve the machine CTEs out of a full __spark_entry__ oracle and run
+    them against token-list docs; returns {doc_id: freq}."""
     import duckdb
-    import sys, os
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    import __spark_entry__ as entry
-
-    full = entry._phrase_slop_rpts_sql(list(terms), slop)
     # carve the machine CTEs out of the full oracle (between the prelude's
     # dfreq CTE and the ', pf AS' scoring tail), keep `matches` as the probe
     start = full.index(", pl AS (")
@@ -289,6 +283,14 @@ def test_sloppy_rpts_python_equals_sql_machine(terms, slop):
     # the engine walk (matchers._sloppy_walk_rpts) and the oracle's
     # recursive-CTE machine are INDEPENDENT encodings of
     # SloppyPhraseMatcher's hasRpts algorithm; they must agree everywhere
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    _machine = lambda docs: _machine_freqs_duckdb_sql(
+        entry._phrase_slop_rpts_sql(list(terms), slop), docs
+    )
     import random
 
     rng = random.Random(20260817)
@@ -307,12 +309,91 @@ def test_sloppy_rpts_python_equals_sql_machine(terms, slop):
         for t in uniq
     }
     want = matchers.sloppy_phrase_freqs(pos_by_term, terms, slop, len(docs))
-    got = _rpts_machine_freqs_duckdb(docs, terms, slop)
+    got = _machine(docs)
     for i in range(len(docs)):
         assert got.get(i, 0.0) == pytest.approx(want[i], abs=1e-9), (
             i,
             docs[i],
         )
+
+
+@pytest.mark.parametrize(
+    "slots,slop",
+    [
+        # multi-term repeats (hasMultiTermRpts): a slot sharing a term
+        # with another slot, at least one repeating slot multi-term
+        ([["a", "b"], ["c"], ["a"]], 3),
+        ([["a", "b"], ["a"]], 2),
+        ([["a", "b"], ["b", "c"]], 2),  # hidden-collision bipartite group
+        ([["a"], ["b"], ["a", "c"]], 4),
+        # no repeats, multi-term slots (plain union walk)
+        ([["a", "b"], ["c"]], 3),
+        # 'c' repeats through a multi-term slot: group spans slots 0 and 2
+        ([["a", "c"], ["b"], ["c"]], 2),
+    ],
+)
+def test_sloppy_multi_phrase_python_equals_sql_machine(slots, slop):
+    # matchers.sloppy_multi_phrase_freqs (UnionPostingsEnum +
+    # hasMultiTermRpts collide-chase) vs the generalized recursive-CTE
+    # machine — independent encodings, must agree on random corpora
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    import random
+
+    rng = random.Random(20260818)
+    docs = [
+        [rng.choice("abcd") for _ in range(rng.randint(1, 14))]
+        for _ in range(300)
+    ]
+    uniq = list(dict.fromkeys(t for s in slots for t in s))
+    pos_by_term = {
+        t: [
+            np.array([p for p, w in enumerate(d) if w == t], dtype=np.int64)
+            if t in d
+            else None
+            for d in docs
+        ]
+        for t in uniq
+    }
+    want = matchers.sloppy_multi_phrase_freqs(
+        pos_by_term, [tuple(s) for s in slots], slop, len(docs)
+    )
+    got = _machine_freqs_duckdb_sql(
+        entry._multi_phrase_slop_sql([list(s) for s in slots], slop), docs
+    )
+    for i in range(len(docs)):
+        assert got.get(i, 0.0) == pytest.approx(want[i], abs=1e-9), (
+            i,
+            docs[i],
+        )
+
+
+def test_multi_phrase_sloppy_singleton_slots_equals_plain_phrase():
+    # singleton slots must reduce exactly to the plain sloppy-phrase path
+    import random
+
+    rng = random.Random(7)
+    docs = [
+        [rng.choice("abc") for _ in range(rng.randint(1, 12))]
+        for _ in range(200)
+    ]
+    for terms, slop in [(("a", "b", "a"), 2), (("a", "b"), 3), (("a", "a"), 1)]:
+        pos_by_term = {
+            t: [
+                np.array([p for p, w in enumerate(d) if w == t], dtype=np.int64)
+                if t in d
+                else None
+                for d in docs
+            ]
+            for t in dict.fromkeys(terms)
+        }
+        want = matchers.sloppy_phrase_freqs(pos_by_term, terms, slop, len(docs))
+        got = matchers.sloppy_multi_phrase_freqs(
+            pos_by_term, [(t,) for t in terms], slop, len(docs)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-12)
 
 
 def test_span_batch_cross_doc_isolation():
