@@ -191,6 +191,23 @@ def _ivf_topk(sp: SparkSession, d: str) -> DataFrame:
     return fsim_.ivf_topk(assigned, cent, [20, 21, 22], k=5, nprobe=4)
 
 
+def _hnsw_topk(sp: SparkSession, d: str) -> DataFrame:
+    """Sharded HNSW graph ANN (functions/hnsw.py; the reference's
+    util/hnsw/HnswGraphBuilder.java re-expressed as one graph per hash
+    shard). The build is fully deterministic (hash levels, ascending-id
+    insertion, id tie-breaks), and at this oracle scale ef=256 >= every
+    shard's size, so the base-layer expansion is exhaustive over the
+    connected graph and the merged top-k equals exact cosine — which is
+    what the SQL oracle states. The approximate regime (bounded ef,
+    recall@10 >= 0.95) is locked by tests/test_hnsw.py instead, exactly
+    like the k-means IVF quantizer split."""
+    import lucene_spark.functions.hnsw as fh
+
+    emb = _emb(sp, d)
+    graph = fh.build_hnsw(emb, n_shards=4, m=16, ef_construction=64)
+    return fh.hnsw_topk(graph, emb, [5, 6, 7], k=5, ef=256, m=16, n_shards=4)
+
+
 def _topk_df(s: Searcher, q: Query, k: int = 10) -> DataFrame:
     # rank on the ROUNDED score (ties -> doc_id): sums of floats differ by
     # ulps between engines (and across DuckDB's parallel agg orders), so a
@@ -1160,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(sp, d), [0, 1, 2], k=10, tables=20, bits=4
         ),
         "sim_ivf_topk": lambda sp, d: _ivf_topk(sp, d),
+        "sim_hnsw_topk": lambda sp, d: _hnsw_topk(sp, d),
         # ---- text analysis ----
         "text_token_counts": lambda sp, d: ftext.token_counts(
             _docs(sp, d), "doc_id", "text"
@@ -2118,6 +2136,23 @@ scored AS (
   SELECT p.query_id, a.vec_id, round(list_cosine_similarity(p.qv, a.v), 6) AS sim
   FROM probes p JOIN asg a ON a.centroid_id = p.centroid_id
   WHERE a.vec_id NOT IN (20, 21, 22)
+)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        # deterministic-exhaustive regime (ef >= shard size): HNSW == exact
+        # cosine top-k; see _hnsw_topk and tests/test_hnsw.py
+        "sim_hnsw_topk": """
+WITH q AS (SELECT vec_id::BIGINT AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (5, 6, 7)),
+c AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id NOT IN (5, 6, 7)),
+scored AS (
+  SELECT query_id, vec_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+  FROM c CROSS JOIN q
 )
 SELECT query_id, rank, vec_id, sim FROM (
   SELECT query_id, vec_id, sim,

@@ -137,6 +137,21 @@ def main() -> None:
         lambda: ftext.fingerprints(docs, "doc_id", "text").count()
     )
 
+    # sharded HNSW: build once (timed), then query at the bounded-ef
+    # approximate setting (timed separately — build amortizes over queries)
+    from lucene_spark.functions import hnsw as fh
+
+    t0 = time.time()
+    hgraph = fh.build_hnsw(emb, n_shards=8, m=16, ef_construction=100).persist()
+    hgraph.count()
+    queries["hnsw_build"] = round(time.time() - t0, 3)
+    queries["sim_hnsw_topk"] = best_of(
+        lambda: fh.hnsw_topk(
+            hgraph, emb, [0, 1, 2], k=10, ef=80, m=16, n_shards=8
+        ).collect()
+    )
+    hgraph.unpersist()
+
     total = round(time.time() - t_total0, 3)
     out = {
         "metric": "lucene_spark_bench_suite_sec",
