@@ -208,6 +208,40 @@ def _hnsw_topk(sp: SparkSession, d: str) -> DataFrame:
     return fh.hnsw_topk(graph, emb, [5, 6, 7], k=5, ef=256, m=16, n_shards=4)
 
 
+# fixed classification inputs (classification/SimpleNaiveBayesClassifier
+# assignClass analog, batched): two token mixes + one empty text (zero
+# tokens -> posterior == class prior, the reference's no-token degenerate)
+_CLS_INPUTS = [
+    (0, "spark fast join vector window group"),
+    (1, "merge table batch stream the a row row"),
+    (2, ""),
+]
+_CLS_KNN_DOCS = [0, 5]  # inputs = these docs' own text (like q_mlt_doc0)
+
+
+def _cls_nb(sp: SparkSession, d: str) -> DataFrame:
+    from lucene_spark.classification import SimpleNaiveBayesClassifier
+
+    clf = SimpleNaiveBayesClassifier(_searcher(sp, d), _docs(sp, d), class_col="lang")
+    inputs = sp.createDataFrame(_CLS_INPUTS, "input_id long, text string")
+    return clf.classify_df(inputs)
+
+
+def _cls_knn(sp: SparkSession, d: str) -> DataFrame:
+    from lucene_spark.classification import KNearestNeighborClassifier
+
+    docs = _docs(sp, d)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id").isin(_CLS_KNN_DOCS)).collect()
+    }
+    clf = KNearestNeighborClassifier(
+        _searcher(sp, d), docs, class_col="lang", k=5,
+        max_query_terms=5, min_doc_freq=2,
+    )
+    return clf.classify([texts[i] for i in _CLS_KNN_DOCS])
+
+
 def _topk_df(s: Searcher, q: Query, k: int = 10) -> DataFrame:
     # rank on the ROUNDED score (ties -> doc_id): sums of floats differ by
     # ulps between engines (and across DuckDB's parallel agg orders), so a
@@ -1196,6 +1230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": lambda sp, d: fmm.frame_sample(
             _docs(sp, d), "doc_id", "text"
         ),
+        # ---- classification over index statistics (reference classification/) ----
+        "cls_naive_bayes": lambda sp, d: _cls_nb(sp, d),
+        "cls_knn": lambda sp, d: _cls_knn(sp, d),
     }
     return out
 
@@ -2315,6 +2352,8 @@ SELECT doc_id::BIGINT AS doc_id, frame_idx::INT AS frame_idx,
        md5(substring(text, (frame_idx * 64 + 1)::BIGINT, 64::BIGINT)) AS frame_md5
 FROM f ORDER BY doc_id, frame_idx
 """,
+        "cls_naive_bayes": _cls_nb_sql(),
+        "cls_knn": _cls_knn_sql(_CLS_KNN_DOCS, k=5, max_terms=5, min_df=2),
     }
 
 
@@ -2400,6 +2439,139 @@ sc AS (
 agg AS (SELECT doc_id, sum(score) AS score FROM sc GROUP BY doc_id)
 """
         + _rank_tail("score", "FROM agg", k)
+    )
+
+
+def _cls_nb_sql() -> str:
+    """SimpleNaiveBayesClassifier: per (input, class) log-likelihood
+    ln(prior) + sum_w cnt_w * ln(hits(w,c)+1) - n_tokens * ln(avgUnique *
+    classDocs + docsWithClass), softmax-normalized per input
+    (normClassificationResults), ranked by rounded score then class."""
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _CLS_INPUTS)
+    return (
+        _PRELUDE
+        + f"""
+, cls AS (
+  SELECT lang AS class, count(*)::DOUBLE AS cdocs
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+),
+tot AS (SELECT sum(cdocs) AS n_cls FROM cls),
+tstat AS (
+  SELECT (SELECT count(*) FROM tf)::DOUBLE AS sdf,
+         (SELECT count(*) FROM dl WHERE len > 0)::DOUBLE AS dcnt
+),
+inputs(input_id, itext) AS (VALUES {vals}),
+itok AS (
+  SELECT input_id, unnest(regexp_extract_all(lower(itext), '{_TOKRE}')) AS word
+  FROM inputs
+),
+icnt AS (SELECT input_id, word, count(*)::DOUBLE AS cnt FROM itok GROUP BY 1, 2),
+itot AS (
+  SELECT i.input_id::BIGINT AS input_id, coalesce(n.nt, 0)::DOUBLE AS n_tokens
+  FROM inputs i
+  LEFT JOIN (SELECT input_id, count(*) AS nt FROM itok GROUP BY 1) n
+    ON n.input_id = i.input_id
+),
+hits AS (
+  SELECT tf.term AS word, d.lang AS class, count(*)::DOUBLE AS hits
+  FROM tf JOIN documents d ON d.doc_id = tf.doc_id
+  WHERE d.lang IS NOT NULL GROUP BY 1, 2
+),
+perword AS (
+  SELECT ic.input_id::BIGINT AS input_id, c.class,
+         sum(ic.cnt * ln(coalesce(h.hits, 0) + 1.0)) AS lhits
+  FROM icnt ic CROSS JOIN cls c
+  LEFT JOIN hits h ON h.word = ic.word AND h.class = c.class
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT it.input_id, c.class,
+         ln(c.cdocs) - ln(t.n_cls) + coalesce(pw.lhits, 0)
+         - it.n_tokens * ln(x.sdf / x.dcnt * c.cdocs + t.n_cls) AS raw
+  FROM itot it CROSS JOIN cls c CROSS JOIN tot t CROSS JOIN tstat x
+  LEFT JOIN perword pw ON pw.input_id = it.input_id AND pw.class = c.class
+),
+mx AS (SELECT *, max(raw) OVER (PARTITION BY input_id) AS m FROM scored),
+soft AS (
+  SELECT input_id, class,
+         exp(raw - m) / sum(exp(raw - m)) OVER (PARTITION BY input_id) AS score
+  FROM mx
+)
+SELECT input_id,
+       row_number() OVER (
+         PARTITION BY input_id ORDER BY round(score, 6) DESC, class ASC
+       )::INT AS rank,
+       class, round(score, 6) AS score
+FROM soft ORDER BY input_id, rank
+"""
+    )
+
+
+def _cls_knn_sql(doc_ids: list[int], k: int, max_terms: int, min_df: int) -> str:
+    """KNearestNeighborClassifier: per input (= a doc's own text, so its tf
+    IS the input's token multiset), MLT term selection + BM25 disjunction
+    (the _mlt_sql machinery), rounded top-k neighbors among classed docs,
+    then the buildListFromTopDocs vote sum(score/maxScore)/min(found, k)."""
+    idf = _IDF.format(df="d.df")
+    inv = _INV.format(k1=K1, b=B)
+    parts = []
+    for i, did in enumerate(doc_ids):
+        parts.append(
+            f"""
+, ms{i} AS (
+  SELECT t.term, t.freq * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS ms
+  FROM tf t JOIN dfreq d ON d.term = t.term CROSS JOIN stats s
+  WHERE t.doc_id = {did} AND d.df >= {min_df}
+),
+qt{i} AS (SELECT term FROM ms{i} ORDER BY ms DESC, term ASC LIMIT {max_terms}),
+sc{i} AS (
+  SELECT tf.doc_id, ({idf}) - ({idf}) / (1 + tf.freq * {inv}) AS score
+  FROM tf
+  JOIN qt{i} ON qt{i}.term = tf.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dlq q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+agg{i} AS (
+  SELECT {i}::BIGINT AS input_id, doc_id, sum(score) AS score
+  FROM sc{i} GROUP BY doc_id
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM agg{i}" for i in range(len(doc_ids)))
+    return (
+        _PRELUDE
+        + "".join(parts)
+        + f"""
+, allsc AS ({union}),
+classed AS (
+  SELECT a.input_id, a.doc_id, round(a.score, 6) AS score, d.lang AS class
+  FROM allsc a JOIN documents d ON d.doc_id = a.doc_id
+  WHERE d.lang IS NOT NULL
+),
+nbr AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY input_id ORDER BY score DESC, doc_id ASC
+  ) AS nrank
+  FROM classed
+),
+topk AS (SELECT * FROM nbr WHERE nrank <= {k}),
+wtop AS (
+  SELECT *, max(score) OVER (PARTITION BY input_id) AS mxs,
+         count(*) OVER (PARTITION BY input_id) AS cnt
+  FROM topk
+),
+vote AS (
+  SELECT input_id, class,
+         sum(score / mxs) / least(min(cnt), {k}) AS score
+  FROM wtop GROUP BY input_id, class
+)
+SELECT input_id,
+       row_number() OVER (
+         PARTITION BY input_id ORDER BY round(score, 6) DESC, class ASC
+       )::INT AS rank,
+       class, round(score, 6) AS score
+FROM vote ORDER BY input_id, rank
+"""
     )
 
 
