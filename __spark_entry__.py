@@ -37,6 +37,7 @@ from lucene_spark.query import (
     IntervalFilterQuery,
     IntervalMultiTerm,
     IntervalQuery,
+    NoOverlapsIntervalQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
     PhraseQuery,
@@ -711,6 +712,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ordered=False,
                 max_gaps=6,
             ),
+            10,
+        ),
+        # ---- Intervals.maxwidth / within / notWithin / unorderedNoOverlaps ----
+        "q_intervals_maxwidth": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalQuery(
+                terms=("the", "fast", "table"), ordered=False, max_width=7
+            ),
+            10,
+        ),
+        "q_intervals_within": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalFilterQuery(
+                kind="within",
+                source=IntervalQuery(terms=("fast", "table"), ordered=False),
+                reference=IntervalQuery(terms=("the",)),
+                positions=2,
+            ),
+            10,
+        ),
+        "q_intervals_not_within": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            IntervalFilterQuery(
+                kind="not_within",
+                source=IntervalQuery(terms=("fast", "table"), ordered=False),
+                reference=IntervalQuery(terms=("the",)),
+                positions=2,
+            ),
+            10,
+        ),
+        "q_intervals_no_overlaps": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            NoOverlapsIntervalQuery(a="fast", b="table"),
             10,
         ),
         "q_intervals_ordered_dup_adj": lambda sp, d: _topk_df(
@@ -1487,6 +1521,16 @@ def oracle_sql() -> dict[str, str]:
         "q_intervals_after": _interval_filter_sql(
             "after", ["table"], True, ["fast"], True
         ),
+        "q_intervals_maxwidth": _intervals_sql(
+            ["the", "fast", "table"], False, -1, max_width=7
+        ),
+        "q_intervals_within": _interval_filter_sql(
+            "within", ["fast", "table"], False, ["the"], True, positions=2
+        ),
+        "q_intervals_not_within": _interval_filter_sql(
+            "not_within", ["fast", "table"], False, ["the"], True, positions=2
+        ),
+        "q_intervals_no_overlaps": _intervals_no_overlaps_sql("fast", "table"),
         # span algebra: point spans weigh 1/(1+(end-start)) = 0.5 each
         "q_span_or": _freq_rank_sql(
             "  SELECT doc_id, count(*) * 0.5 AS freq\n"
@@ -2668,20 +2712,22 @@ iv{pfx} AS (
 
 
 def _intervals_sql(terms: list[str], ordered: bool, max_gaps: int, k: int = 10,
-                   min_extent: int | None = None) -> str:
+                   min_extent: int | None = None, max_width: int = -1) -> str:
     """IntervalQuery parity SQL (lucene_spark/matchers.py minimal-interval
     staircases): freq = Σ 1/max(length - minExtent + 1, 1); score =
-    1 - 1/(freq + 1) (saturation pivot 1)."""
+    1 - 1/(freq + 1) (saturation pivot 1). max_width filters the minimal
+    stream on (e - s + 1) <= width (Intervals.maxwidth)."""
     n = len(terms)
     if min_extent is None:
         min_extent = n  # distinct point terms; adjacent-run dedup shrinks it
+    width_pred = f"WHERE (e - s + 1) <= {max_width}" if max_width >= 0 else ""
     return (
         _PRELUDE
         + _iv_ctes(terms, ordered, max_gaps)
         + f"""
 , pf AS (
   SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {min_extent} + 1, 1)) AS freq
-  FROM iv GROUP BY doc_id
+  FROM iv {width_pred} GROUP BY doc_id
 ),
 ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
 """
@@ -2860,6 +2906,7 @@ def _interval_filter_sql(
     src_max_gaps: int = -1,
     ref_max_gaps: int = -1,
     k: int = 10,
+    positions: int = 0,
 ) -> str:
     """Interval filter algebra parity SQL. Each reference streaming loop is
     equivalent to a per-interval predicate on minimal streams (starts AND
@@ -2896,6 +2943,17 @@ def _interval_filter_sql(
         ),
         "before": "EXISTS " + b.format(p="b.s > a.e"),
         "after": "EXISTS " + b.format(p="b.e < a.s"),
+        # within/not_within: containedBy / nonOverlapping against the
+        # reference extended by `positions` both sides, start clipped at 0
+        # (Intervals.java within()/notWithin() compositions)
+        "within": "EXISTS "
+        + b.format(
+            p=f"greatest(b.s - {positions}, 0) <= a.s AND b.e + {positions} >= a.e"
+        ),
+        "not_within": "NOT EXISTS "
+        + b.format(
+            p=f"b.e + {positions} >= a.s AND greatest(b.s - {positions}, 0) <= a.e"
+        ),
     }
     return (
         _PRELUDE
@@ -2906,6 +2964,35 @@ def _interval_filter_sql(
 pf AS (
   SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {n_src} + 1, 1)) AS freq
   FROM keep GROUP BY doc_id
+),
+ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
+"""
+        + _rank_tail("score", "FROM ivsc", k)
+    )
+
+
+def _intervals_no_overlaps_sql(a: str, b: str, k: int = 10) -> str:
+    """Intervals.unorderedNoOverlaps(a, b) parity SQL — the reference's own
+    composition or(ordered(a,b), ordered(b,a)) (Intervals.java:285-287):
+    both ordered minimal streams, unioned, minus every interval strictly
+    containing another (DisjunctionIntervalIterator's containing-pop walk);
+    minExtent = min over subs = 2."""
+    return (
+        _PRELUDE
+        + _iv_ctes([a, b], True, -1, pfx="x")
+        + _iv_ctes([b, a], True, -1, pfx="y")
+        + """
+, u AS (SELECT doc_id, s, e FROM ivx UNION SELECT doc_id, s, e FROM ivy),
+ivn AS (
+  SELECT doc_id, s, e FROM u a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM u b WHERE b.doc_id = a.doc_id
+      AND b.s >= a.s AND b.e <= a.e AND (b.s <> a.s OR b.e <> a.e)
+  )
+),
+pf AS (
+  SELECT doc_id, sum(1.0 / greatest((e - s + 1) - 2 + 1, 1)) AS freq
+  FROM ivn GROUP BY doc_id
 ),
 ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
 """

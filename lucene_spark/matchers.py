@@ -758,6 +758,7 @@ def interval_freqs(
     max_gaps: int,
     n_docs: int,
     min_extent: int | None = None,
+    max_width: int = -1,
 ) -> np.ndarray:
     """Per-doc interval sloppy freq (IntervalScorer.java:69-74):
     Σ 1 / max(length - minExtent + 1, 1) over the minimal intervals, after
@@ -785,6 +786,11 @@ def interval_freqs(
     if max_gaps >= 0:
         sel = (length - n) <= max_gaps
         s, e, length = s[sel], e[sel], length[sel]
+    if max_width >= 0 and len(s):
+        # Intervals.maxwidth (FilteredIntervalsSource.MaxWidth accept():
+        # (end - start) + 1 <= maxWidth), applied on the minimal stream
+        sel = length <= max_width
+        s, e, length = s[sel], e[sel], length[sel]
     if len(s) == 0:
         return out
     w = 1.0 / np.maximum(length - min_extent + 1, 1).astype(np.float64)
@@ -808,7 +814,7 @@ def _minimal_intervals_global(pos_by_clause: List[List], ordered: bool, max_gaps
 #: interval when the reference stream is exhausted/absent
 #: (ConjunctionIntervalsSource vs DifferenceIntervalsSource/RelativeIterator)
 _CONJ_FILTER_KINDS = frozenset(
-    ("containing", "contained_by", "overlapping", "before", "after")
+    ("containing", "contained_by", "overlapping", "before", "after", "within")
 )
 
 
@@ -821,6 +827,7 @@ def interval_filter_freqs(
     b_ordered: bool,
     b_max_gaps: int,
     n_docs: int,
+    b_ext: int = 0,
 ) -> np.ndarray:
     """Interval filter algebra over two minimal-interval streams — the
     reference's Containing/ContainedBy/NotContaining/NotContainedBy/
@@ -837,9 +844,25 @@ def interval_filter_freqs(
     notContaining keeps the reference's quirk verbatim: the resting b is
     the first with (b.start >= a.start OR b.end >= a.end), and a is emitted
     iff that b is past a.end or absent — so an overlapping-but-not-contained
-    b still suppresses a (NotContainingIntervalsSource.java nextInterval)."""
+    b still suppresses a (NotContainingIntervalsSource.java nextInterval).
+
+    ``b_ext`` stretches every reference interval by that many positions on
+    both sides (Intervals.extend, start clipped at the doc's position 0):
+    within(s, p, r) = containedBy(s, extend(r, p, p)) and notWithin(m, p, s)
+    = nonOverlapping(m, extend(s, p, p)) — the reference's own compositions
+    (Intervals.java within()/notWithin()). The extended stream keeps
+    non-decreasing starts and strictly increasing ends, which is all the
+    searchsorted predicates need (the resting b has the minimal start among
+    candidates)."""
+    kind = {"within": "contained_by", "not_within": "non_overlapping"}.get(
+        kind, kind
+    )
     sa, ea = _minimal_intervals_global(a_clauses, a_ordered, a_max_gaps)
     sb, eb = _minimal_intervals_global(b_clauses, b_ordered, b_max_gaps)
+    if b_ext > 0 and len(sb):
+        base = (sb >> _DOC_SHIFT) << _DOC_SHIFT
+        sb = np.maximum(sb - b_ext, base)
+        eb = eb + b_ext
     min_extent = len(a_clauses)
     out = np.zeros(n_docs, dtype=np.float64)
     if len(sa) == 0:
@@ -897,11 +920,57 @@ def interval_filter_freqs(
     return out
 
 
+def minimal_union(streams) -> tuple:
+    """Minimalized union of minimal-interval streams — what the
+    reference's DisjunctionIntervalIterator emits
+    (DisjunctionIntervalsSource.java nextInterval: queue by (end asc,
+    start desc), pops any interval containing the one just emitted):
+    the union minus every interval that strictly contains another, with
+    exact duplicates collapsed. Global doc-offset coordinates keep the
+    per-doc minimality independent (an interval can never contain one
+    from another doc)."""
+    s = np.concatenate([x[0] for x in streams])
+    e = np.concatenate([x[1] for x in streams])
+    if len(s) == 0:
+        return s, e
+    order = np.lexsort((e, s))
+    s, e = s[order], e[order]
+    keep = np.ones(len(s), dtype=bool)
+    keep[1:] = s[1:] != s[:-1]  # equal starts: smallest end only
+    s, e = s[keep], e[keep]
+    # starts strictly increase; survive iff no LATER interval has e' <= e
+    suf = np.minimum.accumulate(e[::-1])[::-1]
+    keep = np.ones(len(s), dtype=bool)
+    keep[:-1] = e[:-1] < suf[1:]
+    return s[keep], e[keep]
+
+
+def no_overlaps_interval_freqs(
+    a_lists: List, b_lists: List, n_docs: int
+) -> np.ndarray:
+    """Intervals.unorderedNoOverlaps(a, b) over point sources — the
+    reference's own composition or(ordered(a, b), ordered(b, a))
+    (Intervals.java:285-287): both ordered staircases, minimal-union'd;
+    freq weighs each survivor by 1/max(length - 2 + 1, 1) (disjunction
+    minExtent = min over subs = 2 for point operands)."""
+    ga, gb = _concat_global(a_lists), _concat_global(b_lists)
+    s, e = minimal_union(
+        [ordered_minimal_intervals([ga, gb]), ordered_minimal_intervals([gb, ga])]
+    )
+    out = np.zeros(n_docs, dtype=np.float64)
+    if len(s) == 0:
+        return out
+    w = 1.0 / np.maximum((e - s + 1) - 2 + 1, 1).astype(np.float64)
+    np.add.at(out, (e >> _DOC_SHIFT).astype(np.int64), w)
+    return out
+
+
 def unordered_intervals_dups_freqs(
     pos_by_term: Dict[str, List],
     counts: Dict[str, int],
     max_gaps: int,
     n_docs: int,
+    max_width: int = -1,
 ) -> np.ndarray:
     """Unordered intervals with DUPLICATE terms. The reference deduplicates
     repeated sub-sources into RepeatingIntervalsSource sliding windows of
@@ -943,6 +1012,8 @@ def unordered_intervals_dups_freqs(
             sel = gaps <= max_gaps
             s, e = s[sel], e[sel]
         length = e - s + 1
+        if max_width >= 0:
+            length = length[length <= max_width]
         out[d] = np.sum(1.0 / np.maximum(length - min_extent + 1, 1))
     return out
 

@@ -167,6 +167,10 @@ class IntervalQuery(Query):
     terms: Tuple[str, ...] = ()
     ordered: bool = True
     max_gaps: int = -1  # -1 = unlimited (Intervals.maxgaps absent)
+    max_width: int = -1  # -1 = unlimited (Intervals.maxwidth absent):
+    # keep minimal intervals with end - start + 1 <= max_width
+    # (FilteredIntervalsSource.MaxWidth accept(), queries/intervals/
+    # FilteredIntervalsSource.java:68)
     pivot: float = 1.0
 
 
@@ -184,6 +188,11 @@ class IntervalFilterQuery(Query):
     kind: str = "containing"
     source: Optional[IntervalQuery] = None
     reference: Optional[IntervalQuery] = None
+    # within / not_within only (Intervals.within()/notWithin(), the
+    # reference's containedBy/nonOverlapping against
+    # extend(reference, positions, positions) compositions —
+    # Intervals.java:333-351): max distance between source and reference
+    positions: int = 0
     pivot: float = 1.0
 
 
@@ -205,6 +214,21 @@ class IntervalMultiTerm:
     max_edits: int = 2
     prefix_length: int = 0
     transpositions: bool = True
+
+
+@dataclass(frozen=True)
+class NoOverlapsIntervalQuery(Query):
+    """Intervals.unorderedNoOverlaps(a, b) (queries/intervals/
+    Intervals.java:285-287): intervals where both operands appear without
+    overlapping — defined in the reference itself as
+    or(ordered(a, b), ordered(b, a)). Operands are point sources: a bare
+    term, an Intervals.or tuple of alternatives, or an IntervalMultiTerm.
+    Scoring mirrors IntervalQuery (saturation, pivot) with the
+    disjunction's minExtent = 2."""
+
+    a: object = None
+    b: object = None
+    pivot: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -49,6 +49,7 @@ from .query import (
     IntervalFilterQuery,
     IntervalMultiTerm,
     IntervalQuery,
+    NoOverlapsIntervalQuery,
     PhraseQuery,
     FieldMaskedTerm,
     SpanContainQuery,
@@ -1005,6 +1006,8 @@ class Searcher:
             return self._eval_interval_filter(q)
         if isinstance(q, ExtendedIntervalQuery):
             return self._eval_intervals_ext(q)
+        if isinstance(q, NoOverlapsIntervalQuery):
+            return self._eval_intervals_no_overlaps(q)
         if isinstance(q, AtLeastIntervalQuery):
             return self._eval_intervals_atleast(q)
         if isinstance(q, ConstantScoreQuery):
@@ -1545,6 +1548,7 @@ class Searcher:
             return self._eval_intervals_slots(q, slots)
         terms = [s[0] for s in slots]  # resolved single-alternative slots
         ordered, max_gaps = bool(q.ordered), int(q.max_gaps)
+        max_width = int(getattr(q, "max_width", -1))
         terms_t = tuple(terms)
         # adjacent-run dedup (ordered): each run contributes minExtent 1
         min_extent = 1 + sum(
@@ -1571,14 +1575,16 @@ class Searcher:
                     max_gaps,
                     n_docs,
                     min_extent=min_extent,
+                    max_width=max_width,
                 )
             elif has_dups:
                 out = matchers.unordered_intervals_dups_freqs(
-                    by_term, counts, max_gaps, n_docs
+                    by_term, counts, max_gaps, n_docs, max_width=max_width
                 )
             else:
                 out = matchers.interval_freqs(
-                    [by_term[t] for t in terms_t], False, max_gaps, n_docs
+                    [by_term[t] for t in terms_t], False, max_gaps, n_docs,
+                    max_width=max_width,
                 )
             return pd.Series(out)
 
@@ -1665,6 +1671,7 @@ class Searcher:
         the alternatives' positions; the ordered/unordered staircases then
         run on per-slot point lists unchanged. minExtent = slot count."""
         ordered, max_gaps = bool(q.ordered), int(q.max_gaps)
+        max_width = int(getattr(q, "max_width", -1))
         slots_t = tuple(tuple(s) for s in slots)
         all_terms = sorted({t for s in slots_t for t in s})
 
@@ -1675,7 +1682,8 @@ class Searcher:
             by_slot, n_docs = _slot_position_lists(plist, slots_t, all_terms)
             return pd.Series(
                 matchers.interval_freqs(
-                    by_slot, ordered, max_gaps, n_docs, min_extent=len(slots_t)
+                    by_slot, ordered, max_gaps, n_docs,
+                    min_extent=len(slots_t), max_width=max_width,
                 )
             )
 
@@ -1860,11 +1868,18 @@ class Searcher:
                 raise NotImplementedError(
                     "duplicate terms inside an interval filter operand"
                 )
+            if int(getattr(side, "max_width", -1)) >= 0:
+                raise NotImplementedError(
+                    "maxwidth on an interval filter operand"
+                )
         src_terms, ref_terms = list(src.terms), list(ref.terms)
         stats = self.term_stats(src_terms + ref_terms)
         if any(t not in stats for t in src_terms):
             return self._empty()
-        conj = q.kind in {"containing", "contained_by", "overlapping", "before", "after"}
+        conj = q.kind in {
+            "containing", "contained_by", "overlapping", "before", "after",
+            "within",
+        }
         if conj and any(t not in stats for t in ref_terms):
             return self._empty()
         all_terms = list(dict.fromkeys(src_terms + ref_terms))
@@ -1872,6 +1887,7 @@ class Searcher:
             len(all_terms) if conj else len(set(src_terms))
         )
         kind = q.kind
+        b_ext = int(q.positions) if kind in ("within", "not_within") else 0
         sterms, rterms = tuple(src_terms), tuple(ref_terms)
         s_ord, s_mg = bool(src.ordered), int(src.max_gaps)
         r_ord, r_mg = bool(ref.ordered), int(ref.max_gaps)
@@ -1896,11 +1912,53 @@ class Searcher:
                     r_ord,
                     r_mg,
                     n_docs,
+                    b_ext=b_ext,
                 )
             )
 
         grouped = self._grouped_positions(all_terms, min_terms=min_terms)
         scored = grouped.withColumn("freq", ivf_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        pivot = float(q.pivot)
+        return scored.select(
+            "doc_id",
+            (
+                F.lit(float(q.boost))
+                * (F.lit(1.0) - F.lit(pivot) / (F.col("freq") + F.lit(pivot)))
+            ).alias("score"),
+        )
+
+    def _eval_intervals_no_overlaps(self, q: NoOverlapsIntervalQuery) -> DataFrame:
+        """Intervals.unorderedNoOverlaps(a, b) = or(ordered(a, b),
+        ordered(b, a)) — the reference's own composition
+        (Intervals.java:285-287). Both ordered staircases run on the same
+        per-slot point lists; the disjunction's minimal union drops every
+        interval strictly containing another
+        (DisjunctionIntervalIterator's containing-pop queue walk,
+        vectorized as a suffix-min scan in matchers.minimal_union)."""
+        slots = self._resolve_interval_slots([q.a, q.b])
+        slots_t = tuple(tuple(s) for s in slots)
+        all_terms = sorted({t for s in slots_t for t in s})
+        stats = self.term_stats(all_terms)
+        if any(all(t not in stats for t in s) for s in slots):
+            return self._empty()
+
+        @F.pandas_udf("double")
+        def nov_freq(plist: pd.Series) -> pd.Series:
+            from . import matchers
+
+            by_slot, n_docs = _slot_position_lists(plist, slots_t, all_terms)
+            return pd.Series(
+                matchers.no_overlaps_interval_freqs(
+                    by_slot[0], by_slot[1], n_docs
+                )
+            )
+
+        # both operands must appear: disjoint slots need >= 2 distinct terms
+        min_terms = 2 if not (set(slots_t[0]) & set(slots_t[1])) else 1
+        grouped = self._grouped_positions(all_terms, min_terms=min_terms)
+        scored = grouped.withColumn("freq", nov_freq(F.col("plist"))).filter(
             F.col("freq") > 0
         )
         pivot = float(q.pivot)

@@ -627,3 +627,104 @@ def test_extended_clamps_per_doc_not_globally():
     assert out[0] == pytest.approx(1.0)
     # doc 1: s=0 stays 0 (clamped), e=1, width 2, minExt 5 -> 1/max(2-5+1,1)=1.0
     assert out[1] == pytest.approx(1.0)
+
+
+# ---- Intervals.maxwidth / within / notWithin / unorderedNoOverlaps ----
+
+
+@settings(max_examples=200, deadline=None)
+@given(positions, positions, positions, st.booleans(), st.integers(1, 8))
+def test_interval_maxwidth_matches_brute(a, b, c, ordered, max_width):
+    """Intervals.maxwidth (FilteredIntervalsSource.MaxWidth accept():
+    (end - start) + 1 <= maxWidth) filters the minimal stream."""
+    b = _disjoint(a, b)
+    c = _disjoint(a + b, c)
+    lists = [a, b, c]
+    got = matchers.interval_freqs(
+        [[np.asarray(x, dtype=np.int64)] for x in lists],
+        ordered, -1, 1, max_width=max_width,
+    )[0]
+    exp = 0.0
+    for s, e in _brute_minimal_intervals(lists, ordered):
+        length = e - s + 1
+        if length <= max_width:
+            exp += 1.0 / max(length - 3 + 1, 1)
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+def _brute_filter_freq(kind, a_lists, b_lists, positions=0):
+    """within/not_within per the reference's own compositions
+    (Intervals.java:333-351): containedBy / nonOverlapping against the
+    reference stream extended by `positions` on both sides (start clipped
+    at 0)."""
+    iva = sorted(_brute_minimal_intervals(a_lists, True))
+    ivb = [
+        (max(s - positions, 0), e + positions)
+        for s, e in sorted(_brute_minimal_intervals(b_lists, True))
+    ]
+    freq = 0.0
+    for s, e in iva:
+        hit = any(bs <= s and be >= e for bs, be in ivb)
+        overlap = any(be >= s and bs <= e for bs, be in ivb)
+        emit = hit if kind == "within" else not overlap
+        if emit:
+            freq += 1.0 / max((e - s + 1) - len(a_lists) + 1, 1)
+    return freq
+
+
+@settings(max_examples=200, deadline=None)
+@given(positions, positions, positions, st.integers(0, 6),
+       st.sampled_from(["within", "not_within"]))
+def test_interval_filter_within_matches_brute(a, b, r, positions_, kind):
+    b = _disjoint(a, b)
+    r = _disjoint(a + b, r)
+    arr = lambda x: [np.asarray(x, dtype=np.int64)]
+    got = matchers.interval_filter_freqs(
+        kind, [arr(a), arr(b)], True, -1, [arr(r)], True, -1, 1,
+        b_ext=positions_,
+    )[0]
+    exp = _brute_filter_freq(kind, [a, b], [r], positions_)
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+def _brute_no_overlaps(a, b):
+    """or(ordered(a,b), ordered(b,a)) minimal union: all pa != pb pairs,
+    minus intervals strictly containing another."""
+    cands = {(min(pa, pb), max(pa, pb)) for pa in a for pb in b if pa != pb}
+    minimal = {
+        (s, e)
+        for (s, e) in cands
+        if not any(
+            s2 >= s and e2 <= e and (s2, e2) != (s, e) for (s2, e2) in cands
+        )
+    }
+    return sum(1.0 / max((e - s + 1) - 2 + 1, 1) for s, e in minimal)
+
+
+@settings(max_examples=300, deadline=None)
+@given(positions, positions)
+def test_no_overlaps_matches_brute(a, b):
+    got = matchers.no_overlaps_interval_freqs(
+        [np.asarray(a, dtype=np.int64)], [np.asarray(b, dtype=np.int64)], 1
+    )[0]
+    assert got == pytest.approx(_brute_no_overlaps(a, b), abs=1e-12)
+
+
+def test_no_overlaps_multi_doc_and_empty():
+    a = [np.array([1, 5]), None, np.array([0])]
+    b = [np.array([3]), np.array([2]), None]
+    got = matchers.no_overlaps_interval_freqs(a, b, 3)
+    # doc 0: pairs (1,3),(3,5) both minimal: 2 * 1/2; docs 1,2: one side absent
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == 0.0 and got[2] == 0.0
+
+
+def test_within_extension_clips_at_doc_start():
+    # ref at pos 1 extended by 5 must clip to 0, not leak into doc-negative
+    # coordinates; source (0,0) is then contained
+    a = [np.array([0])]
+    r = [np.array([1])]
+    got = matchers.interval_filter_freqs(
+        "within", [a], True, -1, [r], True, -1, 1, b_ext=5
+    )[0]
+    assert got == pytest.approx(1.0)
