@@ -813,6 +813,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             10,
         ),
+        "q_intervals_fixfield": lambda sp, d: _topk_df(
+            # Intervals.fixField: the interval query runs on the
+            # stop-filtered field but the 'the' slot streams positions from
+            # the UNFILTERED text field (hole-preserved ordinals compare
+            # directly) — the intervals twin of q_span_masked_stop
+            _masked_stop_searcher(sp, d),
+            IntervalQuery(
+                terms=(FieldMaskedTerm(field="text", term="the"), "fast"),
+                ordered=True,
+                max_gaps=3,
+            ),
+            10,
+        ),
         # ---- multi-field (field-qualified) search ----
         "q_multifield": lambda sp, d: _multifield_topk(sp, d),
         "q_multifield_bare": lambda sp, d: _topk_df(
@@ -1574,6 +1587,7 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "q_span_masked_stop": _span_masked_stop_sql(),
+        "q_intervals_fixfield": _intervals_fixfield_sql(),
         "q_multifield_bare": _multifield_bare_sql("en"),
         "text_highlight": """
 WITH m AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
@@ -2964,6 +2978,33 @@ def _interval_filter_sql(
 pf AS (
   SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {n_src} + 1, 1)) AS freq
   FROM keep GROUP BY doc_id
+),
+ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
+"""
+        + _rank_tail("score", "FROM ivsc", k)
+    )
+
+
+def _intervals_fixfield_sql(k: int = 10) -> str:
+    """Intervals.fixField oracle: ordered minimal intervals with the 'the'
+    slot's positions from the UNFILTERED text field (tokp0, full ordinals)
+    and the 'fast' slot from the stop-filtered field (tokp, hole-preserved
+    ordinals), maxgaps 3, minExtent 2, saturation score (interval scoring
+    is similarity-free so no norms/stats join)."""
+    return (
+        _stop_prelude(("the", "a"))
+        + """
+, fb1 AS (SELECT doc_id, pos AS e FROM tokp WHERE term = 'fast'),
+fb0 AS (
+  SELECT b.doc_id, b.e, max(t.pos) AS s
+  FROM fb1 b JOIN tokp0 t ON t.doc_id = b.doc_id AND t.term = 'the'
+    AND t.pos < b.e
+  GROUP BY b.doc_id, b.e
+),
+iv AS (SELECT doc_id, s, min(e) AS e FROM fb0 GROUP BY doc_id, s),
+pf AS (
+  SELECT doc_id, sum(1.0 / greatest((e - s + 1) - 2 + 1, 1)) AS freq
+  FROM iv WHERE (e - s + 1) - 2 <= 3 GROUP BY doc_id
 ),
 ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
 """

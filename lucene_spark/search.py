@@ -1709,6 +1709,11 @@ class Searcher:
         for t in terms:
             if isinstance(t, IntervalMultiTerm):
                 slots.append(self._expand_interval_multiterm(t))
+            elif isinstance(t, FieldMaskedTerm):
+                raise NotImplementedError(
+                    "Intervals.fixField slots require a MultiFieldSearcher "
+                    "(a single-field Searcher has no other position source)"
+                )
             elif isinstance(t, (tuple, list)):
                 slots.append(tuple(t))
             else:
@@ -2320,6 +2325,10 @@ class MultiFieldSearcher(Searcher):
             isinstance(t, FieldMaskedTerm) for t in q.terms
         ):
             return self._eval_span_near_masked(q)
+        if isinstance(q, IntervalQuery) and any(
+            isinstance(t, FieldMaskedTerm) for t in q.terms
+        ):
+            return self._eval_intervals_fixfield(q)
         fname = getattr(q, "field", None)
         if fname is not None:
             sub = self.searchers.get(fname)
@@ -2329,6 +2338,98 @@ class MultiFieldSearcher(Searcher):
         if isinstance(q, (BooleanQuery, DisjunctionMaxQuery, ConstantScoreQuery)):
             return super()._eval(q, needs_scores)  # recurses back through us
         return self.searchers[self.default_field]._eval(q, needs_scores)
+
+    def _eval_intervals_fixfield(self, q: IntervalQuery) -> DataFrame:
+        """IntervalQuery with Intervals.fixField slots
+        (queries/intervals/FixedFieldIntervalsSource.java, factory at
+        Intervals.java:295-297): a FieldMaskedTerm slot streams positions
+        from ITS OWN field's index while the ordered/unordered staircase —
+        and the position ordinals it compares — runs over the enclosing
+        query's slot order, exactly the reference's cross-field interval
+        comparison (the javadoc's stemmed-near-unstemmed example). Interval
+        scoring is similarity-free (saturation on freq, no norms/idf), so
+        unlike the masked-span path no mask-field norm join is needed.
+        Slots here are single terms (plain or field-fixed); OR-alternation
+        and multi-term slots inside a fixField query raise."""
+        mask_field = self.default_field
+        clauses = []
+        for t in q.terms:
+            if isinstance(t, FieldMaskedTerm):
+                clauses.append((t.field, t.term))
+            elif isinstance(t, str):
+                clauses.append((mask_field, t))
+            else:
+                raise NotImplementedError(
+                    "fixField interval slots must be plain or field-fixed terms"
+                )
+        keys = [f + "\x00" + t for f, t in clauses]
+        if len(set(keys)) != len(keys):
+            raise NotImplementedError("duplicate fixField interval slots")
+        by_field: Dict[str, List[str]] = {}
+        for f, t in clauses:
+            by_field.setdefault(f, []).append(t)
+        for f, ts in by_field.items():
+            sub = self.searchers.get(f)
+            if sub is None:
+                return self._empty()
+            stats = sub.term_stats(ts)
+            if any(t not in stats for t in ts):
+                return self._empty()
+        raws = []
+        for f, ts in by_field.items():
+            raws.append(
+                self.searchers[f]
+                .decode_raw(sorted(set(ts)), with_positions=True)
+                .select(
+                    F.concat(F.lit(f + "\x00"), F.col("term")).alias("term"),
+                    "doc_id",
+                    "positions",
+                )
+            )
+        raw = raws[0]
+        for r in raws[1:]:
+            raw = raw.unionByName(r)
+        grouped = (
+            raw.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("nt"),
+                F.collect_list(F.struct("term", "positions")).alias("plist"),
+            )
+            .filter(F.col("nt") >= len(keys))
+        )
+        ordered, max_gaps = bool(q.ordered), int(q.max_gaps)
+        max_width = int(getattr(q, "max_width", -1))
+        keys_t = tuple(keys)
+
+        @F.pandas_udf("double")
+        def ff_freq(plist: pd.Series) -> pd.Series:
+            from . import matchers
+
+            n_docs = len(plist)
+            by_key = {k: [None] * n_docs for k in keys_t}
+            for i, entries in enumerate(plist):
+                for e in entries:
+                    by_key[e["term"]][i] = np.asarray(
+                        e["positions"], dtype=np.int64
+                    )
+            return pd.Series(
+                matchers.interval_freqs(
+                    [by_key[k] for k in keys_t], ordered, max_gaps, n_docs,
+                    min_extent=len(keys_t), max_width=max_width,
+                )
+            )
+
+        scored = grouped.withColumn("freq", ff_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        pivot = float(q.pivot)
+        return scored.select(
+            "doc_id",
+            (
+                F.lit(float(q.boost))
+                * (F.lit(1.0) - F.lit(pivot) / (F.col("freq") + F.lit(pivot)))
+            ).alias("score"),
+        )
 
     def _eval_span_near_masked(self, q: SpanNearQuery) -> DataFrame:
         """SpanNearQuery with FieldMaskingSpanQuery clauses

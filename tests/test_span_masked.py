@@ -177,3 +177,66 @@ def test_position_range_over_near_spans(masked):
     )
     q = SpanPositionRangeQuery(match=sub, start=lo, end=hi)
     assert _got(sa.search(q, 10)) == [(d, np.float32(v)) for d, v in exp]
+
+
+# ---- Intervals.fixField (FixedFieldIntervalsSource) ----
+
+
+def _brute_fixfield_interval_freq(lists, max_gaps):
+    """Ordered minimal intervals over cross-field position lists (the
+    staircase definition), maxgaps-filtered, minExtent = clause count."""
+    import itertools
+
+    n = len(lists)
+    cands = set()
+    for tup in itertools.product(*lists):
+        if all(tup[i] < tup[i + 1] for i in range(n - 1)):
+            cands.add((tup[0], tup[-1]))
+    minimal = {
+        (s, e)
+        for (s, e) in cands
+        if not any(
+            s2 >= s and e2 <= e and (s2, e2) != (s, e) for (s2, e2) in cands
+        )
+    }
+    freq = 0.0
+    for s, e in minimal:
+        if max_gaps >= 0 and (e - s + 1) - n > max_gaps:
+            continue
+        freq += 1.0 / max((e - s + 1) - n + 1, 1)
+    return freq
+
+
+@pytest.mark.parametrize("max_gaps", [-1, 2])
+def test_intervals_fixfield_matches_brute(masked, max_gaps):
+    from lucene_spark.query import IntervalQuery
+
+    q = IntervalQuery(
+        terms=(FieldMaskedTerm(field="b", term="zeta"), "beta"),
+        ordered=True,
+        max_gaps=max_gaps,
+    )
+    got = dict(_got(masked["s"].search(q, 200)))
+    oa, ob = masked["oa"], masked["ob"]
+    exp = {}
+    for d in range(oa.doc_count):
+        pz = ob.positions[d].get("zeta")
+        pb = oa.positions[d].get("beta")
+        if pz is None or pb is None:
+            continue
+        f = _brute_fixfield_interval_freq([pz, pb], max_gaps)
+        if f > 0:
+            exp[d] = np.float32(1.0 - 1.0 / (f + 1.0))
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d] == pytest.approx(float(exp[d]), rel=1e-6)
+
+
+def test_intervals_fixfield_single_field_raises(masked):
+    from lucene_spark.query import IntervalQuery
+
+    q = IntervalQuery(
+        terms=(FieldMaskedTerm(field="b", term="zeta"), "beta"), ordered=True
+    )
+    with pytest.raises(NotImplementedError):
+        masked["sa"].search(q, 10)
