@@ -717,6 +717,30 @@ def build_index(
     return idx
 
 
+def config_to_dict(config: IndexConfig) -> dict:
+    """JSON-safe IndexConfig serialization (shared by the batch manifest
+    and the streaming sidecar)."""
+    return {
+        "chain": config.chain,
+        "seg_size": config.seg_size,
+        "block_size": config.block_size,
+        "with_positions": config.with_positions,
+        "k1": config.k1,
+        "b": config.b,
+        "store_cols": list(config.store_cols),
+        "stopwords": sorted(config.stopwords),
+        "synonyms": [[b, list(e)] for b, e in config.synonyms],
+    }
+
+
+def config_from_dict(mc: dict) -> IndexConfig:
+    mc = dict(mc)
+    mc["store_cols"] = tuple(mc.get("store_cols") or ())
+    mc["stopwords"] = frozenset(mc.get("stopwords") or ())
+    mc["synonyms"] = tuple((b, tuple(e)) for b, e in (mc.get("synonyms") or ()))
+    return IndexConfig(**mc)
+
+
 def write_index(index: Index, path: str) -> dict:
     """Persist index tables as Parquet + manifest (commit point: the analog of
     SegmentInfos/segments_N — SURVEY.md §2.1). Returns manifest dict.
@@ -744,17 +768,7 @@ def write_index(index: Index, path: str) -> dict:
         "has_soft_deletes": index.soft_deletes is not None,
         "doc_count": index.stats.doc_count,
         "sum_total_term_freq": index.stats.sum_total_term_freq,
-        "config": {
-            "chain": index.config.chain,
-            "seg_size": index.config.seg_size,
-            "block_size": index.config.block_size,
-            "with_positions": index.config.with_positions,
-            "k1": index.config.k1,
-            "b": index.config.b,
-            "store_cols": list(index.config.store_cols),
-            "stopwords": sorted(index.config.stopwords),
-            "synonyms": [[b, list(e)] for b, e in index.config.synonyms],
-        },
+        "config": config_to_dict(index.config),
         "index_sort": list(index.index_sort) if index.index_sort else None,
         "build_wall_sec": round(time.time() - t0, 3),
     }
@@ -767,13 +781,7 @@ def read_index(spark: SparkSession, path: str) -> Index:
     """Open a written index (DirectoryReader.open analog)."""
     with open(os.path.join(path, "manifest.json")) as fh:
         manifest = json.load(fh)
-    mc = dict(manifest["config"])
-    mc["store_cols"] = tuple(mc.get("store_cols") or ())
-    mc["stopwords"] = frozenset(mc.get("stopwords") or ())
-    mc["synonyms"] = tuple(
-        (b, tuple(e)) for b, e in (mc.get("synonyms") or ())
-    )
-    cfg = IndexConfig(**mc)
+    cfg = config_from_dict(manifest["config"])
     return Index(
         docs=spark.read.parquet(os.path.join(path, "docs")),
         terms=spark.read.parquet(os.path.join(path, "terms")),

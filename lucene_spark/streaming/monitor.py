@@ -187,6 +187,16 @@ def stream_index_appends(
         if len(batch_df.take(1)) == 0:
             return
         t0 = time.time()
+        cfg_path = os.path.join(path, "stream_config.json")
+        if not os.path.exists(cfg_path):
+            # reader sidecar (SearcherManager reopens with the writer's
+            # exact analysis/scoring config, like SegmentInfos carrying the
+            # codec) — written before the first commit line
+            from ..build import config_to_dict
+
+            os.makedirs(path, exist_ok=True)
+            with open(cfg_path, "w") as fh:
+                json.dump(config_to_dict(cfg), fh)
         idx = build_index(batch_df, cfg, content_col=content_col, doc_id_col=id_col)
         idx.postings.write.mode("append").parquet(os.path.join(path, "postings"))
         idx.docs.write.mode("append").parquet(os.path.join(path, "docs"))

@@ -383,3 +383,69 @@ def test_monitor_presearcher_skips_incompatible_queries(spark):
                                                     TermQuery(term="b")]))
     assert req is None and anys == {"a", "b"}
     assert _presearch_terms(MatchAllDocsQuery()) == (None, None)
+
+
+def test_searcher_manager_generation_waiting(spark, tmp_path):
+    """SearcherManager + waitForGeneration analogs: reopen sees exactly the
+    committed generations, scores equal a one-shot batch build over the
+    same rows, and waiting past the writer times out."""
+    from lucene_spark.streaming.manager import SearcherManager
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "idx")
+    cfg = IndexConfig(seg_size=8)
+    rows1 = [(i, f"streamword{i % 3} common") for i in range(12)]
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").json(src_dir)
+
+    def run_stream():
+        stream = spark.readStream.schema("doc_id long, text string").json(src_dir)
+        q = stream_index_appends(
+            stream, out_dir, cfg, checkpoint=str(tmp_path / "ckpt")
+        ).start()
+        q.awaitTermination(120)
+
+    run_stream()
+    mgr = SearcherManager(spark, out_dir, dtype=np.float64)
+    s1 = mgr.wait_for_generation(1, timeout=10)
+    gen1 = mgr.current_generation
+    assert gen1 >= 1
+    got1 = {
+        int(r["doc_id"]): round(float(r["score"]), 6)
+        for r in s1.search(TermQuery(term="common"), 50).collect()
+    }
+    assert set(got1) == set(range(12))
+
+    # second wave through the SAME checkpoint: generation must advance
+    rows2 = [(i, f"streamword{i % 3} common") for i in range(12, 20)]
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").json(src_dir)
+    run_stream()
+    s2 = mgr.wait_for_generation(gen1 + 1, timeout=10)
+    assert mgr.current_generation > gen1
+    got2 = {
+        int(r["doc_id"]): round(float(r["score"]), 6)
+        for r in s2.search(TermQuery(term="common"), 50).collect()
+    }
+    assert set(got2) == set(range(20))
+
+    # reopened view scores == a one-shot batch build over the same rows
+    # (stats summed across generations are exact)
+    batch = build_index(
+        spark.createDataFrame(rows1 + rows2, "doc_id long, text string"),
+        cfg, content_col="text", doc_id_col="doc_id",
+    )
+    exp = {
+        int(r["doc_id"]): round(float(r["score"]), 6)
+        for r in Searcher(batch, dtype=np.float64)
+        .search(TermQuery(term="common"), 50)
+        .collect()
+    }
+    assert got2 == exp
+
+    # acquired searchers stay valid; maybe_refresh is a no-op at the tip
+    assert mgr.maybe_refresh() is False
+    with pytest.raises(TimeoutError):
+        mgr.wait_for_generation(mgr.generation() + 5, timeout=0.5, poll=0.1)
