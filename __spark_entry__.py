@@ -32,6 +32,7 @@ from lucene_spark.query import (
     AtLeastIntervalQuery,
     DisjunctionMaxQuery,
     ExtendedIntervalQuery,
+    FunctionScoreQuery,
     FuzzyQuery,
     FeatureQuery,
     IntervalFilterQuery,
@@ -62,6 +63,7 @@ from lucene_spark.query import (
     parse,
     parse_multifield,
 )
+from lucene_spark.expressions import SCORE
 from lucene_spark.search import Searcher
 from lucene_spark.functions import dedup as fdedup
 from lucene_spark.functions import facets as ffacets
@@ -411,6 +413,47 @@ matched AS (
 )
 """
     return sql + _rank_tail("score", "FROM matched", k)
+
+
+def _function_score_sql() -> str:
+    """FunctionScoreQuery oracle: float64 BM25 OR sum rescored by the
+    expression 0.3*score + 0.7*sqrt(n_chars) + (n_chars > 2000 ? 0.5 : 0),
+    with the reference's missing/negative/NaN -> 0 guard."""
+    return (
+        _PRELUDE
+        + _scored_cte(["spark", "merge"])
+        + """
+, agg AS (SELECT doc_id, sum(score) AS score FROM sc GROUP BY doc_id),
+fs0 AS (
+  SELECT a.doc_id,
+         0.3 * a.score + 0.7 * sqrt(d.n_chars)
+           + (CASE WHEN d.n_chars > 2000 THEN 0.5 ELSE 0.0 END) AS v
+  FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+),
+fsc AS (SELECT doc_id, CASE WHEN v >= 0 THEN v ELSE 0.0 END AS score FROM fs0)
+"""
+        + _rank_tail("score", "FROM fsc", 10)
+    )
+
+
+def _function_score_boost_query_sql() -> str:
+    """boostByQuery shape: 'spark' BM25 x 1.5 where the doc also matches
+    'fast' (the Query binding's score is > 0 exactly when it matches)."""
+    return (
+        _PRELUDE
+        + _scored_cte(["spark"])
+        + """
+, agg AS (SELECT doc_id, sum(score) AS score FROM sc GROUP BY doc_id),
+fsc AS (
+  SELECT a.doc_id,
+         a.score * (CASE WHEN EXISTS (
+             SELECT 1 FROM tf x WHERE x.doc_id = a.doc_id AND x.term = 'fast'
+         ) THEN 1.5 ELSE 1.0 END) AS score
+  FROM agg a
+)
+"""
+        + _rank_tail("score", "FROM fsc", 10)
+    )
 
 
 def _const_docs_sql(term_pred: str) -> str:
@@ -848,6 +891,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     TermQuery(term="spark"),
                     FeatureQuery(feature="n_chars", boost=0.05),
                 ]
+            ),
+            10,
+        ),
+        # ---- compiled scoring expressions (expressions/js + FunctionScoreQuery) ----
+        "q_function_score": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            FunctionScoreQuery(
+                query=bool_query(
+                    should=[TermQuery(term="spark"), TermQuery(term="merge")]
+                ),
+                expression="0.3*score + 0.7*sqrt(nc) + (nc > 2000 ? 0.5 : 0.0)",
+                bindings=(("score", SCORE), ("nc", "n_chars")),
+            ),
+            10,
+        ),
+        "q_function_score_boost_query": lambda sp, d: _topk_df(
+            # boostByQuery shape: x1.5 where the boost query matches
+            _searcher(sp, d),
+            FunctionScoreQuery(
+                query=TermQuery(term="spark"),
+                expression="score * (b != 0 ? 1.5 : 1.0)",
+                bindings=(("score", SCORE), ("b", TermQuery(term="fast"))),
             ),
             10,
         ),
@@ -1446,6 +1511,8 @@ def oracle_sql() -> dict[str, str]:
         "q_filter": _bool_topk_sql(must=["table"], filters=["spark"]),
         "q_and3_hot": _bool_topk_sql(must=["a", "the", "table"]),
         "q_phrase": _phrase_sql(["fast", "table"]),
+        "q_function_score": _function_score_sql(),
+        "q_function_score_boost_query": _function_score_boost_query_sql(),
         "q_multifield": _multifield_sql(),
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_phrase_slop2": _phrase_slop_sql(["fast", "table"], 2),

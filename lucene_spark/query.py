@@ -217,6 +217,27 @@ class IntervalMultiTerm:
 
 
 @dataclass(frozen=True)
+class FunctionScoreQuery(Query):
+    """FunctionScoreQuery (queries/function/FunctionScoreQuery.java) over a
+    compiled expression (expressions/js/JavascriptCompiler.java): matching
+    docs come from the wrapped query; the score is the expression value
+    times boost, with the reference's guard — missing, negative, or NaN
+    expression values score 0 (FunctionScoreWeight's scorer,
+    FunctionScoreQuery.java:238-247).
+
+    ``bindings`` maps each free variable to its DoubleValuesSource analog
+    (SimpleBindings): the sentinel :data:`lucene_spark.expressions.SCORE`
+    for the wrapped query's relevance score, a stored doc-values column
+    name, or a Query (DoubleValuesSource.fromQuery — the sub-query's score
+    where it matches, 0.0 where it doesn't; boostByQuery's conditional
+    factor is then the expression ``b != 0 ? boost : 1``)."""
+
+    query: Optional[Query] = None
+    expression: str = ""
+    bindings: Tuple = ()  # ((var, SCORE | column_name | Query), ...)
+
+
+@dataclass(frozen=True)
 class NoOverlapsIntervalQuery(Query):
     """Intervals.unorderedNoOverlaps(a, b) (queries/intervals/
     Intervals.java:285-287): intervals where both operands appear without

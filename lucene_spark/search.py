@@ -47,6 +47,7 @@ from .query import (
     AtLeastIntervalQuery,
     ExtendedIntervalQuery,
     IntervalFilterQuery,
+    FunctionScoreQuery,
     IntervalMultiTerm,
     IntervalQuery,
     NoOverlapsIntervalQuery,
@@ -1008,6 +1009,8 @@ class Searcher:
             return self._eval_intervals_ext(q)
         if isinstance(q, NoOverlapsIntervalQuery):
             return self._eval_intervals_no_overlaps(q)
+        if isinstance(q, FunctionScoreQuery):
+            return self._eval_function_score(q)
         if isinstance(q, AtLeastIntervalQuery):
             return self._eval_intervals_atleast(q)
         if isinstance(q, ConstantScoreQuery):
@@ -1933,6 +1936,54 @@ class Searcher:
                 * (F.lit(1.0) - F.lit(pivot) / (F.col("freq") + F.lit(pivot)))
             ).alias("score"),
         )
+
+    def _eval_function_score(self, q: FunctionScoreQuery) -> DataFrame:
+        """FunctionScoreQuery: one Column tree over the wrapped query's
+        matches (queries/function/FunctionScoreQuery.java scorer). The
+        whole rescore is Catalyst expressions — the expression itself
+        compiles to columns (expressions.py), doc-value bindings are one
+        join against the stored docs projection, Query bindings are
+        left-joined sub-scores (missing -> 0.0) — so nothing leaves
+        whole-stage codegen and the plan scales like the wrapped query."""
+        from .expressions import SCORE, compile_expression
+
+        expr = compile_expression(q.expression)
+        binds = dict(q.bindings)
+        missing = [v for v in expr.variables if v not in binds]
+        if missing:
+            raise ValueError(f"unbound expression variables: {missing}")
+        df = self._eval(q.query, needs_scores=True)
+        cols: Dict[str, F.Column] = {}
+        doc_cols = []
+        for i, (var, src) in enumerate(q.bindings):
+            if src == SCORE:
+                cols[var] = F.col("score")
+            elif isinstance(src, Query):
+                sub = self._eval(src, needs_scores=True).select(
+                    "doc_id", F.col("score").alias(f"__fs{i}")
+                )
+                df = df.join(sub, "doc_id", "left")
+                cols[var] = F.coalesce(F.col(f"__fs{i}"), F.lit(0.0))
+            else:
+                if src not in self.index.docs.columns:
+                    raise ValueError(f"unknown doc-values column {src!r}")
+                doc_cols.append(src)
+                cols[var] = F.col(src)
+        if doc_cols:
+            df = df.join(
+                self.index.docs.select("doc_id", *sorted(set(doc_cols))),
+                "doc_id",
+            )
+        val = expr.to_column(lambda v: cols[v])
+        # missing / negative / NaN -> 0 (the reference's score() guard).
+        # NaN must be excluded explicitly: Catalyst ORDERS NaN above every
+        # double (so NaN >= 0 is true), unlike Java's always-false NaN
+        # comparisons
+        score = F.when(
+            (~F.isnan(val)) & (val >= F.lit(0.0)),
+            val * F.lit(float(np.float64(q.boost))),
+        ).otherwise(F.lit(0.0))
+        return df.select("doc_id", score.alias("score"))
 
     def _eval_intervals_no_overlaps(self, q: NoOverlapsIntervalQuery) -> DataFrame:
         """Intervals.unorderedNoOverlaps(a, b) = or(ordered(a, b),
