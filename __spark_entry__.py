@@ -32,6 +32,7 @@ from lucene_spark.query import (
     AtLeastIntervalQuery,
     DisjunctionMaxQuery,
     ExtendedIntervalQuery,
+    ConstantScoreQuery,
     FunctionScoreQuery,
     FuzzyQuery,
     FeatureQuery,
@@ -264,6 +265,24 @@ def _topk_df(s: Searcher, q: Query, k: int = 10) -> DataFrame:
     )
 
 
+def _rank_scored(top: DataFrame, k: int = 10) -> DataFrame:
+    """Re-rank an already-scored frame on the ROUNDED score (ties ->
+    doc_id) — the _topk_df convention for frames that arrive pre-limited
+    (rescorers); pass a frame a few rows wider than k so the rounded
+    re-rank can pull in boundary docs."""
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.round(F.col("score"), 6).alias("score"),
+        )
+        .orderBy("rank")
+    )
+
+
 def _docs_df(s: Searcher, q: Query) -> DataFrame:
     """Constant-score matches: sorted doc_ids."""
     return (
@@ -450,6 +469,46 @@ fsc AS (
              SELECT 1 FROM tf x WHERE x.doc_id = a.doc_id AND x.term = 'fast'
          ) THEN 1.5 ELSE 1.0 END) AS score
   FROM agg a
+)
+"""
+        + _rank_tail("score", "FROM fsc", 10)
+    )
+
+
+def _rescore_query_sql() -> str:
+    """QueryRescorer oracle: constant-score (1.0) first pass = the 50
+    lowest doc_ids matching 'spark'; combined = 1.0 + 2.0 * bm25('fast')
+    where the second query matches (QueryRescorer.rescore combine)."""
+    return (
+        _PRELUDE
+        + _scored_cte(["fast"])
+        + """
+, fp AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term = 'spark' ORDER BY doc_id LIMIT 50
+),
+agg AS (SELECT doc_id, sum(score) AS score FROM sc GROUP BY doc_id),
+fsc AS (
+  SELECT f.doc_id, 1.0 + 2.0 * coalesce(a.score, 0.0) AS score
+  FROM fp f LEFT JOIN agg a ON a.doc_id = f.doc_id
+)
+"""
+        + _rank_tail("score", "FROM fsc", 10)
+    )
+
+
+def _rescore_expression_sql() -> str:
+    """ExpressionRescorer oracle: same deterministic first pass re-sorted
+    by sqrt(n_chars) - 50 + 0.1*score (score = the constant 1.0 first-pass
+    score; no FunctionScoreQuery guard, negatives rank)."""
+    return (
+        _PRELUDE
+        + """
+, fp AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term = 'spark' ORDER BY doc_id LIMIT 50
+),
+fsc AS (
+  SELECT f.doc_id, sqrt(d.n_chars) - 50 + 0.1 * 1.0 AS score
+  FROM fp f JOIN documents d ON d.doc_id = f.doc_id
 )
 """
         + _rank_tail("score", "FROM fsc", 10)
@@ -915,6 +974,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 bindings=(("score", SCORE), ("b", TermQuery(term="fast"))),
             ),
             10,
+        ),
+        # QueryRescorer / ExpressionRescorer: constant-score first pass
+        # (top-50 = the 50 lowest doc_ids matching 'spark' — tie order
+        # deterministic on BOTH engines), second pass re-ranks only those
+        "q_rescore_query": lambda sp, d: _rank_scored(
+            _searcher(sp, d).rescore_query(
+                ConstantScoreQuery(query=TermQuery(term="spark")),
+                TermQuery(term="fast"),
+                weight=2.0,
+                first_pass_k=50,
+                k=18,
+            )
+        ),
+        "q_rescore_expression": lambda sp, d: _rank_scored(
+            _searcher(sp, d).rescore_expression(
+                ConstantScoreQuery(query=TermQuery(term="spark")),
+                "sqrt(nc) - 50 + 0.1*score",
+                (("score", SCORE), ("nc", "n_chars")),
+                first_pass_k=50,
+                k=18,
+            )
         ),
         # ---- deletes (tombstoned docs never match; stats unchanged) ----
         "q_term_deleted": lambda sp, d: (
@@ -1513,6 +1593,8 @@ def oracle_sql() -> dict[str, str]:
         "q_phrase": _phrase_sql(["fast", "table"]),
         "q_function_score": _function_score_sql(),
         "q_function_score_boost_query": _function_score_boost_query_sql(),
+        "q_rescore_query": _rescore_query_sql(),
+        "q_rescore_expression": _rescore_expression_sql(),
         "q_multifield": _multifield_sql(),
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_phrase_slop2": _phrase_slop_sql(["fast", "table"], 2),

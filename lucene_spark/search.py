@@ -1937,25 +1937,28 @@ class Searcher:
             ).alias("score"),
         )
 
-    def _eval_function_score(self, q: FunctionScoreQuery) -> DataFrame:
-        """FunctionScoreQuery: one Column tree over the wrapped query's
-        matches (queries/function/FunctionScoreQuery.java scorer). The
-        whole rescore is Catalyst expressions — the expression itself
-        compiles to columns (expressions.py), doc-value bindings are one
-        join against the stored docs projection, Query bindings are
-        left-joined sub-scores (missing -> 0.0) — so nothing leaves
-        whole-stage codegen and the plan scales like the wrapped query."""
+    def _expression_scores(
+        self, df: DataFrame, expression: str, bindings, boost: float = 1.0,
+        guard: bool = True,
+    ) -> DataFrame:
+        """Evaluate a compiled expression over a (doc_id, score) frame:
+        SCORE binds the frame's score column, doc-values columns join the
+        stored docs projection once, Query bindings left-join sub-scores
+        (0.0 when unmatched — DoubleValuesSource.fromQuery). With
+        ``guard``, missing/negative/NaN values score 0 (FunctionScoreQuery
+        scorer); NaN is excluded explicitly because Catalyst ORDERS NaN
+        above every double (NaN >= 0 is true), unlike Java's always-false
+        NaN comparisons."""
         from .expressions import SCORE, compile_expression
 
-        expr = compile_expression(q.expression)
-        binds = dict(q.bindings)
+        expr = compile_expression(expression)
+        binds = dict(bindings)
         missing = [v for v in expr.variables if v not in binds]
         if missing:
             raise ValueError(f"unbound expression variables: {missing}")
-        df = self._eval(q.query, needs_scores=True)
         cols: Dict[str, F.Column] = {}
         doc_cols = []
-        for i, (var, src) in enumerate(q.bindings):
+        for i, (var, src) in enumerate(bindings):
             if src == SCORE:
                 cols[var] = F.col("score")
             elif isinstance(src, Query):
@@ -1975,15 +1978,63 @@ class Searcher:
                 "doc_id",
             )
         val = expr.to_column(lambda v: cols[v])
-        # missing / negative / NaN -> 0 (the reference's score() guard).
-        # NaN must be excluded explicitly: Catalyst ORDERS NaN above every
-        # double (so NaN >= 0 is true), unlike Java's always-false NaN
-        # comparisons
-        score = F.when(
-            (~F.isnan(val)) & (val >= F.lit(0.0)),
-            val * F.lit(float(np.float64(q.boost))),
-        ).otherwise(F.lit(0.0))
-        return df.select("doc_id", score.alias("score"))
+        if guard:
+            val = F.when(
+                (~F.isnan(val)) & (val >= F.lit(0.0)),
+                val * F.lit(float(np.float64(boost))),
+            ).otherwise(F.lit(0.0))
+        else:
+            val = val * F.lit(float(np.float64(boost)))
+        return df.select("doc_id", val.alias("score"))
+
+    def _eval_function_score(self, q: FunctionScoreQuery) -> DataFrame:
+        """FunctionScoreQuery: one Column tree over the wrapped query's
+        matches (queries/function/FunctionScoreQuery.java scorer). The
+        whole rescore is Catalyst expressions — the expression itself
+        compiles to columns (expressions.py), doc-value bindings are one
+        join against the stored docs projection, Query bindings are
+        left-joined sub-scores (missing -> 0.0) — so nothing leaves
+        whole-stage codegen and the plan scales like the wrapped query."""
+        df = self._eval(q.query, needs_scores=True)
+        return self._expression_scores(df, q.expression, q.bindings, q.boost)
+
+    def rescore_query(
+        self, first_pass: Query, second: Query, weight: float,
+        first_pass_k: int, k: int = 10,
+    ) -> DataFrame:
+        """QueryRescorer.rescore (search/QueryRescorer.java:177-192):
+        re-rank the first pass's top-N by
+        firstPassScore + weight * secondPassScore where the second query
+        matches, firstPassScore alone where it doesn't. The second pass
+        evaluates only against the top-N frame (a join against N rows —
+        the 'cheap second pass over few docs' contract, expressed as a
+        semi-restricted join instead of a doc-at-a-time scorer)."""
+        top = self.search(first_pass, first_pass_k, prune=False)
+        sec = self._eval(second, needs_scores=True).select(
+            "doc_id", F.col("score").alias("__r2")
+        )
+        combined = top.join(sec, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.col("score")
+                + F.coalesce(F.col("__r2"), F.lit(0.0))
+                * F.lit(float(np.float64(weight)))
+            ).alias("score"),
+        )
+        return self._topk(combined, k)
+
+    def rescore_expression(
+        self, first_pass: Query, expression: str, bindings,
+        first_pass_k: int, k: int = 10,
+    ) -> DataFrame:
+        """ExpressionRescorer (expressions/ExpressionRescorer.java): the
+        top-N docs of the first pass re-sorted by the expression value,
+        which becomes the new score; SCORE binds the first-pass score.
+        No FunctionScoreQuery guard — SortRescorer uses the raw sort
+        value, negative or not."""
+        top = self.search(first_pass, first_pass_k, prune=False)
+        scored = self._expression_scores(top, expression, bindings, guard=False)
+        return self._topk(scored, k)
 
     def _eval_intervals_no_overlaps(self, q: NoOverlapsIntervalQuery) -> DataFrame:
         """Intervals.unorderedNoOverlaps(a, b) = or(ordered(a, b),

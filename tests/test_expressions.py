@@ -198,3 +198,58 @@ def test_function_score_unbound_variable_raises(built):
     )
     with pytest.raises(ValueError):
         s.search(q, 10)
+
+
+def test_rescore_query_combines(spark, built):
+    """QueryRescorer.rescore: firstPass + weight*second where matched,
+    restricted to the first pass's top-N."""
+    s = Searcher(built, dtype=np.float64)
+    first, second, w, n = TermQuery(term="red"), TermQuery(term="fast"), 2.5, 8
+    base = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in s.search(first, n, prune=False).collect()
+    ]
+    sec = {
+        int(r["doc_id"]): float(r["score"])
+        for r in s.search(second, 1000, prune=False).collect()
+    }
+    exp = sorted(
+        ((d, b + w * sec.get(d, 0.0)) for d, b in base),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in s.rescore_query(first, second, w, first_pass_k=n, k=5).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (gd, gv), (_, ev) in zip(got, exp):
+        assert gv == pytest.approx(ev, rel=1e-9)
+    # docs outside the first-pass top-N never enter the rescored list
+    assert {d for d, _ in got} <= {d for d, _ in base}
+
+
+def test_rescore_expression_sorts_by_value(spark, built):
+    """ExpressionRescorer: top-N re-sorted by the expression value (no
+    FunctionScoreQuery guard — negative values rank, not zero out)."""
+    s = Searcher(built, dtype=np.float64)
+    first, n = TermQuery(term="red"), 8
+    base = {
+        int(r["doc_id"]): float(r["score"])
+        for r in s.search(first, n, prune=False).collect()
+    }
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in s.rescore_expression(
+            first, "0 - pop + 0.001*score",
+            (("score", SCORE), ("pop", "pop")),
+            first_pass_k=n, k=5,
+        ).collect()
+    ]
+    exp = sorted(
+        ((d, -(10.0 + d) + 0.001 * b) for d, b in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (gd, gv), (_, ev) in zip(got, exp):
+        assert gv == pytest.approx(ev, rel=1e-9)
+    assert all(v < 0 for _, v in got)  # unguarded negatives survive
