@@ -449,3 +449,24 @@ def test_searcher_manager_generation_waiting(spark, tmp_path):
     assert mgr.maybe_refresh() is False
     with pytest.raises(TimeoutError):
         mgr.wait_for_generation(mgr.generation() + 5, timeout=0.5, poll=0.1)
+
+
+def test_read_code_table_sources(spark, tmp_path):
+    """Source adapter: parquet path round-trip with column pruning; the
+    Iceberg branch is import-gated with an actionable error (no runtime
+    JARs in this sandbox)."""
+    from lucene_spark.sources import read_code_table
+
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, "alpha", "x"), (1, "beta", "y")],
+        "doc_id long, content string, extra string",
+    ).write.parquet(p)
+    df = read_code_table(spark, p, columns=("doc_id", "content"))
+    assert df.columns == ["doc_id", "content"] and df.count() == 2
+    # inference: existing path -> parquet
+    assert read_code_table(spark, p).count() == 2
+    with pytest.raises(ImportError):
+        read_code_table(spark, "nosuch.code_repos", fmt="iceberg")
+    with pytest.raises(ValueError):
+        read_code_table(spark, p, fmt="orc2")
