@@ -223,6 +223,36 @@ _CLS_INPUTS = [
 _CLS_KNN_DOCS = [0, 5]  # inputs = these docs' own text (like q_mlt_doc0)
 
 
+def _payload_entry(sp: SparkSession, d: str, terms, fn: str) -> DataFrame:
+    """End-to-end payload path: attach a deterministic ``|pos%5 + 0.5``
+    payload to every whitespace token of documents.text (pure Catalyst
+    transform), parse it back through parse_delimited_payloads (the REAL
+    DelimitedPayloadTokenFilter path), then PayloadScoreQuery-aggregate.
+    The oracle derives (term, pos, payload) independently in SQL."""
+    from lucene_spark.functions import payloads as fpay
+
+    docs = _docs(sp, d)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    delim = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                toks,
+                lambda x, i: F.concat(
+                    x, F.lit("|"), (i % 5).cast("string"), F.lit(".5")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    tbl = fpay.parse_delimited_payloads(delim, "doc_id", "text")
+    out = fpay.payload_score(tbl, terms, fn)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.round(F.col("score"), 6).alias("score"),
+    ).orderBy("doc_id")
+
+
 def _cls_nb(sp: SparkSession, d: str) -> DataFrame:
     from lucene_spark.classification import SimpleNaiveBayesClassifier
 
@@ -1425,6 +1455,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- classification over index statistics (reference classification/) ----
         "cls_naive_bayes": lambda sp, d: _cls_nb(sp, d),
         "cls_knn": lambda sp, d: _cls_knn(sp, d),
+        # ---- payloads (queries/payloads + DelimitedPayloadTokenFilter) ----
+        "payload_sum": lambda sp, d: _payload_entry(sp, d, "spark", "sum"),
+        "payload_pair_avg": lambda sp, d: _payload_entry(
+            sp, d, ("table", "hash"), "avg"
+        ),
     }
     return out
 
@@ -2561,6 +2596,8 @@ FROM f ORDER BY doc_id, frame_idx
 """,
         "cls_naive_bayes": _cls_nb_sql(),
         "cls_knn": _cls_knn_sql(_CLS_KNN_DOCS, k=5, max_terms=5, min_df=2),
+        "payload_sum": _payload_sql("term = 'spark'", "sum"),
+        "payload_pair_avg": _payload_pair_sql("table", "hash", "avg"),
     }
 
 
@@ -2646,6 +2683,66 @@ sc AS (
 agg AS (SELECT doc_id, sum(score) AS score FROM sc GROUP BY doc_id)
 """
         + _rank_tail("score", "FROM agg", k)
+    )
+
+
+_PAYLOAD_TOKS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), 1) - 1 AS pos
+  FROM documents
+),
+p AS (SELECT doc_id, lower(tok) AS term, pos, (pos % 5) + 0.5 AS payload FROM toks)
+"""
+
+
+def _payload_agg_tail(fn: str, src: str) -> str:
+    """docScore per PayloadFunction over `m(doc_id, seen, s, mn, mx)`."""
+    val = {
+        "sum": "CASE WHEN seen > 0 THEN s ELSE 1.0 END",
+        "min": "CASE WHEN seen > 0 THEN mn ELSE 1.0 END",
+        "max": "CASE WHEN seen > 0 THEN mx ELSE 1.0 END",
+        "avg": "CASE WHEN seen > 0 THEN s / seen ELSE 1.0 END",
+    }[fn]
+    return f"""
+, m AS (
+  SELECT doc_id, count(payload) AS seen, sum(payload) AS s,
+         min(payload) AS mn, max(payload) AS mx
+  FROM {src} GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id,
+       round(CASE WHEN ({val}) >= 0 THEN ({val}) ELSE 0.0 END, 6) AS score
+FROM m ORDER BY doc_id
+"""
+
+
+def _payload_sql(pred: str, fn: str) -> str:
+    """Single-term PayloadScoreQuery oracle: whitespace tokens with the
+    deterministic (pos % 5) + 0.5 payload, aggregated per doc."""
+    return (
+        _PAYLOAD_TOKS
+        + f", sel AS (SELECT doc_id, payload FROM p WHERE {pred})"
+        + _payload_agg_tail(fn, "sel")
+    )
+
+
+def _payload_pair_sql(a: str, b: str, fn: str) -> str:
+    """Adjacent-pair PayloadScoreQuery oracle: both positions of each
+    matched (a, b) exact-adjacent pair feed the function."""
+    return (
+        _PAYLOAD_TOKS
+        + f"""
+, pairs AS (
+  SELECT x.doc_id, x.payload AS pla, y.payload AS plb
+  FROM p x JOIN p y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+  WHERE x.term = '{a}' AND y.term = '{b}'
+),
+sel AS (
+  SELECT doc_id, pla AS payload FROM pairs
+  UNION ALL SELECT doc_id, plb FROM pairs
+)"""
+        + _payload_agg_tail(fn, "sel")
     )
 
 
