@@ -223,7 +223,9 @@ _CLS_INPUTS = [
 _CLS_KNN_DOCS = [0, 5]  # inputs = these docs' own text (like q_mlt_doc0)
 
 
-def _payload_entry(sp: SparkSession, d: str, terms, fn: str) -> DataFrame:
+def _payload_entry(
+    sp: SparkSession, d: str, terms, fn: str, include_span: bool = False
+) -> DataFrame:
     """End-to-end payload path: attach a deterministic ``|pos%5 + 0.5``
     payload to every whitespace token of documents.text (pure Catalyst
     transform), parse it back through parse_delimited_payloads (the REAL
@@ -246,7 +248,12 @@ def _payload_entry(sp: SparkSession, d: str, terms, fn: str) -> DataFrame:
         ).alias("text"),
     )
     tbl = fpay.parse_delimited_payloads(delim, "doc_id", "text")
-    out = fpay.payload_score(tbl, terms, fn)
+    span_scores = None
+    if include_span:
+        span_scores = _searcher(sp, d).search(
+            TermQuery(term=terms), 1 << 20, prune=False
+        )
+    out = fpay.payload_score(tbl, terms, fn, span_scores=span_scores)
     return out.select(
         F.col("doc_id").cast("long"),
         F.round(F.col("score"), 6).alias("score"),
@@ -1460,6 +1467,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_pair_avg": lambda sp, d: _payload_entry(
             sp, d, ("table", "hash"), "avg"
         ),
+        "payload_include_span": lambda sp, d: _payload_entry(
+            # includeSpanScore: payload aggregate x the wrapped query's
+            # BM25 score (span scores from the standard-chain index)
+            sp, d, "spark", "sum", include_span=True
+        ),
     }
     return out
 
@@ -2598,6 +2610,7 @@ FROM f ORDER BY doc_id, frame_idx
         "cls_knn": _cls_knn_sql(_CLS_KNN_DOCS, k=5, max_terms=5, min_df=2),
         "payload_sum": _payload_sql("term = 'spark'", "sum"),
         "payload_pair_avg": _payload_pair_sql("table", "hash", "avg"),
+        "payload_include_span": _payload_span_sql("spark"),
     }
 
 
@@ -2743,6 +2756,38 @@ sel AS (
   UNION ALL SELECT doc_id, plb FROM pairs
 )"""
         + _payload_agg_tail(fn, "sel")
+    )
+
+
+def _payload_span_sql(term: str) -> str:
+    """includeSpanScore oracle: standard-chain float64 BM25 of the wrapped
+    term times the whitespace-token payload sum (docs in both frames —
+    the inner includeSpanScore join)."""
+    return (
+        _PRELUDE
+        + _scored_cte([term])
+        + f"""
+, agg AS (SELECT doc_id, sum(score) AS score FROM sc GROUP BY doc_id),
+wtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), 1) - 1 AS pos
+  FROM documents
+),
+wp AS (SELECT doc_id, lower(tok) AS term, (pos % 5) + 0.5 AS payload FROM wtoks),
+m AS (
+  SELECT doc_id, count(payload) AS seen, sum(payload) AS s
+  FROM wp WHERE term = '{term}' GROUP BY doc_id
+),
+psc AS (
+  SELECT doc_id,
+         CASE WHEN (CASE WHEN seen > 0 THEN s ELSE 1.0 END) >= 0
+              THEN (CASE WHEN seen > 0 THEN s ELSE 1.0 END) ELSE 0.0 END AS pscore
+  FROM m
+)
+SELECT p.doc_id::BIGINT AS doc_id, round(a.score * p.pscore, 6) AS score
+FROM psc p JOIN agg a ON a.doc_id = p.doc_id ORDER BY doc_id
+"""
     )
 
 
