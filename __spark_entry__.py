@@ -886,6 +886,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             NoOverlapsIntervalQuery(a="fast", b="table"),
             10,
         ),
+        "q_intervals_containing_or_slot": lambda sp, d: _topk_df(
+            # Intervals.or alternation INSIDE a filter operand: the source
+            # slot matches fast OR slow
+            _searcher(sp, d),
+            IntervalFilterQuery(
+                kind="containing",
+                source=IntervalQuery(
+                    terms=(("fast", "slow"), "table"), ordered=False
+                ),
+                reference=IntervalQuery(terms=("the",)),
+            ),
+            10,
+        ),
         "q_intervals_ordered_dup_adj": lambda sp, d: _topk_df(
             # adjacent repeat collapses to a RepeatingIntervalsSource run:
             # minExtent 2, gaps still count all three positions
@@ -1740,6 +1753,9 @@ def oracle_sql() -> dict[str, str]:
             "not_within", ["fast", "table"], False, ["the"], True, positions=2
         ),
         "q_intervals_no_overlaps": _intervals_no_overlaps_sql("fast", "table"),
+        "q_intervals_containing_or_slot": _interval_filter_slots_sql(
+            [["fast", "slow"], ["table"]], False, ["the"], True
+        ),
         # span algebra: point spans weigh 1/(1+(end-start)) = 0.5 each
         "q_span_or": _freq_rank_sql(
             "  SELECT doc_id, count(*) * 0.5 AS freq\n"
@@ -3296,6 +3312,39 @@ iv AS (SELECT doc_id, s, min(e) AS e FROM fb0 GROUP BY doc_id, s),
 pf AS (
   SELECT doc_id, sum(1.0 / greatest((e - s + 1) - 2 + 1, 1)) AS freq
   FROM iv WHERE (e - s + 1) - 2 <= 3 GROUP BY doc_id
+),
+ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
+"""
+        + _rank_tail("score", "FROM ivsc", k)
+    )
+
+
+def _interval_filter_slots_sql(
+    src_slots: list, src_ordered: bool, ref_terms: list[str],
+    ref_ordered: bool, k: int = 10,
+) -> str:
+    """`containing` filter with OR-alternation slots on the SOURCE side:
+    the source minimal stream comes from the slot staircase (union of
+    alternatives per slot), the reference from the point-term chain;
+    minExtent = source slot count."""
+    n_src = len(src_slots)
+    body, win = _slots_win_sql(src_slots, src_ordered)
+    return (
+        _PRELUDE
+        + body
+        + f"""
+, swin AS ({win}),
+ivs AS (SELECT doc_id, s, min(e) AS e FROM swin GROUP BY doc_id, s)"""
+        + _iv_ctes(ref_terms, ref_ordered, -1, pfx="r")
+        + f"""
+, keep AS (
+  SELECT a.* FROM ivs a
+  WHERE EXISTS (SELECT 1 FROM ivr b WHERE b.doc_id = a.doc_id
+                AND b.s >= a.s AND b.e <= a.e)
+),
+pf AS (
+  SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {n_src} + 1, 1)) AS freq
+  FROM keep GROUP BY doc_id
 ),
 ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
 """

@@ -1867,36 +1867,47 @@ class Searcher:
         NotContainedBy/Overlapping/NonOverlapping IntervalsSources +
         Intervals.before/after): each streaming filter loop reduces to one
         searchsorted over the two minimal-interval streams — vectorized in
-        matchers.interval_filter_freqs. Operands are distinct-point-term
-        ordered/unordered sources (duplicate terms inside a filter operand
-        are out of scope and raise)."""
+        matchers.interval_filter_freqs. Operand slots follow the
+        IntervalQuery conventions: bare terms, Intervals.or alternation
+        tuples (the slot stream = sorted union of the alternatives'
+        positions), or IntervalMultiTerm expansions; duplicate SLOTS
+        inside one operand are out of scope and raise."""
         src, ref = q.source, q.reference
         for side in (src, ref):
-            if len(set(side.terms)) != len(side.terms):
-                raise NotImplementedError(
-                    "duplicate terms inside an interval filter operand"
-                )
             if int(getattr(side, "max_width", -1)) >= 0:
                 raise NotImplementedError(
                     "maxwidth on an interval filter operand"
                 )
-        src_terms, ref_terms = list(src.terms), list(ref.terms)
+        src_slots = self._resolve_interval_slots(src.terms)
+        ref_slots = self._resolve_interval_slots(ref.terms)
+        for slots in (src_slots, ref_slots):
+            if len({tuple(s) for s in slots}) != len(slots):
+                raise NotImplementedError(
+                    "duplicate slots inside an interval filter operand"
+                )
+        src_terms = [t for s in src_slots for t in s]
+        ref_terms = [t for s in ref_slots for t in s]
         stats = self.term_stats(src_terms + ref_terms)
-        if any(t not in stats for t in src_terms):
+        if any(all(t not in stats for t in s) for s in src_slots):
             return self._empty()
         conj = q.kind in {
             "containing", "contained_by", "overlapping", "before", "after",
             "within",
         }
-        if conj and any(t not in stats for t in ref_terms):
+        if conj and any(all(t not in stats for t in s) for s in ref_slots):
             return self._empty()
-        all_terms = list(dict.fromkeys(src_terms + ref_terms))
-        min_terms = (
-            len(all_terms) if conj else len(set(src_terms))
-        )
+        all_terms = sorted({t for t in src_terms + ref_terms})
+        singles = all(len(s) == 1 for s in src_slots + ref_slots)
+        if singles:
+            min_terms = (
+                len(all_terms) if conj else len({s[0] for s in src_slots})
+            )
+        else:
+            min_terms = 1  # alternation slots: membership decided in-kernel
         kind = q.kind
         b_ext = int(q.positions) if kind in ("within", "not_within") else 0
-        sterms, rterms = tuple(src_terms), tuple(ref_terms)
+        sslots_t = tuple(tuple(s) for s in src_slots)
+        rslots_t = tuple(tuple(s) for s in ref_slots)
         s_ord, s_mg = bool(src.ordered), int(src.max_gaps)
         r_ord, r_mg = bool(ref.ordered), int(ref.max_gaps)
 
@@ -1904,19 +1915,16 @@ class Searcher:
         def ivf_freq(plist: pd.Series) -> pd.Series:
             from . import matchers
 
-            n_docs = len(plist)
-            by_term = {t: [None] * n_docs for t in set(sterms + rterms)}
-            for i, entries in enumerate(plist):
-                for e in entries:
-                    by_term[e["term"]][i] = np.asarray(e["positions"], dtype=np.int64)
-            empty = [None] * n_docs
+            by_slot, n_docs = _slot_position_lists(
+                plist, sslots_t + rslots_t, all_terms
+            )
             return pd.Series(
                 matchers.interval_filter_freqs(
                     kind,
-                    [by_term[t] for t in sterms],
+                    by_slot[: len(sslots_t)],
                     s_ord,
                     s_mg,
-                    [by_term.get(t, empty) for t in rterms],
+                    by_slot[len(sslots_t):],
                     r_ord,
                     r_mg,
                     n_docs,
