@@ -1453,6 +1453,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(sp, d), [0, 1, 2], k=10, tables=20, bits=4
         ),
         "sim_ivf_topk": lambda sp, d: _ivf_topk(sp, d),
+        "sim_sq8_topk": lambda sp, d: fsim.sq8_topk(
+            sp.read.parquet(os.path.join(d, "embeddings.parquet")),
+            [0, 1, 2],
+            k=5,
+        ),
         "sim_hnsw_topk": lambda sp, d: _hnsw_topk(sp, d),
         # ---- text analysis ----
         "text_token_counts": lambda sp, d: ftext.token_counts(
@@ -2459,6 +2464,42 @@ c AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS cv
       FROM embeddings WHERE vec_id NOT IN (5, 6, 7)),
 scored AS (
   SELECT query_id, vec_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        "sim_sq8_topk": """
+WITH ex AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS ord
+  FROM embeddings
+),
+dims AS (
+  SELECT ord, min(x)::DOUBLE AS mn, max(x)::DOUBLE AS mx
+  FROM ex GROUP BY ord
+),
+cd AS (
+  SELECT ex.vec_id::BIGINT AS vec_id,
+         array_agg(
+           CASE WHEN dims.mx = dims.mn THEN dims.mn
+                ELSE dims.mn
+                   + least(greatest(round(round((ex.x - dims.mn)
+                       / ((dims.mx - dims.mn) / 255), 6)), 0), 255)
+                   * ((dims.mx - dims.mn) / 255)
+           END ORDER BY ex.ord
+         ) AS cdq
+  FROM ex JOIN dims ON dims.ord = ex.ord
+  GROUP BY ex.vec_id
+),
+q AS (SELECT vec_id::BIGINT AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+c AS (SELECT vec_id, cdq FROM cd WHERE vec_id NOT IN (0, 1, 2)),
+scored AS (
+  SELECT query_id, vec_id, round(list_cosine_similarity(qv, cdq), 6) AS sim
   FROM c CROSS JOIN q
 )
 SELECT query_id, rank, vec_id, sim FROM (

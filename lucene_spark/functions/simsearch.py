@@ -428,3 +428,125 @@ def ivf_topk(
         .select("query_id", "rank", "vec_id", "sim")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (the faiss-style int8 compression scale path:
+# at 100 TB the uint8 code table is 1/4 the float32 footprint and becomes
+# the resident working set; search is asymmetric — original query against
+# dequantized candidates)
+# ---------------------------------------------------------------------------
+
+
+def sq8_bounds(emb: DataFrame, vec_col: str = "embedding"):
+    """Per-dimension global (min, max) — one narrow agg over the exploded
+    column; the result is dim-sized (tiny) and closure-broadcast."""
+    rows = (
+        emb.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r["d"])
+    mn = np.array([r["mn"] for r in rows], dtype=np.float64)
+    mx = np.array([r["mx"] for r in rows], dtype=np.float64)
+    return mn, mx
+
+
+def _sq8_dequant_col(vec_col, mn: np.ndarray, mx: np.ndarray):
+    """Quantize-then-dequantize as one Column transform: code =
+    clamp(round((x - mn_d) / scale_d), 0, 255) with scale_d =
+    (mx_d - mn_d)/255; value' = mn_d + code * scale_d. The ratio is
+    pre-rounded to 6 decimals before the integer round so both engines
+    land on identical codes (kills ulp-level .5 boundary flips); a
+    degenerate dimension (mx == mn) encodes to its constant."""
+    scale = (mx - mn) / 255.0
+    mn_arr = F.array(*[F.lit(float(v)) for v in mn])
+    sc_arr = F.array(*[F.lit(float(v)) for v in scale])
+
+    def dq(x, i):
+        m = F.element_at(mn_arr, i + F.lit(1))
+        s = F.element_at(sc_arr, i + F.lit(1))
+        code = F.least(
+            F.greatest(
+                F.round(F.round((x.cast("double") - m) / s, 6)), F.lit(0.0)
+            ),
+            F.lit(255.0),
+        )
+        return F.when(s != 0.0, m + code * s).otherwise(m)
+
+    return F.transform(F.col(vec_col), dq)
+
+
+def sq8_encode(
+    emb: DataFrame,
+    bounds=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<smallint>): the persistable compressed table."""
+    mn, mx = bounds if bounds is not None else sq8_bounds(emb, vec_col)
+    scale = (mx - mn) / 255.0
+    mn_arr = F.array(*[F.lit(float(v)) for v in mn])
+    sc_arr = F.array(*[F.lit(float(v)) for v in scale])
+
+    def enc(x, i):
+        m = F.element_at(mn_arr, i + F.lit(1))
+        s = F.element_at(sc_arr, i + F.lit(1))
+        code = F.least(
+            F.greatest(
+                F.round(F.round((x.cast("double") - m) / s, 6)), F.lit(0.0)
+            ),
+            F.lit(255.0),
+        )
+        return F.when(s != 0.0, code).otherwise(F.lit(0.0)).cast("smallint")
+
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.transform(F.col(vec_col), enc).alias("codes"),
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_ids: List[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bounds=None,
+) -> DataFrame:
+    """Asymmetric SQ8 search: cosine(original query, dequantized
+    candidate), same broadcast-query / no-candidate-shuffle plan as
+    cosine_topk. Quantization error per dim is <= scale/2, so top-k
+    recall vs exact cosine stays near 1 at 8 bits (recall-tested)."""
+    mn, mx = bounds if bounds is not None else sq8_bounds(emb, vec_col)
+    q = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    )
+    c = emb.filter(~F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        _sq8_dequant_col(vec_col, mn, mx).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ),
+        )
+        .select("query_id", "vec_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+        .orderBy("query_id", "rank")
+    )

