@@ -197,3 +197,63 @@ def test_nested_regexp_prefix_pushdown(written):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "StringStartsWith(term,d)" in pushed[0], plan[:2000]
     assert "pythonUDF" in plan or "Python" in plan  # the DFA kernel
+
+
+def test_function_score_expression_is_jvm_only(written):
+    """FunctionScoreQuery: the compiled expression must stay inside
+    whole-stage codegen — no Python evaluation anywhere in the rescore
+    (the expression compiles to Catalyst columns, not a UDF)."""
+    from lucene_spark.expressions import SCORE
+    from lucene_spark.query import FunctionScoreQuery, TermQuery
+
+    s = Searcher(written, dtype=np.float32)
+    q = FunctionScoreQuery(
+        query=TermQuery(term="def"),
+        expression="0.5*score + sqrt(max(score, 1))",
+        bindings=(("score", SCORE),),
+    )
+    plan = _plan(s.matches(q))
+    assert "Python" not in plan, plan[:2000]
+    assert "codegen id" in plan
+
+
+def test_payload_parse_is_jvm_only(spark):
+    """DelimitedPayloadTokenFilter parsing + the payload aggregate are
+    pure Catalyst (split/transform/try_cast + hash aggregate): no Python
+    stage may appear."""
+    from lucene_spark.functions.payloads import (
+        parse_delimited_payloads,
+        payload_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a|1.0 b|2.0"), (1, "b|0.5 c")], "doc_id long, text string"
+    )
+    tbl = parse_delimited_payloads(docs, "doc_id", "text")
+    plan = _plan(payload_score(tbl, "b", "avg"))
+    # the createDataFrame fixture source mentions applySchemaToPythonRDD,
+    # so assert the absence of actual Python EXECUTION operators
+    for op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert op not in plan, plan[:2000]
+
+
+def test_sq8_dequant_is_jvm_and_broadcast(spark):
+    """SQ8 search: quantize/dequantize are Catalyst transforms (no
+    Python) and the query side joins as a broadcast — candidates never
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+    import lucene_spark.functions.simsearch as fsim
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(200, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": np.arange(200, dtype=np.int64),
+            "embedding": [v for v in vecs],
+        })
+    )
+    mn, mx = fsim.sq8_bounds(emb)
+    plan = _plan(fsim.sq8_topk(emb, [0, 1], k=3, bounds=(mn, mx)))
+    assert "Python" not in plan, plan[:2000]
+    assert "Broadcast" in plan
