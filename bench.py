@@ -136,6 +136,13 @@ def main() -> None:
     queries["text_fingerprint"] = best_of(
         lambda: ftext.fingerprints(docs, "doc_id", "text").count()
     )
+    # SQ8 quantized ANN: bounds once (tiny agg), then the asymmetric search
+    sq_bounds = fsim.sq8_bounds(emb)
+    queries["sim_sq8_topk"] = best_of(
+        lambda: fsim.sq8_topk(
+            emb, [int(x) for x in qids], k=10, bounds=sq_bounds
+        ).collect()
+    )
 
     # sharded HNSW: build once (timed), then query at the bounded-ef
     # approximate setting (timed separately — build amortizes over queries)
