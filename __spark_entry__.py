@@ -1119,6 +1119,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 10,
             )
         )(_searcher(sp, d)),
+        "q_mlt_boosted": lambda sp, d: (
+            # MoreLikeThis setBoost(true): per-term interestingness boost
+            # score/bestScore on each clause
+            lambda s: _topk_df(
+                s,
+                s.more_like_this(
+                    sp.read.parquet(os.path.join(d, "documents.parquet"))
+                    .filter("doc_id = 0")
+                    .collect()[0]["text"],
+                    max_query_terms=5,
+                    min_doc_freq=2,
+                    boost_terms=True,
+                ),
+                10,
+            )
+        )(_searcher(sp, d)),
         # ---- synonym / dismax ----
         "q_synonym": lambda sp, d: _topk_df(
             _searcher(sp, d), SynonymQuery(terms=("spark", "stream")), 10
@@ -1865,6 +1881,7 @@ FROM tf WHERE tf.doc_id < 3 ORDER BY doc_id, term
         "q_parsed": _bool_topk_sql(must=["merge", "table"]),
         "q_common_terms": _common_terms_sql(["the", "a", "spark", "vector"], 0.1),
         "q_mlt_doc0": _mlt_sql(0, 5, 2),
+        "q_mlt_boosted": _mlt_sql(0, 5, 2, boosted=True),
         "q_synonym": _synonym_sql(["spark", "stream"]),
         "q_dismax": _dismax_sql(["spark", "vector"], 0.1),
         "q_prefix": _const_docs_sql("t.term LIKE 's%'"),
@@ -2728,11 +2745,19 @@ def _common_terms_sql(terms: list[str], ratio: float, k: int = 10) -> str:
     )
 
 
-def _mlt_sql(doc_id: int, max_terms: int, min_df: int, k: int = 10) -> str:
+def _mlt_sql(
+    doc_id: int, max_terms: int, min_df: int, k: int = 10,
+    boosted: bool = False,
+) -> str:
     """MoreLikeThis: terms of the example doc ranked by tf * idf (ties by
-    ascending term), top max_terms become a scored disjunction."""
+    ascending term), top max_terms become a scored disjunction. With
+    ``boosted``, each term's score is multiplied by ms / bestScore
+    (MoreLikeThis.createQuery setBoost(true))."""
     idf = _IDF.format(df="d.df")
     inv = _INV.format(k1=K1, b=B)
+    boost_mul = (
+        " * (qt.ms / (SELECT max(ms) FROM mscore))" if boosted else ""
+    )
     return (
         _PRELUDE
         + f"""
@@ -2741,9 +2766,10 @@ def _mlt_sql(doc_id: int, max_terms: int, min_df: int, k: int = 10) -> str:
   FROM tf t JOIN dfreq d ON d.term = t.term CROSS JOIN stats s
   WHERE t.doc_id = {doc_id} AND d.df >= {min_df}
 ),
-qt AS (SELECT term FROM mscore ORDER BY ms DESC, term ASC LIMIT {max_terms}),
+qt AS (SELECT term, ms FROM mscore ORDER BY ms DESC, term ASC LIMIT {max_terms}),
 sc AS (
-  SELECT tf.doc_id, ({idf}) - ({idf}) / (1 + tf.freq * {inv}) AS score
+  SELECT tf.doc_id,
+         (({idf}) - ({idf}) / (1 + tf.freq * {inv})){boost_mul} AS score
   FROM tf
   JOIN qt ON qt.term = tf.term
   JOIN dfreq d ON d.term = tf.term

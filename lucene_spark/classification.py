@@ -29,7 +29,8 @@ Two classifiers, matching the reference semantics operator-for-operator:
   than k neighbors carry a class). The MLT term selection is this repo's
   established MoreLikeThis analog (Searcher.more_like_this — tf·idf
   ranked disjunction; the reference additionally carries per-term
-  interestingness boosts, a documented envelope shared with q_mlt_doc0).
+  interestingness boosts, available via more_like_this(boost_terms=True)
+  — the reference kNN classifier uses the boost=false default, as here).
 
 Scale notes (the classify unit is a whole DataFrame of inputs, not one
 string): input tokenization is an Arrow-batched pandas pass; per-(word,

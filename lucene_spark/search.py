@@ -1341,12 +1341,16 @@ class Searcher:
 
     def more_like_this(
         self, text: str, max_query_terms: int = 5, min_doc_freq: int = 2,
-        boost: float = 1.0,
+        boost: float = 1.0, boost_terms: bool = False,
+        boost_factor: float = 1.0,
     ) -> Query:
         """MoreLikeThis (queries/mlt/MoreLikeThis.java) analog: analyze the
         example text, rank its terms by tf * idf (our BM25 idf, float64),
         keep the top max_query_terms (ties broken by ascending term), and
-        return their disjunction."""
+        return their disjunction. With ``boost_terms`` each clause carries
+        the reference's interestingness boost — boostFactor * score /
+        bestScore (MoreLikeThis.createQuery's setBoost(true) path; the
+        reference default is boost=false, matching ours)."""
         from .analysis import flat_tokenize
         from .query import MatchNoDocsQuery, bool_query
 
@@ -1364,10 +1368,18 @@ class Searcher:
             idf = np.log(1.0 + (n - st.doc_freq + 0.5) / (st.doc_freq + 0.5))
             ranked.append((-f * idf, t))
         ranked.sort()
-        chosen = [t for _s, t in ranked[:max_query_terms]]
+        chosen = ranked[:max_query_terms]
         if not chosen:
             return MatchNoDocsQuery(reason="mlt: no usable terms")
-        return bool_query(should=[TermQuery(term=t) for t in chosen], boost=boost)
+        if boost_terms:
+            best = -chosen[0][0]
+            clauses = [
+                TermQuery(term=t, boost=float(boost_factor * (-s) / best))
+                for s, t in chosen
+            ]
+        else:
+            clauses = [TermQuery(term=t) for _s, t in chosen]
+        return bool_query(should=clauses, boost=boost)
 
     def _grouped_positions(self, terms: Sequence[str], min_terms: int) -> DataFrame:
         """(doc_id, norm, plist=[{term, positions}]) for docs containing at
