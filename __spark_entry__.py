@@ -1369,6 +1369,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suggest_prefix": lambda sp, d: fsuggest.suggest_prefix(
             _searcher(sp, d).index.terms, "s", 5
         ),
+        "q_suggest_infix": lambda sp, d: fsuggest.suggest_infix(
+            _searcher(sp, d).index.terms, "ar", 5
+        ),
+        "q_suggest_fuzzy": lambda sp, d: fsuggest.suggest_fuzzy(
+            _searcher(sp, d).index.terms, "spark", max_edits=1, k=5
+        ),
         "q_group_top1_per_lang": lambda sp, d: (
             _searcher(sp, d)
             .matches(TermQuery(term="data"))
@@ -2100,6 +2106,25 @@ SELECT lang, rank_in_group, doc_id, score FROM (
         + """
 SELECT term AS key, count(*)::BIGINT AS weight
 FROM tf WHERE term LIKE 's%'
+GROUP BY term ORDER BY weight DESC, key ASC LIMIT 5
+""",
+        "q_suggest_infix": _PRELUDE
+        + """
+SELECT term AS key, count(*)::BIGINT AS weight
+FROM tf WHERE term LIKE '%ar%'
+GROUP BY term ORDER BY weight DESC, key ASC LIMIT 5
+""",
+        # fuzzy suggest at max_edits=1 where OSA == true Damerau: some
+        # PREFIX of the term (length 4..6) within 1 edit of 'spark',
+        # first char exact (DEFAULT_NON_FUZZY_PREFIX)
+        "q_suggest_fuzzy": _PRELUDE
+        + """
+SELECT term AS key, count(*)::BIGINT AS weight
+FROM tf WHERE term LIKE 's%' AND (
+     damerau_levenshtein('spark', substr(term, 1, 4)) <= 1
+  OR damerau_levenshtein('spark', substr(term, 1, 5)) <= 1
+  OR damerau_levenshtein('spark', substr(term, 1, 6)) <= 1
+)
 GROUP BY term ORDER BY weight DESC, key ASC LIMIT 5
 """,
         "text_highlight_unified": _PRELUDE

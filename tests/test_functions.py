@@ -491,3 +491,32 @@ def test_sq8_quantized_ann_recall_and_error(spark):
         total += 10
     assert hits / total >= 0.9  # 8-bit quantization barely moves the ranking
     emb.unpersist()
+
+
+def test_suggest_infix_and_fuzzy(spark):
+    """AnalyzingInfixSuggester (substring, weight-ranked) and
+    FuzzySuggester (some PREFIX within max_edits OSA edits, exact
+    non-fuzzy first char, short keys fall back to exact prefix)."""
+    from lucene_spark.functions import suggest as fsuggest
+
+    terms = spark.createDataFrame(
+        [
+            ("apple", 50), ("aple", 10), ("apples", 40), ("aplpe", 5),
+            ("bapple", 99), ("apricot", 30), ("grapple", 80), ("ape", 7),
+        ],
+        "term string, doc_freq long",
+    )
+    infix = [(r["key"], r["weight"]) for r in
+             fsuggest.suggest_infix(terms, "ppl", 10).collect()]
+    assert infix == [("bapple", 99), ("grapple", 80), ("apple", 50),
+                     ("apples", 40)]
+    # fuzzy 'apple' d=1: apple (0), aple (1 deletion), apples (prefix
+    # 'apple' exact), aplpe (1 transposition — OSA default); NOT bapple /
+    # grapple (first char differs, non-fuzzy prefix) or apricot (2+)
+    fz = [(r["key"], r["weight"]) for r in
+          fsuggest.suggest_fuzzy(terms, "apple", max_edits=1, k=10).collect()]
+    assert fz == [("apple", 50), ("apples", 40), ("aple", 10), ("aplpe", 5)]
+    # short key -> exact prefix fallback (min_fuzzy_length=3 default)
+    short = [r["key"] for r in
+             fsuggest.suggest_fuzzy(terms, "ap", k=10).collect()]
+    assert short == ["apple", "apples", "apricot", "aple", "ape", "aplpe"]
