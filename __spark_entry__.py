@@ -1375,6 +1375,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suggest_fuzzy": lambda sp, d: fsuggest.suggest_fuzzy(
             _searcher(sp, d).index.terms, "spark", max_edits=1, k=5
         ),
+        "q_spell_suggest": lambda sp, d: fsuggest.spell_suggest(
+            # DirectSpellChecker: 'sparkk' is not indexed -> suggest mode
+            # fires; max_edits=1 keeps the oracle's Damerau==OSA window
+            _searcher(sp, d).index.terms, "sparkk", num_sug=5, max_edits=1
+        ),
         "q_group_top1_per_lang": lambda sp, d: (
             _searcher(sp, d)
             .matches(TermQuery(term="data"))
@@ -2126,6 +2131,26 @@ FROM tf WHERE term LIKE 's%' AND (
   OR damerau_levenshtein('spark', substr(term, 1, 6)) <= 1
 )
 GROUP BY term ORDER BY weight DESC, key ASC LIMIT 5
+""",
+        # DirectSpellChecker: score = 1 - d/min(|word|, |cand|), accuracy
+        # 0.5, freq > 0, score desc / freq desc / term asc
+        "q_spell_suggest": _PRELUDE
+        + """
+, dfx AS (SELECT term, count(*)::BIGINT AS weight FROM tf GROUP BY term),
+sc AS (
+  SELECT term AS key, weight,
+         round(1 - damerau_levenshtein('sparkk', term)::DOUBLE
+                   / greatest(least(6, length(term)), 1), 6) AS score
+  FROM dfx
+  WHERE term <> 'sparkk' AND term LIKE 's%'
+    AND length(term) BETWEEN 5 AND 7
+    AND damerau_levenshtein('sparkk', term) <= 1
+    AND (1 - damerau_levenshtein('sparkk', term)::DOUBLE
+             / greatest(least(6, length(term)), 1)) >= 0.5
+    AND weight > 0
+)
+SELECT key, weight, score FROM sc
+ORDER BY score DESC, weight DESC, key ASC LIMIT 5
 """,
         "text_highlight_unified": _PRELUDE
         + """

@@ -86,3 +86,71 @@ def suggest_fuzzy(
         .orderBy(F.desc("weight"), F.asc("key"))
         .limit(k)
     )
+
+
+def spell_suggest(
+    terms: DataFrame,
+    word: str,
+    num_sug: int = 5,
+    max_edits: int = 2,
+    min_prefix: int = 1,
+    accuracy: float = 0.5,
+    min_doc_freq: int = 0,
+    suggest_mode: str = "not_in_index",
+) -> DataFrame:
+    """DirectSpellChecker.suggestSimilar
+    (suggest/spell/DirectSpellChecker.java): candidate dictionary terms
+    within ``max_edits`` OSA edits (FuzzyTermsEnum transpositions=true),
+    scored 1 - d / min(|word|, |candidate|) (the FuzzyQuery boost the
+    reference uses as the score), filtered by ``accuracy`` (default 0.5)
+    and docFreq > ``min_doc_freq``, the exact word excluded, ranked
+    score desc then freq desc (SuggestWordScoreComparator) then term asc
+    as the deterministic final tie. ``suggest_mode`` 'not_in_index'
+    (the reference default) returns nothing when the word itself is
+    indexed; 'always' always suggests. Reference defaults kept
+    (maxEdits 2, minPrefix 1); the maxInspections candidate-pool cap is
+    not needed — every banded candidate is scored distributively."""
+    if suggest_mode not in ("not_in_index", "always"):
+        raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+    if suggest_mode == "not_in_index":
+        if terms.filter(F.col("term") == word).limit(1).count() > 0:
+            return terms.sparkSession.createDataFrame(
+                [], "key string, weight long, score double"
+            )
+    cand = terms.filter(F.col("term") != word)
+    if min_prefix > 0:
+        cand = cand.filter(F.col("term").startswith(word[: min_prefix]))
+    # length band: OSA >= |len difference|, pushable JVM-side
+    cand = cand.filter(
+        (F.length("term") >= len(word) - max_edits)
+        & (F.length("term") <= len(word) + max_edits)
+    )
+    n, d = len(word), int(max_edits)
+
+    @F.pandas_udf("double")
+    def _score(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..editdist import osa_distances
+
+        vals = col.to_numpy(dtype=object)
+        dist = osa_distances(list(vals), word).astype(np.float64)
+        lens = np.array([min(n, len(t)) for t in vals], dtype=np.float64)
+        score = 1.0 - dist / np.maximum(lens, 1.0)
+        score[dist > d] = -1.0
+        return pd.Series(score)
+
+    return (
+        cand.withColumn("score", _score(F.col("term")))
+        .filter(
+            (F.col("score") >= float(accuracy))
+            & (F.col("doc_freq") > int(min_doc_freq))
+        )
+        .select(
+            F.col("term").alias("key"),
+            F.col("doc_freq").cast("long").alias("weight"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("weight"), F.asc("key"))
+        .limit(num_sug)
+    )

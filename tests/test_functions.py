@@ -520,3 +520,35 @@ def test_suggest_infix_and_fuzzy(spark):
     short = [r["key"] for r in
              fsuggest.suggest_fuzzy(terms, "ap", k=10).collect()]
     assert short == ["apple", "apples", "apricot", "aple", "ape", "aplpe"]
+
+
+def test_spell_suggest_direct_spellchecker(spark):
+    """DirectSpellChecker: score = 1 - d/min(len), OSA transpositions,
+    accuracy gate, score-then-freq ranking, not_in_index mode."""
+    from lucene_spark.functions import suggest as fsuggest
+
+    terms = spark.createDataFrame(
+        [
+            ("apple", 50), ("aplpe", 5), ("apples", 40), ("ample", 80),
+            ("apricot", 30), ("appel", 9), ("banana", 99),
+        ],
+        "term string, doc_freq long",
+    )
+    got = [
+        (r["key"], r["weight"], r["score"])
+        for r in fsuggest.spell_suggest(
+            terms, "aple", num_sug=5, max_edits=2, suggest_mode="always"
+        ).collect()
+    ]
+    # d('aple', ...): apple 1, aplpe 1(trans+..? 'aple'->'aplpe' insert 1),
+    # ample 1, apples 2, appel 2, apricot >2; score = 1 - d/min(4, len)
+    exp = [
+        ("ample", 80, 0.75), ("apple", 50, 0.75), ("aplpe", 5, 0.75),
+        ("apples", 40, 0.5), ("appel", 9, 0.5),
+    ]
+    assert got == exp
+    # not_in_index: an indexed word yields no suggestions
+    assert (
+        fsuggest.spell_suggest(terms, "apple", suggest_mode="always").count() > 0
+    )
+    assert fsuggest.spell_suggest(terms, "apple").count() == 0
