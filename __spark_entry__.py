@@ -1375,6 +1375,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suggest_fuzzy": lambda sp, d: fsuggest.suggest_fuzzy(
             _searcher(sp, d).index.terms, "spark", max_edits=1, k=5
         ),
+        "q_word_break": lambda sp, d: fsuggest.word_break_suggest(
+            _searcher(sp, d).index.terms, "sparktable", max_suggestions=5
+        ),
+        "q_word_combine": lambda sp, d: fsuggest.word_combine_suggest(
+            # no concatenated pair is indexed in this corpus -> the gate
+            # must yield zero rows on both engines (over-firing detector)
+            _searcher(sp, d).index.terms, ["spark", "table", "data"]
+        ),
         "q_spell_suggest": lambda sp, d: fsuggest.spell_suggest(
             # DirectSpellChecker: 'sparkk' is not indexed -> suggest mode
             # fires; max_edits=1 keeps the oracle's Damerau==OSA window
@@ -2131,6 +2139,38 @@ FROM tf WHERE term LIKE 's%' AND (
   OR damerau_levenshtein('spark', substr(term, 1, 6)) <= 1
 )
 GROUP BY term ORDER BY weight DESC, key ASC LIMIT 5
+""",
+        "q_word_break": _PRELUDE
+        + """
+, dfx AS (SELECT term, count(*)::BIGINT AS w FROM tf GROUP BY term),
+sp AS (
+  SELECT i::INT AS i, substr('sparktable', 1, i::INT) AS l,
+         substr('sparktable', i::INT + 1) AS r
+  FROM range(1, 10) t(i)
+),
+j AS (
+  SELECT sp.i, sp.l, sp.r, dl.w AS lf, dr.w AS rf
+  FROM sp JOIN dfx dl ON dl.term = sp.l JOIN dfx dr ON dr.term = sp.r
+  WHERE dl.w >= 1 AND dr.w >= 1
+)
+SELECT l AS left_term, r AS right_term, lf AS left_freq, rf AS right_freq
+FROM j ORDER BY greatest(lf, rf) DESC, i ASC LIMIT 5
+""",
+        "q_word_combine": _PRELUDE
+        + """
+, dfx AS (SELECT term, count(*)::BIGINT AS w FROM tf GROUP BY term),
+pairs AS (
+  SELECT * FROM (VALUES (0, 'spark', 'table', 'sparktable'),
+                        (1, 'table', 'data', 'tabledata')) AS v(idx, a, b, combined)
+),
+j AS (
+  SELECT p.idx, p.combined, dc.w AS cf,
+         coalesce(da.w, 0) AS af, coalesce(db.w, 0) AS bf
+  FROM pairs p JOIN dfx dc ON dc.term = p.combined
+  LEFT JOIN dfx da ON da.term = p.a LEFT JOIN dfx db ON db.term = p.b
+)
+SELECT idx::INT AS idx, combined, cf AS freq FROM j
+WHERE cf >= 1 AND cf >= greatest(af, bf) ORDER BY idx
 """,
         # DirectSpellChecker: score = 1 - d/min(|word|, |cand|), accuracy
         # 0.5, freq > 0, score desc / freq desc / term asc

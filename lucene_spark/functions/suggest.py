@@ -154,3 +154,84 @@ def spell_suggest(
         .orderBy(F.desc("score"), F.desc("weight"), F.asc("key"))
         .limit(num_sug)
     )
+
+
+def word_break_suggest(
+    terms: DataFrame,
+    word: str,
+    max_suggestions: int = 5,
+    min_break_length: int = 1,
+    min_freq: int = 1,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks
+    (suggest/spell/WordBreakSpellChecker.java, maxChanges=1 — the
+    reference default, a single split): every split point where BOTH
+    halves are dictionary terms with freq >= minSuggestionFrequency,
+    ranked by NUM_CHANGES_THEN_MAX_FREQUENCY (all single-change here, so
+    max(leftFreq, rightFreq) desc; split position asc as the
+    deterministic tie). The split candidates are a driver-built frame of
+    len(word)-1 rows joined twice against the terms table — two tiny
+    broadcast hash joins."""
+    sp = terms.sparkSession
+    lo, hi = min_break_length, len(word) - min_break_length
+    splits = [(i, word[:i], word[i:]) for i in range(lo, hi + 1)]
+    if not splits:
+        return sp.createDataFrame(
+            [], "left_term string, right_term string, left_freq long, right_freq long"
+        )
+    cand = sp.createDataFrame(splits, "i int, l string, r string")
+    dfx = terms.select("term", F.col("doc_freq").cast("long").alias("w"))
+    out = (
+        F.broadcast(cand)
+        .join(dfx.withColumnRenamed("term", "l").withColumnRenamed("w", "lf"), "l")
+        .join(dfx.withColumnRenamed("term", "r").withColumnRenamed("w", "rf"), "r")
+        .filter((F.col("lf") >= min_freq) & (F.col("rf") >= min_freq))
+    )
+    return (
+        out.orderBy(F.desc(F.greatest("lf", "rf")), F.asc("i"))
+        .select(
+            F.col("l").alias("left_term"),
+            F.col("r").alias("right_term"),
+            F.col("lf").alias("left_freq"),
+            F.col("rf").alias("right_freq"),
+        )
+        .limit(max_suggestions)
+    )
+
+
+def word_combine_suggest(
+    terms: DataFrame,
+    words,
+    max_combine_length: int = 20,
+    min_freq: int = 1,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations: adjacent input-word
+    pairs whose CONCATENATION is a dictionary term with freq >=
+    minSuggestionFrequency AND >= the most frequent included word (the
+    reference's 'same or better frequency than the most-popular included
+    term' gate). Returns (index, combined, freq) ordered by index."""
+    sp = terms.sparkSession
+    pairs = [
+        (i, words[i], words[i + 1], words[i] + words[i + 1])
+        for i in range(len(words) - 1)
+        if len(words[i] + words[i + 1]) <= max_combine_length
+    ]
+    if not pairs:
+        return sp.createDataFrame([], "idx int, combined string, freq long")
+    cand = sp.createDataFrame(pairs, "idx int, a string, b string, combined string")
+    dfx = terms.select("term", F.col("doc_freq").cast("long").alias("w"))
+    out = (
+        F.broadcast(cand)
+        .join(dfx.withColumnRenamed("term", "combined").withColumnRenamed("w", "cf"), "combined")
+        .join(dfx.withColumnRenamed("term", "a").withColumnRenamed("w", "af"), "a", "left")
+        .join(dfx.withColumnRenamed("term", "b").withColumnRenamed("w", "bf"), "b", "left")
+        .fillna({"af": 0, "bf": 0})
+        .filter(
+            (F.col("cf") >= min_freq)
+            & (F.col("cf") >= F.greatest("af", "bf"))
+        )
+    )
+    return (
+        out.select("idx", "combined", F.col("cf").alias("freq"))
+        .orderBy("idx")
+    )

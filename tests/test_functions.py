@@ -552,3 +552,40 @@ def test_spell_suggest_direct_spellchecker(spark):
         fsuggest.spell_suggest(terms, "apple", suggest_mode="always").count() > 0
     )
     assert fsuggest.spell_suggest(terms, "apple").count() == 0
+
+
+def test_word_break_and_combine(spark):
+    """WordBreakSpellChecker: single-split breaks ranked by
+    max-component-frequency; combinations gated on the concatenation
+    being at least as frequent as its most popular part."""
+    from lucene_spark.functions import suggest as fsuggest
+
+    terms = spark.createDataFrame(
+        [
+            ("data", 50), ("base", 10), ("database", 60), ("da", 3),
+            ("tabase", 2), ("pipe", 40), ("line", 90), ("pipeline", 20),
+        ],
+        "term string, doc_freq long",
+    )
+    got = [
+        (r["left_term"], r["right_term"], r["left_freq"], r["right_freq"])
+        for r in fsuggest.word_break_suggest(terms, "database", 5).collect()
+    ]
+    # splits: da|tabase (max 3), data|base (max 50) -> data|base first
+    assert got == [("data", "base", 50, 10), ("da", "tabase", 3, 2)]
+    # combine: data+base=database (60 >= max(50,10) ok);
+    # pipe+line=pipeline (20 < max(40,90) -> gated out)
+    comb = [
+        (r["idx"], r["combined"], r["freq"])
+        for r in fsuggest.word_combine_suggest(
+            terms, ["data", "base", "pipe", "line"]
+        ).collect()
+    ]
+    assert comb == [(0, "database", 60)]
+    # max_combine_length gate
+    assert (
+        fsuggest.word_combine_suggest(
+            terms, ["data", "base"], max_combine_length=4
+        ).count()
+        == 0
+    )
