@@ -1183,6 +1183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _customer_searcher(sp, d), RegexpQuery(regexp="(<1-20>&0*1[0-9])")
         ),
         "q_term_range": const_docs(TermRangeQuery(lower="query", upper="sort")),
+        "q_term_range_excl": lambda sp, d: _docs_df(
+            # exclusive bounds via the parser's {a TO b} form
+            _searcher(sp, d), parse("{query TO sort}")
+        ),
         "q_term_in_set": const_docs(TermInSetQuery(terms=("spark", "vector", "nope"))),
         "q_fuzzy": const_docs(
             # classic Levenshtein variant (transpositions=False)
@@ -1956,6 +1960,9 @@ WHERE regexp_matches(term, '^(?:0*(?:[1-9]|1[0-9]|20))$')
   AND regexp_matches(term, '^(?:0*1[0-9])$') ORDER BY doc_id
 """,
         "q_term_range": _const_docs_sql("t.term >= 'query' AND t.term <= 'sort'"),
+        "q_term_range_excl": _const_docs_sql(
+            "t.term > 'query' AND t.term < 'sort'"
+        ),
         "q_term_in_set": _const_docs_sql("t.term IN ('spark', 'vector', 'nope')"),
         "q_fuzzy": _const_docs_sql("levenshtein(t.term, 'sprk') <= 1"),
         "q_fuzzy_transpositions": _const_docs_sql(

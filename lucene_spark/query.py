@@ -493,7 +493,9 @@ _TOKEN_SPEC = [
     ("MINUS", r"-"),
     ("PHRASE", r'"(?:\\.|[^"\\])*"'),
     ("FIELD", r"[A-Za-z_][A-Za-z0-9_]*:(?=\S)"),
-    ("RANGE", r"\[[^\]]+ TO [^\]]+\]"),
+    # [] inclusive, {} exclusive, mixed allowed (QueryParser.jj RangeQuery:
+    # the bracket kind sets includeLower/includeUpper independently)
+    ("RANGE", r"[\[{][^\]}]+ TO [^\]}]+[\]}]"),
     ("BOOST", r"\^\d+(?:\.\d+)?"),
     # \x escapes any character (QueryParser.jj <_ESCAPED_CHAR>)
     ("TERM", r"(?:\\.|[^\s()+\-\"\[\]^\\])+"),
@@ -605,6 +607,8 @@ def parse(query: str, analyze=None) -> Query:
                 TermRangeQuery(
                     lower=None if lo == "*" else _analyze_term(lo, analyze),
                     upper=None if hi == "*" else _analyze_term(hi, analyze),
+                    include_lower=text[0] == "[",
+                    include_upper=text[-1] == "]",
                 ),
                 occur,
             )

@@ -253,3 +253,19 @@ def test_lucene_regexp_top_level_ops():
 
     with _pytest.raises(NotImplementedError):
         split_lucene_regexp_ops("~abc")  # unparenthesized complement
+
+
+def test_range_bracket_kinds():
+    """[] inclusive, {} exclusive, mixed (QueryParser.jj RangeQuery)."""
+    from lucene_spark.query import TermRangeQuery, parse
+
+    for s, il, iu in [
+        ("[a TO b]", True, True), ("{a TO b}", False, False),
+        ("[a TO b}", True, False), ("{a TO b]", False, True),
+    ]:
+        q = parse(s)
+        assert isinstance(q, TermRangeQuery)
+        assert (q.include_lower, q.include_upper) == (il, iu), s
+        assert (q.lower, q.upper) == ("a", "b")
+    q = parse("{* TO b]")
+    assert q.lower is None and q.include_upper
