@@ -663,6 +663,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SpanNearQuery(terms=("spark", "table"), slop=4, in_order=False),
             10,
         ),
+        "q_span_near_multiterm": lambda sp, d: _topk_df(
+            # SpanMultiTermQueryWrapper: a prefix clause expands to a
+            # SpanOr over matching dictionary terms inside the near
+            _searcher(sp, d),
+            SpanNearQuery(
+                terms=(IntervalMultiTerm(kind="prefix", pattern="s"), "table"),
+                slop=3,
+                in_order=True,
+            ),
+            10,
+        ),
+        "q_span_near_or_slot": lambda sp, d: _topk_df(
+            # SpanOr nested in SpanNear with explicit alternatives
+            _searcher(sp, d),
+            SpanNearQuery(
+                terms=(("fast", "slow"), "table"), slop=4, in_order=True
+            ),
+            10,
+        ),
         "q_intervals_ordered": lambda sp, d: _topk_df(
             _searcher(sp, d),
             IntervalQuery(terms=("the", "fast", "table"), ordered=True, max_gaps=8),
@@ -1715,6 +1734,12 @@ def oracle_sql() -> dict[str, str]:
         "q_span_near_ordered": _span_near_sql(["spark", "table"], 4, True),
         "q_span_near_ordered3": _span_near_sql(["the", "fast", "table"], 6, True),
         "q_span_near_unordered": _span_near_sql(["spark", "table"], 4, False),
+        "q_span_near_multiterm": _span_near_slots_sql(
+            ["term LIKE 's%'", ["table"]], 3
+        ),
+        "q_span_near_or_slot": _span_near_slots_sql(
+            [["fast", "slow"], ["table"]], 4
+        ),
         "q_intervals_ordered": _intervals_sql(["the", "fast", "table"], True, 8),
         "q_intervals_unordered": _intervals_sql(["spark", "table"], False, -1),
         "q_span_containing": _span_containing_sql(
@@ -3704,6 +3729,51 @@ uu AS (SELECT * FROM ux UNION ALL SELECT * FROM uy)
         f"  FROM uu WHERE m - x - 1 <= {slop} GROUP BY doc_id"
     )
     return _freq_rank_sql(match, terms, k, extra=extra)
+
+
+def _span_near_slots_sql(slots: list, slop: int, k: int = 10) -> str:
+    """Ordered SpanNear with slot clauses (SpanMultiTermQueryWrapper /
+    SpanOr-in-SpanNear): the greedy forward chain runs over each slot's
+    position union (a slot = an IN-list or a raw predicate over `term`);
+    idf sums over the DISTINCT dictionary terms matching ANY slot
+    (SpanWeight's per-term states map)."""
+    n = len(slots)
+    slots = [s if isinstance(s, (list, tuple, str)) else [s] for s in slots]
+    ctes = [
+        f", s0 AS (SELECT doc_id, pos AS p0, pos AS q0 FROM tokp"
+        f" WHERE {_slot_pred(slots[0])})"
+    ]
+    for i in range(1, n):
+        ctes.append(
+            f", s{i} AS (\n"
+            f"  SELECT s.doc_id, s.p0, min(t.pos) AS q{i}\n"
+            f"  FROM s{i-1} s JOIN tokp t ON t.doc_id = s.doc_id"
+            f" AND {_slot_pred(slots[i], 't.term')} AND t.pos > s.q{i-1}\n"
+            f"  GROUP BY s.doc_id, s.p0\n)"
+        )
+    idf_pred = " OR ".join(f"({_slot_pred(s, 'dfreq.term')})" for s in slots)
+    idf = (
+        f"(SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5)))"
+        f" FROM dfreq WHERE {idf_pred})"
+    )
+    inv = _INV.format(k1=K1, b=B)
+    return (
+        _PRELUDE
+        + "".join(ctes)
+        + f"""
+, pf AS (
+  SELECT doc_id, sum(1.0 / (q{n-1} + 2 - p0)) AS freq
+  FROM s{n-1} WHERE q{n-1} - p0 - {n-1} <= {slop} GROUP BY doc_id
+),
+psc AS (
+  SELECT pf.doc_id,
+         ({idf}) - ({idf}) / (1 + pf.freq * {inv}) AS score
+  FROM pf JOIN dlq q ON q.doc_id = pf.doc_id CROSS JOIN stats s
+  WHERE pf.freq > 0
+)
+"""
+        + _rank_tail("score", "FROM psc", k)
+    )
 
 
 def _span_masked_stop_sql(k: int = 10) -> str:

@@ -1499,6 +1499,9 @@ class Searcher:
                 "FieldMaskedTerm clauses require a MultiFieldSearcher "
                 "(search/spans/FieldMaskingSpanQuery.java)"
             )
+        if any(not isinstance(t, str) for t in q.terms):
+            # SpanMultiTermQueryWrapper / SpanOr-in-SpanNear clauses
+            return self._eval_span_near_slots(q)
         terms = list(q.terms)
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
@@ -1528,6 +1531,58 @@ class Searcher:
             return pd.Series(out)
 
         grouped = self._grouped_positions(terms, min_terms=len(set(terms)))
+        scored = grouped.withColumn("freq", span_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
+
+    def _eval_span_near_slots(self, q: SpanNearQuery) -> DataFrame:
+        """SpanNearQuery with multi-term / alternation clauses
+        (search/spans/SpanMultiTermQueryWrapper.java — the wrapper rewrites
+        a multi-term query to a SpanOr over the matching terms; SpanOr
+        nested in SpanNear generally): a clause may be a tuple of
+        alternatives or an IntervalMultiTerm expanded against the
+        dictionary (cap semantics shared with the interval sources — the
+        wrapper's scoring rewrite throws TooManyClauses at its cap the
+        same way). A point-term SpanOr's span stream is the sorted union
+        of the alternatives' positions, so the slot lists feed the same
+        near kernels; alternatives CAN tie across slots, so the unordered
+        walk always takes the general tie-transcribing merge. idf sums
+        over the DISTINCT matched terms in sorted order (SpanWeight's
+        per-term termStates MAP, one entry per term regardless of how
+        many clauses matched it)."""
+        slots = self._resolve_interval_slots(q.terms)
+        all_terms = sorted({t for s in slots for t in s})
+        stats = self.term_stats(all_terms)
+        if any(all(t not in stats for t in s) for s in slots):
+            return self._empty()
+        present = [t for t in all_terms if t in stats]
+        scorer = self.multi_scorer_for(q.boost, [stats[t] for t in present])
+        slop, in_order = int(q.slop), bool(q.in_order)
+        # absent alternatives drop out of their slot (a SpanOr clause with
+        # df=0 contributes no spans); slots stay non-empty per the check
+        slots_t = tuple(tuple(t for t in s if t in stats) for s in slots)
+
+        @F.pandas_udf("double")
+        def span_freq(plist: pd.Series) -> pd.Series:
+            from . import matchers
+
+            by_slot, n_docs = _slot_position_lists(plist, slots_t, present)
+            if in_order:
+                out = matchers.span_ordered_freqs(by_slot, slop, n_docs)
+            else:
+                out = matchers.span_unordered_freqs(
+                    by_slot, slop, n_docs, distinct=False
+                )
+            return pd.Series(out)
+
+        disjoint = all(
+            not (set(slots_t[i]) & set(slots_t[j]))
+            for i in range(len(slots_t))
+            for j in range(i + 1, len(slots_t))
+        )
+        min_terms = len(slots_t) if disjoint else 1
+        grouped = self._grouped_positions(present, min_terms=min_terms)
         scored = grouped.withColumn("freq", span_freq(F.col("plist"))).filter(
             F.col("freq") > 0
         )
