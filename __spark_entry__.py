@@ -905,6 +905,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             NoOverlapsIntervalQuery(a="fast", b="table"),
             10,
         ),
+        "q_intervals_filter_maxwidth": lambda sp, d: _topk_df(
+            # maxwidth-filtered SOURCE operand inside the filter algebra
+            _searcher(sp, d),
+            IntervalFilterQuery(
+                kind="containing",
+                source=IntervalQuery(
+                    terms=("fast", "table"), ordered=False, max_width=8
+                ),
+                reference=IntervalQuery(terms=("the",)),
+            ),
+            10,
+        ),
         "q_intervals_containing_or_slot": lambda sp, d: _topk_df(
             # Intervals.or alternation INSIDE a filter operand: the source
             # slot matches fast OR slow
@@ -1824,6 +1836,10 @@ def oracle_sql() -> dict[str, str]:
         "q_intervals_no_overlaps": _intervals_no_overlaps_sql("fast", "table"),
         "q_intervals_containing_or_slot": _interval_filter_slots_sql(
             [["fast", "slow"], ["table"]], False, ["the"], True
+        ),
+        "q_intervals_filter_maxwidth": _interval_filter_sql(
+            "containing", ["fast", "table"], False, ["the"], True,
+            src_max_width=8,
         ),
         # span algebra: point spans weigh 1/(1+(end-start)) = 0.5 each
         "q_span_or": _freq_rank_sql(
@@ -3417,6 +3433,7 @@ def _interval_filter_sql(
     ref_max_gaps: int = -1,
     k: int = 10,
     positions: int = 0,
+    src_max_width: int = -1,
 ) -> str:
     """Interval filter algebra parity SQL. Each reference streaming loop is
     equivalent to a per-interval predicate on minimal streams (starts AND
@@ -3465,12 +3482,20 @@ def _interval_filter_sql(
             p=f"b.e + {positions} >= a.s AND greatest(b.s - {positions}, 0) <= a.e"
         ),
     }
+    src_cte = "ivs"
+    width_cte = ""
+    if src_max_width >= 0:
+        width_cte = (
+            f", ivsw AS (SELECT * FROM ivs WHERE (e - s + 1) <= {src_max_width})"
+        )
+        src_cte = "ivsw"
     return (
         _PRELUDE
         + _iv_ctes(src_terms, src_ordered, src_max_gaps, pfx="s")
         + _iv_ctes(ref_terms, ref_ordered, ref_max_gaps, pfx="r")
+        + width_cte
         + f"""
-, keep AS (SELECT a.* FROM ivs a WHERE {preds[kind]}),
+, keep AS (SELECT a.* FROM {src_cte} a WHERE {preds[kind]}),
 pf AS (
   SELECT doc_id, sum(1.0 / greatest((e - s + 1) - {n_src} + 1, 1)) AS freq
   FROM keep GROUP BY doc_id

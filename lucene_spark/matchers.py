@@ -798,13 +798,19 @@ def interval_freqs(
     return out
 
 
-def _minimal_intervals_global(pos_by_clause: List[List], ordered: bool, max_gaps: int):
+def _minimal_intervals_global(
+    pos_by_clause: List[List], ordered: bool, max_gaps: int,
+    max_width: int = -1,
+):
     g = [_concat_global(lists) for lists in pos_by_clause]
     s, e = (
         ordered_minimal_intervals(g) if ordered else unordered_minimal_intervals(g)
     )
     if max_gaps >= 0 and len(s):
         sel = ((e - s + 1) - len(pos_by_clause)) <= max_gaps
+        s, e = s[sel], e[sel]
+    if max_width >= 0 and len(s):
+        sel = (e - s + 1) <= max_width
         s, e = s[sel], e[sel]
     return s, e
 
@@ -828,6 +834,8 @@ def interval_filter_freqs(
     b_max_gaps: int,
     n_docs: int,
     b_ext: int = 0,
+    a_max_width: int = -1,
+    b_max_width: int = -1,
 ) -> np.ndarray:
     """Interval filter algebra over two minimal-interval streams — the
     reference's Containing/ContainedBy/NotContaining/NotContainedBy/
@@ -857,8 +865,12 @@ def interval_filter_freqs(
     kind = {"within": "contained_by", "not_within": "non_overlapping"}.get(
         kind, kind
     )
-    sa, ea = _minimal_intervals_global(a_clauses, a_ordered, a_max_gaps)
-    sb, eb = _minimal_intervals_global(b_clauses, b_ordered, b_max_gaps)
+    sa, ea = _minimal_intervals_global(
+        a_clauses, a_ordered, a_max_gaps, a_max_width
+    )
+    sb, eb = _minimal_intervals_global(
+        b_clauses, b_ordered, b_max_gaps, b_max_width
+    )
     if b_ext > 0 and len(sb):
         base = (sb >> _DOC_SHIFT) << _DOC_SHIFT
         sb = np.maximum(sb - b_ext, base)

@@ -1940,11 +1940,6 @@ class Searcher:
         positions), or IntervalMultiTerm expansions; duplicate SLOTS
         inside one operand are out of scope and raise."""
         src, ref = q.source, q.reference
-        for side in (src, ref):
-            if int(getattr(side, "max_width", -1)) >= 0:
-                raise NotImplementedError(
-                    "maxwidth on an interval filter operand"
-                )
         src_slots = self._resolve_interval_slots(src.terms)
         ref_slots = self._resolve_interval_slots(ref.terms)
         for slots in (src_slots, ref_slots):
@@ -1977,6 +1972,8 @@ class Searcher:
         rslots_t = tuple(tuple(s) for s in ref_slots)
         s_ord, s_mg = bool(src.ordered), int(src.max_gaps)
         r_ord, r_mg = bool(ref.ordered), int(ref.max_gaps)
+        s_mw = int(getattr(src, "max_width", -1))
+        r_mw = int(getattr(ref, "max_width", -1))
 
         @F.pandas_udf("double")
         def ivf_freq(plist: pd.Series) -> pd.Series:
@@ -1996,6 +1993,8 @@ class Searcher:
                     r_mg,
                     n_docs,
                     b_ext=b_ext,
+                    a_max_width=s_mw,
+                    b_max_width=r_mw,
                 )
             )
 
