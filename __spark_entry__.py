@@ -1413,6 +1413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_word_break": lambda sp, d: fsuggest.word_break_suggest(
             _searcher(sp, d).index.terms, "sparktable", max_suggestions=5
         ),
+        "q_word_break_multi": lambda sp, d: fsuggest.word_break_suggest_multi(
+            _searcher(sp, d).index.terms, "sparktable", max_changes=2
+        ),
         "q_word_combine": lambda sp, d: fsuggest.word_combine_suggest(
             # no concatenated pair is indexed in this corpus -> the gate
             # must yield zero rows on both engines (over-firing detector)
@@ -2203,6 +2206,35 @@ j AS (
 )
 SELECT l AS left_term, r AS right_term, lf AS left_freq, rf AS right_freq
 FROM j ORDER BY greatest(lf, rf) DESC, i ASC LIMIT 5
+""",
+        "q_word_break_multi": _PRELUDE
+        + """
+, dfx AS (SELECT term, count(*)::BIGINT AS w FROM tf GROUP BY term),
+s1 AS (
+  SELECT 1 AS c, [substr('sparktable', 1, i::INT),
+                  substr('sparktable', i::INT + 1)] AS parts
+  FROM range(1, 10) t(i)
+),
+s2 AS (
+  SELECT 2 AS c, [substr('sparktable', 1, i::INT),
+                  substr('sparktable', i::INT + 1, (j - i)::INT),
+                  substr('sparktable', j::INT + 1)] AS parts
+  FROM range(1, 10) a(i), range(1, 10) b(j) WHERE j > i
+),
+cand AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+px AS (SELECT c, parts, unnest(parts) AS part FROM cand),
+j AS (
+  SELECT c, parts, count(d.term) AS matched, min(d.w) AS minf,
+         max(d.w) AS maxf
+  FROM px LEFT JOIN dfx d ON d.term = px.part GROUP BY c, parts
+),
+ok AS (
+  SELECT array_to_string(parts, ' ') AS parts, c::INT AS num_changes,
+         maxf AS max_freq
+  FROM j WHERE matched = len(parts) AND minf >= 1
+)
+SELECT parts, num_changes, max_freq FROM ok
+ORDER BY num_changes, max_freq DESC, parts LIMIT 5
 """,
         "q_word_combine": _PRELUDE
         + """

@@ -235,3 +235,69 @@ def word_combine_suggest(
         out.select("idx", "combined", F.col("cf").alias("freq"))
         .orderBy("idx")
     )
+
+
+def word_break_suggest_multi(
+    terms: DataFrame,
+    word: str,
+    max_changes: int = 2,
+    max_suggestions: int = 5,
+    min_break_length: int = 1,
+    min_freq: int = 1,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks with maxChanges > 1 (the
+    recursive right-part re-break, generateBreakUpSuggestions): every
+    composition of the word into 2..max_changes+1 dictionary parts (each
+    with freq >= minSuggestionFrequency and length >=
+    minBreakWordLength), ranked NUM_CHANGES_THEN_MAX_FREQUENCY —
+    changes asc, max part freq desc, then the joined decomposition asc
+    as the deterministic tie. Split-point tuples enumerate driver-side
+    (len(word) choose changes — tiny), parts resolve in one broadcast
+    join + count/min aggregate. Returns (parts, num_changes, max_freq)
+    with parts space-joined."""
+    import itertools
+
+    sp = terms.sparkSession
+    L = len(word)
+    rows = []
+    sid = 0
+    for c in range(1, max_changes + 1):
+        for pts in itertools.combinations(range(1, L), c):
+            bounds = (0,) + pts + (L,)
+            parts = [word[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+            if any(len(p) < min_break_length for p in parts):
+                continue
+            for idx, p in enumerate(parts):
+                rows.append((sid, c, len(parts), idx, p))
+            sid += 1
+    if not rows:
+        return sp.createDataFrame(
+            [], "parts string, num_changes int, max_freq long"
+        )
+    cand = sp.createDataFrame(
+        rows, "sid int, c int, np int, idx int, part string"
+    )
+    dfx = terms.select(
+        F.col("term").alias("part"), F.col("doc_freq").cast("long").alias("w")
+    )
+    joined = F.broadcast(cand).join(dfx, "part")
+    ok = (
+        joined.groupBy("sid", "c", "np")
+        .agg(
+            F.count("*").alias("matched"),
+            F.min("w").alias("minf"),
+            F.max("w").alias("max_freq"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("idx", "part"))
+                ).getField("part"),
+                " ",
+            ).alias("parts"),
+        )
+        .filter((F.col("matched") == F.col("np")) & (F.col("minf") >= min_freq))
+    )
+    return (
+        ok.select("parts", F.col("c").alias("num_changes"), "max_freq")
+        .orderBy("num_changes", F.desc("max_freq"), "parts")
+        .limit(max_suggestions)
+    )

@@ -589,3 +589,34 @@ def test_word_break_and_combine(spark):
         ).count()
         == 0
     )
+
+
+def test_word_break_multi_changes(spark):
+    """maxChanges=2: two-split decompositions rank after single splits
+    (NUM_CHANGES_THEN_MAX_FREQUENCY)."""
+    from lucene_spark.functions import suggest as fsuggest
+
+    terms = spark.createDataFrame(
+        [
+            ("data", 50), ("base", 10), ("da", 3), ("tab", 7), ("ase", 4),
+            ("dat", 2), ("abase", 6),
+        ],
+        "term string, doc_freq long",
+    )
+    got = [
+        (r["parts"], r["num_changes"], r["max_freq"])
+        for r in fsuggest.word_break_suggest_multi(
+            terms, "database", max_changes=2, max_suggestions=10
+        ).collect()
+    ]
+    assert got == [
+        ("data base", 1, 50),     # 1 change first
+        ("dat abase", 1, 6),
+        ("da tab ase", 2, 7),     # then 2-changes by max part freq
+    ]
+    # maxChanges=1 excludes the triple
+    assert (
+        fsuggest.word_break_suggest_multi(terms, "database", max_changes=1)
+        .count()
+        == 2
+    )
