@@ -1009,6 +1009,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             10,
         ),
+        "q_intervals_fixfield_or": lambda sp, d: _topk_df(
+            # Intervals.or over fixField sources in one slot: the|a stream
+            # from the unfiltered text field, 'fast' from the stop field
+            _masked_stop_searcher(sp, d),
+            IntervalQuery(
+                terms=(
+                    (
+                        FieldMaskedTerm(field="text", term="the"),
+                        FieldMaskedTerm(field="text", term="a"),
+                    ),
+                    "fast",
+                ),
+                ordered=True,
+                max_gaps=4,
+            ),
+            10,
+        ),
         # ---- multi-field (field-qualified) search ----
         "q_multifield": lambda sp, d: _multifield_topk(sp, d),
         "q_multifield_bare": lambda sp, d: _topk_df(
@@ -1888,6 +1905,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_span_masked_stop": _span_masked_stop_sql(),
         "q_intervals_fixfield": _intervals_fixfield_sql(),
+        "q_intervals_fixfield_or": _intervals_fixfield_sql(
+            slot0_pred="term IN ('the', 'a')", max_gaps=4
+        ),
         "q_multifield_bare": _multifield_bare_sql("en"),
         "text_highlight": """
 WITH m AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
@@ -3538,26 +3558,29 @@ ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0
     )
 
 
-def _intervals_fixfield_sql(k: int = 10) -> str:
-    """Intervals.fixField oracle: ordered minimal intervals with the 'the'
-    slot's positions from the UNFILTERED text field (tokp0, full ordinals)
-    and the 'fast' slot from the stop-filtered field (tokp, hole-preserved
-    ordinals), maxgaps 3, minExtent 2, saturation score (interval scoring
-    is similarity-free so no norms/stats join)."""
+def _intervals_fixfield_sql(
+    k: int = 10, slot0_pred: str = "term = 'the'", max_gaps: int = 3
+) -> str:
+    """Intervals.fixField oracle: ordered minimal intervals with slot 0's
+    positions from the UNFILTERED text field (tokp0, full ordinals — a
+    predicate so an Intervals.or union of fixField alternatives is one
+    IN-list) and the 'fast' slot from the stop-filtered field (tokp,
+    hole-preserved ordinals), maxgaps-filtered, minExtent 2, saturation
+    score (interval scoring is similarity-free so no norms/stats join)."""
     return (
         _stop_prelude(("the", "a"))
-        + """
+        + f"""
 , fb1 AS (SELECT doc_id, pos AS e FROM tokp WHERE term = 'fast'),
 fb0 AS (
   SELECT b.doc_id, b.e, max(t.pos) AS s
-  FROM fb1 b JOIN tokp0 t ON t.doc_id = b.doc_id AND t.term = 'the'
+  FROM fb1 b JOIN tokp0 t ON t.doc_id = b.doc_id AND ({slot0_pred})
     AND t.pos < b.e
   GROUP BY b.doc_id, b.e
 ),
 iv AS (SELECT doc_id, s, min(e) AS e FROM fb0 GROUP BY doc_id, s),
 pf AS (
   SELECT doc_id, sum(1.0 / greatest((e - s + 1) - 2 + 1, 1)) AS freq
-  FROM iv WHERE (e - s + 1) - 2 <= 3 GROUP BY doc_id
+  FROM iv WHERE (e - s + 1) - 2 <= {max_gaps} GROUP BY doc_id
 ),
 ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
 """

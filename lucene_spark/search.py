@@ -2501,8 +2501,15 @@ class MultiFieldSearcher(Searcher):
             isinstance(t, FieldMaskedTerm) for t in q.terms
         ):
             return self._eval_span_near_masked(q)
+        def _has_fixfield(t):
+            if isinstance(t, FieldMaskedTerm):
+                return True
+            return isinstance(t, (tuple, list)) and any(
+                isinstance(x, FieldMaskedTerm) for x in t
+            )
+
         if isinstance(q, IntervalQuery) and any(
-            isinstance(t, FieldMaskedTerm) for t in q.terms
+            _has_fixfield(t) for t in q.terms
         ):
             return self._eval_intervals_fixfield(q)
         fname = getattr(q, "field", None)
@@ -2525,32 +2532,45 @@ class MultiFieldSearcher(Searcher):
         comparison (the javadoc's stemmed-near-unstemmed example). Interval
         scoring is similarity-free (saturation on freq, no norms/idf), so
         unlike the masked-span path no mask-field norm join is needed.
-        Slots here are single terms (plain or field-fixed); OR-alternation
-        and multi-term slots inside a fixField query raise."""
+        A slot is a plain term, a field-fixed term, or a TUPLE of such
+        alternatives (Intervals.or over fixField sources — alternatives
+        may come from different fields; the slot's point stream is the
+        union of every alternative's positions)."""
         mask_field = self.default_field
-        clauses = []
-        for t in q.terms:
+
+        def alt(t):
             if isinstance(t, FieldMaskedTerm):
-                clauses.append((t.field, t.term))
-            elif isinstance(t, str):
-                clauses.append((mask_field, t))
+                return (t.field, t.term)
+            if isinstance(t, str):
+                return (mask_field, t)
+            raise NotImplementedError(
+                "fixField interval alternatives must be plain or "
+                "field-fixed terms"
+            )
+
+        slots = []  # each: tuple of (field, term) alternatives
+        for t in q.terms:
+            if isinstance(t, (tuple, list)):
+                slots.append(tuple(alt(x) for x in t))
             else:
-                raise NotImplementedError(
-                    "fixField interval slots must be plain or field-fixed terms"
-                )
-        keys = [f + "\x00" + t for f, t in clauses]
-        if len(set(keys)) != len(keys):
+                slots.append((alt(t),))
+        if len(set(slots)) != len(slots):
             raise NotImplementedError("duplicate fixField interval slots")
+        clauses = [ft for s in slots for ft in s]
         by_field: Dict[str, List[str]] = {}
         for f, t in clauses:
             by_field.setdefault(f, []).append(t)
+        stats_by_field = {}
         for f, ts in by_field.items():
             sub = self.searchers.get(f)
             if sub is None:
                 return self._empty()
-            stats = sub.term_stats(ts)
-            if any(t not in stats for t in ts):
-                return self._empty()
+            stats_by_field[f] = sub.term_stats(ts)
+        # conjunction: every slot needs at least one present alternative
+        if any(
+            all(t not in stats_by_field[f] for f, t in s) for s in slots
+        ):
+            return self._empty()
         raws = []
         for f, ts in by_field.items():
             raws.append(
@@ -2565,33 +2585,40 @@ class MultiFieldSearcher(Searcher):
         raw = raws[0]
         for r in raws[1:]:
             raw = raw.unionByName(r)
+        # per-slot alternative keys, absent alternatives dropped
+        slot_keys = tuple(
+            tuple(
+                f + "\x00" + t for f, t in s if t in stats_by_field[f]
+            )
+            for s in slots
+        )
+        disjoint = all(
+            not (set(slot_keys[i]) & set(slot_keys[j]))
+            for i in range(len(slot_keys))
+            for j in range(i + 1, len(slot_keys))
+        )
+        min_keys = len(slot_keys) if disjoint else 1
         grouped = (
             raw.groupBy("doc_id")
             .agg(
                 F.count("*").alias("nt"),
                 F.collect_list(F.struct("term", "positions")).alias("plist"),
             )
-            .filter(F.col("nt") >= len(keys))
+            .filter(F.col("nt") >= min_keys)
         )
         ordered, max_gaps = bool(q.ordered), int(q.max_gaps)
         max_width = int(getattr(q, "max_width", -1))
-        keys_t = tuple(keys)
+        all_keys = tuple(sorted({k for s in slot_keys for k in s}))
 
         @F.pandas_udf("double")
         def ff_freq(plist: pd.Series) -> pd.Series:
             from . import matchers
 
-            n_docs = len(plist)
-            by_key = {k: [None] * n_docs for k in keys_t}
-            for i, entries in enumerate(plist):
-                for e in entries:
-                    by_key[e["term"]][i] = np.asarray(
-                        e["positions"], dtype=np.int64
-                    )
+            by_slot, n_docs = _slot_position_lists(plist, slot_keys, all_keys)
             return pd.Series(
                 matchers.interval_freqs(
-                    [by_key[k] for k in keys_t], ordered, max_gaps, n_docs,
-                    min_extent=len(keys_t), max_width=max_width,
+                    by_slot, ordered, max_gaps, n_docs,
+                    min_extent=len(slot_keys), max_width=max_width,
                 )
             )
 
