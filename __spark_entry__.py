@@ -33,6 +33,7 @@ from lucene_spark.query import (
     DisjunctionMaxQuery,
     ExtendedIntervalQuery,
     ConstantScoreQuery,
+    CoveringQuery,
     FunctionScoreQuery,
     FuzzyQuery,
     FeatureQuery,
@@ -469,6 +470,26 @@ matched AS (
 )
 """
     return sql + _rank_tail("score", "FROM matched", k)
+
+
+def _covering_sql() -> str:
+    """CoveringQuery oracle: per-doc matching-term count vs the doc-values
+    minimum (>= 1 floor); score = sum of matching BM25 scores."""
+    return (
+        _PRELUDE
+        + _scored_cte(["spark", "merge", "vector"])
+        + """
+, agg AS (
+  SELECT doc_id, count(*) AS cnt, sum(score) AS score FROM sc GROUP BY doc_id
+),
+cov AS (
+  SELECT a.doc_id, a.score
+  FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+  WHERE a.cnt >= greatest(CASE WHEN d.n_chars > 2000 THEN 2 ELSE 1 END, 1)
+)
+"""
+        + _rank_tail("score", "FROM cov", 10)
+    )
 
 
 def _function_score_sql() -> str:
@@ -1048,6 +1069,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     TermQuery(term="spark"),
                     FeatureQuery(feature="n_chars", boost=0.05),
                 ]
+            ),
+            10,
+        ),
+        "q_covering": lambda sp, d: _topk_df(
+            # CoveringQuery: per-doc dynamic minimumShouldMatch — long
+            # docs (n_chars > 2000) must match 2 of the 3 terms, short
+            # docs 1
+            _searcher(sp, d),
+            CoveringQuery(
+                queries=(
+                    TermQuery(term="spark"),
+                    TermQuery(term="merge"),
+                    TermQuery(term="vector"),
+                ),
+                min_match_expr="CASE WHEN n_chars > 2000 THEN 2 ELSE 1 END",
             ),
             10,
         ),
@@ -1746,6 +1782,7 @@ def oracle_sql() -> dict[str, str]:
         "q_filter": _bool_topk_sql(must=["table"], filters=["spark"]),
         "q_and3_hot": _bool_topk_sql(must=["a", "the", "table"]),
         "q_phrase": _phrase_sql(["fast", "table"]),
+        "q_covering": _covering_sql(),
         "q_function_score": _function_score_sql(),
         "q_function_score_boost_query": _function_score_boost_query_sql(),
         "q_rescore_query": _rescore_query_sql(),

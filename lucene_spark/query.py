@@ -217,6 +217,22 @@ class IntervalMultiTerm:
 
 
 @dataclass(frozen=True)
+class CoveringQuery(Query):
+    """CoveringQuery (sandbox/search/CoveringQuery.java): matches docs
+    where at least ``minimumNumberMatch`` of the sub-queries match — a
+    BooleanQuery whose minimumShouldMatch is a PER-DOC long value. The
+    reference reads it from a LongValuesSource; here ``min_match_expr``
+    is a Spark SQL expression over the stored doc-values columns (the
+    Catalyst LongValuesSource). Values below 1 behave as 1; docs where
+    the expression is NULL do not match (CoveringQuery.java:62-65).
+    score = sum of the matching sub-queries' scores
+    (CoveringScorer.score)."""
+
+    queries: Tuple[Query, ...] = ()
+    min_match_expr: str = "1"
+
+
+@dataclass(frozen=True)
 class FunctionScoreQuery(Query):
     """FunctionScoreQuery (queries/function/FunctionScoreQuery.java) over a
     compiled expression (expressions/js/JavascriptCompiler.java): matching

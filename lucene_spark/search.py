@@ -47,6 +47,7 @@ from .query import (
     AtLeastIntervalQuery,
     ExtendedIntervalQuery,
     IntervalFilterQuery,
+    CoveringQuery,
     FunctionScoreQuery,
     IntervalMultiTerm,
     IntervalQuery,
@@ -1011,6 +1012,8 @@ class Searcher:
             return self._eval_intervals_no_overlaps(q)
         if isinstance(q, FunctionScoreQuery):
             return self._eval_function_score(q)
+        if isinstance(q, CoveringQuery):
+            return self._eval_covering(q)
         if isinstance(q, AtLeastIntervalQuery):
             return self._eval_intervals_atleast(q)
         if isinstance(q, ConstantScoreQuery):
@@ -2060,6 +2063,39 @@ class Searcher:
         else:
             val = val * F.lit(float(np.float64(boost)))
         return df.select("doc_id", val.alias("score"))
+
+    def _eval_covering(self, q: CoveringQuery) -> DataFrame:
+        """CoveringQuery: union the sub-query score frames, count and sum
+        per doc, join the Catalyst LongValuesSource expression over the
+        stored docs projection, keep docs with count >= max(minimum, 1)
+        and a non-null minimum. Everything stays a relational plan — the
+        dynamic minimumShouldMatch is one filter predicate."""
+        parts = [self._eval(sub, needs_scores=True) for sub in q.queries]
+        if not parts:
+            return self._empty()
+        allm = parts[0]
+        for p in parts[1:]:
+            allm = allm.unionByName(p)
+        agg = allm.groupBy("doc_id").agg(
+            F.count("*").alias("__cnt"), F.sum("score").alias("score")
+        )
+        mins = self.index.docs.selectExpr(
+            "doc_id", f"({q.min_match_expr}) AS __mn"
+        )
+        return (
+            agg.join(mins, "doc_id")
+            .filter(F.col("__mn").isNotNull())
+            .filter(
+                F.col("__cnt")
+                >= F.greatest(F.col("__mn").cast("long"), F.lit(1))
+            )
+            .select(
+                "doc_id",
+                (F.col("score") * F.lit(float(np.float64(q.boost)))).alias(
+                    "score"
+                ),
+            )
+        )
 
     def _eval_function_score(self, q: FunctionScoreQuery) -> DataFrame:
         """FunctionScoreQuery: one Column tree over the wrapped query's
