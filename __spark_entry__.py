@@ -695,6 +695,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             10,
         ),
+        "q_phrase_wildcard": lambda sp, d: _topk_df(
+            # PhraseWildcardQuery (sandbox): exact-adjacent phrase with a
+            # wildcard slot = ordered slop-0 span over the expansion
+            _searcher(sp, d),
+            SpanNearQuery(
+                terms=("fast", IntervalMultiTerm(kind="wildcard", pattern="t*e")),
+                slop=0,
+                in_order=True,
+            ),
+            10,
+        ),
         "q_span_near_or_slot": lambda sp, d: _topk_df(
             # SpanOr nested in SpanNear with explicit alternatives
             _searcher(sp, d),
@@ -1808,6 +1819,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_span_near_or_slot": _span_near_slots_sql(
             [["fast", "slow"], ["table"]], 4
+        ),
+        "q_phrase_wildcard": _span_near_slots_sql(
+            [["fast"], "{term} LIKE 't%e'"], 0
         ),
         "q_intervals_ordered": _intervals_sql(["the", "fast", "table"], True, 8),
         "q_intervals_unordered": _intervals_sql(["spark", "table"], False, -1),
