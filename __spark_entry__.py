@@ -33,6 +33,7 @@ from lucene_spark.query import (
     DisjunctionMaxQuery,
     ExtendedIntervalQuery,
     ConstantScoreQuery,
+    CombinedFieldQuery,
     CoveringQuery,
     FunctionScoreQuery,
     FuzzyQuery,
@@ -1058,6 +1059,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             10,
         ),
+        "q_combined_field": lambda sp, d: _topk_df(
+            # CombinedFieldQuery (BM25F): 'en' scored against the
+            # synthetic text+lang field, lang weighted 2x
+            _multifield_searcher(sp, d),
+            CombinedFieldQuery(
+                term="en", fields=(("text", 1.0), ("lang", 2.0))
+            ),
+            10,
+        ),
         # ---- multi-field (field-qualified) search ----
         "q_multifield": lambda sp, d: _multifield_topk(sp, d),
         "q_multifield_bare": lambda sp, d: _topk_df(
@@ -1798,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
         "q_function_score_boost_query": _function_score_boost_query_sql(),
         "q_rescore_query": _rescore_query_sql(),
         "q_rescore_expression": _rescore_expression_sql(),
+        "q_combined_field": _combined_field_sql("en", 1.0, 2.0),
         "q_multifield": _multifield_sql(),
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_phrase_slop2": _phrase_slop_sql(["fast", "table"], 2),
@@ -3698,6 +3709,74 @@ pf AS (
 ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
 """
         + _rank_tail("score", "FROM ivsc", k)
+    )
+
+
+def _combined_field_sql(term: str, wt: float, wl: float, k: int = 10) -> str:
+    """CombinedFieldQuery (BM25F) oracle: freq = wt*tf_text + wl*tf_lang;
+    combined norm = intToByte4(round(wt*dlq_text + wl*dlq_lang)) decoded
+    back through byte4ToInt; pseudo stats df = max, sttf = trunc(weighted
+    sum), docCount = max — CombinedFieldWeight's merges in SQL."""
+    import re as _re
+
+    lang_part = _PRELUDE.replace("WITH ", ", ").replace("lower(text)", "lower(lang)")
+    lang_part = _re.sub(
+        r"\b(tokarr|tokp|tok|dfreq|dlq|dl|nrm|tf|stats)\b", r"l\1", lang_part
+    )
+    return (
+        _PRELUDE
+        + lang_part
+        + f"""
+, cs AS (
+  SELECT greatest(s.n, ls.n) AS n,
+         trunc({wt} * s.sttf + {wl} * ls.sttf) AS sttf
+  FROM stats s, lstats ls
+),
+cdf AS (
+  SELECT greatest(
+    coalesce((SELECT df FROM dfreq WHERE term = '{term}'), 0),
+    coalesce((SELECT df FROM ldfreq WHERE term = '{term}'), 0)
+  ) AS df
+),
+cfreq AS (
+  SELECT doc_id, sum(wf) AS freq FROM (
+    SELECT doc_id, {wt} * freq AS wf FROM tf WHERE term = '{term}'
+    UNION ALL
+    SELECT doc_id, {wl} * freq FROM ltf WHERE term = '{term}'
+  ) GROUP BY doc_id
+),
+craw AS (
+  SELECT q.doc_id, round({wt} * q.dlq + {wl} * lq.ldlq)::BIGINT AS cl
+  FROM dlq q JOIN ldlq lq ON lq.doc_id = q.doc_id
+),
+cnbx AS (
+  SELECT doc_id,
+    CASE WHEN cl < 24 THEN cl
+         WHEN (cl - 24) < 8 THEN cl
+         ELSE 24 + ((((cl - 24) >> (length(format('{{:b}}', cl - 24)) - 4)) & 7)
+                    | ((length(format('{{:b}}', cl - 24)) - 3) << 3))
+    END AS nb
+  FROM craw
+),
+cdlq AS (
+  SELECT doc_id,
+    (CASE WHEN nb < 24 THEN nb
+          WHEN ((nb - 24) >> 3) = 0 THEN nb
+          ELSE 24 + ((((nb - 24) & 7) | 8) << (((nb - 24) >> 3) - 1))
+     END)::DOUBLE AS cdl
+  FROM cnbx
+),
+csc AS (
+  SELECT f.doc_id,
+         (ln(1 + (cs.n - cdf.df + 0.5) / (cdf.df + 0.5)))
+         - (ln(1 + (cs.n - cdf.df + 0.5) / (cdf.df + 0.5)))
+           / (1 + f.freq * (1.0 / ({K1} * ((1 - {B})
+                + {B} * d.cdl / (cs.sttf / cs.n))))) AS score
+  FROM cfreq f JOIN cdlq d ON d.doc_id = f.doc_id
+  CROSS JOIN cs CROSS JOIN cdf
+)
+"""
+        + _rank_tail("score", "FROM csc", k)
     )
 
 

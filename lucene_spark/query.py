@@ -217,6 +217,23 @@ class IntervalMultiTerm:
 
 
 @dataclass(frozen=True)
+class CombinedFieldQuery(Query):
+    """CombinedFieldQuery (sandbox/search/CombinedFieldQuery.java) — the
+    BM25F shape: a term scored against a SYNTHETIC field combining
+    several real fields with weights >= 1. freq = Σ_f w_f * tf_f
+    (WeightedDisiWrapper.freq summed by CombinedFieldScorer); the norm is
+    re-quantized from the weighted sum of each field's DECODED norm
+    length — intToByte4(round(Σ w_f * LENGTH_TABLE[norm_f])),
+    MultiNormsLeafSimScorer.MultiFieldNormValues; pseudo term stats: df =
+    max over fields, ttf = truncate(Σ w_f * ttf_f) floored at 1; pseudo
+    collection stats: docCount = max, sumTotalTermFreq = truncate(Σ w_f *
+    sttf_f). Only a MultiFieldSearcher can evaluate it."""
+
+    term: str = ""
+    fields: Tuple = ()  # ((field_name, weight), ...) — weights >= 1
+
+
+@dataclass(frozen=True)
 class CoveringQuery(Query):
     """CoveringQuery (sandbox/search/CoveringQuery.java): matches docs
     where at least ``minimumNumberMatch`` of the sub-queries match — a

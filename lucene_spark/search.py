@@ -47,6 +47,7 @@ from .query import (
     AtLeastIntervalQuery,
     ExtendedIntervalQuery,
     IntervalFilterQuery,
+    CombinedFieldQuery,
     CoveringQuery,
     FunctionScoreQuery,
     IntervalMultiTerm,
@@ -2548,6 +2549,8 @@ class MultiFieldSearcher(Searcher):
             _has_fixfield(t) for t in q.terms
         ):
             return self._eval_intervals_fixfield(q)
+        if isinstance(q, CombinedFieldQuery):
+            return self._eval_combined_field(q)
         fname = getattr(q, "field", None)
         if fname is not None:
             sub = self.searchers.get(fname)
@@ -2557,6 +2560,106 @@ class MultiFieldSearcher(Searcher):
         if isinstance(q, (BooleanQuery, DisjunctionMaxQuery, ConstantScoreQuery)):
             return super()._eval(q, needs_scores)  # recurses back through us
         return self.searchers[self.default_field]._eval(q, needs_scores)
+
+    def _eval_combined_field(self, q: "CombinedFieldQuery") -> DataFrame:
+        """CombinedFieldQuery (sandbox — BM25F): one BM25 evaluation of a
+        pseudo term over a pseudo field. Per-field tf frames union into
+        one weighted-freq aggregate; every field's per-doc norm joins in
+        (norms are doc-level, present whether or not that field matched)
+        and re-quantizes through the reference's exact
+        decode→weighted-sum→round→encode chain; the pseudo term and
+        collection statistics follow CombinedFieldWeight's max/weighted-
+        truncate merges. The scorer is the ordinary BM25 kernel over the
+        combined (freq, norm)."""
+        from .bm25 import CollectionStats
+        from .similarities import TermStatsIn
+
+        fields = [(f, float(w)) for f, w in q.fields]
+        if any(w < 1 for _f, w in fields):
+            raise ValueError("CombinedFieldQuery weights must be >= 1")
+        subs = []
+        df_max, ttf = 0, 0
+        for f, w in fields:
+            sub = self.searchers.get(f)
+            if sub is None:
+                continue
+            st = sub.term_stats([q.term]).get(q.term)
+            subs.append((f, w, sub, st))
+            if st is not None:
+                df_max = max(df_max, st.doc_freq)
+                # Java `long += double` truncates PER STEP
+                # (CombinedFieldQuery.java:293,303)
+                ttf = int(ttf + w * st.total_term_freq)
+        if df_max == 0:
+            return self._empty()
+        doc_count = max(s.index.stats.doc_count for _f, _w, s, _ in subs)
+        sttf = 0
+        for _f, w, s, _st in subs:  # per-step truncation, java:321,328
+            sttf = int(sttf + w * s.index.stats.sum_total_term_freq)
+        scorer = self.sim.multi_scorer(
+            q.boost,
+            [TermStatsIn(df_max, max(1, ttf))],
+            CollectionStats(doc_count, sttf),
+            self.dtype,
+        )
+        parts = []
+        for f, w, sub, st in subs:
+            if st is None:
+                continue
+            parts.append(
+                sub.decode_raw([q.term]).select(
+                    "doc_id",
+                    (F.col("freq").cast("double") * F.lit(w)).alias("wf"),
+                )
+            )
+        matched = parts[0]
+        for p in parts[1:]:
+            matched = matched.unionByName(p)
+        matched = matched.groupBy("doc_id").agg(F.sum("wf").alias("freq"))
+        weights = []
+        for i, (f, w, sub, _st) in enumerate(subs):
+            matched = matched.join(
+                sub.index.docs.select(
+                    "doc_id", F.col("norm").alias(f"__n{i}")
+                ),
+                "doc_id",
+                "left",
+            ).fillna({f"__n{i}": 0})
+            weights.append(w)
+        n_fields = len(weights)
+        w_arr = tuple(weights)
+
+        @F.pandas_udf("double")
+        def cf_score(freq: pd.Series, norms: pd.Series) -> pd.Series:
+            from .smallfloat import LENGTH_TABLE, int_to_byte4
+
+            nb = np.stack(
+                [np.asarray(x, dtype=np.int64) for x in norms]
+            ) & 0xFF  # (n_rows, n_fields)
+            if nb.shape[1] == 1:
+                # single norm field: raw norm, weight ignored
+                # (MultiNormsLeafSimScorer.java:67-68)
+                cnb = nb[:, 0]
+            else:
+                ws = np.asarray(w_arr, dtype=np.float32)
+                total = np.zeros(nb.shape[0], dtype=np.float32)
+                for j in range(nb.shape[1]):  # sequential f32 += w*LT
+                    total += ws[j] * LENGTH_TABLE[nb[:, j]]
+                # Math.round(float) = (int) floor(v + 0.5f) — f32 add
+                cnb = int_to_byte4(
+                    np.floor(total + np.float32(0.5)).astype(np.int64)
+                )
+            return pd.Series(
+                scorer.score(
+                    freq.to_numpy(np.float64), cnb.astype(np.int64)
+                ).astype(np.float64)
+            )
+
+        norm_arr = F.array(*[F.col(f"__n{i}") for i in range(n_fields)])
+        return matched.select(
+            "doc_id",
+            cf_score(F.col("freq"), norm_arr).alias("score"),
+        )
 
     def _eval_intervals_fixfield(self, q: IntervalQuery) -> DataFrame:
         """IntervalQuery with Intervals.fixField slots
