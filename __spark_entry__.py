@@ -35,6 +35,9 @@ from lucene_spark.query import (
     ConstantScoreQuery,
     CombinedFieldQuery,
     CoveringQuery,
+    ParentChildrenBlockJoinQuery,
+    ToChildBlockJoinQuery,
+    ToParentBlockJoinQuery,
     FunctionScoreQuery,
     FuzzyQuery,
     FeatureQuery,
@@ -129,6 +132,65 @@ def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
         ).persist()
         _CACHE[key] = Searcher(idx, dtype=np.float64)
     return _CACHE[key]
+
+
+def _block_searcher(spark: SparkSession, sf_dir: str):
+    """Block-join corpus: documents rows regrouped into blocks of 4
+    children + one 'zzblockparentzz' marker parent, children preceding
+    the parent in doc_id (Lucene addDocuments adjacency): child doc_id =
+    5*(d//4) + d%4, parent doc_id = 5*(d//4) + 4. Returns (Searcher,
+    corpus DF with the construction-side (doc_id, text, parent_id)); the
+    ENGINE derives its own parent map from the marker query + doc_id
+    adjacency, so the two sides are independent."""
+    key = f"{sf_dir}::blocks"
+    if key not in _CACHE:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        kids = docs.select(
+            (F.floor(F.col("doc_id") / 4) * 5 + F.col("doc_id") % 4).alias(
+                "doc_id"
+            ),
+            "text",
+            (F.floor(F.col("doc_id") / 4) * 5 + 4).alias("parent_id"),
+        )
+        parents = (
+            docs.select(F.floor(F.col("doc_id") / 4).alias("blk"))
+            .distinct()
+            .select(
+                (F.col("blk") * 5 + 4).alias("doc_id"),
+                F.lit("zzblockparentzz").alias("text"),
+                (F.col("blk") * 5 + 4).alias("parent_id"),
+            )
+        )
+        corpus = kids.unionByName(parents).persist()
+        cfg = IndexConfig(
+            chain="standard", seg_size=1 << 12, block_size=128,
+            with_positions=False,
+        )
+        idx = build_index(
+            corpus.select("doc_id", "text"), cfg,
+            content_col="text", doc_id_col="doc_id",
+        ).persist()
+        _CACHE[key] = (Searcher(idx, dtype=np.float64), corpus)
+    return _CACHE[key]
+
+
+def _block_children_of(sp: SparkSession, d: str) -> DataFrame:
+    """ParentChildrenBlockJoinQuery entry: expand the parent of the FIRST
+    matching child back into its matching children."""
+    s, corpus = _block_searcher(sp, d)
+    m = s.matches(TermQuery(term="spark")).agg(F.min("doc_id")).collect()[0][0]
+    pid = int(
+        corpus.filter(F.col("doc_id") == int(m)).select("parent_id").first()[0]
+    )
+    return _topk_df(
+        s,
+        ParentChildrenBlockJoinQuery(
+            parent_doc_id=pid,
+            child=TermQuery(term="spark"),
+            parents=TermQuery(term="zzblockparentzz"),
+        ),
+        10,
+    )
 
 
 def _syn_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
@@ -1108,6 +1170,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             10,
         ),
+        # ---- block join (nested docs: lineitems under their order) ----
+        "q_block_join_parent_max": lambda sp, d: _topk_df(
+            _block_searcher(sp, d)[0],
+            ToParentBlockJoinQuery(
+                child=TermQuery(term="spark"),
+                parents=TermQuery(term="zzblockparentzz"),
+                score_mode="max",
+            ),
+            10,
+        ),
+        "q_block_join_parent_avg": lambda sp, d: _topk_df(
+            _block_searcher(sp, d)[0],
+            ToParentBlockJoinQuery(
+                child=TermQuery(term="merge"),
+                parents=TermQuery(term="zzblockparentzz"),
+                score_mode="avg",
+            ),
+            10,
+        ),
+        "q_block_join_child": lambda sp, d: _topk_df(
+            _block_searcher(sp, d)[0],
+            ToChildBlockJoinQuery(
+                parent=ToParentBlockJoinQuery(
+                    child=TermQuery(term="spark"),
+                    parents=TermQuery(term="zzblockparentzz"),
+                    score_mode="max",
+                ),
+                parents=TermQuery(term="zzblockparentzz"),
+                do_scores=True,
+            ),
+            10,
+        ),
+        "q_block_join_children_of": _block_children_of,
         # ---- compiled scoring expressions (expressions/js + FunctionScoreQuery) ----
         "q_function_score": lambda sp, d: _topk_df(
             _searcher(sp, d),
@@ -1809,6 +1904,10 @@ def oracle_sql() -> dict[str, str]:
         "q_rescore_query": _rescore_query_sql(),
         "q_rescore_expression": _rescore_expression_sql(),
         "q_combined_field": _combined_field_sql("en", 1.0, 2.0),
+        "q_block_join_parent_max": _block_join_parent_sql("spark", "max"),
+        "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
+        "q_block_join_child": _block_join_child_sql("spark"),
+        "q_block_join_children_of": _block_join_children_of_sql("spark"),
         "q_multifield": _multifield_sql(),
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_phrase_slop2": _phrase_slop_sql(["fast", "table"], 2),
@@ -3709,6 +3808,95 @@ pf AS (
 ivsc AS (SELECT doc_id, 1.0 - 1.0 / (freq + 1.0) AS score FROM pf WHERE freq > 0)
 """
         + _rank_tail("score", "FROM ivsc", k)
+    )
+
+
+_BLOCK_CORPUS_SQL = """
+WITH corpus AS (
+  SELECT (doc_id // 4) * 5 + (doc_id % 4) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT DISTINCT (doc_id // 4) * 5 + 4, 'zzblockparentzz' FROM documents
+),
+pmap AS (
+  SELECT doc_id, (doc_id // 5) * 5 + 4 AS parent_id
+  FROM corpus WHERE doc_id % 5 <> 4
+)
+"""
+
+
+def _block_prelude() -> str:
+    """The BM25 prelude over the block corpus (documents rows in blocks
+    of 4 children + a 'zzblockparentzz' marker parent, children preceding
+    parent) instead of the raw documents table."""
+    return _BLOCK_CORPUS_SQL + _PRELUDE.replace(
+        "WITH tokarr", ", tokarr"
+    ).replace("FROM documents", "FROM corpus")
+
+
+def _block_join_parent_sql(term: str, mode: str, k: int = 10) -> str:
+    """ToParentBlockJoin oracle: per-block aggregate of child BM25 scores
+    (parent = the block's marker doc; children mapped by construction,
+    independent of the engine's window-derived parent map)."""
+    agg = {"max": "max(score)", "min": "min(score)",
+           "total": "sum(score)", "avg": "sum(score) / count(*)",
+           "none": "0.0"}[mode]
+    return (
+        _block_prelude()
+        + _scored_cte([term])
+        + f"""
+, childsc AS (
+  SELECT s.doc_id, s.score, p.parent_id
+  FROM sc s JOIN pmap p ON p.doc_id = s.doc_id
+),
+agg AS (
+  SELECT parent_id AS doc_id, {agg} AS score FROM childsc GROUP BY parent_id
+)
+"""
+        + _rank_tail("score", "FROM agg", k)
+    )
+
+
+def _block_join_child_sql(term: str, k: int = 10) -> str:
+    """ToChildBlockJoin oracle over a ToParentBlockJoin(max) parent query:
+    every child of a matched block carries the parent's score."""
+    return (
+        _block_prelude()
+        + _scored_cte([term])
+        + """
+, childsc AS (
+  SELECT s.doc_id, s.score, p.parent_id
+  FROM sc s JOIN pmap p ON p.doc_id = s.doc_id
+),
+pagg AS (SELECT parent_id, max(score) AS pscore FROM childsc GROUP BY parent_id),
+kids AS (
+  SELECT p.doc_id, g.pscore AS score
+  FROM pmap p JOIN pagg g ON g.parent_id = p.parent_id
+)
+"""
+        + _rank_tail("score", "FROM kids", k)
+    )
+
+
+def _block_join_children_of_sql(term: str, k: int = 10) -> str:
+    """ParentChildrenBlockJoin oracle: the matching children of the parent
+    of the FIRST (min doc_id) matching child."""
+    return (
+        _block_prelude()
+        + _scored_cte([term])
+        + """
+, childsc AS (
+  SELECT s.doc_id, s.score, p.parent_id
+  FROM sc s JOIN pmap p ON p.doc_id = s.doc_id
+),
+sel AS (
+  SELECT doc_id, score FROM childsc
+  WHERE parent_id = (
+    SELECT parent_id FROM childsc
+    WHERE doc_id = (SELECT min(doc_id) FROM childsc)
+  )
+)
+"""
+        + _rank_tail("score", "FROM sel", k)
     )
 
 

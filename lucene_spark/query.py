@@ -250,6 +250,50 @@ class CoveringQuery(Query):
 
 
 @dataclass(frozen=True)
+class ToParentBlockJoinQuery(Query):
+    """ToParentBlockJoinQuery (join/ToParentBlockJoinQuery.java): child
+    matches roll up to their block's parent doc. Blocks are doc_id
+    adjacency — children precede the parent — and parents are identified
+    by ``parents``: either a Spark SQL boolean expression over the docs
+    table (the BitSetProducer role) or a Query. Parent score aggregates
+    the child scores in DOUBLE (ToParentBlockJoinQuery.java:352-394):
+    ``total``/``avg`` sum (avg divides by matched-child count), ``min``/
+    ``max`` fold, ``none`` scores 0 (the child runs under a 0-boost
+    constant score, :95-103). A child query matching a parent doc raises
+    (:380-388). Query boost belongs on the child query (the reference
+    pushes createWeight's boost into the child weight)."""
+
+    child: Query = None
+    parents: object = None  # SQL expr str over docs cols, or a Query
+    score_mode: str = "none"  # none | avg | max | total | min
+
+
+@dataclass(frozen=True)
+class ToChildBlockJoinQuery(Query):
+    """ToChildBlockJoinQuery (join/ToChildBlockJoinQuery.java): a query
+    matching PARENT docs fans out to every child in the parent's block,
+    each child scored with the parent's score (or 0 when ``do_scores``
+    is False, :196-206). A parent-query match on a non-parent doc raises
+    (ToChildBlockJoinScorer.validateParentDoc)."""
+
+    parent: Query = None
+    parents: object = None
+    do_scores: bool = True
+
+
+@dataclass(frozen=True)
+class ParentChildrenBlockJoinQuery(Query):
+    """ParentChildrenBlockJoinQuery (join/ParentChildrenBlockJoinQuery.
+    java): the children of ONE given parent doc that match the child
+    query, scored by the child query — the 'expand matched parents back
+    into their matching children' operation."""
+
+    parent_doc_id: int = -1
+    child: Query = None
+    parents: object = None
+
+
+@dataclass(frozen=True)
 class FunctionScoreQuery(Query):
     """FunctionScoreQuery (queries/function/FunctionScoreQuery.java) over a
     compiled expression (expressions/js/JavascriptCompiler.java): matching

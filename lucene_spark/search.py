@@ -53,6 +53,7 @@ from .query import (
     IntervalMultiTerm,
     IntervalQuery,
     NoOverlapsIntervalQuery,
+    ParentChildrenBlockJoinQuery,
     PhraseQuery,
     FieldMaskedTerm,
     SpanContainQuery,
@@ -68,6 +69,8 @@ from .query import (
     TermInSetQuery,
     TermQuery,
     TermRangeQuery,
+    ToChildBlockJoinQuery,
+    ToParentBlockJoinQuery,
     WildcardQuery,
     rewrite,
 )
@@ -354,6 +357,9 @@ class Searcher:
         # positional variant: term -> (docs, freqs, norms, positions list)
         self._positions_cache: Dict[str, tuple] = {}
         self._hot_pos_cached = 0
+        # block-join parent maps: parents-filter repr -> persisted
+        # (doc_id, parent_id) frame (the cached BitSetProducer role)
+        self._blockjoin_maps: Dict[str, DataFrame] = {}
         # live-docs snapshot: a Searcher is a point-in-time reader (like
         # DirectoryReader) — tombstones are loaded once at open. Deleted docs
         # (hard AND soft) never match; stats still include them (Lucene
@@ -1015,6 +1021,12 @@ class Searcher:
             return self._eval_function_score(q)
         if isinstance(q, CoveringQuery):
             return self._eval_covering(q)
+        if isinstance(q, ToParentBlockJoinQuery):
+            return self._eval_to_parent_block_join(q)
+        if isinstance(q, ToChildBlockJoinQuery):
+            return self._eval_to_child_block_join(q)
+        if isinstance(q, ParentChildrenBlockJoinQuery):
+            return self._eval_parent_children_block_join(q)
         if isinstance(q, AtLeastIntervalQuery):
             return self._eval_intervals_atleast(q)
         if isinstance(q, ConstantScoreQuery):
@@ -2097,6 +2109,172 @@ class Searcher:
                 ),
             )
         )
+
+    # ---------------- block join (join/ToParentBlockJoinQuery.java) ----
+
+    def _parent_map(self, parents) -> DataFrame:
+        """(doc_id, parent_id) for every doc: the smallest parent doc_id
+        at or after the doc — Lucene block semantics (children precede
+        their parent; BitSet.nextSetBit in ParentApproximation). Parents
+        map to themselves. Docs after the last parent (malformed tail)
+        get NULL and never join.
+
+        Scale shape: one window partitioned by a doc_id bucket (parallel,
+        no global sort) + a tiny per-bucket fixup that crosses bucket
+        boundaries via a driver-side suffix-min over #buckets rows — the
+        same two-pass pattern as build.assign_doc_ids. Cached + persisted
+        per parents-filter (Lucene caches the BitSet per reader)."""
+        key = repr(parents)
+        if key in self._blockjoin_maps:
+            return self._blockjoin_maps[key]
+        import os
+
+        from pyspark.sql import Window
+
+        bsz = int(os.environ.get("LUCENE_SPARK_BLOCKJOIN_BUCKET", 1 << 20))
+        if isinstance(parents, str):
+            flags = self.index.docs.select(
+                "doc_id", F.expr(parents).alias("__isp")
+            )
+        else:
+            pids = self._eval(parents, needs_scores=False).select(
+                "doc_id"
+            ).distinct().withColumn("__isp", F.lit(True))
+            flags = (
+                self.index.docs.select("doc_id")
+                .join(pids, "doc_id", "left")
+                .fillna({"__isp": False})
+            )
+        flags = flags.withColumn(
+            "__bkt", F.floor(F.col("doc_id") / F.lit(bsz))
+        )
+        w = (
+            Window.partitionBy("__bkt")
+            .orderBy(F.col("doc_id").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        within = flags.withColumn(
+            "__wp",
+            F.min(F.when(F.col("__isp"), F.col("doc_id"))).over(w),
+        )
+        # driver-side suffix-min of each bucket's first parent (tiny:
+        # one row per bucket that contains any parent)
+        bmin = (
+            flags.filter("__isp")
+            .groupBy("__bkt")
+            .agg(F.min("doc_id").alias("__fp"))
+            .collect()
+        )
+        # each bucket's fallback = the first parent in any LATER bucket
+        # (suffix-min over bucket-first-parents, computed on the driver)
+        n_buckets = within.agg(F.max("__bkt")).collect()[0][0]
+        by_bucket = {int(r["__bkt"]): int(r["__fp"]) for r in bmin}
+        fb_rows = []
+        run = None
+        for b in range(int(n_buckets or 0), -1, -1):
+            fb_rows.append((b, run))
+            if b in by_bucket:
+                run = by_bucket[b] if run is None else min(run, by_bucket[b])
+        fb = self.spark.createDataFrame(
+            [(b, v) for b, v in fb_rows], "__bkt long, __fb long"
+        )
+        pm = (
+            within.join(F.broadcast(fb), "__bkt", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("__wp"), F.col("__fb")).alias("parent_id"),
+            )
+            .persist()
+        )
+        self._blockjoin_maps[key] = pm
+        return pm
+
+    def _eval_to_parent_block_join(self, q: ToParentBlockJoinQuery) -> DataFrame:
+        """ToParentBlockJoinQuery: child matches join the parent map, then
+        one grouped ordered fold per parent reproduces the reference's
+        per-block double accumulation (ToParentBlockJoinQuery.java:
+        352-394). A child match on a parent doc raises inside the fold
+        (:380-388). ``none`` mirrors the 0-boost constant-score wrap."""
+        mode = q.score_mode.lower()
+        if mode not in ("none", "avg", "max", "total", "min"):
+            raise ValueError(f"unknown ScoreMode {q.score_mode!r}")
+        child = self._eval(q.child, needs_scores=(mode != "none"))
+        pm = self._parent_map(q.parents)
+        joined = (
+            child.join(pm, "doc_id")
+            .filter(F.col("parent_id").isNotNull())
+            .select("doc_id", "score", "parent_id")
+        )
+        dt = self.dtype
+
+        def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("doc_id")
+            if (pdf["doc_id"].to_numpy() == pdf["parent_id"].to_numpy()).any():
+                raise ValueError(
+                    "Child query must not match same docs with parent "
+                    "filter (ToParentBlockJoinQuery.java:382)"
+                )
+            pid = int(pdf["parent_id"].iloc[0])
+            if mode == "none":
+                return pd.DataFrame({"doc_id": [pid], "score": [0.0]})
+            sc = pdf["score"].to_numpy(np.float64)
+            if mode in ("total", "avg"):
+                s = 0.0
+                for v in sc:  # sequential double adds, doc_id order
+                    s += v
+                if mode == "avg":
+                    s /= len(sc)
+            elif mode == "min":
+                s = float(sc.min())
+            else:
+                s = float(sc.max())
+            return pd.DataFrame({"doc_id": [pid], "score": [float(dt(s))]})
+
+        return joined.groupBy("parent_id").applyInPandas(agg, MATCH_SCHEMA)
+
+    def _eval_to_child_block_join(self, q: ToChildBlockJoinQuery) -> DataFrame:
+        """ToChildBlockJoinQuery: matched parents fan out to their block's
+        children with the parent's score (ToChildBlockJoinQuery.java:
+        196-206); a parent-query match on a non-parent doc raises
+        (validateParentDoc)."""
+        parents = self._eval(q.parent, needs_scores=q.do_scores)
+        pm = self._parent_map(q.parents)
+        checked = parents.join(pm, "doc_id")
+
+        def validate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                bad = pdf["doc_id"].to_numpy() != pdf["parent_id"].to_numpy()
+                if bad.any():
+                    raise ValueError(
+                        "Parent query must not match child docs "
+                        "(ToChildBlockJoinScorer.validateParentDoc)"
+                    )
+                yield pdf[["parent_id", "score"]]
+
+        psc = checked.mapInPandas(validate, "parent_id long, score double")
+        kids = pm.filter(
+            F.col("parent_id").isNotNull()
+            & (F.col("doc_id") != F.col("parent_id"))
+        )
+        score = (
+            F.col("score") if q.do_scores else F.lit(0.0).cast("double")
+        )
+        return kids.join(psc, "parent_id").select(
+            "doc_id", score.alias("score")
+        )
+
+    def _eval_parent_children_block_join(
+        self, q: ParentChildrenBlockJoinQuery
+    ) -> DataFrame:
+        """ParentChildrenBlockJoinQuery: the one parent's children that
+        match the child query, child-query scored."""
+        pm = self._parent_map(q.parents)
+        kids = pm.filter(
+            (F.col("parent_id") == F.lit(int(q.parent_doc_id)))
+            & (F.col("doc_id") != F.col("parent_id"))
+        ).select("doc_id")
+        child = self._eval(q.child, needs_scores=True)
+        return child.join(kids, "doc_id").select("doc_id", "score")
 
     def _eval_function_score(self, q: FunctionScoreQuery) -> DataFrame:
         """FunctionScoreQuery: one Column tree over the wrapped query's

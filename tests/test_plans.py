@@ -257,3 +257,30 @@ def test_sq8_dequant_is_jvm_and_broadcast(spark):
     plan = _plan(fsim.sq8_topk(emb, [0, 1], k=3, bounds=(mn, mx)))
     assert "Python" not in plan, plan[:2000]
     assert "Broadcast" in plan
+
+
+def test_blockjoin_parent_map_window_is_partitioned(spark):
+    """The block-join parent map must never plan a GLOBAL window (single
+    task at scale): its window is partitioned by the doc_id bucket, and
+    the bucket-boundary fixup joins as a broadcast."""
+    from lucene_spark.build import IndexConfig, build_index
+    from lucene_spark.search import Searcher
+
+    df = spark.createDataFrame(
+        [(i, "red" if i % 5 != 4 else "marker") for i in range(100)],
+        "doc_id long, text string",
+    )
+    idx = build_index(
+        df, IndexConfig(seg_size=32, with_positions=False),
+        content_col="text", doc_id_col="doc_id",
+        auto_seg_size=False, eager=True,
+    )
+    s = Searcher(idx, dtype=np.float32)
+    pm = s._parent_map("doc_id % 5 = 4")
+    plan = _plan(pm)
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, plan[:2000]
+    # every window spec partitions by the bucket: no empty partition spec
+    assert all(sp.startswith("__bkt") for sp in specs), plan[:3000]
+    assert "Broadcast" in plan
+    idx.unpersist()
