@@ -75,6 +75,7 @@ from lucene_spark.functions import dedup as fdedup
 from lucene_spark.functions import facets as ffacets
 from lucene_spark.functions import geo as fgeo
 from lucene_spark.functions import highlight as fhigh
+from lucene_spark.functions import joinutil as fjoin
 from lucene_spark.functions import multimodal as fmm
 from lucene_spark.functions import simsearch as fsim
 from lucene_spark.functions import suggest as fsuggest
@@ -1203,6 +1204,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- JoinUtil: query-time term join (self-join on lang) ----
+        "q_join_util_avg": lambda sp, d: _rank_scored(
+            fjoin.term_join(
+                _searcher(sp, d), "lang", TermQuery(term="spark"),
+                _searcher(sp, d), "lang", "avg",
+            ),
+            10,
+        ),
+        "q_join_util_max": lambda sp, d: _rank_scored(
+            fjoin.term_join(
+                _searcher(sp, d), "lang", TermQuery(term="merge"),
+                _searcher(sp, d), "lang", "max",
+            ),
+            10,
+        ),
         # ---- compiled scoring expressions (expressions/js + FunctionScoreQuery) ----
         "q_function_score": lambda sp, d: _topk_df(
             _searcher(sp, d),
@@ -1908,6 +1924,8 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_join_util_avg": _join_util_sql("spark", "avg"),
+        "q_join_util_max": _join_util_sql("merge", "max"),
         "q_multifield": _multifield_sql(),
         "q_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]]),
         "q_phrase_slop2": _phrase_slop_sql(["fast", "table"], 2),
@@ -3897,6 +3915,29 @@ sel AS (
 )
 """
         + _rank_tail("score", "FROM sel", k)
+    )
+
+
+def _join_util_sql(term: str, mode: str, k: int = 10) -> str:
+    """JoinUtil self-join oracle: per-lang aggregate of the from-side BM25
+    scores, fanned to every doc of that lang (missing values join as '')."""
+    agg = {"max": "max(s.score)", "min": "min(s.score)",
+           "total": "sum(s.score)", "avg": "avg(s.score)"}[mode]
+    return (
+        _PRELUDE
+        + _scored_cte([term])
+        + f"""
+, fv AS (SELECT doc_id, coalesce(lang, '') AS v FROM documents),
+agg AS (
+  SELECT f.v, {agg} AS jscore
+  FROM sc s JOIN fv f ON f.doc_id = s.doc_id GROUP BY f.v
+),
+tosc AS (
+  SELECT d.doc_id, a.jscore AS score
+  FROM documents d JOIN agg a ON coalesce(d.lang, '') = a.v
+)
+"""
+        + _rank_tail("score", "FROM tosc", k)
     )
 
 
