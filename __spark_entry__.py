@@ -33,6 +33,7 @@ from lucene_spark.query import (
     DisjunctionMaxQuery,
     ExtendedIntervalQuery,
     ConstantScoreQuery,
+    BlendedTermQuery,
     CombinedFieldQuery,
     CoveringQuery,
     ParentChildrenBlockJoinQuery,
@@ -1204,6 +1205,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- BlendedTermQuery: blended statistics across terms ----
+        "q_blended_term": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            BlendedTermQuery(
+                terms=("spark", "merge"), boosts=(1.0, 2.0),
+                tie_breaker=0.1, rewrite="dismax",
+            ),
+            10,
+        ),
         # ---- JoinUtil: query-time term join (self-join on lang) ----
         "q_join_util_avg": lambda sp, d: _rank_scored(
             fjoin.term_join(
@@ -1924,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_blended_term": _blended_term_sql("spark", 1.0, "merge", 2.0, 0.1),
         "q_join_util_avg": _join_util_sql("spark", "avg"),
         "q_join_util_max": _join_util_sql("merge", "max"),
         "q_multifield": _multifield_sql(),
@@ -3915,6 +3926,37 @@ sel AS (
 )
 """
         + _rank_tail("score", "FROM sel", k)
+    )
+
+
+def _blended_term_sql(t1: str, b1: float, t2: str, b2: float,
+                      tie: float, k: int = 10) -> str:
+    """BlendedTermQuery oracle: both terms scored with the ARTIFICIAL
+    df = max(df_1, df_2), per-term boosts, dismax(tie) combination."""
+    idf = _IDF.format(df="bd.df")
+    inv = _INV.format(k1=K1, b=B)
+    return (
+        _PRELUDE
+        + f"""
+, bd AS (SELECT max(df) AS df FROM dfreq WHERE term IN ('{t1}', '{t2}')),
+bsc AS (
+  SELECT tf.doc_id,
+         (CASE WHEN tf.term = '{t1}' THEN {b1} ELSE {b2} END * {idf})
+         - (CASE WHEN tf.term = '{t1}' THEN {b1} ELSE {b2} END * {idf})
+           / (1 + tf.freq * {inv}) AS score
+  FROM tf
+  JOIN dlq q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  CROSS JOIN bd
+  WHERE tf.term IN ('{t1}', '{t2}')
+),
+bagg AS (
+  SELECT doc_id,
+         max(score) + {tie} * (sum(score) - max(score)) AS score
+  FROM bsc GROUP BY doc_id
+)
+"""
+        + _rank_tail("score", "FROM bagg", k)
     )
 
 

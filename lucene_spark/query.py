@@ -250,6 +250,24 @@ class CoveringQuery(Query):
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """BlendedTermQuery (core/search/BlendedTermQuery.java:271-300):
+    blends index statistics across terms so cross-field/variant terms
+    score comparably — every term is scored as a TermQuery with the
+    ARTIFICIAL stats df = max(df_i), ttf = sum(ttf_i), each boosted by
+    its own weight, then combined by the rewrite method:
+    ``dismax`` (DisjunctionMaxQuery, default tie 0.01 —
+    DISJUNCTION_MAX_REWRITE, :190) or ``boolean`` (SHOULD sum,
+    BOOLEAN_REWRITE, :135-148)."""
+
+    terms: Tuple[str, ...] = ()
+    boosts: Tuple[float, ...] = ()  # empty = all 1.0
+    tie_breaker: float = 0.01
+    rewrite: str = "dismax"  # dismax | boolean
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ToParentBlockJoinQuery(Query):
     """ToParentBlockJoinQuery (join/ToParentBlockJoinQuery.java): child
     matches roll up to their block's parent doc. Blocks are doc_id

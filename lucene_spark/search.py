@@ -45,6 +45,7 @@ from .query import (
     PointInSetQuery,
     PointRangeQuery,
     AtLeastIntervalQuery,
+    BlendedTermQuery,
     ExtendedIntervalQuery,
     IntervalFilterQuery,
     CombinedFieldQuery,
@@ -989,6 +990,8 @@ class Searcher:
             return self._eval_term(q, needs_scores)
         if isinstance(q, SynonymQuery):
             return self._eval_synonym(q)
+        if isinstance(q, BlendedTermQuery):
+            return self._eval_blended(q)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q, needs_scores)
         if isinstance(q, DisjunctionMaxQuery):
@@ -1081,6 +1084,59 @@ class Searcher:
                 [(st.singleton_doc_id, score)], MATCH_SCHEMA
             )
         return self.decode_scored({q.term: scorer})
+
+    def _eval_blended(self, q: BlendedTermQuery) -> DataFrame:
+        """BlendedTermQuery (core/search/BlendedTermQuery.java:271-300):
+        score every term with the ARTIFICIAL stats df = max(df_i),
+        ttf = sum(ttf_i) (one decode job for all terms), then combine
+        per the rewrite method (dismax with tie, or SHOULD sum)."""
+        from .similarities import TermStatsIn
+
+        terms = list(q.terms)
+        boosts = list(q.boosts) if q.boosts else [1.0] * len(terms)
+        if len(boosts) != len(terms):
+            raise ValueError("boosts must match terms")
+        stats = self.term_stats(sorted(set(terms)))
+        present = [(t, b) for t, b in zip(terms, boosts) if t in stats]
+        if not present:
+            return self._empty()
+        df_art = max(stats[t].doc_freq for t, _b in present)
+        ttf_art = sum(stats[t].total_term_freq for t, _b in present)
+        raw = self.decode_raw(sorted({t for t, _b in present}))
+        parts = []
+        for t, b in present:
+            scorer = self.sim.multi_scorer(
+                b,
+                [TermStatsIn(df_art, ttf_art)],
+                self.index.stats,
+                self.dtype,
+            )
+            parts.append(
+                self._score_freq_norm(
+                    raw.filter(F.col("term") == t).select(
+                        "doc_id", "freq", "norm"
+                    ),
+                    scorer,
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        if q.rewrite == "boolean":
+            agg = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+            score = F.col("score")
+        elif q.rewrite == "dismax":
+            agg = u.groupBy("doc_id").agg(
+                F.max("score").alias("mx"), F.sum("score").alias("sm")
+            )
+            score = F.col("mx") + F.lit(float(q.tie_breaker)) * (
+                F.col("sm") - F.col("mx")
+            )
+        else:
+            raise ValueError(f"unknown rewrite {q.rewrite!r}")
+        if q.boost != 1.0:
+            score = score * F.lit(float(q.boost))
+        return agg.select("doc_id", score.alias("score"))
 
     def _eval_synonym(self, q: SynonymQuery) -> DataFrame:
         """SynonymQuery: terms scored as one pseudo-term — max docFreq for idf,
