@@ -1205,6 +1205,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- DiversifiedTopDocsCollector: per-key-capped top-k ----
+        "q_diversified_topk": lambda sp, d: _rank_scored(
+            _searcher(sp, d).diversified_topk(
+                _searcher(sp, d)
+                .matches(TermQuery(term="spark"))
+                .select("doc_id", F.round(F.col("score"), 6).alias("score")),
+                10, 2, key_expr="n_chars % 7",
+            ),
+            10,
+        ),
         # ---- BlendedTermQuery: blended statistics across terms ----
         "q_blended_term": lambda sp, d: _topk_df(
             _searcher(sp, d),
@@ -1934,6 +1944,7 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_diversified_topk": _diversified_sql("spark", 10, 2),
         "q_blended_term": _blended_term_sql("spark", 1.0, "merge", 2.0, 0.1),
         "q_join_util_avg": _join_util_sql("spark", "avg"),
         "q_join_util_max": _join_util_sql("merge", "max"),
@@ -3926,6 +3937,32 @@ sel AS (
 )
 """
         + _rank_tail("score", "FROM sel", k)
+    )
+
+
+def _diversified_sql(term: str, k: int, m: int) -> str:
+    """DiversifiedTopDocsCollector oracle: per-key top-m on the ROUNDED
+    score (ties -> doc_id), then global top-k in the same order."""
+    return (
+        _PRELUDE
+        + _scored_cte([term])
+        + f"""
+, dsc AS (
+  SELECT s.doc_id, round(s.score, 6) AS score,
+         coalesce((d.n_chars % 7)::BIGINT, 0) AS k
+  FROM sc s JOIN documents d ON d.doc_id = s.doc_id
+),
+per AS (
+  SELECT doc_id, score,
+         row_number() OVER (PARTITION BY k ORDER BY score DESC, doc_id ASC) AS r
+  FROM dsc
+),
+div AS (
+  SELECT doc_id, score FROM per WHERE r <= {m}
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+"""
+        + _rank_tail("score", "FROM div", k)
     )
 
 

@@ -547,6 +547,44 @@ class Searcher:
                 )
         return True
 
+    def diversified_topk(
+        self,
+        q,
+        k: int = 10,
+        max_per_key: int = 1,
+        key_expr: str = "0",
+    ) -> DataFrame:
+        """DiversifiedTopDocsCollector (misc/search/
+        DiversifiedTopDocsCollector.java): top-k with at most
+        ``max_per_key`` hits sharing a key. The reference's greedy
+        stream (insert at :101-157) is equivalent to the batch rule
+        'per-key top-M by (score desc, doc asc), then global top-N in
+        the same order' — the per-key queues mirror the global queue,
+        its min never decreases, and a stronger same-key doc always
+        displaces a weaker one, so the greedy result IS the batch
+        top-N of the per-key top-Ms. Re-expressed as the two-window
+        relational plan that rule names. ``key_expr`` is a Spark SQL
+        expression over the docs columns (the NumericDocValues source);
+        NULL keys collect under 0 (advanceExact-false → 0, :115-119).
+        ``q`` is a Query, or a pre-scored (doc_id, score) DataFrame."""
+        from pyspark.sql import Window
+
+        scored = q if isinstance(q, DataFrame) else self.matches(q)
+        keys = self.index.docs.selectExpr(
+            "doc_id", f"coalesce(cast(({key_expr}) as long), 0) AS __key"
+        )
+        w = Window.partitionBy("__key").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.join(keys, "doc_id")
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= int(max_per_key))
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
     def top_docs(self, q: Query, k: int = 10) -> List[Tuple[int, float]]:
         """TopDocs-style result: [(doc_id, score)] ordered by score desc,
         doc_id asc — no DataFrame round-trip (the latency-measuring API;
