@@ -1205,6 +1205,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- LongValueFacetCounts + association facets ----
+        "q_facet_long_values": lambda sp, d: ffacets.long_value_counts(
+            _searcher(sp, d).matches(TermQuery(term="spark")),
+            _searcher(sp, d).index.docs,
+            "n_chars % 16",
+            top_n=10,
+        ),
+        "q_facet_assoc_sum": lambda sp, d: ffacets.sum_associations(
+            _searcher(sp, d).matches(TermQuery(term="spark")),
+            _docs(sp, d).select(
+                "doc_id",
+                F.col("lang").alias("cat"),
+                (F.col("n_chars") % 100).alias("value"),
+            ),
+        ),
         # ---- DiversifiedTopDocsCollector: per-key-capped top-k ----
         "q_diversified_topk": lambda sp, d: _rank_scored(
             _searcher(sp, d).diversified_topk(
@@ -1944,6 +1959,26 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_facet_long_values": (
+            _PRELUDE
+            + """
+SELECT (d.n_chars % 16)::BIGINT AS value, count(*)::BIGINT AS cnt
+FROM documents d
+JOIN (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark') m
+  ON m.doc_id = d.doc_id
+GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 10
+"""
+        ),
+        "q_facet_assoc_sum": (
+            _PRELUDE
+            + """
+SELECT d.lang AS cat, sum(d.n_chars % 100)::BIGINT AS total
+FROM documents d
+JOIN (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark') m
+  ON m.doc_id = d.doc_id
+GROUP BY 1 ORDER BY total DESC, cat ASC
+"""
+        ),
         "q_diversified_topk": _diversified_sql("spark", 10, 2),
         "q_blended_term": _blended_term_sql("spark", 1.0, "merge", 2.0, 0.1),
         "q_join_util_avg": _join_util_sql("spark", "avg"),

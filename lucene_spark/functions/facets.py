@@ -88,3 +88,67 @@ def drill_sideways(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("dim", "label")
+
+
+def long_value_counts(
+    matches: DataFrame,
+    dims: DataFrame,
+    value_expr: str,
+    top_n: int | None = None,
+) -> DataFrame:
+    """LongValueFacetCounts (facet/LongValueFacetCounts.java): count per
+    distinct long value of ``value_expr`` (a Spark SQL expression over the
+    docs columns — the LongValuesSource role) across the matching docs.
+    Docs where the expression is NULL contribute nothing (advanceExact
+    false skips the doc). ``top_n`` set → getTopChildrenSortByCount order
+    (count desc, value asc, :295-310); unset → getAllChildrenSortByValue
+    (value asc, :343-370). Array-typed expressions explode first (the
+    MultiLongValuesSource path — each emitted value counts).
+    → (value long, cnt long)"""
+    vals = dims.selectExpr("doc_id", f"({value_expr}) AS __v")
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(vals.schema["__v"].dataType, ArrayType):
+        vals = vals.select("doc_id", F.explode("__v").alias("__v"))
+    counted = (
+        matches.select("doc_id")
+        .join(vals, "doc_id")
+        .filter(F.col("__v").isNotNull())
+        .groupBy(F.col("__v").cast("long").alias("value"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    if top_n is not None:
+        return counted.orderBy(F.desc("cnt"), F.asc("value")).limit(int(top_n))
+    return counted.orderBy("value")
+
+
+def sum_associations(
+    matches: DataFrame,
+    assoc: DataFrame,
+    top_n: int | None = None,
+    float_values: bool = False,
+) -> DataFrame:
+    """Association facets (facet/taxonomy/TaxonomyFacetSumIntAssociations
+    .java:50-88, TaxonomyFacetSumFloatAssociations.java): per-category sum
+    of the association values attached to each matching doc. ``assoc`` is
+    the association table (doc_id, cat, value) — the AssociationFacetField
+    payload as a relation instead of BinaryDocValues bytes. Int sums are
+    exact in any order; float sums accumulate in DOUBLE here (documented
+    divergence: the reference folds float32 in doc order — values agree to
+    float rounding, ~1e-7 relative). Order: sum desc, cat asc (the
+    getTopChildren sort). → (cat string, total long|double)"""
+    total = (
+        F.sum(F.col("value").cast("double")).alias("total")
+        if float_values
+        else F.sum(F.col("value").cast("long")).alias("total")
+    )
+    out = (
+        matches.select("doc_id")
+        .join(assoc.select("doc_id", "cat", "value"), "doc_id")
+        .groupBy("cat")
+        .agg(total)
+        .orderBy(F.desc("total"), F.asc("cat"))
+    )
+    if top_n is not None:
+        out = out.limit(int(top_n))
+    return out
