@@ -31,6 +31,7 @@ from lucene_spark.build import IndexConfig, build_index, term_vectors
 from lucene_spark.query import (
     AtLeastIntervalQuery,
     DisjunctionMaxQuery,
+    Occur,
     ExtendedIntervalQuery,
     ConstantScoreQuery,
     BlendedTermQuery,
@@ -71,6 +72,7 @@ from lucene_spark.query import (
     parse_multifield,
 )
 from lucene_spark.expressions import SCORE
+from lucene_spark.simpleparser import simple_parse
 from lucene_spark.search import Searcher
 from lucene_spark.functions import dedup as fdedup
 from lucene_spark.functions import facets as ffacets
@@ -1205,6 +1207,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- SimpleQueryParser (fail-soft web-search syntax) ----
+        "q_simple_parsed": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            simple_parse("merge+table -slow", default_operator=Occur.MUST),
+            10,
+        ),
+        "q_simple_parsed_prefix_phrase": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            simple_parse('"fast table" | vect*', default_operator=Occur.MUST),
+            10,
+        ),
         # ---- LongValueFacetCounts + association facets ----
         "q_facet_long_values": lambda sp, d: ffacets.long_value_counts(
             _searcher(sp, d).matches(TermQuery(term="spark")),
@@ -1959,6 +1972,8 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_simple_parsed": _simple_parsed_sql(),
+        "q_simple_parsed_prefix_phrase": _simple_parsed_prefix_phrase_sql(),
         "q_facet_long_values": (
             _PRELUDE
             + """
@@ -3972,6 +3987,61 @@ sel AS (
 )
 """
         + _rank_tail("score", "FROM sel", k)
+    )
+
+
+def _simple_parsed_sql(k: int = 10) -> str:
+    """simple_parse('merge+table -slow', MUST): MUST(merge) MUST(table)
+    MUST(NOT slow wrapper scoring 1.0 via its SHOULD MatchAll)."""
+    return (
+        _PRELUDE
+        + _scored_cte(["merge", "table"])
+        + """
+, agg AS (SELECT doc_id, sum(score) AS score FROM sc GROUP BY doc_id),
+matched AS (
+  SELECT g.doc_id, g.score + 1.0 AS score FROM agg g
+  WHERE (SELECT count(DISTINCT term) FROM sc m
+         WHERE m.doc_id = g.doc_id AND m.term IN ('merge', 'table')) = 2
+    AND NOT EXISTS (SELECT 1 FROM tf x
+                    WHERE x.doc_id = g.doc_id AND x.term = 'slow')
+)
+"""
+        + _rank_tail("score", "FROM matched", k)
+    )
+
+
+def _simple_parsed_prefix_phrase_sql(k: int = 10) -> str:
+    """simple_parse('"fast table" | vect*'): SHOULD(exact phrase) +
+    SHOULD(constant-score 1.0 prefix expansion)."""
+    idf_sum = " + ".join(
+        "ln(1 + (s.n - (SELECT df FROM dfreq WHERE term = '%s') + 0.5) /"
+        " ((SELECT df FROM dfreq WHERE term = '%s') + 0.5))" % (t, t)
+        for t in ("fast", "table")
+    )
+    inv = _INV.format(k1=K1, b=B)
+    return (
+        _PRELUDE
+        + f"""
+, pf AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS freq
+  FROM tokp p0 JOIN tokp p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'fast' AND p1.term = 'table'
+  GROUP BY p0.doc_id
+),
+psc AS (
+  SELECT pf.doc_id,
+         (({idf_sum})) - (({idf_sum})) / (1 + pf.freq * {inv}) AS score
+  FROM pf JOIN dlq q ON q.doc_id = pf.doc_id CROSS JOIN stats s
+),
+pre AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'vect%'),
+comb AS (
+  SELECT coalesce(p.doc_id, r.doc_id) AS doc_id,
+         coalesce(p.score, 0)
+           + (CASE WHEN r.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS score
+  FROM psc p FULL OUTER JOIN pre r ON r.doc_id = p.doc_id
+)
+"""
+        + _rank_tail("score", "FROM comb", k)
     )
 
 
