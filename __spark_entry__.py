@@ -138,6 +138,25 @@ def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return _CACHE[key]
 
 
+def _free_text_model(sp: SparkSession, d: str):
+    key = f"{d}::freetext"
+    if key not in _CACHE:
+        from lucene_spark.functions.suggest import build_free_text
+
+        _CACHE[key] = build_free_text(_docs(sp, d), "text", grams=2).persist()
+    return _CACHE[key]
+
+
+def _free_text_entry(sp: SparkSession, d: str, lookup_key: str) -> DataFrame:
+    from lucene_spark.functions.suggest import free_text_lookup
+
+    res = free_text_lookup(_free_text_model(sp, d), lookup_key, num=10, grams=2)
+    return sp.createDataFrame(
+        [(i + 1, t, round(s, 9)) for i, (t, s) in enumerate(res)],
+        "rank int, text string, score double",
+    )
+
+
 def _block_searcher(spark: SparkSession, sf_dir: str):
     """Block-join corpus: documents rows regrouped into blocks of 4
     children + one 'zzblockparentzz' marker parent, children preceding
@@ -1207,6 +1226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- FreeTextSuggester: stupid-backoff ngram LM ----
+        "q_free_text_next_word": lambda sp, d: _free_text_entry(sp, d, "fast "),
+        "q_free_text_backoff": lambda sp, d: _free_text_entry(sp, d, "fast t"),
         # ---- SimpleQueryParser (fail-soft web-search syntax) ----
         "q_simple_parsed": lambda sp, d: _topk_df(
             _searcher(sp, d),
@@ -1972,6 +1994,8 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_free_text_next_word": _free_text_next_word_sql("fast"),
+        "q_free_text_backoff": _free_text_backoff_sql("fast", "t"),
         "q_simple_parsed": _simple_parsed_sql(),
         "q_simple_parsed_prefix_phrase": _simple_parsed_prefix_phrase_sql(),
         "q_facet_long_values": (
@@ -3987,6 +4011,82 @@ sel AS (
 )
 """
         + _rank_tail("score", "FROM sel", k)
+    )
+
+
+_FT_BASE = """
+, big AS (
+  SELECT a.term AS t1, b.term AS t2, count(*)::BIGINT AS cnt
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+uni AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+tot AS (SELECT sum(cnt)::DOUBLE AS n FROM uni)
+"""
+
+
+def _free_text_next_word_sql(ctx_word: str, k: int = 10) -> str:
+    """FreeTextSuggester oracle, trailing-space key: single bigram level,
+    score = cnt / count(context word)."""
+    return (
+        _PRELUDE
+        + _FT_BASE
+        + f"""
+, ctx AS (SELECT cnt::DOUBLE AS c FROM uni WHERE term = '{ctx_word}'),
+res AS (
+  SELECT '{ctx_word} ' || t2 AS text, round(cnt / ctx.c, 9) AS score
+  FROM big, ctx WHERE t1 = '{ctx_word}'
+)
+SELECT rank, text, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, text ASC)::INT AS rank,
+         text, score
+  FROM res
+) WHERE rank <= {k} ORDER BY rank
+"""
+    )
+
+
+def _free_text_backoff_sql(ctx_word: str, prefix: str, k: int = 10) -> str:
+    """FreeTextSuggester oracle, two levels: bigram completions of
+    '<ctx> <prefix>…' (score cnt/count(ctx)) then 0.4-backed-off unigram
+    completions of '<prefix>…' excluding words already suggested, with
+    the engine's fetch-window semantics (top k+|seen| candidates, drop
+    seen, cap k)."""
+    return (
+        _PRELUDE
+        + _FT_BASE
+        + f"""
+, ctx AS (SELECT cnt::DOUBLE AS c FROM uni WHERE term = '{ctx_word}'),
+l1 AS (
+  SELECT t2 AS w, cnt,
+         row_number() OVER (ORDER BY cnt DESC, t2 ASC) AS r
+  FROM big WHERE t1 = '{ctx_word}' AND t2 LIKE '{prefix}%'
+),
+l1sel AS (SELECT w, cnt FROM l1 WHERE r <= {k}),
+seen_n AS (SELECT count(*)::BIGINT AS n FROM l1sel),
+l0 AS (
+  SELECT term AS w, cnt,
+         row_number() OVER (ORDER BY cnt DESC, term ASC) AS r
+  FROM uni WHERE term LIKE '{prefix}%'
+),
+l0win AS (SELECT w, cnt FROM l0, seen_n WHERE r <= {k} + seen_n.n),
+l0new AS (
+  SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS r2
+  FROM l0win WHERE w NOT IN (SELECT w FROM l1sel)
+),
+res AS (
+  SELECT '{ctx_word} ' || w AS text, round(cnt / ctx.c, 9) AS score
+  FROM l1sel, ctx
+  UNION ALL
+  SELECT w AS text, round(0.4 * cnt / tot.n, 9) AS score
+  FROM l0new, tot WHERE r2 <= {k}
+)
+SELECT rank, text, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, text ASC)::INT AS rank,
+         text, score
+  FROM res
+) WHERE rank <= {k} ORDER BY rank
+"""
     )
 
 

@@ -301,3 +301,141 @@ def word_break_suggest_multi(
         .orderBy("num_changes", F.desc("max_freq"), "parts")
         .limit(max_suggestions)
     )
+
+
+# ---------------- FreeTextSuggester (stupid backoff ngram LM) ----------
+
+FREE_TEXT_SEP = "\x1e"  # FreeTextSuggester.DEFAULT_SEPARATOR (0x1e)
+FREE_TEXT_ALPHA = 0.4  # FreeTextSuggester.ALPHA
+
+
+def build_free_text(
+    docs: DataFrame, text_col: str = "text", grams: int = 2
+) -> DataFrame:
+    """FreeTextSuggester.build (suggest/analyzing/FreeTextSuggester.java:
+    213-300): tokenize each doc, emit every 1..grams-length shingle
+    (ShingleFilter with the 0x1e separator), count occurrences corpus-wide.
+    Shingles never cross doc boundaries. Pure JVM column expressions
+    (regexp tokenizer + slice/aggregate) — one shuffle for the count.
+    → (gram string, cnt long)"""
+    if grams < 1:
+        raise ValueError("grams must be >= 1")
+    from ..analysis import TOKEN_RE
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+    )
+    parts = []
+    base = docs.select(toks.alias("__t")).filter(F.size("__t") > 0)
+    for n in range(1, grams + 1):
+        grams_col = F.transform(
+            F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1)),
+            lambda i: F.array_join(
+                F.slice(F.col("__t"), i, n), FREE_TEXT_SEP
+            ),
+        )
+        parts.append(
+            base.filter(F.size("__t") >= n)
+            .select(F.explode(grams_col).alias("gram"))
+        )
+    allg = parts[0]
+    for p in parts[1:]:
+        allg = allg.unionByName(p)
+    return allg.groupBy("gram").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def free_text_lookup(
+    model: DataFrame,
+    key: str,
+    num: int = 10,
+    grams: int = 2,
+    analyze=None,
+) -> list:
+    """FreeTextSuggester.lookup (FreeTextSuggester.java:400-560): stupid
+    backoff over the gram levels. The last ``grams-1`` tokens form the
+    context; a trailing separator in ``key`` means 'predict the next
+    word' (lastTokenEnded shifts every context down a slot). Per level
+    (highest order first): grams extending the context prefix, best
+    ``num`` by (count desc, gram asc), skipping final words already
+    suggested by a higher level; score = backoff * count / contextCount
+    with backoff *= 0.4 per level (also when the context is absent).
+    Results sort by (score desc, key asc), truncated to ``num``.
+
+    The model is a distributed table; each level's candidate fetch is one
+    startswith-filtered orderBy/limit job (prefix pushed to the scan),
+    collected because num is tiny. Returns [(text, score)] with tokens
+    joined by a space in ``text``."""
+    if analyze is None:
+        from ..analysis import standard_analyze
+
+        analyze = standard_analyze
+    toks = analyze(key)
+    if not toks:
+        raise ValueError("no tokens produced by analyzer")
+    # totTokens = total unigram occurrences
+    tot = (
+        model.filter(~F.col("gram").contains(FREE_TEXT_SEP))
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+        or 0
+    )
+    last_tokens: list = [None] * grams
+    for g in range(1, grams + 1):
+        if len(toks) >= g:
+            last_tokens[g - 1] = FREE_TEXT_SEP.join(toks[-g:])
+    last_ended = key != key.rstrip() or (
+        len(key) > 0 and not key[-1].isalnum() and key[-1] != "_"
+    )
+    if last_ended:
+        for i in range(grams - 1, 0, -1):
+            if last_tokens[i - 1] is not None:
+                last_tokens[i] = last_tokens[i - 1] + FREE_TEXT_SEP
+        last_tokens[0] = ""
+
+    backoff = 1.0
+    seen: set = set()
+    results: list = []
+    for gram in range(grams - 1, -1, -1):
+        token = last_tokens[gram]
+        if token is None or (token == "" and len(key) > 0):
+            continue
+        cands = (
+            model.filter(F.col("gram").startswith(token))
+            # completions stay within the final word (the TopNSearcher
+            # rejects paths through another separator)
+            .filter(
+                ~F.expr(
+                    f"substring(gram, {len(token) + 1})"
+                ).contains(FREE_TEXT_SEP)
+            )
+            .orderBy(F.desc("cnt"), F.asc("gram"))
+            .limit(num + len(seen))
+            .collect()
+        )
+        if not cands:  # no gram extends this prefix: prefixOutput null
+            backoff *= FREE_TEXT_ALPHA
+            continue
+        # context = everything before the last separator; the context
+        # gram always exists when the prefix does (all orders stored)
+        ctx_count = tot
+        sep_at = token.rfind(FREE_TEXT_SEP)
+        if sep_at >= 0:
+            ctx = token[:sep_at]
+            ctx_count = int(
+                model.filter(F.col("gram") == ctx).collect()[0]["cnt"]
+            )
+        added = 0
+        for r in cands:
+            if added >= num:
+                break
+            full = r["gram"]
+            last_word = full.rsplit(FREE_TEXT_SEP, 1)[-1]
+            if last_word in seen:
+                continue
+            seen.add(last_word)
+            score = backoff * float(r["cnt"]) / float(ctx_count)
+            results.append((full.replace(FREE_TEXT_SEP, " "), score))
+            added += 1
+        backoff *= FREE_TEXT_ALPHA
+    results.sort(key=lambda kv: (-kv[1], kv[0]))
+    return results[:num]
