@@ -37,6 +37,7 @@ from lucene_spark.query import (
     BlendedTermQuery,
     CombinedFieldQuery,
     CoveringQuery,
+    IndexSortRangeQuery,
     ParentChildrenBlockJoinQuery,
     ToChildBlockJoinQuery,
     ToParentBlockJoinQuery,
@@ -1226,6 +1227,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- IndexSortSortedNumericDocValuesRangeQuery ----
+        "q_index_sort_range": lambda sp, d: _docs_df(
+            _sorted_searcher(sp, d),
+            IndexSortRangeQuery(field_col="n_chars", lower=500, upper=1500),
+        ),
         # ---- FreeTextSuggester: stupid-backoff ngram LM ----
         "q_free_text_next_word": lambda sp, d: _free_text_entry(sp, d, "fast "),
         "q_free_text_backoff": lambda sp, d: _free_text_entry(sp, d, "fast t"),
@@ -1994,6 +2000,14 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_index_sort_range": """
+WITH nid AS (
+  SELECT row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS doc_id, n_chars
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id FROM nid
+WHERE n_chars BETWEEN 500 AND 1500 ORDER BY doc_id
+""",
         "q_free_text_next_word": _free_text_next_word_sql("fast"),
         "q_free_text_backoff": _free_text_backoff_sql("fast", "t"),
         "q_simple_parsed": _simple_parsed_sql(),

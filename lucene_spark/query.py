@@ -250,6 +250,24 @@ class CoveringQuery(Query):
 
 
 @dataclass(frozen=True)
+class IndexSortRangeQuery(Query):
+    """IndexSortSortedNumericDocValuesRangeQuery (sandbox/search/
+    IndexSortSortedNumericDocValuesRangeQuery.java:71-239): a numeric
+    range over the index's LEADING sort field evaluated as a doc_id
+    interval — the binary search for 'first doc with value >= lower' /
+    'first doc with value > upper' (:205-238) becomes one column-pruned
+    min/max(doc_id) scan, and the result is a pure doc_id-range predicate
+    that every downstream Parquet scan prunes on. Falls back to
+    ``fallback`` when the index declares no matching sort (rewrite →
+    fallbackQuery, :146). Constant score (boost); bounds inclusive."""
+
+    field_col: str = ""
+    lower: Optional[float] = None
+    upper: Optional[float] = None
+    fallback: Optional[Query] = None
+
+
+@dataclass(frozen=True)
 class BlendedTermQuery(Query):
     """BlendedTermQuery (core/search/BlendedTermQuery.java:271-300):
     blends index statistics across terms so cross-field/variant terms

@@ -51,6 +51,7 @@ from .query import (
     CombinedFieldQuery,
     CoveringQuery,
     FunctionScoreQuery,
+    IndexSortRangeQuery,
     IntervalMultiTerm,
     IntervalQuery,
     NoOverlapsIntervalQuery,
@@ -1077,6 +1078,8 @@ class Searcher:
             )
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, TermInSetQuery, FuzzyQuery)):
             return self._eval_multi_term(q)
+        if isinstance(q, IndexSortRangeQuery):
+            return self._eval_index_sort_range(q)
         if isinstance(q, (PointRangeQuery, PointInSetQuery)):
             if q.field_col not in self.index.docs.columns:
                 return self._empty()
@@ -2203,6 +2206,42 @@ class Searcher:
                 ),
             )
         )
+
+    def _eval_index_sort_range(self, q: IndexSortRangeQuery) -> DataFrame:
+        """IndexSortSortedNumericDocValuesRangeQuery: when the leading
+        index-sort field matches, the value range IS a doc_id interval
+        (doc_id = sort rank). One min/max(doc_id) aggregation over the
+        pushed-down value predicate finds the interval (the :205-238
+        binary search), then the match set is a doc_id-range filter that
+        needs no doc-values column at all. No sort match → fallback."""
+        srt = self.index.index_sort
+        if (
+            not srt
+            or srt[0] != q.field_col
+            or q.field_col not in self.index.docs.columns
+        ):
+            if q.fallback is None:
+                raise ValueError(
+                    "index sort does not lead with "
+                    f"{q.field_col!r} and no fallback query was given"
+                )
+            return self._eval(q.fallback, needs_scores=False)
+        col = F.col(q.field_col)
+        cond = col.isNotNull()
+        if q.lower is not None:
+            cond = cond & (col >= q.lower)
+        if q.upper is not None:
+            cond = cond & (col <= q.upper)
+        row = (
+            self.index.docs.filter(cond)
+            .agg(F.min("doc_id"), F.max("doc_id"))
+            .collect()[0]
+        )
+        if row[0] is None:
+            return self._empty()
+        return self.index.docs.filter(
+            (F.col("doc_id") >= int(row[0])) & (F.col("doc_id") <= int(row[1]))
+        ).select("doc_id", F.lit(float(np.float32(q.boost))).alias("score"))
 
     # ---------------- block join (join/ToParentBlockJoinQuery.java) ----
 
