@@ -79,6 +79,7 @@ from lucene_spark.functions import dedup as fdedup
 from lucene_spark.functions import facets as ffacets
 from lucene_spark.functions import geo as fgeo
 from lucene_spark.functions import highlight as fhigh
+from lucene_spark.functions import dvstats as fdv
 from lucene_spark.functions import joinutil as fjoin
 from lucene_spark.functions import multimodal as fmm
 from lucene_spark.functions import simsearch as fsim
@@ -136,6 +137,21 @@ def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
             docs, cfg, content_col="text", order_cols=["n_chars", "doc_id"]
         ).persist()
         _CACHE[key] = Searcher(idx, dtype=np.float64)
+    return _CACHE[key]
+
+
+def _sweetspot_searcher(sp: SparkSession, d: str) -> Searcher:
+    key = f"{d}::sweetspot"
+    if key not in _CACHE:
+        from lucene_spark.similarities import SweetSpot
+
+        _CACHE[key] = Searcher(
+            _searcher(sp, d).index,
+            dtype=np.float64,
+            similarity=SweetSpot(
+                ln_min=3, ln_max=30, steepness=0.5, tf_base=1.5, tf_min=2.0
+            ),
+        )
     return _CACHE[key]
 
 
@@ -1227,6 +1243,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- SweetSpotSimilarity / DocValuesStats / distance sort ----
+        "q_sim_sweetspot": lambda sp, d: _topk_df(
+            _sweetspot_searcher(sp, d), TermQuery(term="spark"), 10
+        ),
+        "q_dv_stats": lambda sp, d: (
+            fdv.doc_values_stats(
+                _searcher(sp, d).matches(TermQuery(term="spark")),
+                _searcher(sp, d).index.docs,
+                "n_chars",
+            ).select(
+                "cnt", "missing",
+                F.col("mn").cast("long"), F.col("mx").cast("long"),
+                F.col("total").cast("long"),
+                F.round("mean", 6).alias("mean"),
+                F.round("variance", 6).alias("variance"),
+                F.round("stdev", 6).alias("stdev"),
+            )
+        ),
+        "q_geo_distance_sort": lambda sp, d: (
+            fgeo.distance_sort(
+                sp.read.parquet(os.path.join(d, "customer.parquet")).select(
+                    F.col("c_custkey").cast("long").alias("doc_id"),
+                    ((F.col("c_custkey") * 7 % 180) - 90 + 0.5)
+                    .cast("double").alias("lat"),
+                    ((F.col("c_custkey") * 13 % 360) - 180 + 0.5)
+                    .cast("double").alias("lon"),
+                ),
+                "lat", "lon", 10.0, 20.0, 10,
+            ).select("doc_id", F.round("distance_m", 6).alias("distance_m"))
+        ),
         # ---- IndexSortSortedNumericDocValuesRangeQuery ----
         "q_index_sort_range": lambda sp, d: _docs_df(
             _sorted_searcher(sp, d),
@@ -2000,6 +2046,52 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_sim_sweetspot": _PRELUDE
+        + """
+, ssc AS (
+  SELECT tf.doc_id,
+         (CASE WHEN tf.freq <= 2 THEN 1.5
+               ELSE sqrt(tf.freq + 1.5 * 1.5 - 2) END)
+         * (ln((s.n + 1) / (d.df + 1)) + 1)
+         * (1.0 / sqrt(0.5 * (abs(q.dlq - 3) + abs(q.dlq - 30) - (30 - 3)) + 1))
+           AS score
+  FROM tf JOIN dfreq d ON d.term = tf.term JOIN dlq q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats s WHERE tf.term = 'spark'
+)
+"""
+        + _rank_tail("score", "FROM ssc", 10),
+        "q_dv_stats": _PRELUDE
+        + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+j AS (SELECT d.n_chars FROM documents d JOIN m ON m.doc_id = d.doc_id)
+SELECT count(n_chars)::BIGINT AS cnt,
+       (count(*) - count(n_chars))::BIGINT AS missing,
+       min(n_chars)::BIGINT AS mn, max(n_chars)::BIGINT AS mx,
+       sum(n_chars)::BIGINT AS total,
+       round(avg(n_chars::DOUBLE), 6) AS mean,
+       round(coalesce(var_pop(n_chars::DOUBLE), 0), 6) AS variance,
+       round(sqrt(coalesce(var_pop(n_chars::DOUBLE), 0)), 6) AS stdev
+FROM j
+""",
+        "q_geo_distance_sort": """
+WITH pts AS (
+  SELECT c_custkey::BIGINT AS doc_id,
+         ((c_custkey * 7) % 180 - 90 + 0.5)::DOUBLE AS lat,
+         ((c_custkey * 13) % 360 - 180 + 0.5)::DOUBLE AS lon
+  FROM customer
+),
+d AS (
+  SELECT doc_id,
+         2.0 * 6371008.7714 * asin(least(1.0, sqrt(
+           sin(radians(10.0 - lat) / 2) * sin(radians(10.0 - lat) / 2)
+           + cos(radians(lat)) * cos(radians(10.0))
+             * sin(radians(20.0 - lon) / 2) * sin(radians(20.0 - lon) / 2)
+         ))) AS distance_m
+  FROM pts
+)
+SELECT doc_id, round(distance_m, 6) AS distance_m
+FROM d ORDER BY distance_m ASC, doc_id ASC LIMIT 10
+""",
         "q_index_sort_range": """
 WITH nid AS (
   SELECT row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS doc_id, n_chars

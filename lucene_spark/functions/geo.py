@@ -112,3 +112,28 @@ def geo_polygon(
         )
         crossings = crossings + F.when(cond, F.lit(1)).otherwise(F.lit(0))
     return boxed.filter(crossings % 2 == 1)
+
+
+def distance_sort(
+    docs: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    lat: float,
+    lon: float,
+    k: int = 10,
+) -> DataFrame:
+    """LatLonDocValuesField.newDistanceSort analog (document/
+    LatLonPointSortField.java): nearest-k docs by exact haversine meters
+    from (lat, lon), ties by doc_id; docs with missing coordinates sort
+    last and fall out of the top-k (the sort's Double.POSITIVE_INFINITY
+    missing value). One TakeOrderedAndProject — no shuffle beyond the
+    global top-k merge. → (doc_id, distance_m)"""
+    d = haversine_meters(
+        F.col(lat_col), F.col(lon_col), F.lit(float(lat)), F.lit(float(lon))
+    )
+    return (
+        docs.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .select("doc_id", d.alias("distance_m"))
+        .orderBy(F.asc("distance_m"), F.asc("doc_id"))
+        .limit(int(k))
+    )

@@ -132,6 +132,113 @@ class Classic(Similarity):
 
 
 @dataclass(frozen=True)
+class _TfTableScorer:
+    """score = tf_fn(freq) * weight * table[norm] — _TableScorer with a
+    pluggable tf function (SweetSpotSimilarity overrides tf)."""
+
+    weight: float
+    table: np.ndarray
+    tf_fn: object
+    dtype: type
+
+    def score(self, freq, norm_bytes):
+        dt = self.dtype
+        f = self.tf_fn(np.asarray(freq).astype(dt)).astype(dt)
+        nv = self.table[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        return ((f * dt(self.weight)).astype(dt) * nv).astype(dt)
+
+    def max_score(self, impact_freqs, impact_norms):
+        if len(impact_freqs) == 0:
+            return float("inf")
+        return float(self.score(impact_freqs, impact_norms).max())
+
+
+class SweetSpot(Classic):
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java): ClassicSimilarity
+    with a plateau length norm
+    ``1/sqrt(steepness*(|x-min|+|x-max|-(max-min))+1)`` (:94-115, f32 op
+    order: int abs-sum → f32 product/add → double sqrt → f32) and a
+    baseline tf ``freq<=tf_min ? tf_base : sqrt(freq + tf_base² - tf_min)``
+    (:137-142), or the hyperbolic-tangent tf (:155-175) when
+    ``hyperbolic=(min,max,base,xoffset)`` is set. Defaults degrade to
+    Classic (1/sqrt(x) norm, sqrt tf)."""
+
+    name = "sweetspot"
+
+    def __init__(
+        self,
+        ln_min: int = 1,
+        ln_max: int = 1,
+        steepness: float = 0.5,
+        tf_base: float = 0.0,
+        tf_min: float = 0.0,
+        hyperbolic=None,
+    ):
+        self.ln_min, self.ln_max, self.steepness = ln_min, ln_max, steepness
+        self.tf_base, self.tf_min = tf_base, tf_min
+        self.hyperbolic = tuple(hyperbolic) if hyperbolic else None
+
+    def _table(self, dtype):
+        # f32 mode keeps the reference's op order (f32 product/add, double
+        # sqrt, f32 cast); f64 mode stays all-double for the SQL oracle
+        from .smallfloat import byte4_to_int
+
+        lengths = byte4_to_int(np.arange(256)).astype(np.int64)
+        l, h = self.ln_min, self.ln_max
+        inner = np.abs(lengths - l) + np.abs(lengths - h) - (h - l)
+        td = dtype(self.steepness) * inner.astype(dtype) + dtype(1.0)
+        t = (1.0 / np.sqrt(td.astype(np.float64))).astype(dtype)
+        t[0] = dtype(1.0) / t[255]  # TFIDFSimilarity.java:473
+        return t
+
+    def _tf_fn(self, dtype):
+        if self.hyperbolic is not None:
+            mn, mx, base, xoff = self.hyperbolic
+
+            def hyper(freq):
+                f = np.asarray(freq, dtype=dtype)
+                x = (f - dtype(xoff)).astype(np.float64)
+                px, nx = np.power(base, x), np.power(base, -x)
+                res = dtype(mn) + (
+                    dtype((dtype(mx) - dtype(mn)) / dtype(2.0))
+                    * ((px - nx) / (px + nx) + 1.0)
+                ).astype(dtype)
+                return np.where(f == 0.0, dtype(0.0), res)
+
+            return hyper
+        base, mn = self.tf_base, self.tf_min
+
+        def baseline(freq):
+            f = np.asarray(freq, dtype=dtype)
+            b, m = dtype(base), dtype(mn)
+            above = np.sqrt((f + b * b - m).astype(np.float64)).astype(dtype)
+            out = np.where(f <= m, b, above)
+            return np.where(f == 0.0, dtype(0.0), out)
+
+        return baseline
+
+    def scorer(self, boost, ts, stats, dtype=np.float32):
+        idf = self._idf(ts.doc_freq, stats.doc_count, dtype)
+        return _TfTableScorer(
+            weight=float(dtype(boost) * idf),
+            table=self._table(dtype),
+            tf_fn=self._tf_fn(dtype),
+            dtype=dtype,
+        )
+
+    def multi_scorer(self, boost, ts_list, stats, dtype=np.float32):
+        total = 0.0
+        for t in ts_list:
+            total += float(self._idf(t.doc_freq, stats.doc_count, dtype))
+        return _TfTableScorer(
+            weight=float(dtype(boost) * dtype(total)),
+            table=self._table(dtype),
+            tf_fn=self._tf_fn(dtype),
+            dtype=dtype,
+        )
+
+
+@dataclass(frozen=True)
 class _ConstScorer:
     weight: float
     dtype: type
@@ -460,6 +567,7 @@ class MultiSimilarity(Similarity):
 SIMILARITIES = {
     "bm25": BM25,
     "classic": Classic,
+    "sweetspot": SweetSpot,
     "boolean": Boolean,
     "lmdirichlet": LMDirichlet,
     "lmjelinekmercer": LMJelinekMercer,
