@@ -1728,6 +1728,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # must yield zero rows on both engines (over-firing detector)
             _searcher(sp, d).index.terms, ["spark", "table", "data"]
         ),
+        "q_spell_lucene_lev": lambda sp, d: fsuggest.spell_suggest(
+            # pluggable StringDistance: LuceneLevenshteinDistance rescores
+            # the same OSA-banded candidates (1 - damerau / min(len))
+            _searcher(sp, d).index.terms, "sparkk", num_sug=5, max_edits=1,
+            distance="lucene_levenshtein", dtype=np.float64,
+        ),
         "q_spell_suggest": lambda sp, d: fsuggest.spell_suggest(
             # DirectSpellChecker: 'sparkk' is not indexed -> suggest mode
             # fires; max_edits=1 keeps the oracle's Damerau==OSA window
@@ -2655,6 +2661,24 @@ WHERE cf >= 1 AND cf >= greatest(af, bf) ORDER BY idx
 """,
         # DirectSpellChecker: score = 1 - d/min(|word|, |cand|), accuracy
         # 0.5, freq > 0, score desc / freq desc / term asc
+        "q_spell_lucene_lev": _PRELUDE
+        + """
+, dfx AS (SELECT term, count(*)::BIGINT AS weight FROM tf GROUP BY term),
+sc AS (
+  SELECT term AS key, weight,
+         round(1 - damerau_levenshtein('sparkk', term)::DOUBLE
+                   / least(length(term), 6), 6) AS score
+  FROM dfx
+  WHERE term <> 'sparkk' AND term LIKE 's%'
+    AND length(term) BETWEEN 5 AND 7
+    AND damerau_levenshtein('sparkk', term) <= 1
+    AND (1 - damerau_levenshtein('sparkk', term)::DOUBLE
+             / least(length(term), 6)) >= 0.5
+    AND weight > 0
+)
+SELECT key, weight, score FROM sc
+ORDER BY score DESC, weight DESC, key ASC LIMIT 5
+""",
         "q_spell_suggest": _PRELUDE
         + """
 , dfx AS (SELECT term, count(*)::BIGINT AS weight FROM tf GROUP BY term),

@@ -97,6 +97,8 @@ def spell_suggest(
     accuracy: float = 0.5,
     min_doc_freq: int = 0,
     suggest_mode: str = "not_in_index",
+    distance: str = "internal",
+    dtype=None,
 ) -> DataFrame:
     """DirectSpellChecker.suggestSimilar
     (suggest/spell/DirectSpellChecker.java): candidate dictionary terms
@@ -109,9 +111,21 @@ def spell_suggest(
     (the reference default) returns nothing when the word itself is
     indexed; 'always' always suggests. Reference defaults kept
     (maxEdits 2, minPrefix 1); the maxInspections candidate-pool cap is
-    not needed — every banded candidate is scored distributively."""
+    not needed — every banded candidate is scored distributively.
+
+    ``distance`` selects the StringDistance (DirectSpellChecker.
+    setDistance): 'internal' = the FuzzyTermsEnum boost (default);
+    'jaro_winkler' / 'ngram' / 'lucene_levenshtein' rescore the SAME
+    OSA-banded candidate set with that similarity
+    (DirectSpellChecker.java:501-505: score = distance.getDistance when
+    a non-internal distance is set)."""
     if suggest_mode not in ("not_in_index", "always"):
         raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+    if distance != "internal":
+        from ..strdist import DISTANCES
+
+        if distance not in DISTANCES:
+            raise ValueError(f"unknown distance {distance!r}")
     if suggest_mode == "not_in_index":
         if terms.filter(F.col("term") == word).limit(1).count() > 0:
             return terms.sparkSession.createDataFrame(
@@ -127,6 +141,8 @@ def spell_suggest(
     )
     n, d = len(word), int(max_edits)
 
+    dist_name = distance
+
     @F.pandas_udf("double")
     def _score(col: pd.Series) -> pd.Series:
         import numpy as np
@@ -135,9 +151,18 @@ def spell_suggest(
 
         vals = col.to_numpy(dtype=object)
         dist = osa_distances(list(vals), word).astype(np.float64)
-        lens = np.array([min(n, len(t)) for t in vals], dtype=np.float64)
-        score = 1.0 - dist / np.maximum(lens, 1.0)
-        score[dist > d] = -1.0
+        if dist_name == "internal":
+            lens = np.array([min(n, len(t)) for t in vals], dtype=np.float64)
+            score = 1.0 - dist / np.maximum(lens, 1.0)
+        else:
+            from ..strdist import DISTANCES
+
+            fn = DISTANCES[dist_name]
+            dt = np.float32 if dtype is None else dtype
+            score = np.array(
+                [fn(word, t, dtype=dt) for t in vals], dtype=np.float64
+            )
+        score[dist > d] = -1.0  # candidates stay OSA-banded either way
         return pd.Series(score)
 
     return (
