@@ -2322,6 +2322,52 @@ class Searcher:
         self._blockjoin_maps[key] = pm
         return pm
 
+    def check_join_index(self, parents) -> None:
+        """CheckJoinIndex (join/CheckJoinIndex.java): validate the block
+        structure — at least one parent; the LAST doc must be a parent
+        (no orphan tail, i.e. no doc maps to a NULL parent); and with
+        tombstones, every block must be deleted or live AS A UNIT
+        (parent and children share liveness). Raises on violation."""
+        pids = self._parents_doc_ids(parents)
+        if pids.limit(1).count() == 0:
+            raise ValueError(
+                "Every index should have at least one parent, but none match"
+            )
+        pm = self._parent_map(parents)
+        if pm.filter(F.col("parent_id").isNull()).limit(1).count() > 0:
+            raise ValueError(
+                "The last document must always be a parent, but the index "
+                "has a child tail (docs with no parent at or after them)"
+            )
+        tombs = [
+            t
+            for t in (self.index.deletes, getattr(self.index, "soft_deletes", None))
+            if t is not None
+        ]
+        if not tombs:
+            return
+        dead = tombs[0].select("doc_id")
+        for t in tombs[1:]:
+            dead = dead.unionByName(t.select("doc_id"))
+        flagged = pm.join(
+            dead.distinct().withColumn("__dead", F.lit(True)), "doc_id", "left"
+        ).fillna({"__dead": False})
+        mixed = (
+            flagged.groupBy("parent_id")
+            .agg(F.count_distinct("__dead").alias("__n"))
+            .filter(F.col("__n") > 1)
+        )
+        if mixed.limit(1).count() > 0:
+            raise ValueError(
+                "Parent and children of a block must be deleted together "
+                "(CheckJoinIndex: parentIsLive != childIsLive)"
+            )
+
+    def _parents_doc_ids(self, parents) -> DataFrame:
+        if isinstance(parents, str):
+            return self.index.docs.filter(F.expr(parents)).select("doc_id")
+        return self._eval(parents, needs_scores=False).select("doc_id").distinct()
+
     def _eval_to_parent_block_join(self, q: ToParentBlockJoinQuery) -> DataFrame:
         """ToParentBlockJoinQuery: child matches join the parent map, then
         one grouped ordered fold per parent reproduces the reference's

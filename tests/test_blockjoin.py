@@ -212,3 +212,32 @@ def test_parent_children(bj):
     ))
     exp = BruteForceIndex.topk({d: child[d] for d in kids}, 10)
     assert got == [(d, np.float32(v)) for d, v in exp]
+
+
+def test_check_join_index_valid(bj):
+    bj["s"].check_join_index(PARENTS_EXPR)  # must not raise
+
+
+def test_check_join_index_no_parents(bj):
+    with pytest.raises(Exception, match="at least one parent"):
+        bj["s"].check_join_index("doc_id < 0")
+
+
+def test_check_join_index_child_tail(bj):
+    # parents only in the first half: the tail has children with no parent
+    with pytest.raises(Exception, match="last document"):
+        bj["s"].check_join_index(
+            f"doc_id % {BLOCK} = {BLOCK - 1} AND doc_id < 100"
+        )
+
+
+def test_check_join_index_mixed_deletes(bj, spark):
+    # delete ONE child only: its block is now mixed live/deleted
+    idx2 = bj["s"].index.delete_docs([0])
+    s2 = Searcher(idx2, dtype=np.float32)
+    with pytest.raises(Exception, match="deleted together"):
+        s2.check_join_index(PARENTS_EXPR)
+    # deleting the whole block restores consistency
+    idx3 = bj["s"].index.delete_docs(list(range(BLOCK)))
+    s3 = Searcher(idx3, dtype=np.float32)
+    s3.check_join_index(PARENTS_EXPR)
