@@ -140,6 +140,20 @@ def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return _CACHE[key]
 
 
+def _fast_any_table_automaton():
+    """'fast <ANY> table' — one arbitrary token between (the graph query
+    a PhraseQuery cannot express)."""
+    from lucene_spark.query import TermAutomatonQuery
+
+    q = TermAutomatonQuery()
+    s1, s2, s3 = q.create_state(), q.create_state(), q.create_state()
+    q.add_transition(0, s1, "fast")
+    q.add_any_transition(s1, s2)
+    q.add_transition(s2, s3, "table")
+    q.set_accept(s3)
+    return q.finish()
+
+
 def _sweetspot_searcher(sp: SparkSession, d: str) -> Searcher:
     key = f"{d}::sweetspot"
     if key not in _CACHE:
@@ -1243,6 +1257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- TermAutomatonQuery: token-level automaton (fast ? table) ----
+        "q_term_automaton": lambda sp, d: _topk_df(
+            _searcher(sp, d), _fast_any_table_automaton(), 10
+        ),
         # ---- SweetSpotSimilarity / DocValuesStats / distance sort ----
         "q_sim_sweetspot": lambda sp, d: _topk_df(
             _sweetspot_searcher(sp, d), TermQuery(term="spark"), 10
@@ -2052,6 +2070,31 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_term_automaton": _PRELUDE
+        + """
+, taf AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS freq
+  FROM tokp p0 JOIN tokp p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+  WHERE p0.term = 'fast' AND p2.term = 'table'
+  GROUP BY p0.doc_id
+),
+tasc AS (
+  SELECT taf.doc_id,
+         ((ln(1 + (s.n - (SELECT df FROM dfreq WHERE term = 'fast') + 0.5)
+                / ((SELECT df FROM dfreq WHERE term = 'fast') + 0.5))
+           + ln(1 + (s.n - (SELECT df FROM dfreq WHERE term = 'table') + 0.5)
+                  / ((SELECT df FROM dfreq WHERE term = 'table') + 0.5))))
+         - ((ln(1 + (s.n - (SELECT df FROM dfreq WHERE term = 'fast') + 0.5)
+                 / ((SELECT df FROM dfreq WHERE term = 'fast') + 0.5))
+             + ln(1 + (s.n - (SELECT df FROM dfreq WHERE term = 'table') + 0.5)
+                    / ((SELECT df FROM dfreq WHERE term = 'table') + 0.5))))
+           / (1 + taf.freq * """
+        + _INV.format(k1=K1, b=B)
+        + """) AS score
+  FROM taf JOIN dlq q ON q.doc_id = taf.doc_id CROSS JOIN stats s
+)
+"""
+        + _rank_tail("score", "FROM tasc", 10),
         "q_sim_sweetspot": _PRELUDE
         + """
 , ssc AS (

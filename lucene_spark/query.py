@@ -891,3 +891,89 @@ def _with_boost(q: Query, boost: float) -> Query:
     import dataclasses
 
     return dataclasses.replace(q, boost=boost)
+
+
+class TermAutomatonQuery:  # standalone: mutable builder, not a frozen node
+    """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java): a
+    token-level automaton run against each document's token stream —
+    the generalization of phrase/synonym/graph queries. Build with
+    ``add_transition(from, to, term)`` / ``add_any_transition(from, to)``
+    (ANY consumes one arbitrary token) / ``set_accept(state)``, then
+    ``finish()`` determinizes (subset construction over the alphabet of
+    terms + the distinct ANY symbol, mirroring Operations.determinize
+    over termID ints with anyTermID its own symbol). Matching and freq
+    counting replicate TermAutomatonScorer.countMatches literally —
+    including its quirks: a match can only START on a real term arc from
+    state 0 (never ANY), and ANY arcs advance only across position gaps
+    between query-term occurrences (:266-291). Scoring is phrase-style:
+    idf sums over the automaton's indexed terms, freq = number of
+    accept-state entries."""
+
+    ANY = None  # the anyTermID symbol
+
+    def __init__(self, boost: float = 1.0):
+        self.boost = float(boost)
+        self._trans: list = []  # (from, to, term-or-ANY)
+        self._accepts: set = set()
+        self._n_states = 1
+        self.dfa: Optional[dict] = None  # (dstate, symbol) -> dstate
+        self.dfa_accepts: Optional[frozenset] = None
+        self.terms: Tuple[str, ...] = ()
+
+    def create_state(self) -> int:
+        self._n_states += 1
+        return self._n_states - 1
+
+    def add_transition(self, src: int, dst: int, term: str) -> None:
+        if self.dfa is not None:
+            raise ValueError("automaton already finished")
+        self._trans.append((int(src), int(dst), str(term)))
+        self._n_states = max(self._n_states, int(src) + 1, int(dst) + 1)
+
+    def add_any_transition(self, src: int, dst: int) -> None:
+        if self.dfa is not None:
+            raise ValueError("automaton already finished")
+        self._trans.append((int(src), int(dst), self.ANY))
+        self._n_states = max(self._n_states, int(src) + 1, int(dst) + 1)
+
+    def set_accept(self, state: int, accept: bool = True) -> None:
+        if accept:
+            self._accepts.add(int(state))
+        else:
+            self._accepts.discard(int(state))
+
+    def finish(self) -> "TermAutomatonQuery":
+        """Determinize (TermAutomatonQuery.finish -> Operations
+        .determinize): subset construction; NFA state sets become DFA
+        states; ANY is an ordinary alphabet symbol."""
+        by_src: dict = {}
+        for s, d, t in self._trans:
+            by_src.setdefault(s, []).append((t, d))
+        start = frozenset([0])
+        states = {start: 0}
+        dfa: dict = {}
+        accepts = set()
+        work = [start]
+        if self._accepts & start:
+            accepts.add(0)
+        while work:
+            cur = work.pop()
+            cid = states[cur]
+            out: dict = {}
+            for s in cur:
+                for t, d in by_src.get(s, []):
+                    out.setdefault(t, set()).add(d)
+            for t, dset in out.items():
+                key = frozenset(dset)
+                if key not in states:
+                    states[key] = len(states)
+                    work.append(key)
+                    if self._accepts & key:
+                        accepts.add(states[key])
+                dfa[(cid, t)] = states[key]
+        self.dfa = dfa
+        self.dfa_accepts = frozenset(accepts)
+        self.terms = tuple(
+            sorted({t for _s, _d, t in self._trans if t is not None})
+        )
+        return self

@@ -1019,6 +1019,10 @@ class Searcher:
     # ---------------- evaluation ----------------
 
     def _eval(self, q: Query, needs_scores: bool) -> DataFrame:
+        from .query import TermAutomatonQuery
+
+        if isinstance(q, TermAutomatonQuery):
+            return self._eval_term_automaton(q)
         if isinstance(q, MatchNoDocsQuery):
             return self._empty()
         if isinstance(q, MatchAllDocsQuery):
@@ -1325,6 +1329,84 @@ class Searcher:
             .filter(F.col("nt") == len(set(terms)))
         )
         scored = grouped.withColumn("freq", phrase_freq(F.col("plist"))).filter(
+            F.col("freq") > 0
+        )
+        return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
+
+    def _eval_term_automaton(self, q) -> DataFrame:
+        """TermAutomatonQuery (sandbox/search/TermAutomatonScorer.java:
+        221-345): per doc, run the determinized automaton over the
+        query-term position stream — a LITERAL port of countMatches: the
+        position queue pops (pos, term) events in order; ANY arcs advance
+        pending states across position gaps (petering out when a gap
+        position holds no states, :266-291); each event steps the pending
+        states at its position plus a fresh start from state 0, counting
+        every entry into an accept state (:305-327). Scoring is
+        phrase-style: idf sums over the automaton's indexed terms
+        (TermAutomatonQuery.java:378-398), freq from the kernel."""
+        if q.dfa is None:
+            raise ValueError("TermAutomatonQuery.finish() not called")
+        terms = list(q.terms)
+        if not terms:
+            return self._empty()
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return self._empty()
+        scorer = self.multi_scorer_for(q.boost, [stats[t] for t in present])
+        raw = self.decode_raw(present, with_positions=True)
+        dfa, accepts = dict(q.dfa), set(q.dfa_accepts)
+        has_any = any(t is None for _s, t in dfa.keys())
+
+        @F.pandas_udf("double")
+        def ta_freq(plist: pd.Series) -> pd.Series:
+            out = np.zeros(len(plist), dtype=np.float64)
+            for i, entries in enumerate(plist):
+                events = []
+                for e in entries:
+                    t = e["term"]
+                    for p in e["positions"]:
+                        events.append((int(p), t))
+                events.sort()
+                freq = 0
+                positions: dict = {}
+                last_pos = -1
+                for pos, tid in events:
+                    if last_pos != -1 and has_any:
+                        start_last = last_pos
+                        while last_pos < pos:
+                            cur = positions.get(last_pos, ())
+                            if not cur and last_pos > start_last:
+                                last_pos = pos
+                                break
+                            nxt = positions.setdefault(last_pos + 1, [])
+                            for st in cur:
+                                s2 = dfa.get((st, None))
+                                if s2 is not None:
+                                    nxt.append(s2)
+                            last_pos += 1
+                    cur = positions.get(pos, ())
+                    nxt = positions.setdefault(pos + 1, [])
+                    for st in cur:
+                        s2 = dfa.get((st, tid))
+                        if s2 is not None:
+                            nxt.append(s2)
+                            if s2 in accepts:
+                                freq += 1
+                    s2 = dfa.get((0, tid))
+                    if s2 is not None:
+                        nxt.append(s2)
+                        if s2 in accepts:
+                            freq += 1
+                    last_pos = pos
+                out[i] = float(freq)
+            return pd.Series(out)
+
+        grouped = raw.groupBy("doc_id").agg(
+            F.first("norm").alias("norm"),
+            F.collect_list(F.struct("term", "positions")).alias("plist"),
+        )
+        scored = grouped.withColumn("freq", ta_freq(F.col("plist"))).filter(
             F.col("freq") > 0
         )
         return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
