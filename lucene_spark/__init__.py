@@ -41,8 +41,16 @@ from .merge import (  # noqa: E402,F401
 )
 from .query import (  # noqa: E402,F401
     BooleanQuery,
+    BlendedTermQuery,
+    CombinedFieldQuery,
+    CoveringQuery,
     DisjunctionMaxQuery,
     FeatureQuery,
+    IndexSortRangeQuery,
+    ParentChildrenBlockJoinQuery,
+    TermAutomatonQuery,
+    ToChildBlockJoinQuery,
+    ToParentBlockJoinQuery,
     FuzzyQuery,
     IntervalQuery,
     MatchAllDocsQuery,
@@ -65,6 +73,8 @@ from .query import (  # noqa: E402,F401
     parse,
     parse_multifield,
 )
+from .simpleparser import SimpleQueryParser, simple_parse  # noqa: E402,F401
+from .strdist import jaro_winkler, lucene_levenshtein, ngram_distance  # noqa: E402,F401
 from .search import (  # noqa: E402,F401
     Explanation,
     MultiFieldSearcher,

@@ -977,3 +977,37 @@ class TermAutomatonQuery:  # standalone: mutable builder, not a frozen node
             sorted({t for _s, _d, t in self._trans if t is not None})
         )
         return self
+
+
+def token_stream_to_term_automaton(
+    tokens, preserve_position_increments: bool = True
+) -> TermAutomatonQuery:
+    """TokenStreamToTermAutomatonQuery.toQuery (sandbox/search/
+    TokenStreamToTermAutomatonQuery.java): build a TermAutomatonQuery from
+    a (graph) token stream given as (term, pos_inc, pos_len) triples.
+    States are positions; a token spans pos -> pos + pos_len (posLength >1
+    = graph synonyms like 'ny' over 'new york'); the literal term '*'
+    becomes an ANY transition; holes (pos_inc > 1) raise, as in the
+    reference ("cannot handle holes; to accept any term, use '*' term")
+    unless ``preserve_position_increments`` is False (holes collapse)."""
+    q = TermAutomatonQuery()
+    pos = -1
+    state = 0
+    for term, pos_inc, pos_len in tokens:
+        if not preserve_position_increments and pos_inc > 1:
+            pos_inc = 1
+        if pos_inc > 1:
+            raise ValueError(
+                "cannot handle holes; to accept any term, use '*' term"
+            )
+        if pos_inc > 0:
+            pos += pos_inc
+        end_pos = pos + int(pos_len)
+        while state < end_pos:
+            state = q.create_state()
+        if term == "*":
+            q.add_any_transition(pos, end_pos)
+        else:
+            q.add_transition(pos, end_pos, term)
+    q.set_accept(state)
+    return q.finish()

@@ -124,3 +124,45 @@ def test_unfinished_raises(ta):
     q.set_accept(1)
     with pytest.raises(ValueError, match="finish"):
         ta["s"].search(q, 10).collect()
+
+
+def test_token_stream_to_automaton_graph(spark):
+    """'ny' with posLength 2 over 'new york' — the sausage accepts either
+    path (TokenStreamToTermAutomatonQuery.java)."""
+    from lucene_spark.query import token_stream_to_term_automaton
+
+    texts = [
+        "i love new york pizza",
+        "ny pizza is great",
+        "new pizza york",
+        "york new pizza",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    idx = build_index(
+        df, IndexConfig(seg_size=8, with_positions=True),
+        content_col="text", doc_id_col="doc_id",
+        auto_seg_size=False, eager=True,
+    )
+    s = Searcher(idx, dtype=np.float32)
+    q = token_stream_to_term_automaton(
+        [("ny", 1, 2), ("new", 0, 1), ("york", 1, 1), ("pizza", 1, 1)]
+    )
+    got = sorted(int(r["doc_id"]) for r in s.search(q, 10).collect())
+    # doc 0 matches via the two-term path 'new york' + 'pizza'; doc 1 via
+    # the posLength-2 'ny' arc (spans two positions) + 'pizza'
+    assert got == [0, 1]
+    idx.unpersist()
+
+
+def test_token_stream_holes_raise():
+    from lucene_spark.query import token_stream_to_term_automaton
+
+    with pytest.raises(ValueError, match="holes"):
+        token_stream_to_term_automaton([("a", 1, 1), ("b", 2, 1)])
+    # preserve_position_increments=False collapses the hole instead
+    q = token_stream_to_term_automaton(
+        [("a", 1, 1), ("b", 2, 1)], preserve_position_increments=False
+    )
+    assert q.dfa is not None
