@@ -73,6 +73,7 @@ from lucene_spark.query import (
     parse_multifield,
 )
 from lucene_spark.expressions import SCORE
+from lucene_spark.complexphrase import complex_phrase_parse
 from lucene_spark.simpleparser import simple_parse
 from lucene_spark.search import Searcher
 from lucene_spark.functions import dedup as fdedup
@@ -1257,6 +1258,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- ComplexPhraseQueryParser: wildcards/alternations in phrases --
+        "q_complex_phrase": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            complex_phrase_parse('"(fast slow) tab*"~3'),
+            10,
+        ),
         # ---- TermAutomatonQuery: token-level automaton (fast ? table) ----
         "q_term_automaton": lambda sp, d: _topk_df(
             _searcher(sp, d), _fast_any_table_automaton(), 10
@@ -2070,6 +2077,9 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_complex_phrase": _span_near_slots_sql(
+            [["fast", "slow"], "term LIKE 'tab%'"], 3
+        ),
         "q_term_automaton": _PRELUDE
         + """
 , taf AS (

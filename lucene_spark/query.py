@@ -650,9 +650,12 @@ def _analyze_term(raw: str, analyze) -> str:
     return toks[0] if toks else raw.lower()
 
 
-def parse(query: str, analyze=None) -> Query:
+def parse(query: str, analyze=None, phrase_builder=None) -> Query:
     """Parse classic syntax into the AST. ``analyze`` normalizes bare terms
-    (defaults to the standard chain)."""
+    (defaults to the standard chain). ``phrase_builder(body, slop)``, when
+    given, builds quoted phrases instead of PhraseQuery — the
+    getFieldQuery(field, text, slop) override hook that
+    ComplexPhraseQueryParser uses."""
     if analyze is None:
         from .analysis import standard_analyze
 
@@ -698,6 +701,8 @@ def parse(query: str, analyze=None) -> Query:
             if k == "TERM" and t.startswith("~"):
                 advance()
                 slop = int(t[1:] or 0)
+            if phrase_builder is not None:
+                return phrase_builder(body, slop), occur
             terms = tuple(analyze(body))
             q: Query = (
                 PhraseQuery(terms=terms, slop=slop)
