@@ -1258,6 +1258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- HighFreqTerms (misc): top-k dictionary terms by stats ----
+        "q_high_freq_terms": lambda sp, d: _searcher(sp, d).high_freq_terms(
+            15, by="total_term_freq"
+        ),
         # ---- ComplexPhraseQueryParser: wildcards/alternations in phrases --
         "q_complex_phrase": lambda sp, d: _topk_df(
             _searcher(sp, d),
@@ -2077,6 +2081,12 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_high_freq_terms": _PRELUDE
+        + """
+SELECT term, count(*)::BIGINT AS doc_freq, sum(freq)::BIGINT AS total_term_freq
+FROM tf GROUP BY term
+ORDER BY total_term_freq DESC, term DESC LIMIT 15
+""",
         "q_complex_phrase": _span_near_slots_sql(
             [["fast", "slow"], "term LIKE 'tab%'"], 3
         ),

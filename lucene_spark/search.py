@@ -586,6 +586,25 @@ class Searcher:
             .limit(int(k))
         )
 
+    def high_freq_terms(self, k: int = 100, by: str = "doc_freq") -> DataFrame:
+        """HighFreqTerms (misc/HighFreqTerms.java:99-170): the top-k
+        dictionary terms by docFreq or totalTermFreq — one
+        TakeOrderedAndProject over the terms table (the stats are already
+        materialized index metadata; no postings touched). Output order
+        matches the reference's PQ pop-and-reverse: primary stat desc,
+        term desc on ties. → (term, doc_freq, total_term_freq)"""
+        if by not in ("doc_freq", "total_term_freq"):
+            raise ValueError(f"unknown comparator {by!r}")
+        return (
+            self.index.terms.select(
+                "term",
+                F.col("doc_freq").cast("long").alias("doc_freq"),
+                F.col("total_term_freq").cast("long").alias("total_term_freq"),
+            )
+            .orderBy(F.desc(by), F.desc("term"))
+            .limit(int(k))
+        )
+
     def top_docs(self, q: Query, k: int = 10) -> List[Tuple[int, float]]:
         """TopDocs-style result: [(doc_id, score)] ordered by score desc,
         doc_id asc — no DataFrame round-trip (the latency-measuring API;
