@@ -75,6 +75,7 @@ from lucene_spark.query import (
 from lucene_spark.expressions import SCORE
 from lucene_spark.complexphrase import complex_phrase_parse
 from lucene_spark.simpleparser import simple_parse
+from lucene_spark.surround import surround_parse
 from lucene_spark.search import Searcher
 from lucene_spark.functions import dedup as fdedup
 from lucene_spark.functions import facets as ffacets
@@ -1258,6 +1259,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- surround parser: W/N proximity language ----
+        "q_surround": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            surround_parse("3W(scan, OR(fast, slow))"),
+            10,
+        ),
         # ---- HighFreqTerms (misc): top-k dictionary terms by stats ----
         "q_high_freq_terms": lambda sp, d: _searcher(sp, d).high_freq_terms(
             15, by="total_term_freq"
@@ -2081,6 +2088,9 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_surround": _span_near_slots_sql(
+            [["scan"], ["fast", "slow"]], 2
+        ),
         "q_high_freq_terms": _PRELUDE
         + """
 SELECT term, count(*)::BIGINT AS doc_freq, sum(freq)::BIGINT AS total_term_freq
