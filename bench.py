@@ -39,7 +39,9 @@ def main() -> None:
 
     from lucene_spark.build import IndexConfig, build_index
     from lucene_spark.corpus import generate_corpus, sha256_sidecar, verify_sha256
-    from lucene_spark.query import PhraseQuery, TermQuery, bool_query
+    from lucene_spark.query import (
+        BlendedTermQuery, PhraseQuery, TermQuery, bool_query,
+    )
     from lucene_spark.search import Searcher
     from lucene_spark.session import get_spark
 
@@ -94,6 +96,10 @@ def main() -> None:
         # 3-term sloppy phrase: exercises the merged-order batch kernel
         # (sloppy_freqs_batch) that replaced the per-doc n>=3 heap walk
         "bm25_phrase3_slop": PhraseQuery(terms=("the", "fast", "table"), slop=4),
+        # round-3 addition: blended-statistics term query
+        "blended_term": BlendedTermQuery(
+            terms=("spark", "merge"), boosts=(1.0, 2.0), tie_breaker=0.1
+        ),
     }
     cold_lat = {}
     for name, q in qset.items():
@@ -158,6 +164,24 @@ def main() -> None:
         ).collect()
     )
     hgraph.unpersist()
+
+    # round-3 operators: query-time term join (per-value fold + value
+    # equi-join) and diversified top-k (two windows)
+    from lucene_spark.functions import joinutil as fjoin
+
+    queries["join_util_avg"] = best_of(
+        lambda: fjoin.term_join(
+            searcher, "lang", TermQuery(term="spark"), searcher, "lang",
+            "avg",
+        ).count(),
+        reps=2,
+    )
+    queries["diversified_topk"] = best_of(
+        lambda: searcher.diversified_topk(
+            TermQuery(term="spark"), 10, 2, key_expr="doc_id % 7"
+        ).collect(),
+        reps=2,
+    )
 
     total = round(time.time() - t_total0, 3)
     out = {

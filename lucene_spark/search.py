@@ -710,6 +710,8 @@ class Searcher:
             isinstance(d, TermQuery) for d in q.disjuncts
         ):
             return self._hot_dismax_rows(q, k)
+        if isinstance(q, BlendedTermQuery):
+            return self._hot_blended_rows(q, k)
 
         shape = _flat_term_clauses(q)
         if shape is None:
@@ -872,6 +874,49 @@ class Searcher:
         mx = np.full(len(u), -np.inf)
         np.maximum.at(mx, inv, cat_sc)
         score = mx + float(q.tie_breaker) * (tot - mx)
+        if q.boost != 1.0:
+            score = score * float(q.boost)
+        return self._rank_rows(u, score, k)
+
+    def _hot_blended_rows(self, q: BlendedTermQuery, k: int) -> Optional[List[Tuple[int, float]]]:
+        """Driver-side BlendedTermQuery: same artificial-stats scoring as
+        _eval_blended, numpy over the hot postings cache."""
+        from .similarities import TermStatsIn
+
+        terms = list(q.terms)
+        boosts = list(q.boosts) if q.boosts else [1.0] * len(terms)
+        if len(boosts) != len(terms):
+            raise ValueError("boosts must match terms")
+        if q.rewrite not in ("dismax", "boolean"):
+            raise ValueError(f"unknown rewrite {q.rewrite!r}")
+        stats = self.term_stats(sorted(set(terms)))
+        present = [(t, b) for t, b in zip(terms, boosts) if t in stats]
+        if not present:
+            return []
+        if not self._ensure_hot([t for t, _b in present], stats):
+            return None
+        df_art = max(stats[t].doc_freq for t, _b in present)
+        ttf_art = sum(stats[t].total_term_freq for t, _b in present)
+        docs_all, sc_all = [], []
+        for t, b in present:
+            docs, freqs, norms = self._postings_cache[t]
+            sc = self.sim.multi_scorer(
+                b, [TermStatsIn(df_art, ttf_art)], self.index.stats, self.dtype
+            )
+            docs_all.append(docs)
+            sc_all.append(sc.score(freqs, norms).astype(np.float64))
+        cat_docs = np.concatenate(docs_all)
+        cat_sc = np.concatenate(sc_all)
+        if len(cat_docs) == 0:
+            return []
+        u, inv = np.unique(cat_docs, return_inverse=True)
+        tot = np.bincount(inv, weights=cat_sc)
+        if q.rewrite == "boolean":
+            score = tot
+        else:
+            mx = np.full(len(u), -np.inf)
+            np.maximum.at(mx, inv, cat_sc)
+            score = mx + float(q.tie_breaker) * (tot - mx)
         if q.boost != 1.0:
             score = score * float(q.boost)
         return self._rank_rows(u, score, k)
@@ -1166,26 +1211,40 @@ class Searcher:
             return self._empty()
         df_art = max(stats[t].doc_freq for t, _b in present)
         ttf_art = sum(stats[t].total_term_freq for t, _b in present)
-        raw = self.decode_raw(sorted({t for t, _b in present}))
-        parts = []
-        for t, b in present:
-            scorer = self.sim.multi_scorer(
+        # one decode pass + one scoring kernel for ALL terms: each term's
+        # scorer (same artificial stats, its own boost) runs on its slice
+        # of the batch — per-row op order identical to per-term evaluation
+        scorers = {
+            t: self.sim.multi_scorer(
                 b,
                 [TermStatsIn(df_art, ttf_art)],
                 self.index.stats,
                 self.dtype,
             )
-            parts.append(
-                self._score_freq_norm(
-                    raw.filter(F.col("term") == t).select(
-                        "doc_id", "freq", "norm"
-                    ),
-                    scorer,
-                )
-            )
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
+            for t, b in present
+        }
+        raw = self.decode_raw(sorted(scorers))
+
+        @F.pandas_udf("double")
+        def blended_score(
+            term: pd.Series, freq: pd.Series, norm: pd.Series
+        ) -> pd.Series:
+            tarr = term.to_numpy(dtype=object)
+            f = freq.to_numpy(np.float64)
+            nb = norm.to_numpy(np.int64)
+            out = np.zeros(len(tarr), dtype=np.float64)
+            for t, sc in scorers.items():
+                mask = tarr == t
+                if mask.any():
+                    out[mask] = sc.score(f[mask], nb[mask]).astype(np.float64)
+            return pd.Series(out)
+
+        u = raw.select(
+            "doc_id",
+            blended_score(F.col("term"), F.col("freq"), F.col("norm")).alias(
+                "score"
+            ),
+        )
         if q.rewrite == "boolean":
             agg = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
             score = F.col("score")
