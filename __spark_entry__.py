@@ -142,6 +142,24 @@ def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return _CACHE[key]
 
 
+def _facet_sampled(sp: SparkSession, d: str) -> DataFrame:
+    """RandomSamplingFacetsCollector: xorshift bin-sample the 'spark'
+    matches (sampleSize 50, seed 42), count by lang, amortize counts by
+    the sampling rate."""
+    s = _searcher(sp, d)
+    m = s.matches(TermQuery(term="spark"))
+    sampled, rate = ffacets.random_sampling_matches(m, 50, seed=42)
+    cnt = (
+        sampled.join(s.index.docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("cat"))
+        .agg(F.count("*").alias("c"))
+    )
+    return cnt.select(
+        "cat",
+        F.floor(F.col("c") / F.lit(rate)).cast("long").alias("amortized"),
+    ).orderBy("cat")
+
+
 def _fast_any_table_automaton():
     """'fast <ANY> table' — one arbitrary token between (the graph query
     a PhraseQuery cannot express)."""
@@ -1259,6 +1277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- RandomSamplingFacetsCollector: xorshift bin sampling ----
+        "q_facet_sampled": _facet_sampled,
         # ---- surround parser: W/N proximity language ----
         "q_surround": lambda sp, d: _topk_df(
             _searcher(sp, d),
@@ -2088,6 +2108,50 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_facet_sampled": _PRELUDE
+        + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+prm AS (
+  SELECT count(*)::BIGINT AS n,
+         trunc(1.0 / ((1.0 * 50) / count(*)))::BIGINT AS binsize,
+         ((1.0 * 50) / count(*)) AS rate
+  FROM m
+),
+rng AS (
+  -- xorshift64 (RandomSamplingFacetsCollector.java:48-70) unrolled as an
+  -- iterative state table over HUGEINT mod-2^64 arithmetic
+  WITH RECURSIVE st(b, x) AS (
+    SELECT -1, 42::HUGEINT
+    UNION ALL
+    SELECT b + 1,
+           xor(y2, (y2 * 16) % 18446744073709551616::HUGEINT)
+    FROM (
+      SELECT b, xor(y1, y1 // 34359738368) AS y2 FROM (
+        SELECT b, xor(x, (x * 2097152) % 18446744073709551616::HUGEINT) AS y1
+        FROM st
+      )
+    ), prm
+    WHERE b + 1 <= (prm.n / prm.binsize)
+  )
+  SELECT b,
+         abs(CASE WHEN x >= 9223372036854775808::HUGEINT
+                  THEN x - 18446744073709551616::HUGEINT ELSE x END
+             % (SELECT binsize FROM prm))::BIGINT AS idx
+  FROM st WHERE b >= 0
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r FROM m
+),
+sampled AS (
+  SELECT ranked.doc_id FROM ranked, prm
+  JOIN rng ON rng.b = ranked.r // prm.binsize
+  WHERE ranked.r % prm.binsize = rng.idx
+)
+SELECT d.lang AS cat,
+       trunc(count(*) / (SELECT rate FROM prm))::BIGINT AS amortized
+FROM sampled s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY d.lang ORDER BY cat
+""",
         "q_surround": _span_near_slots_sql(
             [["scan"], ["fast", "slow"]], 2
         ),

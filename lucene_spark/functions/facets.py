@@ -152,3 +152,88 @@ def sum_associations(
     if top_n is not None:
         out = out.limit(int(top_n))
     return out
+
+
+class XORShift64Random:
+    """The reference's xorshift generator
+    (facet/RandomSamplingFacetsCollector.java:48-70), Java long
+    semantics: x ^= x<<21; x ^= x>>>35; x ^= x<<4."""
+
+    _M = 1 << 64
+
+    def __init__(self, seed: int):
+        self.x = 0xDEADBEEF if seed == 0 else seed & (self._M - 1)
+
+    def random_long(self) -> int:
+        x = self.x
+        x ^= (x << 21) % self._M
+        x ^= x >> 35  # unsigned value: >> IS >>>
+        x ^= (x << 4) % self._M
+        self.x = x
+        return x
+
+    def next_int(self, n: int) -> int:
+        u = self.random_long()
+        signed = u - self._M if u >= (1 << 63) else u
+        res = int(math_fmod(signed, n))
+        return -res if res < 0 else res
+
+
+def math_fmod(a: int, n: int) -> int:
+    """Java's truncated % for longs."""
+    r = abs(a) % n
+    return -r if a < 0 else r
+
+
+def random_sampling_matches(
+    matches: "DataFrame", sample_size: int, seed: int,
+    total_hits: int | None = None,
+):
+    """RandomSamplingFacetsCollector.createSample
+    (facet/RandomSamplingFacetsCollector.java:128-205): bin sampling over
+    the matching docs in doc_id order — binSize = trunc(1/samplingRate);
+    each bin keeps exactly the doc at that bin's xorshift nextInt(binSize)
+    index (one RNG draw per bin, in bin order). Returns (sampled matches,
+    sampling_rate). When totalHits <= sampleSize everything is kept
+    (rate 1.0, :131-137).
+
+    Scale shape: ranks come from the same two-pass range-partition
+    assignment as doc_id assignment (no global window); the per-bin RNG
+    indexes are a driver array of ~sampleSize ints broadcast into one
+    filter kernel."""
+    from ..build import assign_doc_ids
+
+    n = int(total_hits if total_hits is not None else matches.count())
+    if n <= sample_size:
+        return matches, 1.0
+    rate = (1.0 * sample_size) / n
+    bin_size = int(1.0 / rate)
+    rng = XORShift64Random(seed)
+    n_bins = (n + bin_size - 1) // bin_size
+    idx = [rng.next_int(bin_size) for _ in range(n_bins)]
+    import numpy as np
+    import pandas as pd
+
+    idx_arr = np.asarray(idx, dtype=np.int64)
+    ranked = assign_doc_ids(
+        matches.withColumnRenamed("doc_id", "__d"), order_cols=["__d"]
+    ).withColumnRenamed("doc_id", "__rank")
+
+    def keep(it):
+        for pdf in it:
+            r = pdf["__rank"].to_numpy(np.int64)
+            m = idx_arr[r // bin_size] == (r % bin_size)
+            out = pdf[m].drop(columns=["__rank"])
+            yield out.rename(columns={"__d": "doc_id"})
+
+    schema = ", ".join(
+        f"{'doc_id' if f.name == '__d' else f.name} {f.dataType.simpleString()}"
+        for f in ranked.schema.fields if f.name != "__rank"
+    )
+    return ranked.mapInPandas(keep, schema), rate
+
+
+def amortize_count(count, sampling_rate: float) -> int:
+    """amortizeFacetCounts (:218-249): correctedCount =
+    (int)(count / samplingRate)."""
+    return int(count / sampling_rate)
