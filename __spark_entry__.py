@@ -82,6 +82,7 @@ from lucene_spark.functions import facets as ffacets
 from lucene_spark.functions import geo as fgeo
 from lucene_spark.functions import highlight as fhigh
 from lucene_spark.functions import dvstats as fdv
+from lucene_spark.functions import fvh as ffvh
 from lucene_spark.functions import joinutil as fjoin
 from lucene_spark.functions import multimodal as fmm
 from lucene_spark.functions import simsearch as fsim
@@ -1277,6 +1278,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
         ),
         "q_block_join_children_of": _block_children_of,
+        # ---- FastVectorHighlighter: offset-driven fragments ----
+        "q_fvh_fragments": lambda sp, d: (
+            ffvh.fvh_highlight(
+                _docs(sp, d), "doc_id", "text", [TermQuery(term="spark")],
+                frag_char_size=60, top_n=1000, sort_by_score=False,
+            )
+            .select("doc_id", F.col("frag_no").cast("long"),
+                    "frag_start", "frag_end",
+                    F.col("score").cast("long").alias("cnt"))
+            .orderBy("doc_id", "frag_no")
+        ),
         # ---- RandomSamplingFacetsCollector: xorshift bin sampling ----
         "q_facet_sampled": _facet_sampled,
         # ---- surround parser: W/N proximity language ----
@@ -2108,6 +2120,45 @@ def oracle_sql() -> dict[str, str]:
         "q_block_join_parent_avg": _block_join_parent_sql("merge", "avg"),
         "q_block_join_child": _block_join_child_sql("spark"),
         "q_block_join_children_of": _block_join_children_of_sql("spark"),
+        "q_fvh_fragments": """
+WITH RECURSIVE occ AS (
+  -- token occurrences of 'spark' with char offsets (0-based, like the
+  -- engine's tokenizer spans); token boundary = non-[A-Za-z0-9_]
+  SELECT d.doc_id, i - 1 AS s, i + 4 AS e
+  FROM documents d,
+       LATERAL unnest(generate_series(1, greatest(length(d.text) - 4, 0))) t(i)
+  WHERE lower(substr(d.text, i, 5)) = 'spark'
+    AND (i = 1 OR NOT regexp_matches(substr(d.text, i - 1, 1), '[A-Za-z0-9_]'))
+    AND (i + 5 > length(d.text)
+         OR NOT regexp_matches(substr(d.text, i + 5, 1), '[A-Za-z0-9_]'))
+),
+frag AS (
+  -- BaseFragListBuilder.createFieldFragList: fcs=60, margin=6
+  SELECT DISTINCT doc_id, -1::BIGINT AS frag_no, 0::BIGINT AS so,
+         0::BIGINT AS fs, 0::BIGINT AS fe, 0::BIGINT AS cnt
+  FROM occ
+  UNION ALL
+  SELECT f.doc_id, f.frag_no + 1,
+         (greatest(f.so, a.fst - greatest(0, (60 - (b.pe - a.fst)) // 2))
+          + greatest(b.pe - a.fst, 60))::BIGINT,
+         greatest(f.so, a.fst - greatest(0, (60 - (b.pe - a.fst)) // 2))::BIGINT,
+         (greatest(f.so, a.fst - greatest(0, (60 - (b.pe - a.fst)) // 2))
+          + greatest(b.pe - a.fst, 60))::BIGINT,
+         b.cnt
+  FROM frag f
+  JOIN LATERAL (
+    SELECT min(s) AS fst FROM occ o
+    WHERE o.doc_id = f.doc_id AND o.s >= f.so
+  ) a ON a.fst IS NOT NULL
+  JOIN LATERAL (
+    SELECT max(e) AS pe, count(*)::BIGINT AS cnt FROM occ o
+    WHERE o.doc_id = f.doc_id AND o.s >= a.fst
+      AND o.e <= greatest(a.fst + 5, greatest(a.fst - 6, f.so) + 60)
+  ) b ON true
+)
+SELECT doc_id, frag_no, fs AS frag_start, fe AS frag_end, cnt
+FROM frag WHERE frag_no >= 0 ORDER BY doc_id, frag_no
+""",
         "q_facet_sampled": _PRELUDE
         + """
 , m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
