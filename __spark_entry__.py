@@ -973,6 +973,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- multi-term interval sources (Intervals.prefix/wildcard/
         # fuzzyTerm -> MultiTermIntervalsSource, expansion-capped) ----
+        "q_intervals_regexp": lambda sp, d: _topk_df(
+            # Intervals.multiterm with a Lucene RegExp automaton slot
+            _searcher(sp, d),
+            IntervalQuery(
+                terms=(
+                    IntervalMultiTerm(kind="regexp", pattern="t[ae]bles?"),
+                    "fast",
+                ),
+                ordered=False,
+                max_gaps=6,
+            ),
+            10,
+        ),
         "q_intervals_prefix": lambda sp, d: _topk_df(
             _searcher(sp, d),
             IntervalQuery(
@@ -2368,6 +2381,9 @@ GROUP BY 1 ORDER BY total DESC, cat ASC
         ),
         "q_intervals_or_slot_unordered": _intervals_slots_sql(
             [["fast", "slow"], ["table", "value"]], False, 6
+        ),
+        "q_intervals_regexp": _intervals_slots_sql(
+            ["regexp_full_match({term}, 't[ae]bles?')", ["fast"]], False, 6
         ),
         "q_intervals_prefix": _intervals_slots_sql(
             [["fast"], "{term} LIKE 's%'"], True, 6

@@ -207,7 +207,7 @@ class IntervalMultiTerm:
     Intervals.DEFAULT_MAX_EXPANSIONS), which is what keeps the expansion
     driver-bounded at any corpus scale."""
 
-    kind: str = "prefix"  # prefix | wildcard | fuzzy
+    kind: str = "prefix"  # prefix | wildcard | fuzzy | regexp
     pattern: str = ""
     max_expansions: int = 128
     # fuzzy() only — FuzzyQuery defaults (fuzzyTerm delegates to them)

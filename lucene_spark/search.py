@@ -2082,6 +2082,10 @@ class Searcher:
                 prefix_length=mt.prefix_length,
                 transpositions=mt.transpositions,
             )
+        elif mt.kind == "regexp":
+            # Intervals.multiterm(CompiledAutomaton, pattern)
+            # (Intervals.java:196-220) with a Lucene RegExp automaton
+            proto = RegexpQuery(regexp=mt.pattern)
         else:
             raise ValueError(f"unknown IntervalMultiTerm kind {mt.kind!r}")
         cap = int(mt.max_expansions)
