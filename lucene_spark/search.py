@@ -362,6 +362,10 @@ class Searcher:
         # block-join parent maps: parents-filter repr -> persisted
         # (doc_id, parent_id) frame (the cached BitSetProducer role)
         self._blockjoin_maps: Dict[str, DataFrame] = {}
+        # optional q-gram terms index for fuzzy candidate pruning
+        # (enable_fuzzy_ngram_index) — the automaton-intersection analog
+        self._ngram_terms: Optional[DataFrame] = None
+        self._ngram_n = 2
         # live-docs snapshot: a Searcher is a point-in-time reader (like
         # DirectoryReader) — tombstones are loaded once at open. Deleted docs
         # (hard AND soft) never match; stats still include them (Lucene
@@ -2090,7 +2094,7 @@ class Searcher:
             raise ValueError(f"unknown IntervalMultiTerm kind {mt.kind!r}")
         cap = int(mt.max_expansions)
         rows = (
-            self.index.terms.filter(self._multi_term_cond(proto))
+            self._terms_scan(proto).filter(self._multi_term_cond(proto))
             .select("term")
             .distinct()
             .limit(cap + 1)
@@ -2864,7 +2868,7 @@ class Searcher:
         reference's uncapped bitset rewrite: CONSTANT_SCORE has NO clause
         cap; the 1024 cap applies only to scoring boolean rewrites, where
         the reference throws TooManyClauses (see expand_terms)."""
-        matching = self.index.terms.filter(self._multi_term_cond(q)).select("term")
+        matching = self._terms_scan(q).filter(self._multi_term_cond(q)).select("term")
         docs = self._decode_docs_for(matching)
         return docs.withColumn("score", F.lit(float(np.float32(q.boost))))
 
@@ -2917,6 +2921,64 @@ class Searcher:
 
         ok = rx_ok(F.col("term"))
         return ok if cond is None else (cond & ok)
+
+    def enable_fuzzy_ngram_index(self, n: int = 2) -> None:
+        """Build a (term, gram, gcnt) q-gram index over the terms
+        dictionary and use it to PRUNE fuzzy candidates with the q-gram
+        lemma before any edit-distance work — the scale analog of the
+        reference's Levenshtein-automaton TermsEnum intersection
+        (search/FuzzyTermsEnum.java:409, util/automaton/
+        LevenshteinAutomata.java). Grams are substrings of length ``n``
+        (one short gram = the whole term when len < n). Opt-in: the
+        table is ~(avg_len) rows per dictionary term, persisted once and
+        reused by every fuzzy query on this Searcher."""
+        n = int(n)
+        grams = F.expr(
+            f"transform(sequence(1, greatest(length(term) - {n - 1}, 1)),"
+            f" i -> substring(term, i, {n}))"
+        )
+        self._ngram_n = n
+        self._ngram_terms = (
+            self.index.terms.select("term", F.explode(grams).alias("gram"))
+            .groupBy("term", "gram")
+            .agg(F.count("*").alias("gcnt"))
+            .persist()
+        )
+
+    def _fuzzy_ngram_candidates(self, q: FuzzyQuery) -> Optional[DataFrame]:
+        """q-gram lemma prefilter: ed(w, t) <= k implies the multiset
+        gram intersection >= (len(w) - n + 1) - k*(n + 1) — the (n+1)
+        factor (vs the classic k*n) covers OSA transpositions, which
+        touch n+1 grams. Threshold <= 0 → None (full-scan fallback,
+        exactly what short/high-edit patterns need anyway)."""
+        if self._ngram_terms is None:
+            return None
+        n, w, k = self._ngram_n, q.term, int(q.max_edits)
+        thresh = (len(w) - n + 1) - k * (n + 1)
+        if thresh <= 0:
+            return None
+        from collections import Counter
+
+        wg = Counter(w[i:i + n] for i in range(max(len(w) - n + 1, 1)))
+        wdf = self.spark.createDataFrame(
+            [(g, c) for g, c in wg.items()], "gram string, wcnt int"
+        )
+        return (
+            self._ngram_terms.join(F.broadcast(wdf), "gram")
+            .groupBy("term")
+            .agg(F.sum(F.least(F.col("gcnt"), F.col("wcnt"))).alias("__c"))
+            .filter(F.col("__c") >= int(thresh))
+            .select("term")
+        )
+
+    def _terms_scan(self, q: Query) -> DataFrame:
+        """The terms-dictionary frame a MultiTermQuery filters — q-gram
+        pruned for fuzzy when the index is enabled."""
+        if isinstance(q, FuzzyQuery):
+            cand = self._fuzzy_ngram_candidates(q)
+            if cand is not None:
+                return self.index.terms.join(cand, "term", "left_semi")
+        return self.index.terms
 
     def _multi_term_cond(self, q: Query):
         """The terms-dictionary predicate of a MultiTermQuery (the automaton/
@@ -3013,7 +3075,7 @@ class Searcher:
         (IndexSearcher.TooManyClauses) rather than silently truncating.
         Constant-score evaluation never calls this (see _eval_multi_term)."""
         rows = (
-            self.index.terms.filter(self._multi_term_cond(q))
+            self._terms_scan(q).filter(self._multi_term_cond(q))
             .select("term")
             .limit(MAX_CLAUSE_COUNT + 1)
             .collect()

@@ -62,3 +62,45 @@ def test_osa_agrees_with_duckdb_damerau_at_distance_1(a, b):
         "SELECT damerau_levenshtein(?, ?)", [a, b]
     ).fetchone()[0]
     assert (dl <= 1) == (osa_distance(a, b) <= 1)
+
+
+def test_fuzzy_ngram_index_equivalence(spark):
+    """q-gram candidate pruning (enable_fuzzy_ngram_index) returns the
+    SAME fuzzy matches as the full dictionary scan, including
+    transposition-only matches at the band edge; short/high-edit patterns
+    fall back to the full scan (threshold <= 0)."""
+    import numpy as np
+
+    from lucene_spark.build import IndexConfig, build_index
+    from lucene_spark.query import FuzzyQuery
+    from lucene_spark.search import Searcher
+
+    vocab = ["sparkle", "sparks", "spark", "sprak", "sparc", "shark",
+             "spork", "table", "tables", "tbale", "zzz"]
+    df = spark.createDataFrame(
+        [(i, " ".join([w] * (i + 1))) for i, w in enumerate(vocab)],
+        "doc_id long, text string",
+    )
+    idx = build_index(df, IndexConfig(seg_size=8, with_positions=False),
+                      content_col="text", doc_id_col="doc_id",
+                      auto_seg_size=False, eager=True)
+    plain = Searcher(idx, dtype=np.float32)
+    pruned = Searcher(idx, dtype=np.float32)
+    pruned.enable_fuzzy_ngram_index(n=2)
+    for term, k in [("spark", 1), ("spark", 2), ("tbale", 1),
+                    ("sprak", 1), ("zz", 1)]:
+        q = FuzzyQuery(term=term, max_edits=k)
+        a = sorted(r["doc_id"] for r in plain.matches(q).collect())
+        b = sorted(r["doc_id"] for r in pruned.matches(q).collect())
+        assert a == b, (term, k, a, b)
+    # the prefilter actually prunes: candidates for spark~1 are a strict
+    # subset of the dictionary
+    cand = pruned._fuzzy_ngram_candidates(FuzzyQuery(term="spark", max_edits=1))
+    assert cand is not None
+    n_cand = cand.count()
+    assert 0 < n_cand < len(vocab)
+    # threshold <= 0 -> full-scan fallback
+    assert pruned._fuzzy_ngram_candidates(
+        FuzzyQuery(term="zz", max_edits=1)
+    ) is None
+    idx.unpersist()
