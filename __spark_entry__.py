@@ -1820,6 +1820,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # fires; max_edits=1 keeps the oracle's Damerau==OSA window
             _searcher(sp, d).index.terms, "sparkk", num_sug=5, max_edits=1
         ),
+        # grouping-module depth: DistinctValuesCollector (per-group count
+        # of distinct values of another field) and AllGroupsCollector
+        # (total distinct groups) — grouping/DistinctValuesCollector.java,
+        # AllGroupsCollector.java
+        "q_group_distinct_values": lambda sp, d: (
+            _searcher(sp, d)
+            .matches(TermQuery(term="data"))
+            .join(
+                _searcher(sp, d).index.docs.select("doc_id", "lang", "source"),
+                "doc_id",
+            )
+            .groupBy("lang")
+            .agg(F.count_distinct("source").cast("long").alias("n_sources"))
+            .orderBy("lang")
+        ),
+        "q_all_groups_count": lambda sp, d: (
+            _searcher(sp, d)
+            .matches(TermQuery(term="data"))
+            .join(_searcher(sp, d).index.docs.select("doc_id", "lang"), "doc_id")
+            .agg(F.count_distinct("lang").cast("long").alias("n_groups"))
+        ),
         "q_group_top1_per_lang": lambda sp, d: (
             _searcher(sp, d)
             .matches(TermQuery(term="data"))
@@ -2931,6 +2952,21 @@ SELECT p.doc_id::BIGINT AS doc_id, b.passage::INT AS passage,
 FROM ptok p JOIN best b ON b.doc_id = p.doc_id AND b.passage = p.passage
 GROUP BY p.doc_id, b.passage, b.score
 ORDER BY doc_id
+""",
+        "q_group_distinct_values": _PRELUDE
+        + """
+SELECT d.lang, count(DISTINCT d.source)::BIGINT AS n_sources
+FROM documents d
+JOIN (SELECT DISTINCT doc_id FROM tf WHERE term = 'data') m
+  ON m.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang
+""",
+        "q_all_groups_count": _PRELUDE
+        + """
+SELECT count(DISTINCT d.lang)::BIGINT AS n_groups
+FROM documents d
+JOIN (SELECT DISTINCT doc_id FROM tf WHERE term = 'data') m
+  ON m.doc_id = d.doc_id
 """,
         "q_group_top1_per_lang": _PRELUDE
         + _scored_cte(["data"])
