@@ -1146,6 +1146,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SpanNotQuery(include="table", exclude=("fast",), pre=1, post=1),
             10,
         ),
+        "q_span_not_span_exclude": lambda sp, d: _topk_df(
+            # exclude operand is a SPAN (the ComplexPhrase negative shape)
+            _searcher(sp, d),
+            SpanNotQuery(
+                include="fast",
+                exclude=(SpanNearQuery(terms=("slow", "table"), slop=0,
+                                       in_order=True),),
+                pre=1, post=1,
+            ),
+            10,
+        ),
         "q_span_first": lambda sp, d: _topk_df(
             _searcher(sp, d), SpanFirstQuery(term="spark", end=5), 10
         ),
@@ -2478,6 +2489,20 @@ GROUP BY 1 ORDER BY total DESC, cat ASC
             "  SELECT doc_id, count(*) * 0.5 AS freq\n"
             "  FROM tok WHERE term IN ('spark', 'merge') GROUP BY doc_id",
             ["spark", "merge"],
+        ),
+        "q_span_not_span_exclude": _freq_rank_sql(
+            # exclude is a SPAN: ordered slop-0 'slow table' windows
+            # (xs, xs+2); keep 'fast' points with no window satisfying
+            # xe > p - pre AND xs < p + 1 + post (pre = post = 1)
+            "  SELECT i.doc_id, count(*) * 0.5 AS freq\n"
+            "  FROM tokp i WHERE i.term = 'fast' AND NOT EXISTS (\n"
+            "    SELECT 1 FROM tokp a JOIN tokp b\n"
+            "      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1\n"
+            "    WHERE a.doc_id = i.doc_id AND a.term = 'slow'\n"
+            "      AND b.term = 'table'\n"
+            "      AND a.pos + 2 > i.pos - 1 AND a.pos < i.pos + 1 + 1)\n"
+            "  GROUP BY i.doc_id",
+            ["fast"],
         ),
         "q_span_not": _freq_rank_sql(
             "  SELECT a.doc_id, count(*) * 0.5 AS freq\n"

@@ -10,9 +10,11 @@ combine as SpanNearQuery(slop, in_order). A single-element phrase
 degrades to the element's plain query (rewrite's TermQuery/MultiTermQuery
 passthrough, :262-266).
 
-Deliberate scope boundary: MUST_NOT elements inside a phrase (the
-SpanNot(include, exclude) composition, :341-364) raise
-NotImplementedError — loudly, not silently."""
+MUST_NOT elements inside a phrase build the reference's
+SpanNot(include, exclude) composition (:341-364): include =
+SpanNear(positives, slop + numNegatives), exclude = SpanNear(ALL
+elements in order, slop) — supported when every element is a plain
+term (multi-term patterns mixed with negatives raise loudly)."""
 
 from __future__ import annotations
 
@@ -62,8 +64,8 @@ def complex_phrase(body: str, slop: int = 0, in_order: bool = True,
 
         analyze = standard_analyze
     slots: List[object] = []
+    negated: List[bool] = []
     toks = _ELEM_RE.findall(body)
-    i = 0
     group: Optional[list] = None
     for tok in toks:
         if tok == "(":
@@ -75,16 +77,17 @@ def complex_phrase(body: str, slop: int = 0, in_order: bool = True,
                 raise ValueError("unbalanced ')' in complex phrase")
             if group:
                 slots.append(tuple(group))
+                negated.append(False)
             group = None
-        elif tok in ("-",) or tok.startswith("-") or tok.upper() == "NOT":
-            raise NotImplementedError(
-                "negative elements inside a complex phrase (the "
-                "SpanNot(include, exclude) composition, "
-                "ComplexPhraseQueryParser.java:341-364) are not supported"
-            )
         else:
-            el = _classify(tok.lstrip("+"), analyze)
+            neg = tok.startswith("-")
+            el = _classify(tok.lstrip("+-"), analyze)
             if group is not None:
+                if neg:
+                    raise NotImplementedError(
+                        "negated elements inside a (…) group of a complex "
+                        "phrase"
+                    )
                 if isinstance(el, IntervalMultiTerm):
                     raise NotImplementedError(
                         "multi-term patterns inside a (…) group of a "
@@ -93,11 +96,36 @@ def complex_phrase(body: str, slop: int = 0, in_order: bool = True,
                 group.append(el)
             else:
                 slots.append(el)
-        i += 1
+                negated.append(neg)
     if group is not None:
         raise ValueError("unbalanced '(' in complex phrase")
     if not slots:
         raise ValueError(f"empty complex phrase {body!r}")
+    n_neg = sum(negated)
+    if n_neg:
+        # ComplexPhraseQueryParser.java:341-364: SpanNot(include, exclude)
+        if not all(isinstance(s, str) for s in slots):
+            raise NotImplementedError(
+                "negatives mixed with multi-term/group elements in a "
+                "complex phrase"
+            )
+        positives = [s for s, n in zip(slots, negated) if not n]
+        if not positives:
+            raise ValueError("complex phrase with only negative elements")
+        from .query import SpanNotQuery
+
+        include: object = (
+            positives[0]
+            if len(positives) == 1
+            else SpanNearQuery(
+                terms=tuple(positives), slop=int(slop) + n_neg,
+                in_order=in_order,
+            )
+        )
+        exclude = SpanNearQuery(
+            terms=tuple(slots), slop=int(slop), in_order=in_order
+        )
+        return SpanNotQuery(include=include, exclude=(exclude,))
     if len(slots) == 1:
         el = slots[0]
         # single element: rewrite's passthrough (:262-266)

@@ -119,12 +119,16 @@ class SpanContainQuery(Query):
 @dataclass(frozen=True)
 class SpanNotQuery(Query):
     """Include spans with no exclude span overlapping the window
-    [start - pre, end + post) (search/spans/SpanNotQuery.java): a point
-    include span at p survives iff no exclude position q satisfies
-    p - pre <= q <= p + post."""
+    (search/spans/SpanNotQuery.java:199-215): a candidate include span
+    (cs, ce) is rejected iff some exclude span (xs, xe) has
+    xe > cs - pre AND xs < ce + post. For point operands this reduces to
+    'no exclude position in [p - pre, p + post]'. ``include`` is a term
+    or a SpanNearQuery; ``exclude`` entries likewise (span operands run
+    the NearSpans span-stream kernels). idf is built from the INCLUDE
+    terms only (SpanNotWeight.extractTermStates, :146-148)."""
 
-    include: str = ""
-    exclude: Tuple[str, ...] = ()
+    include: object = ""  # str | SpanNearQuery
+    exclude: Tuple = ()  # (str | SpanNearQuery, ...)
     pre: int = 0
     post: int = 0
 

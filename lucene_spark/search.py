@@ -2736,7 +2736,12 @@ class Searcher:
         no exclude span inside [start - pre, end + post); for point spans an
         include position p is dropped iff an exclude position lies in
         [p - pre, p + post]. Left-anti join with an equi doc_id key plus the
-        range residual — no Python."""
+        range residual — no Python. Span operands (SpanNearQuery include /
+        exclude) route to the span-stream kernel."""
+        if not isinstance(q.include, str) or any(
+            not isinstance(x, str) for x in q.exclude
+        ):
+            return self._eval_span_not_spans(q)
         st = self.term_stats([q.include]).get(q.include)
         if st is None:
             return self._empty()
@@ -2763,6 +2768,91 @@ class Searcher:
             F.first("norm").alias("norm"),
         )
         return self._score_freq_norm(agg, scorer)
+
+    def _eval_span_not_spans(self, q: SpanNotQuery) -> DataFrame:
+        """SpanNotQuery with span operands: enumerate the include and
+        exclude span streams per doc (term points / NearSpans kernels,
+        the same machinery as SpanContaining) and keep include spans with
+        no exclude span satisfying xe > cs - pre AND xs < ce + post
+        (SpanNotQuery.java:199-215, vectorized as a prefix-max over the
+        xs-sorted exclude ends). freq = Σ 1/(1+(ce-cs)) over the kept
+        spans; idf from the include terms only."""
+
+        def spec(op):
+            if isinstance(op, str):
+                return ("term", (op,), 0, True)
+            if isinstance(op, SpanNearQuery):
+                return ("near", tuple(op.terms), int(op.slop), bool(op.in_order))
+            raise NotImplementedError(f"span not operand {type(op).__name__}")
+
+        inc_spec = spec(q.include)
+        exc_specs = tuple(spec(x) for x in q.exclude)
+        inc_terms = sorted(set(inc_spec[1]))
+        every = sorted({t for s in (inc_spec,) + exc_specs for t in s[1]})
+        stats = self.term_stats(every)
+        if any(t not in stats for t in inc_terms):
+            return self._empty()
+        scorer = self.multi_scorer_for(q.boost, [stats[t] for t in inc_terms])
+        all_terms = [t for t in every if t in stats]
+        pre, post = int(q.pre), int(q.post)
+
+        @F.pandas_udf("double")
+        def span_not_freq(plist: pd.Series) -> pd.Series:
+            from . import matchers
+
+            n_docs = len(plist)
+            by_term = {t: [None] * n_docs for t in all_terms}
+            for i, entries in enumerate(plist):
+                for e in entries:
+                    by_term[e["term"]][i] = np.asarray(
+                        e["positions"], dtype=np.int64
+                    )
+
+            def doc_spans(sp, d):
+                mode, terms, slop, in_order = sp
+                lists = [by_term.get(t, [None] * n_docs)[d] for t in terms]
+                if any(p is None for p in lists):
+                    return np.empty(0, np.int64), np.empty(0, np.int64)
+                if mode == "term":
+                    p = lists[0]
+                    return p, p + 1
+                if in_order:
+                    return matchers.ordered_chain_spans(lists, slop)
+                return matchers.unordered_state_spans(lists, slop)
+
+            out = np.zeros(n_docs, dtype=np.float64)
+            for d in range(n_docs):
+                cs, ce = doc_spans(inc_spec, d)
+                if len(cs) == 0:
+                    continue
+                xs_all, xe_all = [], []
+                for sp in exc_specs:
+                    xs, xe = doc_spans(sp, d)
+                    if len(xs):
+                        xs_all.append(xs)
+                        xe_all.append(xe)
+                if xs_all:
+                    xs = np.concatenate(xs_all)
+                    xe = np.concatenate(xe_all)
+                    order = np.argsort(xs, kind="stable")
+                    xs, xe = xs[order], xe[order]
+                    prefmax = np.maximum.accumulate(xe)
+                    # excludes with xs < ce + post: indexes [0, j)
+                    j = np.searchsorted(xs, ce + post, side="left")
+                    reject = (j > 0) & (
+                        prefmax[np.maximum(j - 1, 0)] > cs - pre
+                    )
+                    keep = ~reject
+                    cs, ce = cs[keep], ce[keep]
+                if len(cs):
+                    out[d] = np.sum(1.0 / (1.0 + (ce - cs).astype(np.float64)))
+            return pd.Series(out)
+
+        grouped = self._grouped_positions(all_terms, min_terms=1)
+        scored = grouped.withColumn(
+            "freq", span_not_freq(F.col("plist"))
+        ).filter(F.col("freq") > 0)
+        return self._score_freq_norm(scored.select("doc_id", "freq", "norm"), scorer)
 
     def _eval_span_first(self, q: SpanFirstQuery) -> DataFrame:
         """SpanFirstQuery (search/spans/SpanFirstQuery.java): spans ending

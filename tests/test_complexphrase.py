@@ -57,9 +57,21 @@ def test_single_element_passthrough():
     assert complex_phrase("(jon john)") == SynonymQuery(terms=("jon", "john"))
 
 
-def test_negatives_raise():
-    with pytest.raises(NotImplementedError, match="negative"):
-        complex_phrase("john -peters")
+def test_negatives_build_span_not():
+    from lucene_spark.query import SpanNotQuery
+
+    q = complex_phrase("john -peters smith", slop=1)
+    assert isinstance(q, SpanNotQuery)
+    # include = SpanNear(positives, slop + numNegatives)
+    assert q.include == SpanNearQuery(terms=("john", "smith"), slop=2,
+                                      in_order=True)
+    assert q.exclude == (SpanNearQuery(terms=("john", "peters", "smith"),
+                                       slop=1, in_order=True),)
+    # single positive: include degrades to the bare term
+    q2 = complex_phrase("john -peters")
+    assert q2.include == "john"
+    with pytest.raises(NotImplementedError, match="multi-term"):
+        complex_phrase("john -peters tab*")
 
 
 def test_full_parse_combines_with_classic_syntax():
@@ -115,3 +127,31 @@ def test_parsed_fuzzy_slot(cp):
         10,
     ))
     assert got == exp and got
+
+
+def test_negative_phrase_end_to_end(spark):
+    """'fast -slow table'~1: 'fast … table' windows survive unless the
+    full 'fast slow table' window matches at the tighter slop."""
+    import numpy as np
+
+    texts = [
+        "fast table now",          # match: no 'slow' between
+        "fast slow table",         # excluded: the negative chain matches
+        "fast quick table",        # match: gap token is not 'slow'
+        "slow fast table",         # match: 'slow' before, chain needs order
+        "fast table slow",         # match
+        "nothing here",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    idx = build_index(
+        df, IndexConfig(seg_size=8, with_positions=True),
+        content_col="text", doc_id_col="doc_id",
+        auto_seg_size=False, eager=True,
+    )
+    s = Searcher(idx, dtype=np.float32)
+    q = complex_phrase("fast -slow table", slop=0)
+    got = sorted(int(r["doc_id"]) for r in s.matches(q).collect())
+    assert got == [0, 2, 3, 4]
+    idx.unpersist()
