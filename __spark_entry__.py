@@ -1645,6 +1645,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "lat", "lon")
             .orderBy("doc_id")
         ),
+        "q_geo_polygon_holes": lambda sp, d: (
+            fgeo.geo_polygon(
+                sp.read.parquet(os.path.join(d, "customer.parquet")).select(
+                    F.col("c_custkey").cast("long").alias("doc_id"),
+                    ((F.col("c_custkey") * 7 % 180) - 90 + 0.5)
+                    .cast("double").alias("lat"),
+                    ((F.col("c_custkey") * 13 % 360) - 180 + 0.5)
+                    .cast("double").alias("lon"),
+                ),
+                "lat", "lon",
+                [(-60.0, -150.0), (60.0, -150.0), (60.0, -30.0),
+                 (-60.0, -30.0)],
+                holes=[[(-20.0, -120.0), (20.0, -120.0), (20.0, -60.0),
+                        (-20.0, -60.0)]],
+            )
+            .select("doc_id", "lat", "lon")
+            .orderBy("doc_id")
+        ),
         "q_geo_distance": lambda sp, d: (
             fgeo.geo_distance(
                 sp.read.parquet(os.path.join(d, "customer.parquet")).select(
@@ -2671,6 +2689,25 @@ WHERE regexp_matches(term, '^(?:0*(?:[1-9]|1[0-9]|20))$')
         ),
         # deterministic pseudo-coordinates from c_custkey; same haversine
         # (mean radius 6371008.7714 m) on both engines, rounded to mm
+        "q_geo_polygon_holes": """
+WITH pts AS (
+  SELECT c_custkey::BIGINT AS doc_id,
+         ((c_custkey * 7) % 180 - 90 + 0.5)::DOUBLE AS lat,
+         ((c_custkey * 13) % 360 - 180 + 0.5)::DOUBLE AS lon
+  FROM customer
+)
+SELECT doc_id, lat, lon FROM pts
+WHERE lat >= -60.0 AND lat <= 60.0 AND lon >= -150.0 AND lon <= -30.0
+  AND ("""
+        + _raycast_sql([(-60.0, -150.0), (60.0, -150.0), (60.0, -30.0),
+                        (-60.0, -30.0)])
+        + """)
+  AND NOT ("""
+        + _raycast_sql([(-20.0, -120.0), (20.0, -120.0), (20.0, -60.0),
+                        (-20.0, -60.0)])
+        + """)
+ORDER BY doc_id
+""",
         "q_geo_polygon": """
 WITH pts AS (
   SELECT c_custkey::BIGINT AS doc_id,
@@ -4595,6 +4632,24 @@ bagg AS (
 """
         + _rank_tail("score", "FROM bagg", k)
     )
+
+
+def _raycast_sql(pts) -> str:
+    """Even-odd ray-cast membership over a ring as a SQL predicate
+    (mirrors functions/geo.py::_raycast_inside edge by edge)."""
+    terms = []
+    n = len(pts)
+    for i in range(n):
+        y1, x1 = pts[i]
+        y2, x2 = pts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({y1} > lat) <> ({y2} > lat)) AND "
+            f"(lon < ({x2} - {x1}) * (lat - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
 
 
 def _join_util_sql(term: str, mode: str, k: int = 10) -> str:

@@ -74,27 +74,8 @@ def geo_distance(
     )
 
 
-def geo_polygon(
-    docs: DataFrame, lat_col: str, lon_col: str, points,
-) -> DataFrame:
-    """Docs inside a simple (non-self-intersecting, no holes) polygon —
-    the semantic analog of LatLonPoint.newPolygonQuery
-    (document/LatLonPoint.java; geo/Polygon.java): a bounding-box
-    prefilter (plain range predicates, pushed to the Parquet scan — the
-    BKD-tree role) followed by an even-odd ray-cast membership test
-    unrolled over the polygon's edges as pure JVM column expressions (no
-    UDF, whole-stage codegen). Boundary behavior follows the standard
-    half-open ray-cast rule, matching the reference's SEMANTICS of
-    containment rather than GeoUtils' exact bit patterns (same documented
-    envelope as geo_distance). ``points``: [(lat, lon), ...], any
-    orientation, closing edge implied."""
-    pts = [(float(a), float(b)) for a, b in points]
-    lat, lon = F.col(lat_col), F.col(lon_col)
-    min_lat, max_lat = min(p[0] for p in pts), max(p[0] for p in pts)
-    min_lon, max_lon = min(p[1] for p in pts), max(p[1] for p in pts)
-    boxed = docs.filter(
-        (lat >= min_lat) & (lat <= max_lat) & (lon >= min_lon) & (lon <= max_lon)
-    )
+def _raycast_inside(pts, lat, lon):
+    """Even-odd ray-cast membership as a pure JVM Column (no UDF, WSCG)."""
     crossings = F.lit(0)
     n = len(pts)
     for i in range(n):
@@ -111,7 +92,36 @@ def geo_polygon(
             )
         )
         crossings = crossings + F.when(cond, F.lit(1)).otherwise(F.lit(0))
-    return boxed.filter(crossings % 2 == 1)
+    return crossings % 2 == 1
+
+
+def geo_polygon(
+    docs: DataFrame, lat_col: str, lon_col: str, points, holes=None,
+) -> DataFrame:
+    """Docs inside a simple (non-self-intersecting) polygon, minus any
+    ``holes`` — the semantic analog of LatLonPoint.newPolygonQuery
+    (document/LatLonPoint.java; geo/Polygon.java, whose constructor takes
+    inner-ring holes): a bounding-box prefilter (plain range predicates,
+    pushed to the Parquet scan — the BKD-tree role) followed by even-odd
+    ray-cast membership tests unrolled over the rings' edges as pure JVM
+    column expressions (no UDF, whole-stage codegen). A point inside a
+    hole does NOT match. Boundary behavior follows the standard half-open
+    ray-cast rule, matching the reference's SEMANTICS of containment
+    rather than GeoUtils' exact bit patterns (same documented envelope as
+    geo_distance). ``points`` / each hole: [(lat, lon), ...], any
+    orientation, closing edge implied."""
+    pts = [(float(a), float(b)) for a, b in points]
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    min_lat, max_lat = min(p[0] for p in pts), max(p[0] for p in pts)
+    min_lon, max_lon = min(p[1] for p in pts), max(p[1] for p in pts)
+    boxed = docs.filter(
+        (lat >= min_lat) & (lat <= max_lat) & (lon >= min_lon) & (lon <= max_lon)
+    )
+    inside = _raycast_inside(pts, lat, lon)
+    for hole in holes or ():
+        hp = [(float(a), float(b)) for a, b in hole]
+        inside = inside & ~_raycast_inside(hp, lat, lon)
+    return boxed.filter(inside)
 
 
 def distance_sort(
