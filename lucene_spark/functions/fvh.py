@@ -29,20 +29,15 @@ MIN_FRAG_CHAR_SIZE_FACTOR = 3
 
 
 def _build_trie(queries: Sequence[Query]) -> dict:
-    """QueryPhraseMap analog: nested {term: [children, boost-or-None]}."""
+    """QueryPhraseMap analog: nested {term: [children, boost-or-None,
+    slop]} (markTerminal stores the phrase's slop with the boost,
+    FieldQuery.java:427-432)."""
     root: dict = {}
     for q in queries:
         if isinstance(q, TermQuery):
-            path = (q.term,)
-            boost = q.boost
+            path, boost, slop = (q.term,), q.boost, 0
         elif isinstance(q, PhraseQuery):
-            if q.slop != 0:
-                raise NotImplementedError(
-                    "FVH sloppy phrases (QueryPhraseMap.searchPhrase with "
-                    "slop) are out of scope"
-                )
-            path = tuple(q.terms)
-            boost = q.boost
+            path, boost, slop = tuple(q.terms), q.boost, int(q.slop)
         else:
             raise NotImplementedError(
                 f"FVH supports TermQuery/PhraseQuery, got {type(q).__name__}"
@@ -51,10 +46,12 @@ def _build_trie(queries: Sequence[Query]) -> dict:
         child = None
         for t in path:
             if t not in node:
-                node[t] = [{}, None]
+                node[t] = [{}, None, 0]
             child = node[t]
             node = child[0]
-        child[1] = float(boost)  # terminal boost on the last node
+        # markTerminal(slop, boost) — FieldQuery.java:427-432
+        child[1] = float(boost)
+        child[2] = slop
     return root
 
 
@@ -72,32 +69,43 @@ def _phrase_infos(tokens: List[Tuple[str, int, int, int]], trie: dict):
         if term not in trie:
             i += 1
             continue
-        # extend the candidate while positions stay consecutive and the
-        # trie continues
+        # extend the candidate while the trie continues — position gaps
+        # are NOT checked here; isValidTermOrPhrase validates them
+        # against the terminal's slop (FieldQuery.java:459-476)
         cand = [tokens[i]]
         node = trie[term]
         j = i + 1
         while j < n:
-            t2, p2, _s2, _e2 = tokens[j]
-            if p2 != cand[-1][1] + 1 or t2 not in node[0]:
+            t2 = tokens[j][0]
+            if t2 not in node[0]:
                 break
             node = node[0][t2]
             cand.append(tokens[j])
             j += 1
+
+        def _valid(nd, c):
+            if nd[1] is None:
+                return False
+            if len(c) == 1:
+                return True
+            pos = c[0][1]
+            for _t, npos, _s, _e in c[1:]:
+                if abs(npos - pos - 1) > nd[2]:
+                    return False
+                pos = npos
+            return True
+
         # longest valid prefix that is a terminal
         while cand:
-            node = trie[cand[0][0]]
-            ok = node[1] is not None and len(cand) == 1
-            if len(cand) > 1:
-                nd = trie[cand[0][0]]
-                valid = True
-                for t3, _p, _s3, _e3 in cand[1:]:
-                    if t3 not in nd[0]:
-                        valid = False
-                        break
-                    nd = nd[0][t3]
-                ok = valid and nd[1] is not None
-                node = nd
+            nd = trie[cand[0][0]]
+            valid = True
+            for t3, _p, _s3, _e3 in cand[1:]:
+                if t3 not in nd[0]:
+                    valid = False
+                    break
+                nd = nd[0][t3]
+            ok = valid and _valid(nd, cand)
+            node = nd
             if ok:
                 start = cand[0][2]
                 end = cand[-1][3]

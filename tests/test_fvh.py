@@ -101,6 +101,18 @@ def test_fvh_highlight_end_to_end(spark):
     assert by_doc[2]["snippet"].count("<b>quick</b>") >= 2
 
 
-def test_sloppy_phrase_raises():
-    with pytest.raises(NotImplementedError, match="slop"):
-        _build_trie([PhraseQuery(terms=("a", "b"), slop=2)])
+def test_sloppy_phrase_gap_validation():
+    """Slop phrases validate per-pair gaps |next - pos - 1| <= slop
+    (FieldQuery.isValidTermOrPhrase, :459-476)."""
+    q = [PhraseQuery(terms=("quick", "fox"), slop=1)]
+    # 'quick brown fox': gap of 1 token -> matches at slop 1
+    assert infos_for(TEXT, q) == [(4, 19, 1.0, 2)]
+    # slop 0 rejects the same gap
+    assert infos_for(TEXT, [PhraseQuery(terms=("quick", "fox"))]) == []
+    # out-of-order within slop: |next - pos - 1| uses abs
+    assert infos_for("fox quick", [PhraseQuery(terms=("quick", "fox"),
+                                               slop=2)]) == []
+    # ('quick' first in stack order: candidate is quick@1 then nothing
+    # after; 'fox' precedes so no in-order chain exists)
+    assert infos_for("quick fox", [PhraseQuery(terms=("quick", "fox"),
+                                               slop=2)]) == [(0, 9, 1.0, 2)]
