@@ -1684,6 +1684,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_point_in_set": const_docs(
             PointInSetQuery(field_col="n_chars", values=(200, 250, 300))
         ),
+        # DocValuesTermsQuery (sandbox): string-set membership on a
+        # doc-values column — same isin predicate, BYTES instead of points
+        "q_docvalues_terms": const_docs(
+            PointInSetQuery(field_col="lang", values=("en", "fr"))
+        ),
         # ---- counts / match-all ----
         "q_total_hits": lambda sp, d: sp.createDataFrame(
             [(int(_searcher(sp, d).count(bool_query(must=[TermQuery(term="spark"), TermQuery(term="vector")]))),)],
@@ -2746,6 +2751,10 @@ WHERE n_chars IS NOT NULL AND n_chars BETWEEN 200 AND 400 ORDER BY doc_id
         "q_point_in_set": """
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents
 WHERE n_chars IN (200, 250, 300) ORDER BY doc_id
+""",
+        "q_docvalues_terms": """
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents
+WHERE lang IN ('en', 'fr') ORDER BY doc_id
 """,
         "q_total_hits": _PRELUDE
         + """
