@@ -76,6 +76,7 @@ from lucene_spark.expressions import SCORE
 from lucene_spark.complexphrase import complex_phrase_parse
 from lucene_spark.simpleparser import simple_parse
 from lucene_spark.surround import surround_parse
+from lucene_spark.xmlparser import xml_parse
 from lucene_spark.search import Searcher
 from lucene_spark.functions import dedup as fdedup
 from lucene_spark.functions import facets as ffacets
@@ -1315,6 +1316,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- RandomSamplingFacetsCollector: xorshift bin sampling ----
         "q_facet_sampled": _facet_sampled,
+        # ---- XML query parser: CoreParser element DSL ----
+        "q_xml_parsed": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            xml_parse(
+                """
+                <BooleanQuery>
+                  <Clause occurs="must"><TermQuery>spark</TermQuery></Clause>
+                  <Clause><SpanNear slop="2" inOrder="true">
+                    <SpanTerm>fast</SpanTerm><SpanTerm>table</SpanTerm>
+                  </SpanNear></Clause>
+                </BooleanQuery>
+                """
+            ),
+            10,
+        ),
         # ---- surround parser: W/N proximity language ----
         "q_surround": lambda sp, d: _topk_df(
             _searcher(sp, d),
@@ -2227,6 +2243,39 @@ frag AS (
 SELECT doc_id, frag_no, fs AS frag_start, fe AS frag_end, cnt
 FROM frag WHERE frag_no >= 0 ORDER BY doc_id, frag_no
 """,
+        "q_xml_parsed": _PRELUDE
+        + _scored_cte(["spark"])
+        + """
+, spf AS (
+  SELECT p0.doc_id, sum(1.0 / (1.0 + (q.q1 + 1 - p0.pos))) AS freq
+  FROM tokp p0, LATERAL (
+    SELECT min(p1.pos) AS q1 FROM tokp p1
+    WHERE p1.doc_id = p0.doc_id AND p1.term = 'table' AND p1.pos > p0.pos
+  ) q
+  WHERE p0.term = 'fast' AND q.q1 IS NOT NULL AND q.q1 - p0.pos - 1 <= 2
+  GROUP BY p0.doc_id
+),
+xssc AS (
+  SELECT spf.doc_id,
+         ((ln(1 + (s.n - (SELECT df FROM dfreq WHERE term = 'fast') + 0.5)
+                / ((SELECT df FROM dfreq WHERE term = 'fast') + 0.5))
+           + ln(1 + (s.n - (SELECT df FROM dfreq WHERE term = 'table') + 0.5)
+                  / ((SELECT df FROM dfreq WHERE term = 'table') + 0.5))))
+         - ((ln(1 + (s.n - (SELECT df FROM dfreq WHERE term = 'fast') + 0.5)
+                 / ((SELECT df FROM dfreq WHERE term = 'fast') + 0.5))
+             + ln(1 + (s.n - (SELECT df FROM dfreq WHERE term = 'table') + 0.5)
+                    / ((SELECT df FROM dfreq WHERE term = 'table') + 0.5))))
+           / (1 + spf.freq * """
+        + _INV.format(k1=K1, b=B)
+        + """) AS score
+  FROM spf JOIN dlq q ON q.doc_id = spf.doc_id CROSS JOIN stats s
+),
+xcomb AS (
+  SELECT s.doc_id, s.score + coalesce(x.score, 0) AS score
+  FROM sc s LEFT JOIN xssc x ON x.doc_id = s.doc_id
+)
+"""
+        + _rank_tail("score", "FROM xcomb", 10),
         "q_facet_sampled": _PRELUDE
         + """
 , m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
