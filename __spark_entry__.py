@@ -162,6 +162,22 @@ def _facet_sampled(sp: SparkSession, d: str) -> DataFrame:
     ).orderBy("cat")
 
 
+def _dedup_cc_entry(sp: SparkSession, d: str) -> DataFrame:
+    """Connected components over a deterministic synthetic pair graph
+    (a = doc_id, b = 2*doc_id mod N for every third doc) — the
+    dup-cluster canonicalization step downstream of the pair producers."""
+    docs = _docs(sp, d)
+    n = docs.count()
+    pairs = docs.filter("doc_id % 3 = 0").selectExpr(
+        "doc_id AS a", f"(doc_id * 2) % {n} AS b"
+    )
+    return (
+        fdedup.connected_components(pairs)
+        .select(F.col("id").cast("long"), F.col("component").cast("long"))
+        .orderBy("id")
+    )
+
+
 def _fast_any_table_automaton():
     """'fast <ANY> table' — one arbitrary token between (the graph query
     a PhraseQuery cannot express)."""
@@ -1316,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- RandomSamplingFacetsCollector: xorshift bin sampling ----
         "q_facet_sampled": _facet_sampled,
+        # ---- dedup clustering: connected components over dup pairs ----
+        "dedup_connected_components": _dedup_cc_entry,
         # ---- XML query parser: CoreParser element DSL ----
         "q_xml_parsed": lambda sp, d: _topk_df(
             _searcher(sp, d),
@@ -2242,6 +2260,25 @@ frag AS (
 )
 SELECT doc_id, frag_no, fs AS frag_start, fe AS frag_end, cnt
 FROM frag WHERE frag_no >= 0 ORDER BY doc_id, frag_no
+""",
+        "dedup_connected_components": """
+WITH RECURSIVE prs AS (
+  SELECT doc_id AS a,
+         (doc_id * 2) % (SELECT count(*) FROM documents) AS b
+  FROM documents WHERE doc_id % 3 = 0
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM prs WHERE a <> b
+  UNION
+  SELECT b, a FROM prs WHERE a <> b
+),
+reach AS (
+  SELECT src AS id, src AS comp FROM sym
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id::BIGINT AS id, min(comp)::BIGINT AS component
+FROM reach GROUP BY id ORDER BY id
 """,
         "q_xml_parsed": _PRELUDE
         + _scored_cte(["spark"])

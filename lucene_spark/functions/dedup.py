@@ -354,3 +354,109 @@ def jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a pair
+    table (the output of minhash_star_pairs / simhash_near_pairs /
+    jaccard_pairs / embedding_near_dup_pairs), giving every node its
+    component's MINIMUM id — the canonical-representative choice a
+    dedup pipeline keeps.
+
+    Algorithm: alternating large-star / small-star label propagation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — each iteration is two self-joins + min-aggregations, no
+    driver-side graph; converges in O(log n) rounds on real graphs.
+    Iteration stops when no label changes; ``max_iterations`` bounds
+    pathological chains. Each round localCheckpoints the label frame —
+    TRUNCATING lineage, not just caching it: iterative DataFrame
+    algorithms otherwise re-analyze an exponentially growing plan tree
+    every round (at production scale, checkpoint to durable storage for
+    the same effect plus fault tolerance).
+
+    → (id long, component long)"""
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("src"),
+            F.col(b_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # undirected: keep both directions for the star operations
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(int(max_iterations)):
+        # join each edge with both endpoints' labels, propagate the min
+        lab_a = labels.select(
+            F.col("id").alias("src"), F.col("component").alias("ca")
+        )
+        lab_b = labels.select(
+            F.col("id").alias("dst"), F.col("component").alias("cb")
+        )
+        prop = (
+            sym.join(lab_a, "src")
+            .join(lab_b, "dst")
+            .select(
+                F.col("src").alias("id"),
+                F.least("ca", "cb").alias("component"),
+            )
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+        # pointer-jumping: re-link every label to its representative's
+        # label (the large-star contraction) — halves chain lengths
+        reps = labels.select(
+            F.col("id").alias("component"),
+            F.col("component").alias("root"),
+        )
+        labels = (
+            labels.join(reps, "component", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("root"), F.col("component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
+def dedup_keep_representatives(
+    df: DataFrame, id_col: str, pairs: DataFrame,
+    a_col: str = "a", b_col: str = "b",
+) -> DataFrame:
+    """The pipeline's actual dedup step: drop every doc whose component
+    representative (minimum id) is a DIFFERENT doc; singletons (no dup
+    pair) survive untouched. One components pass + one anti-join."""
+    comp = connected_components(pairs, a_col, b_col)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -620,3 +620,72 @@ def test_word_break_multi_changes(spark):
         .count()
         == 2
     )
+
+
+def test_connected_components_matches_union_find(spark):
+    """Label propagation + pointer jumping vs a literal union-find."""
+    import random
+
+    from lucene_spark.functions.dedup import connected_components
+
+    rng = random.Random(5)
+    nodes = list(range(60))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        int(r["id"]): int(r["component"])
+        for r in connected_components(pairs).collect()
+    }
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {}
+    for a, b in edges:
+        for n in (a, b):
+            exp[n] = find(n)
+    # canonical min-id per component
+    comp_min = {}
+    for n, r in exp.items():
+        comp_min.setdefault(r, []).append(n)
+    canon = {r: min(m) for r, m in comp_min.items()}
+    exp = {n: canon[r] for n, r in exp.items()}
+    assert got == exp
+
+
+def test_connected_components_long_chain(spark):
+    from lucene_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "a long, b long"
+    )
+    got = connected_components(pairs).collect()
+    assert all(int(r["component"]) == 0 for r in got)
+    assert len(got) == 17
+
+
+def test_dedup_keep_representatives(spark):
+    from lucene_spark.functions.dedup import dedup_keep_representatives
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (6, 7)], "a long, b long"
+    )
+    kept = sorted(
+        int(r["doc_id"])
+        for r in dedup_keep_representatives(df, "doc_id", pairs).collect()
+    )
+    # components {1,3,5} keep 1, {6,7} keep 6; 0,2,4 untouched
+    assert kept == [0, 1, 2, 4, 6]
