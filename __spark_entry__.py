@@ -1332,6 +1332,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- RandomSamplingFacetsCollector: xorshift bin sampling ----
         "q_facet_sampled": _facet_sampled,
+        # ---- LM quality: stupid-backoff perplexity over the bigram LM ----
+        "text_lm_quality": lambda sp, d: (
+            ftext.lm_quality(_docs(sp, d), _free_text_model(sp, d))
+            .select(
+                "doc_id", "n_bigrams",
+                F.round("avg_logprob", 6).alias("avg_logprob"),
+                F.round("perplexity", 6).alias("perplexity"),
+            )
+            .orderBy("doc_id")
+        ),
         # ---- dedup clustering: connected components over dup pairs ----
         "dedup_connected_components": _dedup_cc_entry,
         # ---- XML query parser: CoreParser element DSL ----
@@ -2260,6 +2270,31 @@ frag AS (
 )
 SELECT doc_id, frag_no, fs AS frag_start, fe AS frag_end, cnt
 FROM frag WHERE frag_no >= 0 ORDER BY doc_id, frag_no
+""",
+        "text_lm_quality": _PRELUDE
+        + _FT_BASE
+        + """
+, dbg AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+lp AS (
+  SELECT dbg.doc_id,
+         log2(CASE WHEN bg.cnt IS NOT NULL
+                   THEN bg.cnt::DOUBLE / u1.cnt
+                   WHEN u2.cnt IS NOT NULL
+                   THEN 0.4 * u2.cnt / tot.n
+                   ELSE 0.4 / tot.n END) AS l
+  FROM dbg
+  LEFT JOIN big bg ON bg.t1 = dbg.w1 AND bg.t2 = dbg.w2
+  LEFT JOIN uni u1 ON u1.term = dbg.w1
+  LEFT JOIN uni u2 ON u2.term = dbg.w2
+  CROSS JOIN tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(l), 6) AS avg_logprob,
+       round(pow(2, -avg(l)), 6) AS perplexity
+FROM lp GROUP BY doc_id ORDER BY doc_id
 """,
         "dedup_connected_components": """
 WITH RECURSIVE prs AS (

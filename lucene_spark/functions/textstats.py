@@ -105,3 +105,84 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).cast("long").alias("doc_id"), fp.alias("fingerprint")
     ).orderBy("doc_id")
+
+
+def lm_quality(
+    docs: "DataFrame",
+    model: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Language-model quality scoring (the CCNet-style 'perplexity
+    filter' of a training-data pipeline) over the FreeTextSuggester
+    bigram model (functions/suggest.build_free_text, grams=2): per doc,
+    the mean log2 stupid-backoff probability of its bigrams —
+    P(w2|w1) = cnt(w1␟w2)/cnt(w1) when the bigram is known, else
+    ALPHA * cnt(w2)/total (ALPHA = 0.4), else ALPHA/total for unseen
+    words — and perplexity = 2^(-mean). Lower perplexity = more
+    corpus-natural text; filter on a threshold.
+
+    Shape: explode doc bigrams once, three broadcast-or-shuffle
+    equi-joins against the model (bigram, w1, w2), one aggregation. No
+    Python in the hot path. → (doc_id, n_bigrams, avg_logprob,
+    perplexity)"""
+    from .suggest import FREE_TEXT_ALPHA, FREE_TEXT_SEP
+
+    uni = model.filter(~F.col("gram").contains(FREE_TEXT_SEP))
+    total = uni.agg(F.sum("cnt")).collect()[0][0] or 1
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    bi = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__t"), i).alias("w1"),
+                        F.element_at(F.col("__t"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    big = model.filter(F.col("gram").contains(FREE_TEXT_SEP)).select(
+        F.split(F.col("gram"), FREE_TEXT_SEP)[0].alias("w1"),
+        F.split(F.col("gram"), FREE_TEXT_SEP)[1].alias("w2"),
+        F.col("cnt").alias("c12"),
+    )
+    u1 = uni.select(F.col("gram").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = uni.select(F.col("gram").alias("w2"), F.col("cnt").alias("c2"))
+    alpha = float(FREE_TEXT_ALPHA)
+    joined = (
+        bi.join(big, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+    )
+    prob = (
+        F.when(
+            F.col("c12").isNotNull() & F.col("c1").isNotNull(),
+            F.col("c12").cast("double") / F.col("c1").cast("double"),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.lit(alpha) * F.col("c2").cast("double") / F.lit(float(total)),
+        )
+        .otherwise(F.lit(alpha) / F.lit(float(total)))
+    )
+    return (
+        joined.select("doc_id", (F.log2(prob)).alias("__lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.avg("__lp").alias("avg_logprob"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_logprob",
+            F.pow(F.lit(2.0), -F.col("avg_logprob")).alias("perplexity"),
+        )
+    )

@@ -112,3 +112,43 @@ def test_next_word_prediction_order(model):
 def test_empty_key_raises(model):
     with pytest.raises(ValueError):
         free_text_lookup(model, "  ", num=3)
+
+
+def test_lm_quality_matches_python(model, spark):
+    """lm_quality vs a from-scratch Python stupid-backoff scorer."""
+    import math
+
+    from lucene_spark.functions.textstats import lm_quality
+
+    eval_docs = [
+        (0, "foo bar baz"),        # all known bigrams: high prob
+        (1, "baz foo zebra bar"),  # unseen bigrams + unseen word
+        (2, "one"),                # < 2 tokens: no row
+    ]
+    df = spark.createDataFrame(eval_docs, "doc_id long, text string")
+    got = {
+        int(r["doc_id"]): (r["n_bigrams"], r["avg_logprob"], r["perplexity"])
+        for r in lm_quality(df, model).collect()
+    }
+    assert 2 not in got
+
+    m = py_model()
+    tot = sum(v for k, v in m.items() if FREE_TEXT_SEP not in k)
+    for did, text in eval_docs[:2]:
+        toks = standard_analyze(text)
+        lps = []
+        for a, b in zip(toks, toks[1:]):
+            c12 = m.get(a + FREE_TEXT_SEP + b)
+            if c12:
+                p = c12 / m[a]
+            elif m.get(b):
+                p = FREE_TEXT_ALPHA * m[b] / tot
+            else:
+                p = FREE_TEXT_ALPHA / tot
+            lps.append(math.log2(p))
+        n, avg = got[did][0], got[did][1]
+        assert n == len(lps)
+        assert avg == pytest.approx(sum(lps) / len(lps))
+        assert got[did][2] == pytest.approx(2 ** -(sum(lps) / len(lps)))
+    # corpus-natural text scores lower perplexity than the scrambled doc
+    assert got[0][2] < got[1][2]
