@@ -1733,6 +1733,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_docvalues_terms": const_docs(
             PointInSetQuery(field_col="lang", values=("en", "fr"))
         ),
+        # MultiRangeQuery (sandbox): match ANY of several ranges on one
+        # dimension, constant score (no double count) = ConstantScore over
+        # a SHOULD of point ranges
+        "q_multi_range": const_docs(
+            ConstantScoreQuery(
+                query=bool_query(
+                    should=[
+                        PointRangeQuery(field_col="n_chars", lower=100,
+                                        upper=300),
+                        PointRangeQuery(field_col="n_chars", lower=2000,
+                                        upper=2500),
+                    ]
+                )
+            )
+        ),
         # ---- counts / match-all ----
         "q_total_hits": lambda sp, d: sp.createDataFrame(
             [(int(_searcher(sp, d).count(bool_query(must=[TermQuery(term="spark"), TermQuery(term="vector")]))),)],
@@ -2876,6 +2891,11 @@ WHERE n_chars IN (200, 250, 300) ORDER BY doc_id
         "q_docvalues_terms": """
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents
 WHERE lang IN ('en', 'fr') ORDER BY doc_id
+""",
+        "q_multi_range": """
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents
+WHERE (n_chars BETWEEN 100 AND 300) OR (n_chars BETWEEN 2000 AND 2500)
+ORDER BY doc_id
 """,
         "q_total_hits": _PRELUDE
         + """
