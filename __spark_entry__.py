@@ -1332,6 +1332,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- RandomSamplingFacetsCollector: xorshift bin sampling ----
         "q_facet_sampled": _facet_sampled,
+        # ---- FuzzyLikeThisQuery: fuzzy MLT over misspelled input ----
+        "q_fuzzy_like_this": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            _searcher(sp, d).fuzzy_like_this(
+                "sprak tabel", max_edits=1, max_num_terms=10
+            ),
+            10,
+        ),
         # ---- LM quality: stupid-backoff perplexity over the bigram LM ----
         "text_lm_quality": lambda sp, d: (
             ftext.lm_quality(_docs(sp, d), _free_text_model(sp, d))
@@ -2286,6 +2294,7 @@ frag AS (
 SELECT doc_id, frag_no, fs AS frag_start, fe AS frag_end, cnt
 FROM frag WHERE frag_no >= 0 ORDER BY doc_id, frag_no
 """,
+        "q_fuzzy_like_this": _fuzzy_like_this_sql(["sprak", "tabel"], 1, 10),
         "text_lm_quality": _PRELUDE
         + _FT_BASE
         + """
@@ -4781,6 +4790,63 @@ bagg AS (
 )
 """
         + _rank_tail("score", "FROM bagg", k)
+    )
+
+
+def _fuzzy_like_this_sql(words: list, max_edits: int, max_num_terms: int,
+                         k: int = 10, cap: int = 50) -> str:
+    """FuzzyLikeThisQuery oracle (OSA == Damerau at max_edits 1): per
+    word, banded variants scored 1 - d/min(len), top-``cap`` by (sim
+    desc, term asc); word df or integer-division avg variant df; variant
+    score = sim² · (ln((N+1)/(df+1)) + 1); global top max_num_terms;
+    doc score = Σ boosts of present selected terms."""
+    parts = []
+    for i, w in enumerate(words):
+        parts.append(f"""
+v{i} AS (
+  SELECT term, df,
+         1.0 - damerau_levenshtein(term, '{w}')
+               / least({len(w)}, length(term))::DOUBLE AS sim
+  FROM dfreq
+  WHERE length(term) BETWEEN {len(w) - max_edits} AND {len(w) + max_edits}
+    AND damerau_levenshtein(term, '{w}') <= {max_edits}
+),
+v{i}top AS (
+  SELECT term, sim, row_number() OVER (ORDER BY sim DESC, term ASC) AS r
+  FROM v{i}
+),
+v{i}df AS (
+  SELECT coalesce(
+    (SELECT df FROM dfreq WHERE term = '{w}' AND df > 0),
+    (SELECT sum(df)::BIGINT // count(*) FROM v{i})
+  ) AS dfw
+),
+v{i}sc AS (
+  SELECT t.term,
+         t.sim * t.sim
+           * (ln((s.n + 1) / ((SELECT dfw FROM v{i}df) + 1)) + 1) AS score
+  FROM v{i}top t CROSS JOIN stats s WHERE t.r <= {cap}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT term, score FROM v{i}sc" for i in range(len(words))
+    )
+    return (
+        _PRELUDE
+        + ", " + ",".join(p.strip() for p in parts)
+        + f""",
+sel AS (
+  SELECT term, score,
+         row_number() OVER (ORDER BY score DESC, term ASC) AS r
+  FROM ({union})
+),
+fsc AS (
+  SELECT tf.doc_id, sum(s.score) AS score
+  FROM (SELECT DISTINCT doc_id, term FROM tf) tf
+  JOIN sel s ON s.term = tf.term AND s.r <= {max_num_terms}
+  GROUP BY tf.doc_id
+)
+"""
+        + _rank_tail("score", "FROM fsc", k)
     )
 
 

@@ -33,6 +33,7 @@ from . import codec
 from .bm25 import BM25Scorer
 from .build import Index
 from .query import (
+    BooleanClause,
     BooleanQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
@@ -1145,8 +1146,11 @@ class Searcher:
             return self._eval_intervals_atleast(q)
         if isinstance(q, ConstantScoreQuery):
             inner = self._eval(q.query, needs_scores=False)
+            # boost in the searcher's score dtype: f32 = reference parity,
+            # f64 = the DuckDB-oracle mode (irrational boosts must not be
+            # f32-truncated there)
             return inner.select("doc_id").distinct().withColumn(
-                "score", F.lit(float(np.float32(q.boost)))
+                "score", F.lit(float(self.dtype(q.boost)))
             )
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, TermInSetQuery, FuzzyQuery)):
             return self._eval_multi_term(q)
@@ -1615,6 +1619,110 @@ class Searcher:
             should=[TermQuery(term=t) for t in high],
             boost=boost,
         )
+
+    def fuzzy_like_this(
+        self,
+        query_string: str,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        max_num_terms: int = 25,
+        max_variants_per_term: int = 50,
+        analyze=None,
+    ) -> Query:
+        """FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java:
+        191-335), the ignoreTF=true configuration: per distinct analyzed
+        word, fuzzy-expand against the dictionary (FuzzyTermsEnum boost =
+        1 - dist/min(|w|,|t|)), keep the best ``max_variants_per_term``
+        (score desc, term asc — ScoreTermQueue order); the word's idf
+        uses its OWN docFreq, or the INTEGER-DIVISION average of all
+        variant docFreqs when unindexed (:238-242); each kept variant is
+        rescored score² · idf (ClassicSimilarity idf, :250) and the best
+        ``max_num_terms`` across all words become SHOULD constant-score
+        clauses grouped per source word (:311-330). Boost arithmetic runs
+        in the searcher's score dtype (f32 = reference parity, f64 =
+        oracle mode). The expansion is two bounded driver fetches per
+        word (top-k over the band-pruned, optionally q-gram-pruned
+        candidate scan)."""
+        if analyze is None:
+            from .analysis import standard_analyze
+
+            analyze = standard_analyze
+        dt = self.dtype
+        n_docs = self.index.stats.doc_count
+        words = list(dict.fromkeys(analyze(query_string)))
+        stats = self.term_stats(words)
+        selected: List[tuple] = []  # (score, term, source_word)
+        for w in words:
+            fq = FuzzyQuery(
+                term=w, max_edits=int(max_edits),
+                prefix_length=int(prefix_length),
+            )
+            cand = self._terms_scan(fq).filter(
+                self._multi_term_cond(fq)
+            ).select("term", "doc_freq")
+            agg = cand.agg(
+                F.count("*").alias("nv"), F.sum("doc_freq").alias("tdf")
+            ).collect()[0]
+            n_variants = int(agg["nv"] or 0)
+            if n_variants == 0:
+                continue
+            wlen = len(w)
+
+            @F.pandas_udf("double")
+            def sim_col(t: pd.Series) -> pd.Series:
+                from .editdist import osa_distances
+
+                vals = t.tolist()
+                d = osa_distances(vals, w).astype(np.float64)
+                lens = np.array(
+                    [min(wlen, len(x)) for x in vals], dtype=np.float64
+                )
+                return pd.Series(
+                    (dt(1.0) - (d.astype(dt) / np.maximum(lens, 1).astype(dt))
+                     ).astype(np.float64)
+                )
+
+            rows = (
+                cand.withColumn("__sim", sim_col(F.col("term")))
+                .orderBy(F.desc("__sim"), F.asc("term"))
+                .limit(int(max_variants_per_term))
+                .collect()
+            )
+            st = stats.get(w)
+            df_w = st.doc_freq if st is not None else 0
+            if df_w == 0:
+                df_w = int(agg["tdf"]) // n_variants  # integer division
+            idf = dt(np.log((n_docs + 1) / float(df_w + 1)) + 1.0)
+            for r in rows:
+                s = dt(r["__sim"])
+                selected.append((float(dt(dt(s * s) * idf)), r["term"], w))
+        if not selected:
+            return MatchNoDocsQuery(reason="no fuzzy variants found")
+        selected.sort(key=lambda t: (-t[0], t[1]))
+        selected = selected[: int(max_num_terms)]
+        by_word: Dict[str, list] = {}
+        for score, term, w in selected:
+            by_word.setdefault(w, []).append((score, term))
+        clauses = []
+        for w, variants in by_word.items():
+            subs = [
+                ConstantScoreQuery(boost=score, query=TermQuery(term=term))
+                for score, term in variants
+            ]
+            if len(subs) == 1:
+                clauses.append(BooleanClause(subs[0], Occur.SHOULD))
+            else:
+                clauses.append(
+                    BooleanClause(
+                        BooleanQuery(
+                            clauses=tuple(
+                                BooleanClause(s, Occur.SHOULD) for s in subs
+                            )
+                        ),
+                        Occur.SHOULD,
+                    )
+                )
+        return BooleanQuery(clauses=tuple(clauses))
 
     def more_like_this(
         self, text: str, max_query_terms: int = 5, min_doc_freq: int = 2,
