@@ -16,7 +16,7 @@ offsets-enabled term vector."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
