@@ -284,3 +284,18 @@ def test_blockjoin_parent_map_window_is_partitioned(spark):
     assert all(sp.startswith("__bkt") for sp in specs), plan[:3000]
     assert "Broadcast" in plan
     idx.unpersist()
+
+
+def test_fuzzy_ngram_candidates_plan(written):
+    """The q-gram prefilter joins the tiny query-gram table as a
+    BROADCAST and aggregates per term — no Python in the candidate plan
+    (the gram table itself is pure JVM over the parquet terms scan)."""
+    from lucene_spark.query import FuzzyQuery
+
+    s = Searcher(written, dtype=np.float32)
+    s.enable_fuzzy_ngram_index(n=2)
+    cand = s._fuzzy_ngram_candidates(FuzzyQuery(term="exemple", max_edits=1))
+    plan = _plan(cand)
+    assert "Broadcast" in plan, plan[:2000]
+    for op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert op not in plan, plan[:2000]
