@@ -74,6 +74,9 @@ from .query import (  # noqa: E402,F401
     parse_multifield,
 )
 from .simpleparser import SimpleQueryParser, simple_parse  # noqa: E402,F401
+from .complexphrase import complex_phrase, complex_phrase_parse  # noqa: E402,F401
+from .surround import surround_parse  # noqa: E402,F401
+from .xmlparser import XmlQueryParser, xml_parse  # noqa: E402,F401
 from .strdist import jaro_winkler, lucene_levenshtein, ngram_distance  # noqa: E402,F401
 from .search import (  # noqa: E402,F401
     Explanation,
