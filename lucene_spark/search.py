@@ -3131,6 +3131,8 @@ class Searcher:
         table is ~(avg_len) rows per dictionary term, persisted once and
         reused by every fuzzy query on this Searcher."""
         n = int(n)
+        if self._ngram_terms is not None:
+            self._ngram_terms.unpersist()
         grams = F.expr(
             f"transform(sequence(1, greatest(length(term) - {n - 1}, 1)),"
             f" i -> substring(term, i, {n}))"

@@ -166,3 +166,39 @@ def test_token_stream_holes_raise():
         [("a", 1, 1), ("b", 2, 1)], preserve_position_increments=False
     )
     assert q.dfa is not None
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_sausage_equals_multiphrase(ta, seed):
+    """Property: automatons built from random 2-3 slot sausages score
+    identically to the equivalent MultiPhraseQuery on the shared
+    corpus (terms globally distinct — see the idf note below)."""
+    import random
+
+    rng = random.Random(seed)
+    # globally DISTINCT terms across slots: TermAutomatonQuery sums idf
+    # over the automaton's distinct terms (TermAutomatonQuery.java:
+    # 378-391) while MultiPhraseQuery counts slot multiplicity — the
+    # equivalence only holds without repeats
+    vocab = ["fast", "slow", "table", "scan", "the"]
+    rng.shuffle(vocab)
+    n_slots = rng.choice([2, 3])
+    slots = []
+    for _ in range(n_slots):
+        k = rng.choice([1, 2])
+        k = min(k, len(vocab) - (n_slots - len(slots) - 1))
+        slots.append(tuple(vocab.pop() for _ in range(max(k, 1))))
+    q = TermAutomatonQuery()
+    state = 0
+    for slot in slots:
+        nxt = q.create_state()
+        for t in slot:
+            q.add_transition(state, nxt, t)
+        state = nxt
+    q.set_accept(state)
+    q.finish()
+    got = _got(ta["s"].search(q, 20))
+    exp = _got(ta["s"].search(
+        MultiPhraseQuery(slots=tuple(slots)), 20, prune=False
+    ))
+    assert got == exp
