@@ -30,6 +30,7 @@ from lucene_spark.analysis import duckdb_token_re
 from lucene_spark.build import IndexConfig, build_index, term_vectors
 from lucene_spark.query import (
     AtLeastIntervalQuery,
+    standard_parse,
     DisjunctionMaxQuery,
     Occur,
     ExtendedIntervalQuery,
@@ -1332,6 +1333,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- RandomSamplingFacetsCollector: xorshift bin sampling ----
         "q_facet_sampled": _facet_sampled,
+        # ---- StandardQueryParser: PointsConfig numeric ranges ----
+        "q_standard_points": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            standard_parse(
+                "spark AND n_chars:[500 TO 1500}",
+                points_config={"n_chars": int},
+            ),
+            10,
+        ),
         # ---- FuzzyLikeThisQuery: fuzzy MLT over misspelled input ----
         "q_fuzzy_like_this": lambda sp, d: _topk_df(
             _searcher(sp, d),
@@ -2294,6 +2304,16 @@ frag AS (
 SELECT doc_id, frag_no, fs AS frag_start, fe AS frag_end, cnt
 FROM frag WHERE frag_no >= 0 ORDER BY doc_id, frag_no
 """,
+        "q_standard_points": _PRELUDE
+        + _scored_cte(["spark"])
+        + """
+, stp AS (
+  SELECT s.doc_id, s.score + 1.0 AS score
+  FROM sc s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.n_chars BETWEEN 500 AND 1499
+)
+"""
+        + _rank_tail("score", "FROM stp", 10),
         "q_fuzzy_like_this": _fuzzy_like_this_sql(["sprak", "tabel"], 1, 10),
         "text_lm_quality": _PRELUDE
         + _FT_BASE

@@ -654,12 +654,18 @@ def _analyze_term(raw: str, analyze) -> str:
     return toks[0] if toks else raw.lower()
 
 
-def parse(query: str, analyze=None, phrase_builder=None) -> Query:
+def parse(query: str, analyze=None, phrase_builder=None,
+          points_config=None) -> Query:
     """Parse classic syntax into the AST. ``analyze`` normalizes bare terms
     (defaults to the standard chain). ``phrase_builder(body, slop)``, when
     given, builds quoted phrases instead of PhraseQuery — the
     getFieldQuery(field, text, slop) override hook that
-    ComplexPhraseQueryParser uses."""
+    ComplexPhraseQueryParser uses. ``points_config`` maps field names to
+    int or float: a range on such a field becomes a PointRangeQuery with
+    numeric bounds (StandardQueryParser's PointsConfig,
+    queryparser/flexible/standard/config/PointsConfig.java +
+    PointQueryNodeProcessor — exclusive bounds step by 1 for ints and one
+    ulp for floats, like the reference's exclusive adjustment)."""
     if analyze is None:
         from .analysis import standard_analyze
 
@@ -719,7 +725,16 @@ def parse(query: str, analyze=None, phrase_builder=None) -> Query:
             advance()
             fname = text[:-1]
             inner, occ2 = parse_atom()
-            inner = _with_field(inner, fname)
+            if (
+                points_config
+                and fname in points_config
+                and isinstance(inner, TermRangeQuery)
+            ):
+                inner = _point_range_from_term_range(
+                    inner, fname, points_config[fname]
+                )
+            else:
+                inner = _with_field(inner, fname)
             return inner, occur if occ2 is None else occ2
         if kind == "RANGE":
             advance()
@@ -885,6 +900,43 @@ def _occurred(q: Query, occ: Optional[Occur]):
     if occ is None:
         return q
     return _Occurred(q, occ)
+
+
+def _point_range_from_term_range(tr: TermRangeQuery, fname: str, typ) -> "PointRangeQuery":
+    """PointsConfig conversion (flexible/standard/processors/
+    PointQueryNodeProcessor.java): numeric bounds; exclusive ends step
+    inward by 1 (int) or one ulp (float)."""
+    import math
+
+    def conv(v, is_lower):
+        if v is None:
+            return None
+        x = int(v) if typ is int else float(v)
+        inclusive = tr.include_lower if is_lower else tr.include_upper
+        if not inclusive:
+            if typ is int:
+                x = x + 1 if is_lower else x - 1
+            else:
+                x = math.nextafter(x, math.inf if is_lower else -math.inf)
+        return x
+
+    return PointRangeQuery(
+        boost=tr.boost,
+        field_col=fname,
+        lower=conv(tr.lower, True),
+        upper=conv(tr.upper, False),
+    )
+
+
+def standard_parse(query: str, points_config=None, analyze=None) -> Query:
+    """StandardQueryParser (queryparser/flexible/standard/
+    StandardQueryParser.java): the classic grammar with PointsConfig —
+    ranges on configured numeric fields parse to point-range queries
+    instead of term ranges. The flexible framework's node/processor
+    pipeline is an implementation detail; its user-visible syntax is the
+    classic grammar, so this delegates to :func:`parse` with the points
+    hook."""
+    return parse(query, analyze=analyze, points_config=points_config)
 
 
 def _with_field(q: Query, fname: str) -> Query:

@@ -269,3 +269,27 @@ def test_range_bracket_kinds():
         assert (q.lower, q.upper) == ("a", "b")
     q = parse("{* TO b]")
     assert q.lower is None and q.include_upper
+
+
+def test_standard_parse_points_config():
+    """StandardQueryParser PointsConfig: ranges on configured numeric
+    fields become point ranges; exclusive bounds step inward (1 for
+    ints, one ulp for floats)."""
+    import math
+
+    from lucene_spark.query import (
+        PointRangeQuery,
+        TermRangeQuery,
+        standard_parse,
+    )
+
+    q = standard_parse("n:[100 TO 900}", points_config={"n": int})
+    assert q == PointRangeQuery(field_col="n", lower=100, upper=899)
+    q2 = standard_parse("x:{1.5 TO 2.5]", points_config={"x": float})
+    assert q2.lower == math.nextafter(1.5, math.inf) and q2.upper == 2.5
+    # open ends survive as None
+    q3 = standard_parse("n:[* TO 10]", points_config={"n": int})
+    assert q3 == PointRangeQuery(field_col="n", lower=None, upper=10)
+    # unconfigured fields keep term-range semantics
+    q4 = standard_parse("s:[a TO b]", points_config={"n": int})
+    assert isinstance(q4, TermRangeQuery)
