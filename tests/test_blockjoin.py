@@ -241,3 +241,58 @@ def test_check_join_index_mixed_deletes(bj, spark):
     idx3 = bj["s"].index.delete_docs(list(range(BLOCK)))
     s3 = Searcher(idx3, dtype=np.float32)
     s3.check_join_index(PARENTS_EXPR)
+
+
+@pytest.mark.parametrize("seed,block,mode", [(1, 3, "total"), (2, 7, "avg"),
+                                             (3, 4, "min")])
+def test_to_parent_random_shapes(spark, seed, block, mode):
+    """Randomized block sizes/corpora vs brute force — the parent-map
+    machinery must be shape-independent."""
+    texts = make_corpus(90, ["red", "blue", "green"], seed=seed * 13)
+    ptexts = make_corpus(90, ["hdr", "meta"], seed=seed * 13 + 1)
+    texts = [
+        (ptexts[i] + " parentdoc") if i % block == block - 1 else t
+        for i, t in enumerate(texts)
+    ]
+    # drop the trailing partial block's tail docs so blocks stay well formed
+    n = (len(texts) // block) * block
+    texts = texts[:n]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    idx = build_index(
+        df, IndexConfig(seg_size=32), content_col="text",
+        doc_id_col="doc_id", auto_seg_size=False, eager=True,
+    )
+    s = Searcher(idx, dtype=np.float32)
+    o = BruteForceIndex(texts)
+    child = o.score_term("red")
+    exp = {}
+    for p in range(block - 1, n, block):
+        kids = sorted(d for d in range(p - block + 1, p) if d in child)
+        if not kids:
+            continue
+        sc = [float(child[d]) for d in kids]
+        if mode == "total":
+            v = 0.0
+            for x in sc:
+                v += x
+        elif mode == "avg":
+            v = 0.0
+            for x in sc:
+                v += x
+            v /= len(sc)
+        else:
+            v = min(sc)
+        exp[p] = f32(v)
+    expected = BruteForceIndex.topk(exp, 10)
+    got = _got(s.search(
+        ToParentBlockJoinQuery(
+            child=TermQuery(term="red"),
+            parents=f"doc_id % {block} = {block - 1}",
+            score_mode=mode,
+        ),
+        10,
+    ))
+    assert got == [(d, np.float32(v)) for d, v in expected]
+    idx.unpersist()
