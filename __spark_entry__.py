@@ -30,6 +30,7 @@ from lucene_spark.analysis import duckdb_token_re
 from lucene_spark.build import IndexConfig, build_index, term_vectors
 from lucene_spark.query import (
     AtLeastIntervalQuery,
+    FunctionRangeQuery,
     standard_parse,
     DisjunctionMaxQuery,
     Occur,
@@ -1333,6 +1334,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- RandomSamplingFacetsCollector: xorshift bin sampling ----
         "q_facet_sampled": _facet_sampled,
+        # ---- FunctionRangeQuery: expression-valued range + score ----
+        "q_function_range": lambda sp, d: _topk_df(
+            _searcher(sp, d),
+            FunctionRangeQuery(
+                value_expr="sqrt(n_chars) * 2", lower=40.0, upper=80.0,
+                include_upper=False,
+            ),
+            10,
+        ),
         # ---- StandardQueryParser: PointsConfig numeric ranges ----
         "q_standard_points": lambda sp, d: _topk_df(
             _searcher(sp, d),
@@ -2304,6 +2314,14 @@ frag AS (
 SELECT doc_id, frag_no, fs AS frag_start, fe AS frag_end, cnt
 FROM frag WHERE frag_no >= 0 ORDER BY doc_id, frag_no
 """,
+        "q_function_range": _PRELUDE
+        + """
+, frq AS (
+  SELECT doc_id, sqrt(n_chars) * 2 AS score FROM documents
+  WHERE sqrt(n_chars) * 2 >= 40.0 AND sqrt(n_chars) * 2 < 80.0
+)
+"""
+        + _rank_tail("score", "FROM frq", 10),
         "q_standard_points": _PRELUDE
         + _scored_cte(["spark"])
         + """

@@ -1072,3 +1072,20 @@ def token_stream_to_term_automaton(
             q.add_transition(pos, end_pos, term)
     q.set_accept(state)
     return q.finish()
+
+
+@dataclass(frozen=True)
+class FunctionRangeQuery(Query):
+    """FunctionRangeQuery (queries/function/FunctionRangeQuery.java):
+    match docs whose FUNCTION value — a Spark SQL expression over the
+    docs columns, the ValueSource role — lies inside [lower, upper]
+    (inclusive per the flags); score = the function value itself
+    (ValueSourceScorer.java:88-96; NaN never matches a range in Java
+    float comparison, mirrored with an explicit isnan guard because
+    Catalyst orders NaN above all doubles)."""
+
+    value_expr: str = ""
+    lower: Optional[float] = None
+    upper: Optional[float] = None
+    include_lower: bool = True
+    include_upper: bool = True

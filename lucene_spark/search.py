@@ -51,6 +51,7 @@ from .query import (
     IntervalFilterQuery,
     CombinedFieldQuery,
     CoveringQuery,
+    FunctionRangeQuery,
     FunctionScoreQuery,
     IndexSortRangeQuery,
     IntervalMultiTerm,
@@ -1156,6 +1157,21 @@ class Searcher:
             return self._eval_multi_term(q)
         if isinstance(q, IndexSortRangeQuery):
             return self._eval_index_sort_range(q)
+        if isinstance(q, FunctionRangeQuery):
+            v = F.expr(f"CAST(({q.value_expr}) AS DOUBLE)")
+            cond = v.isNotNull() & ~F.isnan(v)  # NaN never matches (Java)
+            if q.lower is not None:
+                cond = cond & (
+                    (v >= q.lower) if q.include_lower else (v > q.lower)
+                )
+            if q.upper is not None:
+                cond = cond & (
+                    (v <= q.upper) if q.include_upper else (v < q.upper)
+                )
+            # score = the function value (ValueSourceScorer.java:88-96)
+            return self.index.docs.filter(cond).select(
+                "doc_id", v.alias("score")
+            )
         if isinstance(q, (PointRangeQuery, PointInSetQuery)):
             if q.field_col not in self.index.docs.columns:
                 return self._empty()
