@@ -219,9 +219,13 @@ def _free_text_model(sp: SparkSession, d: str):
 
 
 def _free_text_entry(sp: SparkSession, d: str, lookup_key: str) -> DataFrame:
-    from lucene_spark.functions.suggest import free_text_lookup
+    # driver-cached suggester: warm lookups run zero Spark jobs
+    from lucene_spark.functions.suggest import FreeTextSuggester
 
-    res = free_text_lookup(_free_text_model(sp, d), lookup_key, num=10, grams=2)
+    key = f"{d}::freetext_sugg"
+    if key not in _CACHE:
+        _CACHE[key] = FreeTextSuggester(_free_text_model(sp, d), grams=2)
+    res = _CACHE[key].lookup(lookup_key, num=10)
     return sp.createDataFrame(
         [(i + 1, t, round(s, 9)) for i, (t, s) in enumerate(res)],
         "rank int, text string, score double",

@@ -389,14 +389,10 @@ def free_text_lookup(
     The model is a distributed table; each level's candidate fetch is one
     startswith-filtered orderBy/limit job (prefix pushed to the scan),
     collected because num is tiny. Returns [(text, score)] with tokens
-    joined by a space in ``text``."""
-    if analyze is None:
-        from ..analysis import standard_analyze
-
-        analyze = standard_analyze
-    toks = analyze(key)
-    if not toks:
-        raise ValueError("no tokens produced by analyzer")
+    joined by a space in ``text``. For online/QPS use, wrap the model in
+    :class:`FreeTextSuggester`, which serves warm lookups with ZERO Spark
+    jobs from a driver-resident copy (the reference serves from an in-RAM
+    FST, FreeTextSuggester.java:400)."""
     # totTokens = total unigram occurrences
     tot = (
         model.filter(~F.col("gram").contains(FREE_TEXT_SEP))
@@ -404,6 +400,46 @@ def free_text_lookup(
         .collect()[0][0]
         or 0
     )
+
+    def fetch(token: str, limit: int) -> list:
+        return [
+            (r["gram"], int(r["cnt"]))
+            for r in (
+                model.filter(F.col("gram").startswith(token))
+                # completions stay within the final word (the TopNSearcher
+                # rejects paths through another separator)
+                .filter(
+                    ~F.expr(
+                        f"substring(gram, {len(token) + 1})"
+                    ).contains(FREE_TEXT_SEP)
+                )
+                .orderBy(F.desc("cnt"), F.asc("gram"))
+                .limit(limit)
+                .collect()
+            )
+        ]
+
+    def ctx_count(ctx: str) -> int:
+        return int(model.filter(F.col("gram") == ctx).collect()[0]["cnt"])
+
+    return _stupid_backoff(key, num, grams, analyze, tot, fetch, ctx_count)
+
+
+def _stupid_backoff(
+    key: str, num: int, grams: int, analyze, tot: int, fetch, ctx_count
+) -> list:
+    """The backoff walk shared by the distributed and driver-cached
+    lookups. ``fetch(token, limit)`` returns up to ``limit`` (gram, cnt)
+    pairs with prefix ``token`` and no separator past it, ordered by
+    (cnt desc, gram asc); ``ctx_count(ctx)`` is the exact count of the
+    context gram (which always exists when any extension does)."""
+    if analyze is None:
+        from ..analysis import standard_analyze
+
+        analyze = standard_analyze
+    toks = analyze(key)
+    if not toks:
+        raise ValueError("no tokens produced by analyzer")
     last_tokens: list = [None] * grams
     for g in range(1, grams + 1):
         if len(toks) >= g:
@@ -424,43 +460,100 @@ def free_text_lookup(
         token = last_tokens[gram]
         if token is None or (token == "" and len(key) > 0):
             continue
-        cands = (
-            model.filter(F.col("gram").startswith(token))
-            # completions stay within the final word (the TopNSearcher
-            # rejects paths through another separator)
-            .filter(
-                ~F.expr(
-                    f"substring(gram, {len(token) + 1})"
-                ).contains(FREE_TEXT_SEP)
-            )
-            .orderBy(F.desc("cnt"), F.asc("gram"))
-            .limit(num + len(seen))
-            .collect()
-        )
+        cands = fetch(token, num + len(seen))
         if not cands:  # no gram extends this prefix: prefixOutput null
             backoff *= FREE_TEXT_ALPHA
             continue
         # context = everything before the last separator; the context
         # gram always exists when the prefix does (all orders stored)
-        ctx_count = tot
+        cc = tot
         sep_at = token.rfind(FREE_TEXT_SEP)
         if sep_at >= 0:
-            ctx = token[:sep_at]
-            ctx_count = int(
-                model.filter(F.col("gram") == ctx).collect()[0]["cnt"]
-            )
+            cc = ctx_count(token[:sep_at])
         added = 0
-        for r in cands:
+        for full, cnt in cands:
             if added >= num:
                 break
-            full = r["gram"]
             last_word = full.rsplit(FREE_TEXT_SEP, 1)[-1]
             if last_word in seen:
                 continue
             seen.add(last_word)
-            score = backoff * float(r["cnt"]) / float(ctx_count)
+            score = backoff * float(cnt) / float(cc)
             results.append((full.replace(FREE_TEXT_SEP, " "), score))
             added += 1
         backoff *= FREE_TEXT_ALPHA
     results.sort(key=lambda kv: (-kv[1], kv[0]))
     return results[:num]
+
+
+class FreeTextSuggester:
+    """Driver-cached FreeTextSuggester serving path. The reference answers
+    lookups from an in-RAM FST (suggest/analyzing/FreeTextSuggester.java:
+    400-560); the analog here snapshots the (gram, cnt) model to the driver
+    at construction — capacity-gated by LUCENE_SPARK_DRIVER_META_MAX like
+    every other driver cache (see prune._driver_meta_max) — so a warm
+    lookup runs ZERO Spark jobs: prefix ranges are two bisects on the
+    gram-sorted snapshot, context counts are exact bisect hits. Above the
+    cap the snapshot is skipped (fetch stops at cap+1 rows) and lookups
+    fall back to the distributed `free_text_lookup` path, which stays the
+    right tier for models that cannot fit on one machine."""
+
+    def __init__(self, model: DataFrame, grams: int = 2, analyze=None):
+        from ..prune import _driver_meta_max
+
+        self.model = model
+        self.grams = int(grams)
+        self.analyze = analyze
+        self._grams_arr = None
+        self._cnt = None
+        self._tot = 0
+        cap = _driver_meta_max()
+        rows = model.limit(cap + 1).collect() if cap > 0 else []
+        if cap > 0 and len(rows) <= cap:
+            pairs = sorted((r["gram"], int(r["cnt"])) for r in rows)
+            self._grams_arr = [g for g, _ in pairs]
+            self._cnt = [c for _, c in pairs]
+            self._tot = sum(
+                c for g, c in pairs if FREE_TEXT_SEP not in g
+            )
+
+    @property
+    def cached(self) -> bool:
+        return self._grams_arr is not None
+
+    def _fetch(self, token: str, limit: int) -> list:
+        import bisect
+
+        g, c = self._grams_arr, self._cnt
+        lo = bisect.bisect_left(g, token) if token else 0
+        # prefix successor: token with its last char bumped bounds the
+        # prefix range (exact unless the last char is U+10FFFF)
+        hi = (
+            bisect.bisect_left(g, token[:-1] + chr(ord(token[-1]) + 1))
+            if token and ord(token[-1]) < 0x10FFFF
+            else len(g)
+        )
+        cands = [
+            (g[i], c[i])
+            for i in range(lo, hi)
+            if g[i].startswith(token)
+            and FREE_TEXT_SEP not in g[i][len(token):]
+        ]
+        cands.sort(key=lambda kv: (-kv[1], kv[0]))
+        return cands[:limit]
+
+    def _ctx_count(self, ctx: str) -> int:
+        import bisect
+
+        i = bisect.bisect_left(self._grams_arr, ctx)
+        return self._cnt[i]
+
+    def lookup(self, key: str, num: int = 10) -> list:
+        if not self.cached:
+            return free_text_lookup(
+                self.model, key, num=num, grams=self.grams, analyze=self.analyze
+            )
+        return _stupid_backoff(
+            key, num, self.grams, self.analyze, self._tot,
+            self._fetch, self._ctx_count,
+        )

@@ -114,6 +114,45 @@ def test_empty_key_raises(model):
         free_text_lookup(model, "  ", num=3)
 
 
+@pytest.mark.parametrize("key", ["foo ba", "foo bar", "foo ", "ba", "bar ",
+                                 "zzz fo", "far "])
+def test_cached_suggester_matches_distributed(model, key):
+    from lucene_spark.functions.suggest import FreeTextSuggester
+
+    s = FreeTextSuggester(model, grams=2)
+    assert s.cached
+    assert s.lookup(key, num=10) == free_text_lookup(model, key, num=10)
+
+
+def test_cached_suggester_runs_zero_jobs(model, spark):
+    """Warm lookups must not launch Spark jobs (the in-RAM FST analog,
+    suggest/analyzing/FreeTextSuggester.java:400) — counted via the
+    status tracker's per-group job ids."""
+    from lucene_spark.functions.suggest import FreeTextSuggester
+
+    s = FreeTextSuggester(model, grams=2)
+    assert s.cached
+    sc = spark.sparkContext
+    sc.setJobGroup("freetext_zero_jobs", "freetext lookup job count")
+    try:
+        s.lookup("foo ba", num=10)
+        s.lookup("bar ", num=5)
+        jobs = sc.statusTracker().getJobIdsForGroup("freetext_zero_jobs")
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs) == []
+
+
+def test_over_cap_falls_back_to_distributed(model, monkeypatch):
+    from lucene_spark.functions.suggest import FreeTextSuggester
+
+    monkeypatch.setenv("LUCENE_SPARK_DRIVER_META_MAX", "3")
+    s = FreeTextSuggester(model, grams=2)
+    assert not s.cached
+    monkeypatch.delenv("LUCENE_SPARK_DRIVER_META_MAX")
+    assert s.lookup("foo ba", num=10) == free_text_lookup(model, "foo ba", num=10)
+
+
 def test_lm_quality_matches_python(model, spark):
     """lm_quality vs a from-scratch Python stupid-backoff scorer."""
     import math
