@@ -21,6 +21,7 @@ Block-max pruning (WAND analog) lives in prune.py and is used by
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -364,10 +365,17 @@ class Searcher:
         # block-join parent maps: parents-filter repr -> persisted
         # (doc_id, parent_id) frame (the cached BitSetProducer role)
         self._blockjoin_maps: Dict[str, DataFrame] = {}
-        # optional q-gram terms index for fuzzy candidate pruning
-        # (enable_fuzzy_ngram_index) — the automaton-intersection analog
+        # q-gram terms index for fuzzy candidate pruning
+        # (enable_fuzzy_ngram_index) — the automaton-intersection analog.
+        # Auto-built on the first fuzzy query when the vocabulary exceeds
+        # LUCENE_SPARK_FUZZY_NGRAM_AUTO terms (the reference's Levenshtein
+        # automaton intersection is always on, search/FuzzyTermsEnum.java:409
+        # — below the threshold the banded scan is already cheaper than
+        # maintaining the gram table).
         self._ngram_terms: Optional[DataFrame] = None
         self._ngram_n = 2
+        self._fuzzy_auto_checked = False
+        self._vocab_count: Optional[int] = None
         # live-docs snapshot: a Searcher is a point-in-time reader (like
         # DirectoryReader) — tombstones are loaded once at open. Deleted docs
         # (hard AND soft) never match; stats still include them (Lucene
@@ -3187,10 +3195,28 @@ class Searcher:
             .select("term")
         )
 
+    def _vocab_size(self) -> int:
+        """Distinct-term count, cached per Searcher (free when stats are
+        preloaded; one metadata-cheap count job otherwise)."""
+        if self._stats_cache is not None:
+            return len(self._stats_cache)
+        if self._vocab_count is None:
+            self._vocab_count = self.index.terms.count()
+        return self._vocab_count
+
     def _terms_scan(self, q: Query) -> DataFrame:
         """The terms-dictionary frame a MultiTermQuery filters — q-gram
-        pruned for fuzzy when the index is enabled."""
+        pruned for fuzzy when the index is enabled (auto-enabled above the
+        LUCENE_SPARK_FUZZY_NGRAM_AUTO vocabulary threshold, default 100k;
+        <=0 disables auto)."""
         if isinstance(q, FuzzyQuery):
+            if self._ngram_terms is None and not self._fuzzy_auto_checked:
+                self._fuzzy_auto_checked = True
+                auto = int(
+                    os.environ.get("LUCENE_SPARK_FUZZY_NGRAM_AUTO", 100_000)
+                )
+                if auto > 0 and self._vocab_size() >= auto:
+                    self.enable_fuzzy_ngram_index()
             cand = self._fuzzy_ngram_candidates(q)
             if cand is not None:
                 return self.index.terms.join(cand, "term", "left_semi")
