@@ -96,6 +96,9 @@ def main() -> None:
         # 3-term sloppy phrase: exercises the merged-order batch kernel
         # (sloppy_freqs_batch) that replaced the per-doc n>=3 heap walk
         "bm25_phrase3_slop": PhraseQuery(terms=("the", "fast", "table"), slop=4),
+        # REPEATED-term sloppy phrase: the hasRpts lattice
+        # (sloppy_phrase_freqs_rpts) — round-4 vectorization target
+        "bm25_phrase_slop_rpts": PhraseQuery(terms=("the", "fast", "the"), slop=4),
         # round-3 addition: blended-statistics term query
         "blended_term": BlendedTermQuery(
             terms=("spark", "merge"), boosts=(1.0, 2.0), tie_breaker=0.1
@@ -112,6 +115,28 @@ def main() -> None:
             searcher.top_docs(q, 10)
             times.append(time.time() - t0)
         queries[name] = round(statistics.median(times), 4)
+
+    # ---- 3b. distributed-tier latency (hot driver cache OFF) ----
+    # the 100-TB serving story rests on the distributed WAND tier; time it
+    # explicitly so the round-over-round bench tracks the path a 1000-executor
+    # cluster would actually run (driver caches can't hold a 100-TB index)
+    prev_hot = os.environ.get("LUCENE_SPARK_HOT_CACHE_POSTINGS")
+    os.environ["LUCENE_SPARK_HOT_CACHE_POSTINGS"] = "0"
+    try:
+        dsearcher = Searcher(idx, dtype=np.float32, preload_stats=True)
+        dq = qset["bm25_or3"]
+        dsearcher.top_docs(dq, 10)  # warm: bounds fetch + codegen
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            dsearcher.top_docs(dq, 10)
+            times.append(time.time() - t0)
+        queries["bm25_or3_distributed"] = round(statistics.median(times), 4)
+    finally:
+        if prev_hot is None:
+            del os.environ["LUCENE_SPARK_HOT_CACHE_POSTINGS"]
+        else:
+            os.environ["LUCENE_SPARK_HOT_CACHE_POSTINGS"] = prev_hot
 
     # ---- 4. pipeline ops ----
     from lucene_spark.functions import dedup as fdedup
