@@ -219,7 +219,48 @@ def sloppy_phrase_freqs_rpts(
     j-th group member j times (advanceRepeatGroups, single-term case);
     the nextMatch walk resolves collisions by advancing the (position,
     offset)-lesser of the colliding pair (advanceRpts/lesser/collide) —
-    collision <=> equal index into the shared positions array."""
+    collision <=> equal index into the shared positions array.
+
+    Executes on the doc-lockstep batch walk (_sloppy_rpts_walk_batch);
+    the literal per-doc transcription survives as
+    _sloppy_phrase_freqs_rpts_literal for the property suite."""
+    uniq = list(dict.fromkeys(terms))
+    term_ord = {t: j for j, t in enumerate(uniq)}
+    n = len(terms)
+    tid = [term_ord[t] for t in terms]
+    groups: Dict[int, List[int]] = {}
+    for i in range(n):
+        groups.setdefault(tid[i], []).append(i)
+    groups = {t: g for t, g in groups.items() if len(g) > 1}
+    rank = [0] * n
+    for g in groups.values():
+        for j, i in enumerate(g):  # PP order == offset order
+            rank[i] = j
+    group_members = [
+        tuple(groups[tid[i]]) if tid[i] in groups else None for i in range(n)
+    ]
+    g_t = [_concat_global(pos_by_term[t]) for t in uniq]
+    bounds = [_per_doc_bounds(g, n_docs) for g in g_t]
+    cand = np.ones(n_docs, dtype=bool)
+    for _st, ln in bounds:
+        cand &= ln > 0
+    rows = np.flatnonzero(cand)
+    if len(rows) == 0:
+        return np.zeros(n_docs, dtype=np.float64)
+    G = [g_t[tid[i]] for i in range(n)]
+    B = np.stack([bounds[tid[i]][0][rows] for i in range(n)], axis=1)
+    L = np.stack([bounds[tid[i]][1][rows] for i in range(n)], axis=1)
+    idx0 = np.tile(np.asarray(rank, np.int64), (len(rows), 1))
+    return _sloppy_rpts_walk_batch(
+        G, B, L, list(range(n)), idx0, group_members, slop, rows, n_docs
+    )
+
+
+def _sloppy_phrase_freqs_rpts_literal(
+    pos_by_term: Dict[str, List], terms: Sequence[str], slop: int, n_docs: int
+) -> np.ndarray:
+    """Per-doc literal driver over _sloppy_walk_rpts — the property-test
+    reference for the batch walk above."""
     uniq = list(dict.fromkeys(terms))
     term_ord = {t: j for j, t in enumerate(uniq)}
     tlists = [pos_by_term[t] for t in uniq]
@@ -267,7 +308,62 @@ def sloppy_multi_phrase_freqs(
     the collide-chase of advanceRepeatGroups (multi-term branch,
     SloppyPhraseMatcher.java:435-455); else the j-advances rank init.
     Distinct-position unions assume no index-time same-position duplicates
-    inside one slot (a standard-chain index guarantees this)."""
+    inside one slot (a standard-chain index guarantees this).
+
+    Executes on the doc-lockstep batch walk; per-slot unions are built
+    vectorized over the whole batch (one np.unique of the doc-offset
+    global concatenation per multi-term slot). The literal per-doc
+    transcription survives as _sloppy_multi_phrase_freqs_literal."""
+    n = len(slots)
+    slot_sets, multi, groups, group_members, rank = _multi_phrase_shape(slots)
+    g_cache: Dict[str, np.ndarray] = {}
+
+    def term_global(t):
+        if t not in g_cache:
+            g_cache[t] = _concat_global(pos_by_term[t])
+        return g_cache[t]
+
+    G: List[np.ndarray] = []
+    bounds = []
+    for s in slot_sets:
+        arrs = [term_global(t) for t in s]
+        g = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+        G.append(g)
+        bounds.append(_per_doc_bounds(g, n_docs))
+    cand = np.ones(n_docs, dtype=bool)
+    for _st, ln in bounds:
+        cand &= ln > 0
+    rows = np.flatnonzero(cand)
+    if len(rows) == 0:
+        return np.zeros(n_docs, dtype=np.float64)
+    B = np.stack([bounds[i][0][rows] for i in range(n)], axis=1)
+    L = np.stack([bounds[i][1][rows] for i in range(n)], axis=1)
+    offsets = list(range(n))
+    if multi:
+        # collide-chase init over the union streams (idx starts at 0)
+        idx0 = np.zeros((len(rows), n), np.int64)
+        base = rows.astype(np.int64) << _DOC_SHIFT
+        V = np.empty((len(rows), n), np.int64)
+        for i in range(n):
+            V[:, i] = G[i][np.minimum(B[:, i] + idx0[:, i], len(G[i]) - 1)]
+        V -= base[:, None]
+        alive = np.ones(len(rows), dtype=bool)
+        alive = _advance_rpt_groups_multi_batch(
+            G, B, L, offsets, idx0, V, groups, alive, base
+        )
+        rows, B, L, idx0 = rows[alive], B[alive], L[alive], idx0[alive]
+    else:
+        idx0 = np.tile(np.asarray(rank, np.int64), (len(rows), 1))
+    return _sloppy_rpts_walk_batch(
+        G, B, L, offsets, idx0, group_members, slop, rows, n_docs
+    )
+
+
+def _multi_phrase_shape(slots: Sequence[Sequence[str]]):
+    """Query-level repeat-group discovery shared by the batch and literal
+    multi-phrase walks: distinct per-slot term sets, the hasMultiTermRpts
+    flag, the connected regions of the PP/term bipartite graph over
+    repeating terms (union-find), per-PP group membership and rank."""
     n = len(slots)
     slot_sets = [list(dict.fromkeys(s)) for s in slots]
     tcnt: Dict[str, int] = {}
@@ -277,7 +373,6 @@ def sloppy_multi_phrase_freqs(
     rpt = {t for t, c in tcnt.items() if c >= 2}
     rpt_pps = [i for i in range(n) if any(t in rpt for t in slot_sets[i])]
     multi = any(len(slot_sets[i]) > 1 for i in rpt_pps)
-    # connected regions over shared repeating terms (union-find)
     parent: Dict[str, str] = {t: t for t in rpt}
 
     def find(t):
@@ -295,12 +390,26 @@ def sloppy_multi_phrase_freqs(
         r = find(next(t for t in slot_sets[i] if t in rpt))
         by_root.setdefault(r, []).append(i)
     groups = [sorted(g) for g in by_root.values() if len(g) > 1]
-    group_of: List = [None] * n
+    group_members: List = [None] * n
     rank = [0] * n
     for g in groups:
         for j, i in enumerate(g):
-            group_of[i] = g
+            group_members[i] = tuple(g)
             rank[i] = j
+    return slot_sets, multi, groups, group_members, rank
+
+
+def _sloppy_multi_phrase_freqs_literal(
+    pos_by_term: Dict[str, List],
+    slots: Sequence[Sequence[str]],
+    slop: int,
+    n_docs: int,
+) -> np.ndarray:
+    """Per-doc literal driver (UnionPostingsEnum + _sloppy_walk_rpts) —
+    the property-test reference for the batch path above."""
+    n = len(slots)
+    slot_sets, multi, groups, group_members, rank = _multi_phrase_shape(slots)
+    group_of = [list(gm) if gm is not None else None for gm in group_members]
     offsets = list(range(n))
     out = np.zeros(n_docs, dtype=np.float64)
     for d in range(n_docs):
@@ -457,6 +566,224 @@ def _sloppy_walk_rpts(
                 ml2 = end - p
                 if ml2 < ml:
                     ml = ml2
+
+
+# ---------------------------------------------------------------------------
+# Doc-lockstep SIMD walks: the repeat-lattice algorithms are inherently
+# sequential PER DOC (collision resolution is data-dependent), but the SAME
+# step can run for every live doc simultaneously — one vector "tick" executes
+# one hand-advance of the literal walk for the whole batch, so Python
+# interpreter cost scales with the LONGEST walk in the batch instead of the
+# sum over docs. The literal one-doc transcriptions above stay as the
+# property-test reference.
+# ---------------------------------------------------------------------------
+
+_BIG = np.int64(1) << np.int64(62)
+
+
+def _per_doc_bounds(g: np.ndarray, n_docs: int):
+    """Per-doc (start, len) slices of a doc-offset global sorted array."""
+    edges = np.searchsorted(
+        g, np.arange(n_docs + 1, dtype=np.int64) << _DOC_SHIFT
+    )
+    return edges[:-1].astype(np.int64), np.diff(edges).astype(np.int64)
+
+
+def _gather_vals(G, B, idx, rows, pps, base, extra=0):
+    """LOCAL position values at (row, pp) pairs — loops over the (few)
+    distinct PPs, one vectorized gather each. ``extra`` shifts the lookup
+    (used for window-end values). Out-of-range indices are clamped (callers
+    only read rows they keep alive)."""
+    res = np.empty(len(rows), np.int64)
+    for i in range(len(G)):
+        m = pps == i
+        if m.any():
+            gi = G[i]
+            at = B[rows[m], i] + idx[rows[m], i] + extra
+            res[m] = gi[np.minimum(at, len(gi) - 1)]
+    return res - base[rows]
+
+
+def _sloppy_rpts_walk_batch(
+    G, B, L, offsets, idx0, group_members, slop, doc_ids, n_docs
+) -> np.ndarray:
+    """Doc-lockstep transcription of _sloppy_walk_rpts
+    (SloppyPhraseMatcher.java nextMatch with repeats): per tick, every live
+    row advances its hand PP once, chases repeat-group collisions, then
+    either keeps minimizing or emits + re-pops — exactly the literal walk's
+    step, vectorized across rows. ``G[i]`` is PP i's doc-offset global
+    array; ``B``/``L``/``idx0`` are (R, n) per-row slice bases / lengths /
+    post-init indices; ``group_members[i]`` is PP i's repeat group (tuple)
+    or None. Equivalence vs the literal walk is property-tested."""
+    n = len(G)
+    R = len(doc_ids)
+    out = np.zeros(n_docs, dtype=np.float64)
+    if R == 0:
+        return out
+    offs = np.asarray(offsets, np.int64)
+    base = (doc_ids.astype(np.int64) << _DOC_SHIFT)
+    idx = idx0.astype(np.int64).copy()
+    alive = (idx < L).all(axis=1)
+    rr = np.arange(R, dtype=np.int64)
+    V = np.empty((R, n), np.int64)
+    for i in range(n):
+        V[:, i] = G[i][np.minimum(B[:, i] + idx[:, i], len(G[i]) - 1)]
+    V -= base[:, None]
+    ADJ = V - offs[None, :]
+    end = ADJ.max(axis=1)
+    keys = ADJ * n + offs[None, :]  # offsets are distinct 0..n-1: no ties
+    hand = np.argmin(keys, axis=1).astype(np.int64)
+    ml = end - ADJ[rr, hand]
+    tmp = ADJ.copy()
+    tmp[rr, hand] = _BIG
+    nxt = tmp.min(axis=1)
+    has_group = np.array([gm is not None for gm in group_members], dtype=bool)
+
+    def emit(rows):
+        if len(rows):
+            sel = ml[rows] <= slop
+            er = rows[sel]
+            if len(er):
+                np.add.at(out, doc_ids[er], 1.0 / (1.0 + ml[er]))
+
+    a = np.flatnonzero(alive)
+    while len(a):
+        h = hand[a]
+        # advancePP(hand)
+        idx[a, h] += 1
+        ex = idx[a, h] >= L[a, h]
+        if ex.any():
+            emit(a[ex])
+            alive[a[ex]] = False
+            a, h = a[~ex], h[~ex]
+        if not len(a):
+            break
+        v = _gather_vals(G, B, idx, a, h, base)
+        V[a, h] = v
+        adj = v - offs[h]
+        ADJ[a, h] = adj
+        end[a] = np.maximum(end[a], adj)
+        # advanceRpts: chase collisions from the just-advanced PP
+        chm = has_group[h]
+        sub, csub = a[chm], h[chm]
+        while len(sub):
+            vc = V[sub, csub]
+            partner = np.full(len(sub), -1, np.int64)
+            for i in range(n):
+                gm = group_members[i]
+                if gm is None:
+                    continue
+                mi = (csub == i) & (partner < 0)
+                if not mi.any():
+                    continue
+                for j in gm:
+                    if j == i:
+                        continue
+                    hit = mi & (partner < 0) & (V[sub, j] == vc)
+                    partner[hit] = j
+            found = partner >= 0
+            sub, csub, partner = sub[found], csub[found], partner[found]
+            if not len(sub):
+                break
+            kc = ADJ[sub, csub] * n + offs[csub]
+            kk = ADJ[sub, partner] * n + offs[partner]
+            lsr = np.where(kc < kk, csub, partner)
+            idx[sub, lsr] += 1
+            ex2 = idx[sub, lsr] >= L[sub, lsr]
+            if ex2.any():
+                emit(sub[ex2])
+                alive[sub[ex2]] = False
+                sub, lsr = sub[~ex2], lsr[~ex2]
+            if not len(sub):
+                break
+            v2 = _gather_vals(G, B, idx, sub, lsr, base)
+            V[sub, lsr] = v2
+            adj2 = v2 - offs[lsr]
+            ADJ[sub, lsr] = adj2
+            end[sub] = np.maximum(end[sub], adj2)
+            csub = lsr
+        a = a[alive[a]]
+        if not len(a):
+            break
+        h = hand[a]
+        p = ADJ[a, h]
+        gt = p > nxt[a]
+        gtr = a[gt]
+        if len(gtr):
+            emit(gtr)  # then re-pop (the reference's push-back + pop)
+            k2 = ADJ[gtr] * n + offs[None, :]
+            hn = np.argmin(k2, axis=1).astype(np.int64)
+            hand[gtr] = hn
+            rg = np.arange(len(gtr))
+            ml[gtr] = end[gtr] - ADJ[gtr, hn]
+            t2 = ADJ[gtr].copy()
+            t2[rg, hn] = _BIG
+            nxt[gtr] = t2.min(axis=1)
+        ler = a[~gt]
+        if len(ler):
+            ml[ler] = np.minimum(ml[ler], end[ler] - p[~gt])
+    return out
+
+
+def _advance_rpt_groups_multi_batch(
+    G, B, L, offsets, idx, V, groups, alive, base
+):
+    """advanceRepeatGroups, hasMultiTermRpts branch, for every row in
+    lockstep (SloppyPhraseMatcher.java:437-455). The literal's ``incr``
+    bookkeeping collapses to 'advance the member pointer exactly when no
+    collision exists' — a collision advance leaves (group, member)
+    unchanged whether or not it breaks with incr=0, so the batch state is
+    just (group idx, member idx) per row. Updates idx/V in place; returns
+    the surviving alive mask (False = a PP exhausted: doc cannot match)."""
+    n = len(G)
+    if not groups:
+        return alive
+    offs = np.asarray(offsets, np.int64)
+    ngr = len(groups)
+    glen = np.array([len(g) for g in groups], np.int64)
+    table = np.zeros((ngr, int(glen.max())), np.int64)
+    for g_idx, g in enumerate(groups):
+        for j, pp in enumerate(g):
+            table[g_idx, j] = pp
+    R = idx.shape[0]
+    gi = np.zeros(R, np.int64)
+    mi = np.zeros(R, np.int64)
+    prog = alive.copy()
+    act = np.flatnonzero(prog)
+    while len(act):
+        pp = table[gi[act], mi[act]]
+        vc = V[act, pp]
+        partner = np.full(len(act), -1, np.int64)
+        for g_idx, g in enumerate(groups):
+            mrows = (gi[act] == g_idx) & (partner < 0)
+            if not mrows.any():
+                continue
+            for m in g:
+                hit = mrows & (partner < 0) & (m != pp) & (V[act, m] == vc)
+                partner[hit] = m
+        none = partner < 0
+        nr = act[none]
+        if len(nr):
+            mi[nr] += 1
+            ro = mi[nr] >= glen[gi[nr]]
+            gi[nr[ro]] += 1
+            mi[nr[ro]] = 0
+            prog[nr[gi[nr] >= ngr]] = False
+        fr = act[~none]
+        if len(fr):
+            ppf, kf = pp[~none], partner[~none]
+            # at equal tpPos the higher-offset member is strictly lesser
+            pp2 = np.where(offs[ppf] > offs[kf], ppf, kf)
+            idx[fr, pp2] += 1
+            ex = idx[fr, pp2] >= L[fr, pp2]
+            if ex.any():
+                alive[fr[ex]] = False
+                prog[fr[ex]] = False
+                fr, pp2 = fr[~ex], pp2[~ex]
+            if len(fr):
+                V[fr, pp2] = _gather_vals(G, B, idx, fr, pp2, base)
+        act = np.flatnonzero(prog)
+    return alive
 
 
 # ---------------------------------------------------------------------------
@@ -991,7 +1318,145 @@ def unordered_intervals_dups_freqs(
     walk over the sub streams; a single deduplicated sub IS the source
     (build() unwraps it), emitting raw windows. minExtent = number of subs
     (each Repeating contributes its child's 1); gaps keep counting every
-    position (sub width = count)."""
+    position (sub width = count).
+
+    Executes on the doc-lockstep batch walk (_unordered_dups_walk_batch);
+    the literal per-doc driver survives as
+    _unordered_intervals_dups_freqs_literal for the property suite."""
+    terms = list(counts)
+    n = len(terms)
+    min_extent = n
+    total_width = sum(counts.values())
+    out = np.zeros(n_docs, dtype=np.float64)
+    c = np.array([counts[t] for t in terms], np.int64)
+    G = [_concat_global(pos_by_term[t]) for t in terms]
+    bounds = [_per_doc_bounds(g, n_docs) for g in G]
+    cand = np.ones(n_docs, dtype=bool)
+    for i in range(n):
+        cand &= bounds[i][1] >= c[i]
+    rows = np.flatnonzero(cand)
+    if len(rows) == 0:
+        return out
+
+    def weigh(doc_idx, s, e):
+        length = e - s + 1
+        ok = np.ones(len(s), dtype=bool)
+        if max_gaps >= 0:
+            ok &= (length - total_width) <= max_gaps
+        if max_width >= 0:
+            ok &= length <= max_width
+        if ok.any():
+            w = 1.0 / np.maximum(length[ok] - min_extent + 1, 1).astype(
+                np.float64
+            )
+            np.add.at(out, doc_idx[ok], w)
+
+    B = np.stack([bounds[i][0][rows] for i in range(n)], axis=1)
+    Lsub = np.stack(
+        [bounds[i][1][rows] - (c[i] - 1) for i in range(n)], axis=1
+    )
+    base = rows.astype(np.int64) << _DOC_SHIFT
+    if n == 1:
+        # a single deduplicated sub IS the source: emit every window
+        ls = Lsub[:, 0]
+        s = gather_slices(G[0], B[:, 0], ls) - np.repeat(base, ls)
+        e = gather_slices(G[0], B[:, 0] + (c[0] - 1), ls) - np.repeat(base, ls)
+        weigh(np.repeat(rows, ls), s, e)
+        return out
+    _unordered_dups_walk_batch(G, B, Lsub, c, rows, base, weigh)
+    return out
+
+
+def _unordered_dups_walk_batch(G, B, Lsub, c, doc_ids, base, weigh):
+    """Doc-lockstep transcription of _unordered_intervals_walk
+    (UnorderedIntervalsSource.java nextInterval): per tick every live row
+    either skips past its previous start or runs one minimize step —
+    identical state updates to the literal queue walk, vectorized across
+    rows. Sub i's window stream is (G[i][B+j], G[i][B+j+c[i]-1]) for
+    j < Lsub[:, i]; emissions call ``weigh(rows, starts, ends)``."""
+    n = len(G)
+    R = len(doc_ids)
+    idx = np.zeros((R, n), np.int64)
+    SM = np.empty((R, n), np.int64)
+    EM = np.empty((R, n), np.int64)
+    for i in range(n):
+        SM[:, i] = G[i][B[:, i]]
+        EM[:, i] = G[i][np.minimum(B[:, i] + (c[i] - 1), len(G[i]) - 1)]
+    SM -= base[:, None]
+    EM -= base[:, None]
+    queue_end = EM.max(axis=1)
+    prev = np.full(R, -1, np.int64)
+    phase = np.zeros(R, np.uint8)  # 0 = skip-prev-start, 1 = minimize
+    alive = np.ones(R, dtype=bool)
+    K1, K2 = np.int64(1) << 32, np.int64(1) << 31
+    while True:
+        a = np.flatnonzero(alive)
+        if not len(a):
+            break
+        # queue top by (start asc, end desc, sub asc) — argmin's
+        # first-index tie rule IS the heap tuple's sub-ordinal tiebreak
+        key = SM[a] * K1 + (K2 - EM[a])
+        top = np.argmin(key, axis=1).astype(np.int64)
+        ra = np.arange(len(a))
+        ts, te = SM[a, top], EM[a, top]
+        adv_skip = (phase[a] == 0) & (ts == prev[a])
+        minm = ~adv_skip
+        phase[a[minm]] = 1  # SKIP rows past prev enter the minimize loop
+        e_cur = queue_end[a]
+        emit_now = minm & (te == e_cur)
+        if emit_now.any():
+            weigh(doc_ids[a[emit_now]], ts[emit_now], e_cur[emit_now])
+            prev[a[emit_now]] = ts[emit_now]
+            phase[a[emit_now]] = 0
+        advm = np.flatnonzero(adv_skip | (minm & ~emit_now))
+        if not len(advm):
+            continue
+        rows_adv = a[advm]
+        subs_adv = top[advm]
+        is_min = minm[advm]
+        s_cap, e_cap = ts[advm], e_cur[advm]
+        idx[rows_adv, subs_adv] += 1
+        dead = idx[rows_adv, subs_adv] >= Lsub[rows_adv, subs_adv]
+        if dead.any():
+            dm = dead & is_min  # a sub exhausted mid-minimize still emits
+            if dm.any():
+                weigh(doc_ids[rows_adv[dm]], s_cap[dm], e_cap[dm])
+            alive[rows_adv[dead]] = False
+        live = ~dead
+        rl, sl = rows_adv[live], subs_adv[live]
+        if not len(rl):
+            continue
+        newS = np.empty(len(rl), np.int64)
+        newE = np.empty(len(rl), np.int64)
+        for i in range(n):
+            m = sl == i
+            if m.any():
+                at = B[rl[m], i] + idx[rl[m], i]
+                newS[m] = G[i][at]
+                newE[m] = G[i][at + (c[i] - 1)]
+        newS -= base[rl]
+        newE -= base[rl]
+        SM[rl, sl] = newS
+        EM[rl, sl] = newE
+        grew = newE > queue_end[rl]
+        queue_end[rl] = np.maximum(queue_end[rl], newE)
+        gm = grew & is_min[live]  # queueEnd grew: emit and restart the scan
+        if gm.any():
+            s_l, e_l = s_cap[live], e_cap[live]
+            weigh(doc_ids[rl[gm]], s_l[gm], e_l[gm])
+            prev[rl[gm]] = s_l[gm]
+            phase[rl[gm]] = 0
+
+
+def _unordered_intervals_dups_freqs_literal(
+    pos_by_term: Dict[str, List],
+    counts: Dict[str, int],
+    max_gaps: int,
+    n_docs: int,
+    max_width: int = -1,
+) -> np.ndarray:
+    """Per-doc literal driver over _unordered_intervals_walk — the
+    property-test reference for the batch walk above."""
     terms = list(counts)
     min_extent = len(terms)
     total_width = sum(counts.values())

@@ -396,6 +396,107 @@ def test_multi_phrase_sloppy_singleton_slots_equals_plain_phrase():
         np.testing.assert_allclose(got, want, atol=1e-12)
 
 
+def test_sloppy_rpts_batch_equals_literal_walk():
+    """The doc-lockstep SIMD walk must reproduce the literal per-doc
+    transcription of SloppyPhraseMatcher's hasRpts path exactly, over
+    random corpora including empty docs, all-same-term docs and every
+    repeat shape up to 5 PPs."""
+    import random
+
+    rng = random.Random(20260818)
+    for trial in range(120):
+        n_docs = rng.randint(1, 40)
+        docs = [
+            [rng.choice("abcd") for _ in range(rng.randint(1, 18))]
+            for _ in range(n_docs)
+        ]
+        tlen = rng.randint(2, 5)
+        terms = tuple(rng.choice("abc") for _ in range(tlen))
+        if len(set(terms)) == len(terms):
+            terms = terms[:-1] + (terms[0],)  # force a repeat
+        slop = rng.randint(0, 5)
+        pbt = {
+            t: [
+                np.array([p for p, w in enumerate(d) if w == t], dtype=np.int64)
+                if t in d
+                else None
+                for d in docs
+            ]
+            for t in dict.fromkeys(terms)
+        }
+        want = matchers._sloppy_phrase_freqs_rpts_literal(pbt, terms, slop, n_docs)
+        got = matchers.sloppy_phrase_freqs_rpts(pbt, terms, slop, n_docs)
+        np.testing.assert_allclose(got, want, atol=1e-12,
+                                   err_msg=f"{terms} slop={slop} {docs}")
+
+
+def test_sloppy_multi_phrase_batch_equals_literal_walk():
+    """Batch union-stream walk (incl. the vectorized hasMultiTermRpts
+    collide-chase init) vs the literal per-doc driver."""
+    import random
+
+    rng = random.Random(20260819)
+    for trial in range(120):
+        n_docs = rng.randint(1, 40)
+        docs = [
+            [rng.choice("abcd") for _ in range(rng.randint(1, 18))]
+            for _ in range(n_docs)
+        ]
+        ns = rng.randint(2, 4)
+        slots = [tuple(rng.sample("abcd", rng.randint(1, 2))) for _ in range(ns)]
+        slop = rng.randint(0, 5)
+        pbt = {
+            t: [
+                np.array([p for p, w in enumerate(d) if w == t], dtype=np.int64)
+                if t in d
+                else None
+                for d in docs
+            ]
+            for t in dict.fromkeys(t for s in slots for t in s)
+        }
+        want = matchers._sloppy_multi_phrase_freqs_literal(pbt, slots, slop, n_docs)
+        got = matchers.sloppy_multi_phrase_freqs(pbt, slots, slop, n_docs)
+        np.testing.assert_allclose(got, want, atol=1e-12,
+                                   err_msg=f"{slots} slop={slop} {docs}")
+
+
+def test_unordered_dups_batch_equals_literal_walk():
+    """Batch lockstep queue walk vs the literal per-doc
+    UnorderedIntervalIterator driver, across maxgaps/maxwidth filters and
+    repeat counts 1..3."""
+    import random
+
+    rng = random.Random(20260820)
+    for trial in range(150):
+        n_docs = rng.randint(1, 30)
+        docs = [
+            [rng.choice("abcd") for _ in range(rng.randint(1, 20))]
+            for _ in range(n_docs)
+        ]
+        nt = rng.randint(1, 3)
+        ts = rng.sample("abc", nt)
+        counts = {t: rng.randint(1, 3) for t in ts}
+        max_gaps = rng.choice([-1, 0, 1, 2, 4])
+        max_width = rng.choice([-1, -1, 3, 5])
+        pbt = {
+            t: [
+                np.array([p for p, w in enumerate(d) if w == t], dtype=np.int64)
+                if t in d
+                else None
+                for d in docs
+            ]
+            for t in ts
+        }
+        want = matchers._unordered_intervals_dups_freqs_literal(
+            pbt, counts, max_gaps, n_docs, max_width=max_width
+        )
+        got = matchers.unordered_intervals_dups_freqs(
+            pbt, counts, max_gaps, n_docs, max_width=max_width
+        )
+        np.testing.assert_allclose(got, want, atol=1e-12,
+                                   err_msg=f"{counts} {max_gaps} {max_width}")
+
+
 def test_span_batch_cross_doc_isolation():
     # ordered chain must not leak into the next doc's positions
     by_clause = [
