@@ -386,7 +386,8 @@ _CLS_KNN_DOCS = [0, 5]  # inputs = these docs' own text (like q_mlt_doc0)
 
 
 def _payload_entry(
-    sp: SparkSession, d: str, terms, fn: str, include_span: bool = False
+    sp: SparkSession, d: str, terms, fn: str, include_span: bool = False,
+    slop: int = 0,
 ) -> DataFrame:
     """End-to-end payload path: attach a deterministic ``|pos%5 + 0.5``
     payload to every whitespace token of documents.text (pure Catalyst
@@ -415,7 +416,7 @@ def _payload_entry(
         span_scores = _searcher(sp, d).search(
             TermQuery(term=terms), 1 << 20, prune=False
         )
-    out = fpay.payload_score(tbl, terms, fn, span_scores=span_scores)
+    out = fpay.payload_score(tbl, terms, fn, span_scores=span_scores, slop=slop)
     return out.select(
         F.col("doc_id").cast("long"),
         F.round(F.col("score"), 6).alias("score"),
@@ -2095,6 +2096,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cls_knn": lambda sp, d: _cls_knn(sp, d),
         # ---- payloads (queries/payloads + DelimitedPayloadTokenFilter) ----
         "payload_sum": lambda sp, d: _payload_entry(sp, d, "spark", "sum"),
+        "payload_chain3": lambda sp, d: _payload_entry(
+            # 3-term ordered span chain with slop (PayloadScoreQuery over
+            # SpanNearQuery ordered — the arbitrary-chain span kernel)
+            sp, d, ("the", "fast", "table"), "sum", slop=4
+        ),
         "payload_pair_avg": lambda sp, d: _payload_entry(
             sp, d, ("table", "hash"), "avg"
         ),
@@ -3781,6 +3787,7 @@ FROM f ORDER BY doc_id, frame_idx
         "cls_naive_bayes": _cls_nb_sql(),
         "cls_knn": _cls_knn_sql(_CLS_KNN_DOCS, k=5, max_terms=5, min_df=2),
         "payload_sum": _payload_sql("term = 'spark'", "sum"),
+        "payload_chain3": _payload_chain_sql(("the", "fast", "table"), 4, "sum"),
         "payload_pair_avg": _payload_pair_sql("table", "hash", "avg"),
         "payload_include_span": _payload_span_sql("spark"),
     }
@@ -3937,6 +3944,45 @@ sel AS (
   UNION ALL SELECT doc_id, plb FROM pairs
 )"""
         + _payload_agg_tail(fn, "sel")
+    )
+
+
+def _payload_chain_sql(terms, slop: int, fn: str) -> str:
+    """Ordered-chain PayloadScoreQuery oracle: greedy NearSpansOrdered
+    chains (per start position, each later clause takes its minimal
+    position past the previous; width - (n-1) <= slop), every chain
+    position's payload feeding the function — an independent SQL
+    re-derivation (iterated min/arg_min CTEs, one per clause)."""
+    n = len(terms)
+    ctes = [
+        f", c0 AS (SELECT doc_id, pos AS q0, payload AS pl0 FROM p "
+        f"WHERE term = '{terms[0]}')"
+    ]
+    for i, t in enumerate(terms[1:], start=1):
+        cols = (
+            ["x.doc_id"]
+            + [f"x.q{j}" for j in range(i)]
+            + [f"x.pl{j}" for j in range(i)]
+        )
+        sel = ", ".join(cols)
+        ctes.append(
+            f"""
+, c{i} AS (
+  SELECT {sel}, min(y.pos) AS q{i}, arg_min(y.payload, y.pos) AS pl{i}
+  FROM c{i - 1} x JOIN p y
+    ON y.doc_id = x.doc_id AND y.term = '{t}' AND y.pos > x.q{i - 1}
+  GROUP BY {sel}
+)"""
+        )
+    spans = (
+        f", spans AS (SELECT * FROM c{n - 1} "
+        f"WHERE q{n - 1} - q0 - {n - 1} <= {slop})"
+    )
+    sel_u = ", sel AS (" + " UNION ALL ".join(
+        f"SELECT doc_id, pl{i} AS payload FROM spans" for i in range(n)
+    ) + ")"
+    return _PAYLOAD_TOKS + "".join(ctes) + spans + sel_u + _payload_agg_tail(
+        fn, "sel"
     )
 
 

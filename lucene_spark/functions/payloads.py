@@ -21,10 +21,15 @@ Semantics (PayloadScoreQuery.PayloadSpanScorer):
 - includeSpanScore multiplies by the wrapped span query's score — pass
   the span scores frame in (the caller owns the searcher)
 
-Documented envelope: the span operand is a single term or an exact
-adjacent two-term phrase (the common payload-query shapes); unparsable
-payload suffixes decode to absent instead of the FloatEncoder's
-exception.
+The span operand is a single term or an ordered term chain of ANY length
+with slop (SpanNearQuery ordered): matched spans are NearSpansOrdered's
+greedy chains (for each start position, each later clause advances to its
+minimal position past the previous clause; match iff width - (n-1) <=
+slop), and the payloads of EVERY chain position feed the function —
+PayloadSpanCollector collects each subspan's payload per matched span.
+The chain is built as n-1 doc-equi-joins + min_by aggregates, pure
+Catalyst. Unparsable payload suffixes decode to absent instead of the
+FloatEncoder's exception.
 """
 
 from __future__ import annotations
@@ -84,40 +89,57 @@ def payload_score(
     terms,
     function: str = "sum",
     span_scores: DataFrame | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """PayloadScoreQuery over the sidecar table: ``terms`` is a single
-    term (SpanTermQuery) or an (a, b) pair matched as an exact adjacent
-    ordered phrase (SpanNearQuery slop 0, the payloads of BOTH matched
-    positions feed the function). Returns (doc_id, score); with
-    ``span_scores`` (doc_id, score) the result is spanScore *
-    payloadScore restricted to docs in both frames (includeSpanScore)."""
+    term (SpanTermQuery) or an ordered term chain of any length
+    (SpanNearQuery ordered, ``slop`` gaps allowed); every matched chain
+    position's payload feeds the function (the PayloadSpanCollector
+    contract, queries/payloads/PayloadScoreQuery.java). Returns
+    (doc_id, score); with ``span_scores`` (doc_id, score) the result is
+    spanScore * payloadScore restricted to docs in both frames
+    (includeSpanScore)."""
     if function not in _AGGS:
         raise ValueError(f"unknown payload function {function!r}")
     if isinstance(terms, str):
         rows = payloads.filter(F.col("term") == terms)
-    elif len(terms) == 2:
-        a, b = terms
-        left = payloads.filter(F.col("term") == a).select(
-            "doc_id", F.col("pos").alias("pa"), F.col("payload").alias("pla")
+    elif len(terms) >= 2:
+        # greedy NearSpansOrdered chains (matchers.ordered_chain_spans
+        # semantics): per start position q0, clause i advances to its
+        # minimal position past q_{i-1}; n-1 equi-joins + min_by, pure JVM
+        n = len(terms)
+        cur = payloads.filter(F.col("term") == terms[0]).select(
+            "doc_id",
+            F.col("pos").alias("q0"),
+            F.col("payload").alias("pl0"),
         )
-        right = payloads.filter(F.col("term") == b).select(
-            "doc_id", F.col("pos").alias("pb"), F.col("payload").alias("plb")
-        )
-        pairs = left.join(
-            right,
-            (left.doc_id == right.doc_id) & (right.pb == left.pa + 1),
-        ).select(left.doc_id, "pa", "pla", "pb", "plb")
-        rows = pairs.select(
-            "doc_id", F.col("pa").alias("pos"), F.col("pla").alias("payload")
-        ).unionByName(
-            pairs.select(
-                "doc_id", F.col("pb").alias("pos"), F.col("plb").alias("payload")
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = payloads.filter(F.col("term") == t).select(
+                "doc_id",
+                F.col("pos").alias("_np"),
+                F.col("payload").alias("_npl"),
             )
+            keep = cur.columns
+            cur = (
+                cur.join(nxt, "doc_id")
+                .filter(F.col("_np") > F.col(f"q{i - 1}"))
+                .groupBy(*keep)
+                .agg(
+                    F.min("_np").alias(f"q{i}"),
+                    F.min_by("_npl", "_np").alias(f"pl{i}"),
+                )
+            )
+        spans = cur.filter(
+            (F.col(f"q{n - 1}") - F.col("q0") - (n - 1)) <= int(slop)
+        )
+        rows = spans.select(
+            "doc_id",
+            F.explode(F.array(*[F.col(f"pl{i}") for i in range(n)])).alias(
+                "payload"
+            ),
         )
     else:
-        raise NotImplementedError(
-            "payload span operand: single term or adjacent pair"
-        )
+        raise ValueError("payload span operand: term or >=2-term chain")
     agg = rows.groupBy("doc_id").agg(
         _AGGS[function]("payload").alias("ps"),
         F.count("payload").alias("seen"),  # counts non-null payloads only
