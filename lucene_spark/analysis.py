@@ -98,11 +98,32 @@ def fold_ascii(text: str) -> str:
     return text.translate(FOLD_MAP)
 
 
+#: language chains (lang.py): per-token pure chains over the Latin-1
+#: tokenizer; stopped tokens surface as lang.STOP_HOLE (see lang.py)
+LANG_CHAINS = ("french", "german", "spanish")
+
+
 def _resolve_chain(chain: str) -> Tuple[str, bool]:
     """'standard_fold' / 'code_fold' = ASCII folding + the base chain."""
     if chain.endswith("_fold"):
         return chain[:-5], True
     return chain, False
+
+
+def _chain_fn(base: str):
+    if base in LANG_CHAINS:
+        from . import lang
+
+        return {
+            "french": lang.french_analyze,
+            "german": lang.german_analyze,
+            "spanish": lang.spanish_analyze,
+        }[base]
+    return {
+        "standard": standard_analyze,
+        "code": code_analyze,
+        "english": english_analyze,
+    }[base]
 
 
 def _chop(tok: str) -> Iterable[str]:
@@ -156,11 +177,7 @@ def analyze_series(texts: pd.Series, chain: str = "standard") -> pd.Series:
     """Vectorized analysis of a pandas Series of strings -> Series of
     list[str] token arrays. This is the Arrow-UDF entry point."""
     base, fold = _resolve_chain(chain)
-    fn = {
-        "standard": standard_analyze,
-        "code": code_analyze,
-        "english": english_analyze,
-    }[base]
+    fn = _chain_fn(base)
     texts = texts.fillna("")
     if fold:
         texts = texts.str.translate(FOLD_MAP)
@@ -207,6 +224,13 @@ def flat_tokenize(
         texts = texts.str.translate(FOLD_MAP)
     if base in ("standard", "english"):
         lists = texts.str.lower().str.findall(_TOKEN_PATTERN)
+    elif base in LANG_CHAINS:
+        # lowercase-then-scan == scan-then-lowercase: the Latin-1 token
+        # class is case-symmetric, and elision checks its prefix
+        # case-insensitively
+        from . import lang
+
+        lists = texts.str.lower().str.findall(lang._LANG_TOKEN_PATTERN)
     else:
         lists = texts.str.findall(_WDF_PART)
     counts = lists.map(len).to_numpy(dtype=np.int64)
@@ -225,15 +249,22 @@ def flat_tokenize(
             [porter_stem(strip_possessive(t)) for t in uniq], dtype=object
         )
         flat = stemmed[codes]
+    if base in LANG_CHAINS and len(flat):
+        from . import lang
+
+        tok_fn = {
+            "french": lang.french_token,
+            "german": lang.german_token,
+            "spanish": lang.spanish_token,
+        }[base]
+        codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+        mapped = np.array([tok_fn(t) for t in uniq], dtype=object)
+        flat = mapped[codes]
     # maxTokenLength chop (rare): only rebuild rows containing long tokens
     if len(flat):
         lens = pd.Series(flat).str.len().to_numpy()
         if lens.max() > MAX_TOKEN_LENGTH:
-            fn = {
-                "standard": standard_analyze,
-                "code": code_analyze,
-                "english": english_analyze,
-            }[base]
+            fn = _chain_fn(base)
             rebuilt = texts.map(fn)
             counts = rebuilt.map(len).to_numpy(dtype=np.int64)
             flat = np.array(

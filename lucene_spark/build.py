@@ -166,6 +166,16 @@ def _invert_core(config: IndexConfig, pairs):
     batch-at-a-time: token stream -> positions -> per-doc term freqs + norm
     (norm byte = intToByte4(length), IndexingChain.java:1096-1112)."""
     chain, stopwords = config.chain, config.stopwords
+    from .analysis import LANG_CHAINS, _resolve_chain
+
+    if _resolve_chain(chain)[0] in LANG_CHAINS:
+        # language chains mark their (reference-default) stopwords with
+        # lang.STOP_HOLE so the hole filter below runs stop-BEFORE-stem
+        # order exactly: a stem equal to a stopword surface is never
+        # re-stopped (see lang.py module docstring)
+        from .lang import STOP_HOLE
+
+        stopwords = frozenset(stopwords or ()) | {STOP_HOLE}
     seg_size, with_pos = config.seg_size, config.with_positions
     syn_map = {b: list(extras) for b, extras in (config.synonyms or ())}
 

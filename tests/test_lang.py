@@ -1,0 +1,399 @@
+"""Language chains (French / German / Spanish default analyzers): light
+stemmers checked against the reference's own vocabulary files
+(analysis/common/src/test/.../{fr,de,es}/*lighttestdata.zip — the FULL
+20k/35k/28k vector sets when the reference checkout is present, an
+embedded sample always), the German normalization FSM and French elision
+against the reference's unit vectors, and the full chains end-to-end
+through index build + search."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lucene_spark import lang
+
+_REF = "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/analysis"
+
+_FR_VECTORS = [
+    ("jasant", "jasant"),
+    ("choc", "choc"),
+    ("vis", "vis"),
+    ("portant", "portant"),
+    ("enviée", "env"),
+    ("emportait", "emportait"),
+    ("tuerais", "tuerai"),
+    ("répliquer", "repliqu"),
+    ("ii", "ii"),
+    ("vieux", "vieu"),
+    ("refroidies", "refroid"),
+    ("lente", "lent"),
+    ("walbah", "walbah"),
+    ("ermitages", "ermitag"),
+    ("spirales", "spiral"),
+    ("fusils", "fusil"),
+    ("exposait", "exposait"),
+    ("xiii", "xiii"),
+    ("cherchent", "cherchent"),
+    ("accru", "acru"),
+    ("fontan", "fontan"),
+    ("pleurant", "pleurant"),
+    ("clôture", "clotur"),
+    ("chargerait", "chargerait"),
+    ("dépensait", "depensait"),
+    ("pensionnaire", "pensionair"),
+    ("élégantes", "elegant"),
+    ("vapeurs", "vapeu"),
+    ("promet", "promet"),
+    ("émoustiller", "emoustil"),
+    ("violes", "viol"),
+    ("padoue", "padou"),
+    ("pusse", "puse"),
+    ("accomplissait", "acomplisait"),
+    ("épargnerait", "epargnerait"),
+    ("emmenaient", "emenaient"),
+    ("amoureusement", "amoureus"),
+    ("enveloppait", "envelopait"),
+    ("dissipation", "disip"),
+    ("ôtez", "ôtez"),
+    ("allégation", "aleg"),
+    ("invitant", "invitant"),
+    ("épargner", "epargn"),
+    ("prina", "prina"),
+    ("hésitait", "hesitait"),
+    ("retirerais", "retirerai"),
+    ("ruine", "ruin"),
+    ("antipode", "antipod"),
+    ("touchante", "touchant"),
+    ("celles", "cele"),
+    ("épine", "epin"),
+    ("complétait", "completait"),
+    ("quarante", "quarant"),
+    ("procession", "procesion"),
+    ("entrepôts", "entrepot"),
+    ("éclairant", "eclairant"),
+    ("mitiger", "mitig"),
+    ("vermoulue", "vermoulu"),
+    ("apparences", "aparenc"),
+    ("agitèrent", "agiterent"),
+    ("marcha", "marcha"),
+    ("baume", "baum"),
+    ("benefaciendo", "benefaciendo"),
+    ("fatiguaient", "fatiguaient"),
+    ("soirs", "soir"),
+    ("justificatif", "justificatif"),
+    ("plaisantaient", "plaisantaient"),
+    ("roule", "roul"),
+    ("nombreuse", "nombreu"),
+    ("alourdie", "alourd"),
+    ("bravée", "brav"),
+    ("réputation", "reput"),
+    ("établirent", "etablirent"),
+    ("lue", "lue"),
+    ("réjouissances", "rejouisanc"),
+    ("voulant", "voulant"),
+    ("distractions", "distraction"),
+    ("agents", "agent"),
+    ("clefs", "clef"),
+    ("permît", "permit"),
+]
+
+_DE_VECTORS = [
+    ("pfarreien", "pfarrei"),
+    ("ebenbild", "ebenbild"),
+    ("unschuldiger", "unschuldig"),
+    ("hilfsregisseur", "hilfsregisseur"),
+    ("hausknechte", "hausknecht"),
+    ("winterkohlköpfe", "winterkohlkopf"),
+    ("mitgewirkt", "mitgewirkt"),
+    ("waldpfades", "waldpfad"),
+    ("räuber", "raub"),
+    ("hinten", "hint"),
+    ("lackl", "lackl"),
+    ("jeglichem", "jeglich"),
+    ("durchfuhr", "durchfuhr"),
+    ("achseln", "achseln"),
+    ("konnten", "konnt"),
+    ("unflat", "unflat"),
+    ("einfliesse", "einfliess"),
+    ("dornen", "dorn"),
+    ("gebilde", "gebild"),
+    ("türschloss", "turschloss"),
+    ("haarwild", "haarwild"),
+    ("verlöschen", "verlosch"),
+    ("härtere", "hart"),
+    ("stunde", "stund"),
+    ("verständigt", "verstandigt"),
+    ("abteilung", "abteilung"),
+    ("hinaufstreckte", "hinaufstreckt"),
+    ("harmloser", "harmlos"),
+    ("armin", "armin"),
+    ("hieraus", "hieraus"),
+    ("geschwärzt", "geschwarzt"),
+    ("straßenecke", "straßeneck"),
+    ("anspruch", "anspruch"),
+    ("ottern", "ott"),
+    ("hinaufsprang", "hinaufsprang"),
+    ("vergeht", "vergeht"),
+    ("mauslöchern", "mausloch"),
+    ("zauberstücke", "zauberstuck"),
+    ("zusammenfaßten", "zusammenfaßt"),
+    ("aufgeregter", "aufgeregt"),
+    ("denk", "denk"),
+    ("hindin", "hindin"),
+    ("eisenwerk", "eisenwerk"),
+    ("verstopft", "verstopft"),
+    ("verhängnisvollste", "verhangnisvoll"),
+    ("herzlich", "herzlich"),
+    ("goldkieswege", "goldkiesweg"),
+    ("schrillem", "schrill"),
+    ("aufragen", "aufrag"),
+    ("angelegten", "angelegt"),
+    ("sangesbrüder", "sangesbrud"),
+    ("besassen", "besass"),
+    ("beschwörung", "beschworung"),
+    ("karton", "karton"),
+    ("präsidentin", "prasidentin"),
+    ("unbeschnittene", "unbeschnitt"),
+    ("zurückgetreten", "zuruckgetret"),
+    ("sommertag", "sommertag"),
+    ("anvertrauten", "anvertraut"),
+    ("blickes", "blick"),
+    ("wohlgeratener", "wohlgerat"),
+    ("hofrat", "hofrat"),
+    ("riesenmässiger", "riesenmassig"),
+    ("wegvernünfteln", "wegvernunfteln"),
+    ("gesetzgebend", "gesetzgebend"),
+    ("angefangenen", "angefang"),
+    ("eindeutig", "eindeutig"),
+    ("übernommen", "ubernomm"),
+    ("fensterscheiben", "fensterscheib"),
+    ("lasst", "lasst"),
+    ("hinunterzerrte", "hinunterzerrt"),
+    ("zukunft", "zukunft"),
+    ("schwuren", "schwur"),
+    ("denkweise", "denkweis"),
+    ("mischte", "mischt"),
+    ("unerhörte", "unerhort"),
+    ("kräftigen", "kraftig"),
+    ("gütigst", "gutig"),
+    ("verschwundene", "verschwund"),
+    ("weibsbild", "weibsbild"),
+]
+
+_ES_VECTORS = [
+    ("espectador", "espectador"),
+    ("besando", "besand"),
+    ("peloteros", "peloter"),
+    ("influyente", "influyent"),
+    ("cuidados", "cuidad"),
+    ("corroboraban", "corroboraban"),
+    ("palillo", "palill"),
+    ("lugar", "lugar"),
+    ("proselitismo", "proselitism"),
+    ("embajadas", "embajad"),
+    ("prolongada", "prolongad"),
+    ("pedidores", "pedidor"),
+    ("sumamente", "sumament"),
+    ("letreros", "letrer"),
+    ("very", "very"),
+    ("resistidas", "resistid"),
+    ("sobrevuelan", "sobrevuelan"),
+    ("eventuales", "eventual"),
+    ("pernada", "pernad"),
+    ("subdesarrollados", "subdesarrollad"),
+    ("dañino", "dañin"),
+    ("necesitaba", "necesitab"),
+    ("dillo", "dill"),
+    ("derechazo", "derechaz"),
+    ("persona", "person"),
+    ("benchmarks", "benchmarks"),
+    ("accionistas", "accionist"),
+    ("regresas", "regres"),
+    ("destaparon", "destaparon"),
+    ("indicaba", "indicab"),
+    ("bolsas", "bols"),
+    ("rentabilidad", "rentabilidad"),
+    ("básica", "basic"),
+    ("tocco", "tocc"),
+    ("colabora", "colabor"),
+    ("im", "im"),
+    ("sensación", "sensacion"),
+    ("convencidas", "convencid"),
+    ("reparando", "reparand"),
+    ("parientes", "parient"),
+    ("invertidas", "invertid"),
+    ("precandidato", "precandidat"),
+    ("coronada", "coronad"),
+    ("peligros", "peligr"),
+    ("harás", "har"),
+    ("jalisciense", "jalisciens"),
+    ("prusianos", "prusian"),
+    ("académicos", "academic"),
+    ("cumplía", "cumpli"),
+    ("producirían", "producirian"),
+    ("coreografías", "coreografi"),
+    ("agotado", "agotad"),
+    ("cuestion", "cuestion"),
+    ("condado", "condad"),
+    ("habría", "habri"),
+    ("thurman", "thurman"),
+    ("aeronave", "aeronav"),
+    ("escribió", "escribi"),
+    ("cumplen", "cumplen"),
+    ("interlocutora", "interlocutor"),
+    ("efectuaron", "efectuaron"),
+    ("mantenga", "manteng"),
+    ("resultara", "resultar"),
+    ("mejorada", "mejorad"),
+    ("airadamente", "airadament"),
+    ("operation", "operation"),
+    ("pico", "pico"),
+    ("bajando", "bajand"),
+    ("purón", "puron"),
+    ("sacar", "sacar"),
+    ("socióloga", "sociolog"),
+    ("cúpulas", "cupul"),
+    ("burlando", "burland"),
+    ("jason", "jason"),
+    ("visualice", "visualic"),
+    ("valoraba", "valorab"),
+    ("interrelacionarse", "interrelacionars"),
+    ("usaron", "usaron"),
+    ("cubre", "cubr"),
+    ("reducir", "reducir"),
+]
+
+@pytest.mark.parametrize(
+    "fn,vectors",
+    [
+        (lang.french_light_stem, _FR_VECTORS),
+        (lang.german_light_stem, _DE_VECTORS),
+        (lang.spanish_light_stem, _ES_VECTORS),
+    ],
+    ids=["fr", "de", "es"],
+)
+def test_stemmer_embedded_vectors(fn, vectors):
+    for w, want in vectors:
+        assert fn(w) == want, w
+
+
+@pytest.mark.parametrize(
+    "zip_rel,inner,fn",
+    [
+        ("fr/frlighttestdata.zip", "frlight.txt", lang.french_light_stem),
+        ("de/delighttestdata.zip", "delight.txt", lang.german_light_stem),
+        ("es/eslighttestdata.zip", "eslight.txt", lang.spanish_light_stem),
+    ],
+    ids=["fr", "de", "es"],
+)
+def test_stemmer_full_reference_vocabulary(zip_rel, inner, fn):
+    """Every (word, stem) pair in the reference's VocabularyAssert data."""
+    import io
+    import zipfile
+
+    path = os.path.join(_REF, zip_rel)
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not present")
+    with zipfile.ZipFile(path) as zf:
+        data = io.TextIOWrapper(zf.open(inner), encoding="utf-8")
+        bad = []
+        for line in data:
+            line = line.rstrip("\n")
+            if "\t" not in line:
+                continue
+            w, want = line.split("\t")[:2]
+            if fn(w) != want:
+                bad.append((w, want, fn(w)))
+        assert not bad, bad[:10]
+
+
+def test_german_normalization_reference_vectors():
+    # TestGermanNormalizationFilter (lowercased: our chain normalizes
+    # after LowerCaseFilter)
+    assert lang.german_normalize("schaltflächen") == "schaltflachen"
+    assert lang.german_normalize("schaltflaechen") == "schaltflachen"
+    assert lang.german_normalize("dauer") == "dauer"  # ue after vowel kept
+    assert lang.german_normalize("weißbier") == "weissbier"
+    assert lang.german_normalize("quelle") == "quelle"  # u after q guarded
+
+
+def test_french_elision():
+    assert lang.elide("l'avion") == "avion"
+    assert lang.elide("L'avion") == "avion"  # article match is case-insensitive
+    assert lang.elide("qu’il") == "il"  # U+2019 apostrophe
+    assert lang.elide("aujourd'hui") == "aujourd'hui"  # not an article
+    assert lang.elide("avion") == "avion"
+
+
+def test_french_analyzer_reference_vectors():
+    """TestFrenchAnalyzer.testAnalyzer, token for token (STOP_HOLE rows
+    are the reference's removed stopwords)."""
+    def run(text):
+        return [t for t in lang.french_analyze(text) if t != lang.STOP_HOLE]
+
+    assert run("") == []
+    assert run("chien chat cheval") == ["chien", "chat", "cheval"]
+    assert run("chien CHAT CHEVAL") == ["chien", "chat", "cheval"]
+    assert run("  chien  ,? + = -  CHAT /: > CHEVAL") == [
+        "chien", "chat", "cheval"]
+    assert run("chien++") == ["chien"]
+    assert run('mot "entreguillemet"') == ["mot", "entreguilemet"]
+    assert run("Jean-François") == ["jean", "francoi"]
+    assert run("le la chien les aux chat du des à cheval") == [
+        "chien", "chat", "cheval"]
+    assert run("lances chismes habitable chiste éléments captifs") == [
+        "lanc", "chism", "habitabl", "chist", "element", "captif"]
+    assert run("finissions souffrirent rugissante") == [
+        "finision", "soufrirent", "rugisant"]
+    assert run("C3PO aujourd'hui oeuf ïâöûàä anticonstitutionnellement Java++ ") == [
+        "c3po", "aujourd'hui", "oeuf", "ïaöuaä", "anticonstitutionel", "java"]
+    assert run("33Bis 1940-1945 1940:1945 (---i+++)*") == [
+        "33bi", "1940", "1945", "1940", "1945", "i"]
+
+
+def test_stop_holes_advance_positions():
+    """'le chien du chat': stopwords le/du leave position holes, like the
+    reference's StopFilter posIncr handling."""
+    toks = lang.french_analyze("le chien du chat")
+    assert toks == [lang.STOP_HOLE, "chien", lang.STOP_HOLE, "chat"]
+
+
+def test_spanish_german_chain_tokens():
+    assert [t for t in lang.spanish_analyze("los niños pequeños") if t != lang.STOP_HOLE] == ["niñ", "pequeñ"]
+    assert [t for t in lang.german_analyze("die Häuser der Städte") if t != lang.STOP_HOLE] == ["haus", "stadt"]
+
+
+def test_french_index_end_to_end(spark):
+    """chain='french' through build_index + Searcher: stemmed term match,
+    stopword holes visible to phrase queries, stopword terms absent."""
+    from lucene_spark.build import IndexConfig, build_index
+    from lucene_spark.query import PhraseQuery, TermQuery
+    from lucene_spark.search import Searcher
+
+    df = spark.createDataFrame(
+        [
+            (0, "Les chevaux du roi"),          # chevaux -> cheval
+            (1, "le cheval blanc"),
+            (2, "la chatte et les chats"),
+            (3, "l'avion des enfants arrive"),  # elision: l'avion -> avion
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(
+        df, IndexConfig(chain="french", seg_size=8), content_col="text",
+        doc_id_col="doc_id", auto_seg_size=False, eager=True,
+    )
+    s = Searcher(idx, dtype=np.float32)
+    got = sorted(r["doc_id"] for r in s.matches(TermQuery(term="cheval")).collect())
+    assert got == [0, 1]
+    assert [r["doc_id"] for r in s.matches(TermQuery(term="avion")).collect()] == [3]
+    # stopwords are not indexed
+    assert s.matches(TermQuery(term="les")).collect() == []
+    assert s.matches(TermQuery(term="le")).collect() == []
+    # position holes: doc0 tokens are [_, cheval@1, _, roi@3] — exact
+    # phrase "cheval roi" must NOT match, slop 1 must
+    assert s.matches(PhraseQuery(terms=("cheval", "roi"))).collect() == []
+    got = [r["doc_id"] for r in s.matches(PhraseQuery(terms=("cheval", "roi"), slop=1)).collect()]
+    assert got == [0]
+    idx.unpersist()
