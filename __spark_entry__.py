@@ -423,6 +423,100 @@ def _payload_entry(
     ).orderBy("doc_id")
 
 
+# Language-chain fixtures: a deterministic synthetic corpus per language,
+# built arithmetically from doc_id so the SQL twin reproduces it exactly
+# (the construction is shared; the CHAIN + BM25 are independently derived:
+# the oracle's per-word chain outputs come from the REFERENCE'S OWN data —
+# elision from FrenchAnalyzer.DEFAULT_ARTICLES, stopwords from the
+# snowball stop lists, stems from the {fr,de,es}light.txt VocabularyAssert
+# files (composed with the normalization FSM's unit vectors for straße /
+# flüsse) — never from lucene_spark.lang).
+# Each doc: n = doc_id % 9 + 3 words, word i = W[(doc_id*7 + i*3) % 16].
+_LANG_CHAIN_MAP = {
+    # (surface word, chain output) — None = stopword (position hole)
+    "french": [
+        ("les", None), ("chevaux", "cheval"), ("l'église", "eglis"),
+        ("éléments", "element"), ("du", None), ("chats", "chat"),
+        ("journaux", "journal"), ("généreuse", "genereu"),
+        ("nationale", "national"), ("président", "president"),
+        ("chanté", "chant"), ("constitution", "constitution"),
+        ("maisons", "maison"), ("qu'elle", None), ("animaux", "animal"),
+        ("lumière", "lumier"),
+    ],
+    "german": [
+        ("die", None), ("kinder", "kind"), ("regierung", "regierung"),
+        ("wasser", "wass"), ("himmel", "himmel"), ("garten", "gart"),
+        ("blumen", "blum"), ("stimmen", "stimm"), ("straße", "strass"),
+        ("flüsse", "fluss"), ("der", None), ("nacht", "nacht"),
+        ("licht", "licht"), ("wald", "wald"), ("vogel", "vogel"),
+        ("markt", "markt"),
+    ],
+    "spanish": [
+        ("los", None), ("niños", "niñ"), ("ciudades", "ciudad"),
+        ("casas", "cas"), ("libros", "libr"), ("veces", "vez"),
+        ("actrices", "actriz"), ("naciones", "nacion"),
+        ("españoles", "español"), ("rápidamente", "rapidament"),
+        ("aguas", "agu"), ("luces", "luz"), ("de", None),
+        ("pequeños", "pequeñ"), ("flores", "flor"), ("grandes", "grand"),
+    ],
+}
+
+
+def _lang_corpus(sp: SparkSession, d: str, lang_name: str) -> DataFrame:
+    words = [w for w, _ in _LANG_CHAIN_MAP[lang_name]]
+    n_w = len(words)
+    arr = F.array(*[F.lit(w) for w in words])
+    n = (F.col("doc_id") % 9 + 3).cast("int")
+    toks = F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.element_at(
+            arr, ((F.col("doc_id") * 7 + i * 3) % n_w + 1).cast("int")
+        ),
+    )
+    return _docs(sp, d).select(
+        "doc_id", F.array_join(toks, " ").alias("text")
+    )
+
+
+def _lang_searcher(sp: SparkSession, d: str, lang_name: str) -> Searcher:
+    key = f"{d}::lang::{lang_name}"
+    if key not in _CACHE:
+        idx = build_index(
+            _lang_corpus(sp, d, lang_name),
+            IndexConfig(chain=lang_name, seg_size=1 << 12),
+            content_col="text", doc_id_col="doc_id", eager=True,
+        )
+        _CACHE[key] = Searcher(idx, dtype=np.float32)
+    return _CACHE[key]
+
+
+def _lang_term_sql(lang_name: str, term: str, k: int = 10) -> str:
+    """BM25 top-k twin over the language fixture: the corpus construction
+    mirrors _lang_corpus arithmetically; tokens map through the
+    reference-data chain table (stem or NULL-stop per surface word), then
+    the standard float64 BM25 tail."""
+    pairs = _LANG_CHAIN_MAP[lang_name]
+    n_w = len(pairs)
+    vals = ", ".join(
+        "({}, {})".format(
+            i, "NULL" if out is None else "'" + out.replace("'", "''") + "'"
+        )
+        for i, (_w, out) in enumerate(pairs)
+    )
+    prelude = f"""
+WITH w(i, term) AS (VALUES {vals}),
+gen AS (
+  SELECT doc_id, unnest(range((doc_id % 9) + 3)) AS pos FROM documents
+),
+tok AS (
+  SELECT g.doc_id, w.term
+  FROM gen g JOIN w ON w.i = (g.doc_id * 7 + g.pos * 3) % {n_w}
+  WHERE w.term IS NOT NULL
+),
+{_BM25_TAIL}"""
+    return prelude + _scored_cte([term]) + _rank_tail("score", "FROM sc", k)
+
+
 def _cls_nb(sp: SparkSession, d: str) -> DataFrame:
     from lucene_spark.classification import SimpleNaiveBayesClassifier
 
@@ -503,25 +597,17 @@ _BPERE = ftext.BPE_RE.replace("'", "''")
 # shared CTE prefix: tokens, tf, doc length, SmallFloat norm byte + decoded
 # quantized length, collection stats (doc_count = all rows, matching the
 # engine), per-term docFreq
-_PRELUDE = f"""
-WITH tokarr AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKRE}') AS toks FROM documents
-),
-tok AS (
-  SELECT doc_id, unnest(toks) AS term FROM tokarr
-),
-tokp AS (
-  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
-  FROM tokarr
-),
+# BM25 stats tail shared by every corpus prelude: consumes a `tok`
+# (doc_id, term) CTE, produces tf/dl/nrm(SmallFloat)/dlq/stats/dfreq
+_BM25_TAIL = """
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY 1),
 nrm AS (
   SELECT doc_id, len,
     CASE WHEN len < 24 THEN len
          WHEN (len - 24) < 8 THEN len
-         ELSE 24 + ((((len - 24) >> (length(format('{{:b}}', len - 24)) - 4)) & 7)
-                    | ((length(format('{{:b}}', len - 24)) - 3) << 3))
+         ELSE 24 + ((((len - 24) >> (length(format('{:b}', len - 24)) - 4)) & 7)
+                    | ((length(format('{:b}', len - 24)) - 3) << 3))
     END AS nb
   FROM dl
 ),
@@ -539,6 +625,19 @@ stats AS (
 ),
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
 """
+
+_PRELUDE = f"""
+WITH tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKRE}') AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM tokarr
+),
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM tokarr
+),
+{_BM25_TAIL}"""
 
 # BM25 building blocks (float64, same op order as the engine's f64 mode)
 _IDF = "ln(1 + (s.n - {df} + 0.5) / ({df} + 0.5))"
@@ -2001,6 +2100,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # phrase accepts the injected synonym at the base position
             _syn_searcher(sp, d), PhraseQuery(terms=("quick", "table")), 10
         ),
+        # ---- language analysis chains (fr/de/es default analyzers) ----
+        "q_term_fr": lambda sp, d: _topk_df(
+            # French chain end-to-end: elision + stop holes + light stem
+            # ('chevaux'/'cheval' surfaces both index as 'cheval')
+            _lang_searcher(sp, d, "french"), TermQuery(term="cheval"), 10
+        ),
+        "q_term_de": lambda sp, d: _topk_df(
+            # German chain: normalization FSM (straße/flüsse) + light stem
+            _lang_searcher(sp, d, "german"), TermQuery(term="stimm"), 10
+        ),
+        "q_term_es": lambda sp, d: _topk_df(
+            _lang_searcher(sp, d, "spanish"), TermQuery(term="niñ"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3254,6 +3366,9 @@ FROM documents d WHERE EXISTS (
   SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tf.term = 'vector')
 ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
 """,
+        "q_term_fr": _lang_term_sql("french", "cheval"),
+        "q_term_de": _lang_term_sql("german", "stimm"),
+        "q_term_es": _lang_term_sql("spanish", "niñ"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -188,7 +188,12 @@ def _invert_core(config: IndexConfig, pairs):
             starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
             pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
             if stopwords:
-                keep = ~np.isin(flat, list(stopwords))
+                # per-DISTINCT-token membership (factorize dedup): object-safe
+                # (np.isin corrupts NUL-padded unicode, e.g. lang.STOP_HOLE)
+                # and O(vocab) instead of isin's sort over every token
+                codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+                bad = np.fromiter((u in stopwords for u in uniq), bool, len(uniq))
+                keep = ~bad[codes]
                 flat, row_idx, pos = flat[keep], row_idx[keep], pos[keep]
                 # per-row effective lengths shrink; holes keep advancing pos
                 counts = np.bincount(row_idx, minlength=len(batch_docs)).astype(np.int64)

@@ -9,6 +9,7 @@ through index build + search."""
 import os
 
 import numpy as np
+from pyspark.sql import functions as F
 import pytest
 
 from lucene_spark import lang
@@ -388,9 +389,14 @@ def test_french_index_end_to_end(spark):
     got = sorted(r["doc_id"] for r in s.matches(TermQuery(term="cheval")).collect())
     assert got == [0, 1]
     assert [r["doc_id"] for r in s.matches(TermQuery(term="avion")).collect()] == [3]
-    # stopwords are not indexed
+    # stopwords are not indexed — neither their surface nor the marker —
+    # and field LENGTH counts only emitted tokens (FieldInvertState)
     assert s.matches(TermQuery(term="les")).collect() == []
     assert s.matches(TermQuery(term="le")).collect() == []
+    assert idx.terms.filter(F.col("term") == lang.STOP_HOLE).collect() == []
+    lens = {r["doc_id"]: r["length"] for r in idx.docs.collect()}
+    assert lens[0] == 2  # les~ chevaux du~ roi -> cheval, roi
+    assert lens[3] == 3  # l'avion des~ enfants arrive
     # position holes: doc0 tokens are [_, cheval@1, _, roi@3] — exact
     # phrase "cheval roi" must NOT match, slop 1 must
     assert s.matches(PhraseQuery(terms=("cheval", "roi"))).collect() == []
