@@ -712,9 +712,29 @@ def build_index(
         .drop("_tf_norm", "_tf_dlen")
     )
 
-    sttf = int(
-        tf.agg(F.sum("freq").alias("sttf")).collect()[0]["sttf"] or 0
-    )
+    if eager:
+        # terms <- persisted postings and docs <- persisted tf are
+        # INDEPENDENT lineages: materialize them concurrently (two driver
+        # threads; local-mode task slots interleave both jobs), then derive
+        # sttf from the small persisted terms table instead of a second
+        # full pass over tf — both trims to the build's serial fraction
+        from concurrent.futures import ThreadPoolExecutor
+
+        terms = terms.persist(StorageLevel.MEMORY_AND_DISK)
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            ft, fd = ex.submit(terms.count), ex.submit(docs.count)
+            ft.result(), fd.result()
+        sttf = int(
+            terms.agg(F.sum("total_term_freq").alias("sttf")).collect()[0][
+                "sttf"
+            ]
+            or 0
+        )
+    else:
+        sttf = int(
+            tf.agg(F.sum("freq").alias("sttf")).collect()[0]["sttf"] or 0
+        )
     stats = CollectionStats(doc_count=int(n), sum_total_term_freq=sttf)
     if parted is not None:
         tf._doc_id_parted = parted  # released via Index.unpersist / eager below
@@ -724,8 +744,6 @@ def build_index(
         index_sort=tuple(order_cols) if order_cols else None,
     )
     if eager:
-        idx.terms.persist(StorageLevel.MEMORY_AND_DISK).count()
-        idx.docs.persist(StorageLevel.MEMORY_AND_DISK).count()
         tf.unpersist()
         if parted is not None:
             parted.unpersist()
