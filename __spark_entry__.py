@@ -459,6 +459,22 @@ _LANG_CHAIN_MAP = {
         ("aguas", "agu"), ("luces", "luz"), ("de", None),
         ("pequeños", "pequeñ"), ("flores", "flor"), ("grandes", "grand"),
     ],
+    "italian": [
+        ("il", None), ("montagne", "montagn"), ("dell'acqua", "acqua"),
+        ("ragazzi", "ragazz"), ("alberi", "alber"), ("strade", "strad"),
+        ("canzoni", "canzon"), ("stelle", "stell"), ("giorni", "giorn"),
+        ("città", "città"), ("delle", None), ("notte", "notte"),
+        ("case", "case"), ("luce", "luce"), ("vento", "vento"),
+        ("tempo", "tempo"),
+    ],
+    "portuguese": [
+        ("as", None), ("cidades", "cidad"), ("livros", "livr"),
+        ("casas", "casa"), ("meninos", "menin"), ("flores", "flor"),
+        ("noites", "noit"), ("árvores", "arvor"), ("ruas", "rua"),
+        ("canções", "canca"), ("amigos", "amig"), ("estrelas", "estrel"),
+        ("luzes", "luz"), ("dias", "dia"), ("mulheres", "mulher"),
+        ("os", None),
+    ],
 }
 
 
@@ -2113,6 +2129,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_es": lambda sp, d: _topk_df(
             _lang_searcher(sp, d, "spanish"), TermQuery(term="niñ"), 10
         ),
+        "q_term_it": lambda sp, d: _topk_df(
+            # Italian chain: its own elision article set (dell'acqua)
+            _lang_searcher(sp, d, "italian"), TermQuery(term="acqua"), 10
+        ),
+        "q_term_pt": lambda sp, d: _topk_df(
+            # Portuguese chain: plural/feminine suffix rules (canções)
+            _lang_searcher(sp, d, "portuguese"), TermQuery(term="canca"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3369,6 +3393,8 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_fr": _lang_term_sql("french", "cheval"),
         "q_term_de": _lang_term_sql("german", "stimm"),
         "q_term_es": _lang_term_sql("spanish", "niñ"),
+        "q_term_it": _lang_term_sql("italian", "acqua"),
+        "q_term_pt": _lang_term_sql("portuguese", "canca"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -100,7 +100,7 @@ def fold_ascii(text: str) -> str:
 
 #: language chains (lang.py): per-token pure chains over the Latin-1
 #: tokenizer; stopped tokens surface as lang.STOP_HOLE (see lang.py)
-LANG_CHAINS = ("french", "german", "spanish")
+LANG_CHAINS = ("french", "german", "spanish", "italian", "portuguese")
 
 
 def _resolve_chain(chain: str) -> Tuple[str, bool]:
@@ -118,6 +118,8 @@ def _chain_fn(base: str):
             "french": lang.french_analyze,
             "german": lang.german_analyze,
             "spanish": lang.spanish_analyze,
+            "italian": lang.italian_analyze,
+            "portuguese": lang.portuguese_analyze,
         }[base]
     return {
         "standard": standard_analyze,
@@ -256,6 +258,8 @@ def flat_tokenize(
             "french": lang.french_token,
             "german": lang.german_token,
             "spanish": lang.spanish_token,
+            "italian": lang.italian_token,
+            "portuguese": lang.portuguese_token,
         }[base]
         codes, uniq = pd.factorize(pd.Series(flat), sort=False)
         mapped = np.array([tok_fn(t) for t in uniq], dtype=object)

@@ -164,14 +164,14 @@ SPANISH_STOP = frozenset((
 # ---------------------------------------------------------------------------
 
 
-def elide(token: str) -> str:
+def elide(token: str, articles: frozenset = FRENCH_ARTICLES) -> str:
     """ElisionFilter (analysis/util/ElisionFilter.java:49-66): strip the
-    prefix before the FIRST apostrophe (U+0027 or U+2019) when it is a
-    French article — case-insensitively, like the analyzer's
+    prefix before the FIRST apostrophe (U+0027 or U+2019) when it is in
+    the language's article set — case-insensitively, like the analyzers'
     CharArraySet(..., true)."""
     for i, ch in enumerate(token):
         if ch == "'" or ch == "’":
-            if token[:i].lower() in FRENCH_ARTICLES:
+            if token[:i].lower() in articles:
                 return token[i + 1:]
             return token
     return token
@@ -444,3 +444,195 @@ def german_analyze(text: str) -> List[str]:
 
 def spanish_analyze(text: str) -> List[str]:
     return [spanish_token(t) for t in _lang_tokenize(text)]
+
+
+#: ItalianAnalyzer.DEFAULT_ARTICLES (analysis/it/ItalianAnalyzer.java:49-55)
+ITALIAN_ARTICLES = frozenset(
+    ("c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+     "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+     "v", "d")
+)
+
+#: snowball italian_stop.txt (reference resource data, embedded for parity)
+ITALIAN_STOP = frozenset((
+    "a", "abbia", "abbiamo", "abbiano", "abbiate", "ad", "agl", "agli", "ai",
+    "al", "all", "alla", "alle", "allo", "anche", "avemmo", "avendo",
+    "avesse", "avessero", "avessi", "avessimo", "aveste", "avesti", "avete",
+    "aveva", "avevamo", "avevano", "avevate", "avevi", "avevo", "avrai",
+    "avranno", "avrebbe", "avrebbero", "avrei", "avremmo", "avremo",
+    "avreste", "avresti", "avrete", "avrà", "avrò", "avuta", "avute",
+    "avuti", "avuto", "c", "che", "chi", "ci", "coi", "col", "come", "con",
+    "contro", "cui", "da", "dagl", "dagli", "dai", "dal", "dall", "dalla",
+    "dalle", "dallo", "degl", "degli", "dei", "del", "dell", "della",
+    "delle", "dello", "di", "dov", "dove", "e", "ebbe", "ebbero", "ebbi",
+    "ed", "era", "erano", "eravamo", "eravate", "eri", "ero", "essendo",
+    "faccia", "facciamo", "facciano", "facciate", "faccio", "facemmo",
+    "facendo", "facesse", "facessero", "facessi", "facessimo", "faceste",
+    "facesti", "faceva", "facevamo", "facevano", "facevate", "facevi",
+    "facevo", "fai", "fanno", "farai", "faranno", "farebbe", "farebbero",
+    "farei", "faremmo", "faremo", "fareste", "faresti", "farete", "farà",
+    "farò", "fece", "fecero", "feci", "fosse", "fossero", "fossi", "fossimo",
+    "foste", "fosti", "fu", "fui", "fummo", "furono", "gli", "ha", "hai",
+    "hanno", "ho", "i", "il", "in", "io", "l", "la", "le", "lei", "li", "lo",
+    "loro", "lui", "ma", "mi", "mia", "mie", "miei", "mio", "ne", "negl",
+    "negli", "nei", "nel", "nell", "nella", "nelle", "nello", "noi", "non",
+    "nostra", "nostre", "nostri", "nostro", "o", "per", "perché", "più",
+    "quale", "quanta", "quante", "quanti", "quanto", "quella", "quelle",
+    "quelli", "quello", "questa", "queste", "questi", "questo", "sarai",
+    "saranno", "sarebbe", "sarebbero", "sarei", "saremmo", "saremo",
+    "sareste", "saresti", "sarete", "sarà", "sarò", "se", "sei", "si", "sia",
+    "siamo", "siano", "siate", "siete", "sono", "sta", "stai", "stando",
+    "stanno", "starai", "staranno", "starebbe", "starebbero", "starei",
+    "staremmo", "staremo", "stareste", "staresti", "starete", "starà",
+    "starò", "stava", "stavamo", "stavano", "stavate", "stavi", "stavo",
+    "stemmo", "stesse", "stessero", "stessi", "stessimo", "steste", "stesti",
+    "stette", "stettero", "stetti", "stia", "stiamo", "stiano", "stiate",
+    "sto", "su", "sua", "sue", "sugl", "sugli", "sui", "sul", "sull",
+    "sulla", "sulle", "sullo", "suo", "suoi", "ti", "tra", "tu", "tua",
+    "tue", "tuo", "tuoi", "tutti", "tutto", "un", "una", "uno", "vi", "voi",
+    "vostra", "vostre", "vostri", "vostro", "è",
+))
+
+#: snowball portuguese_stop.txt
+PORTUGUESE_STOP = frozenset((
+    "a", "ao", "aos", "aquela", "aquelas", "aquele", "aqueles", "aquilo",
+    "as", "até", "com", "como", "da", "das", "de", "dela", "delas", "dele",
+    "deles", "depois", "do", "dos", "e", "ela", "elas", "ele", "eles", "em",
+    "entre", "era", "eram", "essa", "essas", "esse", "esses", "esta",
+    "estamos", "estas", "estava", "estavam", "este", "esteja", "estejam",
+    "estejamos", "estes", "esteve", "estive", "estivemos", "estiver",
+    "estivera", "estiveram", "estiverem", "estivermos", "estivesse",
+    "estivessem", "estivéramos", "estivéssemos", "estou", "está",
+    "estávamos", "estão", "eu", "foi", "fomos", "for", "fora", "foram",
+    "forem", "formos", "fosse", "fossem", "fui", "fôramos", "fôssemos",
+    "haja", "hajam", "hajamos", "havemos", "hei", "houve", "houvemos",
+    "houver", "houvera", "houveram", "houverei", "houverem", "houveremos",
+    "houveria", "houveriam", "houvermos", "houverá", "houverão",
+    "houveríamos", "houvesse", "houvessem", "houvéramos", "houvéssemos",
+    "há", "hão", "isso", "isto", "já", "lhe", "lhes", "mais", "mas", "me",
+    "mesmo", "meu", "meus", "minha", "minhas", "muito", "na", "nas", "nem",
+    "no", "nos", "nossa", "nossas", "nosso", "nossos", "num", "numa", "não",
+    "nós", "o", "os", "ou", "para", "pela", "pelas", "pelo", "pelos", "por",
+    "qual", "quando", "que", "quem", "se", "seja", "sejam", "sejamos", "sem",
+    "serei", "seremos", "seria", "seriam", "será", "serão", "seríamos",
+    "seu", "seus", "somos", "sou", "sua", "suas", "são", "só", "também",
+    "te", "tem", "temos", "tenha", "tenham", "tenhamos", "tenho", "terei",
+    "teremos", "teria", "teriam", "terá", "terão", "teríamos", "teu", "teus",
+    "teve", "tinha", "tinham", "tive", "tivemos", "tiver", "tivera",
+    "tiveram", "tiverem", "tivermos", "tivesse", "tivessem", "tivéramos",
+    "tivéssemos", "tu", "tua", "tuas", "tém", "tínhamos", "um", "uma",
+    "você", "vocês", "vos", "à", "às", "éramos",
+))
+
+
+def italian_light_stem(w: str) -> str:
+    """ItalianLightStemmer (analysis/it/ItalianLightStemmer.java:61-115 —
+    Savoy, CLEF-2001): accent fold then the final-vowel rules; tested
+    against the reference's itlight.txt vocabulary."""
+    if len(w) < 6:
+        return w
+    w = w.translate(_ES_FOLD)  # identical accent map to the Spanish rules
+    last = w[-1]
+    if last == "e":
+        return w[:-2] if w[-2] in "ih" else w[:-1]
+    if last == "i":
+        return w[:-2] if w[-2] in "hi" else w[:-1]
+    if last == "a":
+        return w[:-2] if w[-2] == "i" else w[:-1]
+    if last == "o":
+        return w[:-2] if w[-2] == "i" else w[:-1]
+    return w
+
+
+_PT_FOLD = str.maketrans(
+    "àáâäã" "òóôöõ" "èéêë" "ùúûü" "ìíîï" "ç",
+    "aaaaa" "ooooo" "eeee" "uuuu" "iiii" "c",
+)
+
+
+def _pt_remove_suffix(w: str) -> str:
+    """PortugueseLightStemmer.removeSuffix
+    (analysis/pt/PortugueseLightStemmer.java:121-169)."""
+    if len(w) > 4 and w.endswith("es") and w[-3] in "rslz":
+        return w[:-2]
+    if len(w) > 3 and w.endswith("ns"):
+        return w[:-2] + "m"
+    if len(w) > 4 and (w.endswith("eis") or w.endswith("éis")):
+        return w[:-3] + "el"
+    if len(w) > 4 and w.endswith("ais"):
+        return w[:-2] + "l"
+    if len(w) > 4 and w.endswith("óis"):
+        return w[:-3] + "ol"
+    if len(w) > 4 and w.endswith("is"):
+        return w[:-1] + "l"
+    if len(w) > 3 and (w.endswith("ões") or w.endswith("ães")):
+        return w[:-3] + "ão"
+    if len(w) > 6 and w.endswith("mente"):
+        return w[:-5]
+    if len(w) > 3 and w[-1] == "s":
+        return w[:-1]
+    return w
+
+
+def _pt_norm_feminine(w: str) -> str:
+    """PortugueseLightStemmer.normFeminine (:172-199)."""
+    if len(w) > 7 and (
+        w.endswith("inha") or w.endswith("iaca") or w.endswith("eira")
+    ):
+        return w[:-1] + "o"
+    if len(w) > 6:
+        if w.endswith(("osa", "ica", "ida", "ada", "iva", "ama")):
+            return w[:-1] + "o"
+        if w.endswith("ona"):
+            return w[:-3] + "ão"
+        if w.endswith("ora"):
+            return w[:-1]
+        if w.endswith("esa"):
+            return w[:-3] + "ês"
+        if w.endswith("na"):
+            return w[:-1] + "o"
+    return w
+
+
+def portuguese_light_stem(w: str) -> str:
+    """PortugueseLightStemmer (analysis/pt/PortugueseLightStemmer.java:
+    62-118 — UniNE/Savoy): plural/adverb suffix removal, feminine
+    normalization, final-vowel strip, then the accent fold (which runs
+    LAST in this stemmer, unlike the others); tested against the
+    reference's ptlight.txt vocabulary."""
+    if len(w) < 4:
+        return w
+    w = _pt_remove_suffix(w)
+    if len(w) > 3 and w[-1] == "a":
+        w = _pt_norm_feminine(w)
+    if len(w) > 4 and w[-1] in "eao":
+        w = w[:-1]
+    return w.translate(_PT_FOLD)
+
+
+def italian_token(tok: str) -> str:
+    """Per-token Italian chain (ItalianAnalyzer.createComponents,
+    analysis/it/ItalianAnalyzer.java:123-130): elision (Italian article
+    set) -> lowercase -> stop -> light stem."""
+    t = elide(tok, ITALIAN_ARTICLES).lower()
+    if t in ITALIAN_STOP:
+        return STOP_HOLE
+    return italian_light_stem(t)
+
+
+def portuguese_token(tok: str) -> str:
+    """Per-token Portuguese chain (PortugueseAnalyzer.createComponents,
+    analysis/pt/PortugueseAnalyzer.java:113-120): lowercase -> stop ->
+    light stem."""
+    t = tok.lower()
+    if t in PORTUGUESE_STOP:
+        return STOP_HOLE
+    return portuguese_light_stem(t)
+
+
+def italian_analyze(text: str) -> List[str]:
+    return [italian_token(t) for t in _lang_tokenize(text)]
+
+
+def portuguese_analyze(text: str) -> List[str]:
+    return [portuguese_token(t) for t in _lang_tokenize(text)]

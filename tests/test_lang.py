@@ -265,14 +265,143 @@ _ES_VECTORS = [
     ("reducir", "reducir"),
 ]
 
+_IT_VECTORS = [
+    ("partendo", "partend"),
+    ("commestibili", "commestibil"),
+    ("separatisti", "separatist"),
+    ("immediato", "immediat"),
+    ("gloriosa", "glorios"),
+    ("traguardi", "traguard"),
+    ("motoscafi", "motoscaf"),
+    ("taceva", "tacev"),
+    ("piantatosi", "piantatos"),
+    ("inaccettabile", "inaccettabil"),
+    ("los", "los"),
+    ("intenta", "intent"),
+    ("comandamenti", "comandament"),
+    ("accusavano", "accusavan"),
+    ("lasciassero", "lasciasser"),
+    ("secondario", "secondar"),
+    ("concetti", "concett"),
+    ("clericofascisti", "clericofascist"),
+    ("edit", "edit"),
+    ("sbadatamente", "sbadatament"),
+    ("generosa", "generos"),
+    ("sotterrare", "sotterrar"),
+    ("giove", "giove"),
+    ("risolvon", "risolvon"),
+    ("spiegò", "spieg"),
+    ("acconsente", "acconsent"),
+    ("impennata", "impennat"),
+    ("giornalisticò", "giornalistic"),
+    ("anderemo", "anderem"),
+    ("imm", "imm"),
+    ("feb", "feb"),
+    ("riposarti", "riposart"),
+    ("amare", "amare"),
+    ("palladini", "palladin"),
+    ("impegnò", "impegn"),
+    ("solitudine", "solitudin"),
+    ("mischiando", "mischiand"),
+    ("ufficializzare", "ufficializzar"),
+    ("verità", "verit"),
+    ("anziane", "anzian"),
+    ("chiaro", "chiar"),
+    ("impiegarle", "impiegarl"),
+    ("consigliano", "consiglian"),
+    ("spirituali", "spiritual"),
+    ("sonore", "sonor"),
+    ("illegalmente", "illegalment"),
+    ("fragorosi", "fragoros"),
+    ("rabin", "rabin"),
+    ("applicativo", "applicativ"),
+    ("alberi", "alber"),
+    ("prestazioni", "prestazion"),
+    ("bicchier", "bicchier"),
+    ("biscardi", "biscard"),
+    ("involta", "involt"),
+    ("pentimenti", "pentiment"),
+    ("screen", "screen"),
+    ("ventitre", "ventitr"),
+    ("riassetto", "riassett"),
+    ("ammaccar", "ammaccar"),
+    ("calcolato", "calcolat"),
+]
+
+_PT_VECTORS = [
+    ("elastina", "elastin"),
+    ("balneário", "balneari"),
+    ("menos", "meno"),
+    ("funciona", "funcia"),
+    ("televisores", "televisor"),
+    ("conterrâneo", "conterrane"),
+    ("confiava", "confiav"),
+    ("maracanãzinho", "maracanazinh"),
+    ("incisivo", "incisiv"),
+    ("ocular", "ocular"),
+    ("diâmetro", "diametr"),
+    ("nuvens", "nuvem"),
+    ("melhoradinha", "melhoradinh"),
+    ("reaproximação", "reaproximaca"),
+    ("iacomini", "iacomini"),
+    ("seguia", "segui"),
+    ("perverte", "pervert"),
+    ("pudesse", "pudess"),
+    ("encaixam", "encaixam"),
+    ("microempresário", "microempresari"),
+    ("rahim", "rahim"),
+    ("contundentes", "contundent"),
+    ("las", "las"),
+    ("depressões", "depressa"),
+    ("cristobal", "cristobal"),
+    ("milagreiro", "milagreir"),
+    ("bahts", "baht"),
+    ("tereso", "teres"),
+    ("acarretar", "acarretar"),
+    ("pedras", "pedr"),
+    ("defendê", "defende"),
+    ("freitas", "freit"),
+    ("usar", "usar"),
+    ("basicamente", "basic"),
+    ("perda", "perd"),
+    ("aventuras", "aventur"),
+    ("resfriados", "resfriad"),
+    ("celeste", "celest"),
+    ("viro", "viro"),
+    ("fitas", "fita"),
+    ("procurei", "procurei"),
+    ("velocidade", "velocidad"),
+    ("comprometido", "comprometid"),
+    ("perdulários", "perdulari"),
+    ("mártires", "martir"),
+    ("gostam", "gostam"),
+    ("traíram", "trairam"),
+    ("mutuários", "mutuari"),
+    ("condão", "conda"),
+    ("menezes", "menez"),
+    ("faltará", "faltara"),
+    ("group", "group"),
+    ("olho", "olho"),
+    ("abujamra", "abujamr"),
+    ("contornado", "contornad"),
+    ("notebook", "notebook"),
+    ("concretas", "concret"),
+    ("agitação", "agitaca"),
+    ("conte", "cont"),
+    ("clean", "clean"),
+]
+
+
 @pytest.mark.parametrize(
     "fn,vectors",
     [
         (lang.french_light_stem, _FR_VECTORS),
         (lang.german_light_stem, _DE_VECTORS),
         (lang.spanish_light_stem, _ES_VECTORS),
+        (lang.italian_light_stem, _IT_VECTORS),
+        (lang.portuguese_light_stem, _PT_VECTORS),
     ],
-    ids=["fr", "de", "es"],
+    ids=["fr", "de", "es", "it", "pt"],
 )
 def test_stemmer_embedded_vectors(fn, vectors):
     for w, want in vectors:
@@ -285,8 +414,10 @@ def test_stemmer_embedded_vectors(fn, vectors):
         ("fr/frlighttestdata.zip", "frlight.txt", lang.french_light_stem),
         ("de/delighttestdata.zip", "delight.txt", lang.german_light_stem),
         ("es/eslighttestdata.zip", "eslight.txt", lang.spanish_light_stem),
+        ("it/itlighttestdata.zip", "itlight.txt", lang.italian_light_stem),
+        ("pt/ptlighttestdata.zip", "ptlight.txt", lang.portuguese_light_stem),
     ],
-    ids=["fr", "de", "es"],
+    ids=["fr", "de", "es", "it", "pt"],
 )
 def test_stemmer_full_reference_vocabulary(zip_rel, inner, fn):
     """Every (word, stem) pair in the reference's VocabularyAssert data."""
@@ -358,6 +489,13 @@ def test_stop_holes_advance_positions():
     reference's StopFilter posIncr handling."""
     toks = lang.french_analyze("le chien du chat")
     assert toks == [lang.STOP_HOLE, "chien", lang.STOP_HOLE, "chat"]
+
+
+def test_italian_portuguese_chain_tokens():
+    # Italian: elision with the ITALIAN article set (dell'acqua -> acqua)
+    assert [t for t in lang.italian_analyze("dell'acqua delle città") if t != lang.STOP_HOLE] == ["acqua", "città"]  # len<6: stemmer no-op
+    assert [t for t in lang.italian_analyze("le montagne altissime") if t != lang.STOP_HOLE] == ["montagn", "altissim"]
+    assert [t for t in lang.portuguese_analyze("as cidades pequenas") if t != lang.STOP_HOLE] == ["cidad", "pequen"]
 
 
 def test_spanish_german_chain_tokens():
