@@ -475,6 +475,37 @@ _LANG_CHAIN_MAP = {
         ("luzes", "luz"), ("dias", "dia"), ("mulheres", "mulher"),
         ("os", None),
     ],
+    # Scandinavian chains stem with the SNOWBALL stemmers; the expected
+    # outputs below are (word, output) pairs from the reference's own
+    # snowball voc.txt/output.txt test data
+    "swedish": [
+        ("snyft", "snyft"), ("förnedrade", "förnedr"), ("sffälle", "sffäll"),
+        ("anteckningar", "anteckning"), ("förblifva", "förblifv"),
+        ("midsommar", "midsomm"), ("brusalavår", "brusalavår"),
+        ("brådskan", "brådskan"), ("billigare", "bil"),
+        ("jaktlöjtnanten", "jaktlöjtnant"), ("följetongen", "följetong"),
+        ("rättan", "rättan"), ("frestats", "frestat"),
+        ("skildringen", "skildring"), ("och", None), ("det", None),
+    ],
+    "danish": [
+        ("dygtiggjort", "dygtiggjort"), ("nsker", "nsker"),
+        ("takkegave", "takkegav"), ("betales", "betal"), ("sledes", "sled"),
+        ("nærmeste", "nærmest"), ("samaritanerlandsby", "samaritanerlandsby"),
+        ("ringeagtes", "ringeag"), ("stenet", "sten"), ("tibhat", "tibhat"),
+        ("behandlet", "behandl"), ("vognborgen", "vognborg"),
+        ("afbrænde", "afbrænd"), ("opfødt", "opfød"), ("og", None),
+        ("det", None),
+    ],
+    "norwegian": [
+        ("drive", "driv"), ("norconsult", "norconsult"), ("egnet", "egn"),
+        ("betegnet", "betegn"), ("generalforsamlingane", "generalforsamling"),
+        ("merkevarer", "merkevar"), ("klærne", "klærn"),
+        ("konkurransevridende", "konkurransevrid"), ("grunna", "grunn"),
+        ("industriland", "industriland"), ("bærende", "bær"),
+        ("innskota", "innskot"), ("passiv", "passiv"),
+        ("bustadorganisasjonane", "bustadorganisasjon"), ("og", None),
+        ("det", None),
+    ],
 }
 
 
@@ -2137,6 +2168,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # Portuguese chain: plural/feminine suffix rules (canções)
             _lang_searcher(sp, d, "portuguese"), TermQuery(term="canca"), 10
         ),
+        "q_term_sv": lambda sp, d: _topk_df(
+            # Swedish SNOWBALL chain (SwedishStemmer R1 suffix machine)
+            _lang_searcher(sp, d, "swedish"), TermQuery(term="anteckning"), 10
+        ),
+        "q_term_da": lambda sp, d: _topk_df(
+            # Danish snowball: s-ending groups + undouble tail
+            _lang_searcher(sp, d, "danish"), TermQuery(term="betal"), 10
+        ),
+        "q_term_no": lambda sp, d: _topk_df(
+            _lang_searcher(sp, d, "norwegian"), TermQuery(term="merkevar"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3395,6 +3437,9 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_es": _lang_term_sql("spanish", "niñ"),
         "q_term_it": _lang_term_sql("italian", "acqua"),
         "q_term_pt": _lang_term_sql("portuguese", "canca"),
+        "q_term_sv": _lang_term_sql("swedish", "anteckning"),
+        "q_term_da": _lang_term_sql("danish", "betal"),
+        "q_term_no": _lang_term_sql("norwegian", "merkevar"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

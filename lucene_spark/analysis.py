@@ -100,7 +100,10 @@ def fold_ascii(text: str) -> str:
 
 #: language chains (lang.py): per-token pure chains over the Latin-1
 #: tokenizer; stopped tokens surface as lang.STOP_HOLE (see lang.py)
-LANG_CHAINS = ("french", "german", "spanish", "italian", "portuguese")
+LANG_CHAINS = (
+    "french", "german", "spanish", "italian", "portuguese",
+    "swedish", "danish", "norwegian",
+)
 
 
 def _resolve_chain(chain: str) -> Tuple[str, bool]:
@@ -120,6 +123,9 @@ def _chain_fn(base: str):
             "spanish": lang.spanish_analyze,
             "italian": lang.italian_analyze,
             "portuguese": lang.portuguese_analyze,
+            "swedish": lang.swedish_analyze,
+            "danish": lang.danish_analyze,
+            "norwegian": lang.norwegian_analyze,
         }[base]
     return {
         "standard": standard_analyze,
@@ -260,6 +266,9 @@ def flat_tokenize(
             "spanish": lang.spanish_token,
             "italian": lang.italian_token,
             "portuguese": lang.portuguese_token,
+            "swedish": lang.swedish_token,
+            "danish": lang.danish_token,
+            "norwegian": lang.norwegian_token,
         }[base]
         codes, uniq = pd.factorize(pd.Series(flat), sort=False)
         mapped = np.array([tok_fn(t) for t in uniq], dtype=object)

@@ -636,3 +636,105 @@ def italian_analyze(text: str) -> List[str]:
 
 def portuguese_analyze(text: str) -> List[str]:
     return [portuguese_token(t) for t in _lang_tokenize(text)]
+
+
+# ---------------------------------------------------------------------------
+# Scandinavian chains: Swedish / Danish / Norwegian analyzers default to
+# LowerCaseFilter -> StopFilter -> SnowballFilter({Swedish,Danish,
+# Norwegian}Stemmer) (analysis/{sv,da,no}/*Analyzer.java createComponents);
+# the stemmers live in lucene_spark.snowball, validated on the reference's
+# snowball voc/output test data.
+# ---------------------------------------------------------------------------
+
+#: snowball swedish_stop.txt
+SWEDISH_STOP = frozenset((
+    "alla", "allt", "att", "av", "blev", "bli", "blir", "blivit", "de",
+    "dem", "den", "denna", "deras", "dess", "dessa", "det", "detta", "dig",
+    "din", "dina", "ditt", "du", "där", "då", "efter", "ej", "eller", "en",
+    "er", "era", "ert", "ett", "från", "för", "ha", "hade", "han", "hans",
+    "har", "henne", "hennes", "hon", "honom", "hur", "här", "i", "icke",
+    "ingen", "inom", "inte", "jag", "ju", "kan", "kunde", "man", "med",
+    "mellan", "men", "mig", "min", "mina", "mitt", "mot", "mycket", "ni",
+    "nu", "när", "någon", "något", "några", "och", "om", "oss", "på",
+    "samma", "sedan", "sig", "sin", "sina", "sitta", "själv", "skulle",
+    "som", "så", "sådan", "sådana", "sådant", "till", "under", "upp", "ut",
+    "utan", "vad", "var", "vara", "varför", "varit", "varje", "vars", "vart",
+    "vem", "vi", "vid", "vilka", "vilkas", "vilken", "vilket", "vår", "våra",
+    "vårt", "än", "är", "åt", "över",
+))
+
+#: snowball danish_stop.txt
+DANISH_STOP = frozenset((
+    "ad", "af", "alle", "alt", "anden", "at", "blev", "blive", "bliver",
+    "da", "de", "dem", "den", "denne", "der", "deres", "det", "dette", "dig",
+    "din", "disse", "dog", "du", "efter", "eller", "en", "end", "er", "et",
+    "for", "fra", "ham", "han", "hans", "har", "havde", "have", "hende",
+    "hendes", "her", "hos", "hun", "hvad", "hvis", "hvor", "i", "ikke",
+    "ind", "jeg", "jer", "jo", "kunne", "man", "mange", "med", "meget",
+    "men", "mig", "min", "mine", "mit", "mod", "ned", "noget", "nogle", "nu",
+    "når", "og", "også", "om", "op", "os", "over", "på", "selv", "sig",
+    "sin", "sine", "sit", "skal", "skulle", "som", "sådan", "thi", "til",
+    "ud", "under", "var", "vi", "vil", "ville", "vor", "være", "været",
+))
+
+#: snowball norwegian_stop.txt
+NORWEGIAN_STOP = frozenset((
+    "alle", "at", "av", "bare", "begge", "ble", "blei", "bli", "blir",
+    "blitt", "både", "båe", "da", "de", "deg", "dei", "deim", "deira",
+    "deires", "dem", "den", "denne", "der", "dere", "deres", "det", "dette",
+    "di", "din", "disse", "ditt", "du", "dykk", "dykkar", "då", "eg", "ein",
+    "eit", "eitt", "eller", "elles", "en", "enn", "er", "et", "ett", "etter",
+    "for", "fordi", "fra", "før", "ha", "hadde", "han", "hans", "har",
+    "hennar", "henne", "hennes", "her", "hjå", "ho", "hoe", "honom", "hoss",
+    "hossen", "hun", "hva", "hvem", "hver", "hvilke", "hvilken", "hvis",
+    "hvor", "hvordan", "hvorfor", "i", "ikke", "ikkje", "ingen", "ingi",
+    "inkje", "inn", "inni", "ja", "jeg", "kan", "kom", "korleis", "korso",
+    "kun", "kunne", "kva", "kvar", "kvarhelst", "kven", "kvi", "kvifor",
+    "man", "mange", "me", "med", "medan", "meg", "meget", "mellom", "men",
+    "mi", "min", "mine", "mitt", "mot", "mykje", "ned", "no", "noe", "noen",
+    "noka", "noko", "nokon", "nokor", "nokre", "nå", "når", "og", "også",
+    "om", "opp", "oss", "over", "på", "samme", "seg", "selv", "si", "sia",
+    "sidan", "siden", "sin", "sine", "sitt", "sjøl", "skal", "skulle",
+    "slik", "so", "som", "somme", "somt", "så", "sånn", "til", "um", "upp",
+    "ut", "uten", "var", "vart", "varte", "ved", "vere", "verte", "vi",
+    "vil", "ville", "vore", "vors", "vort", "vår", "være", "vært", "å",
+))
+
+
+def swedish_token(tok: str) -> str:
+    from .snowball import swedish_stem
+
+    t = tok.lower()
+    if t in SWEDISH_STOP:
+        return STOP_HOLE
+    return swedish_stem(t)
+
+
+def danish_token(tok: str) -> str:
+    from .snowball import danish_stem
+
+    t = tok.lower()
+    if t in DANISH_STOP:
+        return STOP_HOLE
+    return danish_stem(t)
+
+
+def norwegian_token(tok: str) -> str:
+    from .snowball import norwegian_stem
+
+    t = tok.lower()
+    if t in NORWEGIAN_STOP:
+        return STOP_HOLE
+    return norwegian_stem(t)
+
+
+def swedish_analyze(text: str) -> List[str]:
+    return [swedish_token(t) for t in _lang_tokenize(text)]
+
+
+def danish_analyze(text: str) -> List[str]:
+    return [danish_token(t) for t in _lang_tokenize(text)]
+
+
+def norwegian_analyze(text: str) -> List[str]:
+    return [norwegian_token(t) for t in _lang_tokenize(text)]

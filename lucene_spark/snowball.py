@@ -1,0 +1,179 @@
+"""Snowball stemmers for the Scandinavian analyzers — Swedish, Danish,
+Norwegian (org/tartarus/snowball/ext/{Swedish,Danish,Norwegian}Stemmer.java,
+the reference analyzers' default SnowballFilter stemmers). Re-expressed as
+plain suffix logic over an R1 region instead of the generated cursor
+machine; validated against the reference's own snowball test vocabularies
+(analysis/snowball/{swedish,danish,norwegian}.zip voc/output pairs — the
+TestSnowballVocab data).
+
+Shared semantics (SnowballProgram.java):
+
+- R1 starts after the first non-vowel following the first vowel, adjusted
+  to begin no earlier than position 3; words without that shape (or
+  shorter than 3) have an empty region and never stem.
+- An "among" match is the longest suffix that fits ENTIRELY inside R1
+  (find_among_b treats characters before limit_backward as unmatchable,
+  so a shorter in-region suffix beats a longer out-of-region one); once a
+  match is chosen its action runs — a failed condition fails the step
+  without backtracking to shorter suffixes.
+- Conditions on the character(s) BEFORE the matched suffix (the s-ending
+  groups) are checked with the region restored: they only require the
+  characters to exist, not to lie in R1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+
+def _r1(word: str, vowels: str) -> int:
+    """Region start: first non-vowel after the first vowel, min 3; the
+    word's length (empty region) when the shape is absent."""
+    n = len(word)
+    if n < 3:
+        return n
+    i = 0
+    while i < n and word[i] not in vowels:
+        i += 1
+    while i < n and word[i] in vowels:
+        i += 1
+    if i >= n:
+        return n
+    return max(i + 1, 3)
+
+
+def _longest_in_r1(word: str, p1: int, suffixes: Sequence[str]) -> Optional[str]:
+    for s in suffixes:  # pre-sorted by decreasing length
+        if word.endswith(s) and len(word) - len(s) >= p1:
+            return s
+    return None
+
+
+def _by_len(*suffixes: str):
+    return tuple(sorted(suffixes, key=len, reverse=True))
+
+
+# ---------------------------------------------------------------------------
+# Swedish (SwedishStemmer.java)
+# ---------------------------------------------------------------------------
+
+_SV_VOWELS = "aeiouyäåö"
+#: a_0 minus the conditional 's' (case 2)
+_SV_STEP1 = _by_len(
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+    "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+    "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
+    "ast", "s",
+)
+_SV_S_ENDING = "bcdfghjklmnoprtvy"
+_SV_PAIRS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+_SV_STEP3 = _by_len("lig", "ig", "els", "löst", "fullt")
+
+
+def swedish_stem(w: str) -> str:
+    p1 = _r1(w, _SV_VOWELS)
+    m = _longest_in_r1(w, p1, _SV_STEP1)
+    if m == "s":
+        if len(w) >= 2 and w[-2] in _SV_S_ENDING:
+            w = w[:-1]
+    elif m:
+        w = w[: -len(m)]
+    if _longest_in_r1(w, p1, _SV_PAIRS):
+        w = w[:-1]
+    m = _longest_in_r1(w, p1, _SV_STEP3)
+    if m in ("löst", "fullt"):
+        w = w[:-1]  # löst -> lös, fullt -> full
+    elif m:
+        w = w[: -len(m)]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Danish (DanishStemmer.java)
+# ---------------------------------------------------------------------------
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_STEP1 = _by_len(
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene", "erne",
+    "ere", "en", "heden", "eren", "er", "heder", "erer", "heds", "es",
+    "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens", "erens",
+    "ers", "ets", "erets", "et", "eret", "s",
+)
+_DA_S_ENDING = "abcdfghjklmnoprtvyzå"
+_DA_PAIRS = ("gd", "dt", "gt", "kt")
+_DA_STEP3 = _by_len("elig", "lig", "ig", "els", "løst")
+#: g_c — the consonant group the undouble step tests
+_DA_CONSONANTS = "bcdfghjklmnpqrstvwxz"
+
+
+def _da_consonant_pair(w: str, p1: int) -> str:
+    if _longest_in_r1(w, p1, _DA_PAIRS):
+        return w[:-1]
+    return w
+
+
+def danish_stem(w: str) -> str:
+    p1 = _r1(w, _DA_VOWELS)
+    m = _longest_in_r1(w, p1, _DA_STEP1)
+    if m == "s":
+        if len(w) >= 2 and w[-2] in _DA_S_ENDING:
+            w = w[:-1]
+    elif m:
+        w = w[: -len(m)]
+    w = _da_consonant_pair(w, p1)
+    if w.endswith("igst"):  # region-free prelude of r_other_suffix
+        w = w[:-2]
+    m = _longest_in_r1(w, p1, _DA_STEP3)
+    if m == "løst":
+        w = w[:-1]
+    elif m:
+        w = w[: -len(m)]
+        w = _da_consonant_pair(w, p1)
+    # undouble: last char (inside R1) repeats its predecessor
+    if len(w) >= 2 and len(w) > p1 and w[-1] in _DA_CONSONANTS and w[-2] == w[-1]:
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Norwegian (NorwegianStemmer.java)
+# ---------------------------------------------------------------------------
+
+_NO_VOWELS = "aeiouyæåø"
+#: a_0 minus 's' (case 2) and erte/ert (case 3)
+_NO_STEP1 = _by_len(
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en", "heten",
+    "ar", "er", "heter", "as", "es", "edes", "endes", "enes", "hetenes",
+    "ens", "hetens", "ers", "ets", "et", "het", "ast",
+    "s", "erte", "ert",
+)
+_NO_S_ENDING = "bcdfghjlmnoprtvyz"  # no 'k': the guarded branch below
+_NO_PAIRS = ("dt", "vt")
+_NO_STEP3 = _by_len(
+    "leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+    "slov", "hetslov",
+)
+
+
+def norwegian_stem(w: str) -> str:
+    p1 = _r1(w, _NO_VOWELS)
+    m = _longest_in_r1(w, p1, _NO_STEP1)
+    if m in ("erte", "ert"):
+        w = w[: -len(m)] + "er"
+    elif m == "s":
+        prev = w[-2] if len(w) >= 2 else ""
+        if prev in _NO_S_ENDING:
+            w = w[:-1]
+        elif prev == "k" and len(w) >= 3 and w[-3] not in _NO_VOWELS:
+            # 'ks' deletes only after a non-vowel (out_grouping_b fails at
+            # the word boundary, so a leading 'k' never qualifies)
+            w = w[:-1]
+    elif m:
+        w = w[: -len(m)]
+    if _longest_in_r1(w, p1, _NO_PAIRS):
+        w = w[:-1]
+    m = _longest_in_r1(w, p1, _NO_STEP3)
+    if m:
+        w = w[: -len(m)]
+    return w

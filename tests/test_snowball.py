@@ -1,0 +1,265 @@
+"""Scandinavian snowball stemmers (Swedish / Danish / Norwegian — the
+reference analyzers' default SnowballFilter stemmers) against the
+reference's own snowball voc/output test data (full 2000-pair sets when
+the checkout is present, embedded samples always), plus the full chains."""
+
+import os
+
+import pytest
+
+from lucene_spark import lang, snowball
+
+_SNOWBALL = (
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+    "analysis/snowball"
+)
+
+_SV_SNOWBALL_VECTORS = [
+    ("sågos", "sågo"),
+    ("förvissa", "förviss"),
+    ("forut", "forut"),
+    ("bråk", "bråk"),
+    ("biskop", "biskop"),
+    ("tonade", "ton"),
+    ("uren", "uren"),
+    ("kistlock", "kistlock"),
+    ("övertänkt", "övertänk"),
+    ("flykting", "flykting"),
+    ("indrog", "indrog"),
+    ("anbelangar", "anbelang"),
+    ("kärleksintrig", "kärleksintr"),
+    ("barnsäng", "barnsäng"),
+    ("kvall", "kvall"),
+    ("åja", "åja"),
+    ("bakvändt", "bakvänd"),
+    ("anspråkslösa", "anspråkslös"),
+    ("förirrade", "förirr"),
+    ("egendomligt", "egendom"),
+    ("gapskratt", "gapskrat"),
+    ("förnyas", "förny"),
+    ("önskar", "önsk"),
+    ("tvingat", "tving"),
+    ("harang", "harang"),
+    ("tullkammarn", "tullkammarn"),
+    ("utdelning", "utdelning"),
+    ("rörelsegrader", "rörelsegrad"),
+    ("gande", "gand"),
+    ("ansikten", "ansik"),
+    ("trång", "trång"),
+    ("övertygelse", "övertyg"),
+    ("åkdonet", "åkdonet"),
+    ("psalmer", "psalm"),
+    ("bullret", "bullret"),
+    ("bergsmanstapet", "bergsmanstapet"),
+    ("skrävlande", "skrävl"),
+    ("förnam", "förnam"),
+    ("bifaller", "bifall"),
+    ("gotter", "gott"),
+    ("spektakel", "spektakel"),
+    ("negertroll", "negertroll"),
+    ("rosenstandens", "rosenstand"),
+    ("småland", "småland"),
+    ("uppgåvo", "uppgåvo"),
+    ("kröpo", "kröpo"),
+    ("nedlade", "nedl"),
+    ("omtuggade", "omtugg"),
+    ("kolonnerna", "kolon"),
+    ("hämnar", "hämn"),
+    ("arvsfrågan", "arvsfrågan"),
+    ("skylla", "skyll"),
+    ("uppflamma", "uppflamm"),
+    ("förbunden", "förbund"),
+    ("avrättsplatsen", "avrättsplats"),
+    ("behagsjukan", "behagsjukan"),
+    ("stängel", "stängel"),
+    ("torftigt", "torft"),
+    ("lemningar", "lemning"),
+    ("försynen", "försyn"),
+]
+
+_DA_SNOWBALL_VECTORS = [
+    ("mandskabet", "mandskab"),
+    ("kisjjon", "kisjjon"),
+    ("ranen", "ran"),
+    ("gesjuriternes", "gesjurit"),
+    ("fremfør", "fremfør"),
+    ("helliggørelsen", "helliggør"),
+    ("pottemagers", "pottemag"),
+    ("stedsegrønne", "stedsegrøn"),
+    ("udvendigt", "udvend"),
+    ("afmægtige", "afmæg"),
+    ("glip", "glip"),
+    ("fuldkommenhedens", "fuldkommen"),
+    ("nævnte", "nævnt"),
+    ("svigerinde", "svigerind"),
+    ("størst", "størst"),
+    ("cedertræshus", "cedertræshus"),
+    ("udløber", "udløb"),
+    ("kyske", "kysk"),
+    ("sade", "sad"),
+    ("opsøg", "opsøg"),
+    ("forargede", "forarged"),
+    ("dyrt", "dyrt"),
+    ("gørere", "gør"),
+    ("trængselsbrød", "trængselsbrød"),
+    ("timer", "tim"),
+    ("allerltelligste", "allerltel"),
+    ("overstryge", "overstryg"),
+    ("forligt", "for"),
+    ("jojakim", "jojakim"),
+    ("kehatiter", "kehatit"),
+    ("putiterne", "putit"),
+    ("strudsene", "struds"),
+    ("værdigheden", "værd"),
+    ("sker", "sker"),
+    ("urgammel", "urgammel"),
+    ("udvirke", "udvirk"),
+    ("indenfor", "indenfor"),
+    ("folket", "folk"),
+    ("vinger", "ving"),
+    ("tærskepladser", "tærskeplads"),
+    ("dagningen", "dagning"),
+    ("overhans", "overhan"),
+    ("trældyr", "trældyr"),
+    ("hjemførte", "hjemført"),
+    ("nefeg", "nefeg"),
+    ("kravle", "kravl"),
+    ("kserne", "ksern"),
+    ("skamfuldhed", "skamfuld"),
+    ("tikva", "tikva"),
+    ("tirrede", "tirred"),
+    ("uden", "uden"),
+    ("sagtmodig", "sagtmod"),
+    ("fremvælder", "fremvæld"),
+    ("klog", "klog"),
+    ("trodse", "trods"),
+    ("møde", "mød"),
+    ("efraimiter", "efraimit"),
+    ("bærearme", "bærearm"),
+    ("kruset", "krus"),
+    ("sider", "sid"),
+]
+
+_NO_SNOWBALL_VECTORS = [
+    ("markedsdominert", "markedsdominer"),
+    ("utviklingen", "utvikling"),
+    ("skepsisen", "skepsis"),
+    ("andelsinnskottet", "andelsinnskott"),
+    ("nødvendige", "nødvend"),
+    ("avgjerdskompetansen", "avgjerdskompetans"),
+    ("klart", "klart"),
+    ("forholdsmessighetprinsippet", "forholdsmessighetprinsipp"),
+    ("rutine", "rutin"),
+    ("aksjeselskap", "aksjeselskap"),
+    ("samarbeidsorganet", "samarbeidsorgan"),
+    ("snarere", "snarer"),
+    ("beregningsarbeidet", "beregningsarbeid"),
+    ("avdeling", "avdeling"),
+    ("beskrive", "beskriv"),
+    ("felleskostnder", "felleskostnd"),
+    ("nemninga", "nemning"),
+    ("heiser", "heis"),
+    ("forrykkje", "forrykkj"),
+    ("momenta", "moment"),
+    ("syk", "syk"),
+    ("tromsø", "tromsø"),
+    ("pjusket", "pjusk"),
+    ("attendeføring", "attendeføring"),
+    ("innløysingsregelen", "innløysingsregel"),
+    ("skogholt", "skogholt"),
+    ("større", "størr"),
+    ("kostbarheter", "kostbar"),
+    ("fornuftig", "fornuft"),
+    ("hovedargumentet", "hovedargument"),
+    ("alvor", "alvor"),
+    ("omdanningsvedtaket", "omdanningsvedtak"),
+    ("programkategorien", "programkategori"),
+    ("trafikksituasjonen", "trafikksituasjon"),
+    ("skirne", "skirn"),
+    ("livslang", "livslang"),
+    ("kokken", "kokk"),
+    ("saugbrugsforeningen", "saugbrugsforening"),
+    ("basen", "bas"),
+    ("hoho", "hoho"),
+    ("aksept", "aksept"),
+    ("motsetje", "motsetj"),
+    ("fjellene", "fjell"),
+    ("timers", "tim"),
+    ("variasjoner", "variasjon"),
+    ("arealplaner", "arealplan"),
+    ("duggen", "dugg"),
+    ("bustadorganisasjonane", "bustadorganisasjon"),
+    ("kjøl", "kjøl"),
+    ("grunndraga", "grunndrag"),
+    ("tilpassast", "tilpass"),
+    ("tettpakket", "tettpakk"),
+    ("formuesgodet", "formuesgod"),
+    ("karen", "kar"),
+    ("tidsbruk", "tidsbruk"),
+    ("forelda", "foreld"),
+    ("supplementary", "supplementary"),
+    ("utnytting", "utnytting"),
+    ("ålesund", "ålesund"),
+    ("kvasers", "kvas"),
+]
+
+
+@pytest.mark.parametrize(
+    "fn,vectors",
+    [
+        (snowball.swedish_stem, _SV_SNOWBALL_VECTORS),
+        (snowball.danish_stem, _DA_SNOWBALL_VECTORS),
+        (snowball.norwegian_stem, _NO_SNOWBALL_VECTORS),
+    ],
+    ids=["sv", "da", "no"],
+)
+def test_snowball_embedded_vectors(fn, vectors):
+    for w, want in vectors:
+        assert fn(w) == want, w
+
+
+@pytest.mark.parametrize(
+    "name,fn",
+    [
+        ("swedish", snowball.swedish_stem),
+        ("danish", snowball.danish_stem),
+        ("norwegian", snowball.norwegian_stem),
+    ],
+    ids=["sv", "da", "no"],
+)
+def test_snowball_full_reference_vocabulary(name, fn):
+    import io
+    import zipfile
+
+    path = os.path.join(_SNOWBALL, name + ".zip")
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not present")
+    with zipfile.ZipFile(path) as zf:
+        voc = io.TextIOWrapper(zf.open("voc.txt"), encoding="utf-8").read().split("\n")
+        out = io.TextIOWrapper(zf.open("output.txt"), encoding="utf-8").read().split("\n")
+    bad = [(w, want, fn(w)) for w, want in zip(voc, out) if w and fn(w) != want]
+    assert not bad, bad[:10]
+
+
+def test_scandinavian_chain_tokens():
+    assert [t for t in lang.swedish_analyze("de svenska städerna") if t != lang.STOP_HOLE] == ["svensk", "städ"]
+    # byer/byene: R1 starts at min position 3, so the short plurals keep
+    # their endings — snowball's min-3 adjustment, pinned by the voc data
+    assert [t for t in lang.danish_analyze("de danske byer") if t != lang.STOP_HOLE] == ["dansk", "byer"]
+    assert [t for t in lang.norwegian_analyze("de norske byene") if t != lang.STOP_HOLE] == ["norsk", "byen"]
+
+
+def test_danish_undouble_and_cascade():
+    # real voc.txt pairs: step-1 delete then the undouble tail
+    assert snowball.danish_stem("lettere") == "let"
+    assert snowball.danish_stem("barndommen") == "barndom"
+    # region-free igst strip feeds the a_2 cascade (venligst -> venlig -> ven)
+    assert snowball.danish_stem("venligst") == "ven"
+
+
+def test_norwegian_k_s_ending():
+    # 's' after 'k' deletes only when a NON-vowel precedes the k
+    # (real voc pairs: juks/foretaks keep the s)
+    assert snowball.norwegian_stem("verks") == "verk"
+    assert snowball.norwegian_stem("juks") == "juks"
+    assert snowball.norwegian_stem("foretaks") == "foretaks"
