@@ -496,6 +496,16 @@ _LANG_CHAIN_MAP = {
         ("afbrænde", "afbrænd"), ("opfødt", "opfød"), ("og", None),
         ("det", None),
     ],
+    "russian": [
+        ("славная", "славн"), ("чахоточную", "чахоточн"),
+        ("докажу", "докаж"), ("горячишься", "горяч"),
+        ("значительные", "значительн"), ("обстоятельстве", "обстоятельств"),
+        ("стоячею", "стояч"), ("различными", "различн"),
+        ("беспокойным", "беспокойн"), ("прислонился", "прислон"),
+        ("позади", "позад"), ("открытий", "открыт"),
+        ("догоравшего", "догора"), ("строк", "строк"),
+        ("и", None), ("на", None),
+    ],
     "norwegian": [
         ("drive", "driv"), ("norconsult", "norconsult"), ("egnet", "egn"),
         ("betegnet", "betegn"), ("generalforsamlingane", "generalforsamling"),
@@ -2179,6 +2189,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_no": lambda sp, d: _topk_df(
             _lang_searcher(sp, d, "norwegian"), TermQuery(term="merkevar"), 10
         ),
+        "q_term_ru": lambda sp, d: _topk_df(
+            # Russian snowball over the Cyrillic-extended tokenizer
+            _lang_searcher(sp, d, "russian"), TermQuery(term="славн"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3440,6 +3454,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_sv": _lang_term_sql("swedish", "anteckning"),
         "q_term_da": _lang_term_sql("danish", "betal"),
         "q_term_no": _lang_term_sql("norwegian", "merkevar"),
+        "q_term_ru": _lang_term_sql("russian", "славн"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

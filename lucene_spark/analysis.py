@@ -102,7 +102,7 @@ def fold_ascii(text: str) -> str:
 #: tokenizer; stopped tokens surface as lang.STOP_HOLE (see lang.py)
 LANG_CHAINS = (
     "french", "german", "spanish", "italian", "portuguese",
-    "swedish", "danish", "norwegian",
+    "swedish", "danish", "norwegian", "russian",
 )
 
 
@@ -126,6 +126,7 @@ def _chain_fn(base: str):
             "swedish": lang.swedish_analyze,
             "danish": lang.danish_analyze,
             "norwegian": lang.norwegian_analyze,
+            "russian": lang.russian_analyze,
         }[base]
     return {
         "standard": standard_analyze,
@@ -233,12 +234,17 @@ def flat_tokenize(
     if base in ("standard", "english"):
         lists = texts.str.lower().str.findall(_TOKEN_PATTERN)
     elif base in LANG_CHAINS:
-        # lowercase-then-scan == scan-then-lowercase: the Latin-1 token
-        # class is case-symmetric, and elision checks its prefix
+        # lowercase-then-scan == scan-then-lowercase: the Latin-1/Cyrillic
+        # token classes are case-symmetric, and elision checks its prefix
         # case-insensitively
         from . import lang
 
-        lists = texts.str.lower().str.findall(lang._LANG_TOKEN_PATTERN)
+        pat = (
+            lang._RUSSIAN_TOKEN_PATTERN
+            if base == "russian"
+            else lang._LANG_TOKEN_PATTERN
+        )
+        lists = texts.str.lower().str.findall(pat)
     else:
         lists = texts.str.findall(_WDF_PART)
     counts = lists.map(len).to_numpy(dtype=np.int64)
@@ -269,6 +275,7 @@ def flat_tokenize(
             "swedish": lang.swedish_token,
             "danish": lang.danish_token,
             "norwegian": lang.norwegian_token,
+            "russian": lang.russian_token,
         }[base]
         codes, uniq = pd.factorize(pd.Series(flat), sort=False)
         mapped = np.array([tok_fn(t) for t in uniq], dtype=object)

@@ -395,11 +395,11 @@ def spanish_light_stem(w: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _lang_tokenize(text: str) -> List[str]:
+def _lang_tokenize(text: str, pattern=None) -> List[str]:
     from .analysis import MAX_TOKEN_LENGTH
 
     out: List[str] = []
-    for m in _LANG_TOKEN_PATTERN.finditer(text):
+    for m in (pattern or _LANG_TOKEN_PATTERN).finditer(text):
         tok = m.group()
         if len(tok) <= MAX_TOKEN_LENGTH:
             out.append(tok)
@@ -738,3 +738,52 @@ def danish_analyze(text: str) -> List[str]:
 
 def norwegian_analyze(text: str) -> List[str]:
     return [norwegian_token(t) for t in _lang_tokenize(text)]
+
+
+# ---------------------------------------------------------------------------
+# Russian chain (analysis/ru/RussianAnalyzer.java createComponents):
+# StandardTokenizer -> lower -> stop -> SnowballFilter(RussianStemmer).
+# Cyrillic letters extend the token pattern (UAX#29 ALPHA).
+# ---------------------------------------------------------------------------
+
+_CYR = "\u0400-\u04FF"
+_ALPHA_RUN_RU = (
+    "[" + _L + _CYR + "](?:(?:_*|[:.'\u2019])[" + _L + _CYR + "])*"
+)
+RUSSIAN_TOKEN_RE = r"(?:_*(?:" + _NUM_RUN + r"|" + _ALPHA_RUN_RU + r"))+_*"
+_RUSSIAN_TOKEN_PATTERN = re.compile(RUSSIAN_TOKEN_RE)
+
+#: snowball russian_stop.txt
+RUSSIAN_STOP = frozenset((
+    "а", "без", "более", "больше", "будет", "будто", "бы", "был", "была",
+    "были", "было", "быть", "в", "вам", "вас", "вдруг", "ведь", "во", "вот",
+    "впрочем", "все", "всегда", "всего", "всех", "всю", "вы", "где",
+    "говорил", "да", "даже", "два", "для", "до", "другой", "его", "ее", "ей",
+    "ему", "если", "есть", "еще", "ж", "же", "жизнь", "за", "зачем", "здесь",
+    "и", "из", "или", "им", "иногда", "их", "к", "кажется", "как", "какая",
+    "какой", "когда", "конечно", "кто", "куда", "ли", "лучше", "между",
+    "меня", "мне", "много", "может", "можно", "мой", "моя", "мы", "на",
+    "над", "надо", "наконец", "нас", "не", "него", "нее", "ней", "нельзя",
+    "нет", "ни", "нибудь", "никогда", "ним", "них", "ничего", "но", "ну",
+    "о", "об", "один", "он", "она", "они", "опять", "от", "перед", "по",
+    "под", "после", "потом", "потому", "почти", "при", "про", "раз", "разве",
+    "с", "сам", "свою", "себе", "себя", "сегодня", "сейчас", "сказал",
+    "сказала", "сказать", "со", "совсем", "так", "такой", "там", "тебя",
+    "тем", "теперь", "то", "тогда", "того", "тоже", "только", "том", "тот",
+    "три", "тут", "ты", "у", "уж", "уже", "хорошо", "хоть", "чего",
+    "человек", "чем", "через", "что", "чтоб", "чтобы", "чуть", "эти",
+    "этого", "этой", "этом", "этот", "эту", "я",
+))
+
+
+def russian_token(tok: str) -> str:
+    from .snowball import russian_stem
+
+    t = tok.lower()
+    if t in RUSSIAN_STOP:
+        return STOP_HOLE
+    return russian_stem(t)
+
+
+def russian_analyze(text: str) -> List[str]:
+    return [russian_token(t) for t in _lang_tokenize(text, _RUSSIAN_TOKEN_PATTERN)]

@@ -177,3 +177,135 @@ def norwegian_stem(w: str) -> str:
     if m:
         w = w[: -len(m)]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Russian (org/tartarus/snowball/ext/RussianStemmer.java) — the
+# RussianAnalyzer's default SnowballFilter stemmer. All suffix matching is
+# confined to RV (after the first vowel); the derivational step adds an R2
+# start condition. 'ё' folds to 'е' first (the stemmer's own prelude).
+# ---------------------------------------------------------------------------
+
+_RU_VOWELS = "аеиоуыэюя"
+
+#: perfective gerund: group 1 needs а/я immediately before (kept), group 2
+#: carries its own и/ы
+_RU_GERUND_1 = _by_len("в", "вши", "вшись")
+_RU_GERUND_2 = _by_len("ив", "ыв", "ивши", "ывши", "ившись", "ывшись")
+_RU_ADJECTIVE = _by_len(
+    "ее", "ие", "ое", "ые", "ими", "ыми", "ей", "ий", "ой", "ый", "ем",
+    "им", "ом", "ым", "его", "ого", "ему", "ому", "их", "ых", "ею", "ою",
+    "ую", "юю", "ая", "яя",
+)
+_RU_PARTICIPLE_1 = _by_len("ем", "нн", "вш", "щ", "ющ")
+_RU_PARTICIPLE_2 = _by_len("ивш", "ывш", "ующ")
+_RU_REFLEXIVE = _by_len("сь", "ся")
+_RU_VERB_1 = _by_len(
+    "ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло", "но", "ет",
+    "ют", "ны", "ть", "ешь", "нно",
+)
+_RU_VERB_2 = _by_len(
+    "ила", "ыла", "ена", "ите", "ейте", "уйте", "или", "ыли", "ей", "уй",
+    "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено", "ует", "ит", "ыт",
+    "уют", "ят", "ены", "ить", "ыть", "ишь", "ю", "ую",
+)
+_RU_NOUN = _by_len(
+    "а", "ев", "ов", "е", "ие", "ье", "и", "еи", "ии", "ами", "ями",
+    "иями", "й", "ей", "ией", "ий", "ой", "ам", "ем", "ием", "ом", "ям",
+    "иям", "о", "у", "ах", "ях", "иях", "ы", "ь", "ю", "ию", "ью", "я",
+    "ия", "ья",
+)
+_RU_DERIVATIONAL = _by_len("ост", "ость")
+_RU_TIDY = _by_len("ейше", "ейш", "н", "ь")
+
+
+def _ru_regions(w: str):
+    """(pV, p2): RV starts after the first vowel; R2 after the second
+    vowel-nonvowel alternation (RussianStemmer.r_mark_regions)."""
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _RU_VOWELS:
+        i += 1
+    if i == n:
+        return n, n
+    pV = i + 1
+    i = pV
+    while i < n and w[i] in _RU_VOWELS:
+        i += 1
+    if i == n:
+        return pV, n
+    i += 1
+    while i < n and w[i] not in _RU_VOWELS:
+        i += 1
+    if i == n:
+        return pV, n
+    i += 1
+    while i < n and w[i] in _RU_VOWELS:
+        i += 1
+    if i == n:
+        return pV, n
+    return pV, i + 1
+
+
+def _ru_cond_ay(w: str, m: str, pV: int) -> bool:
+    """Group-1 condition: the char before the suffix is а/я, inside RV."""
+    i = len(w) - len(m) - 1
+    return i >= pV and w[i] in "ая"
+
+
+def russian_stem(w: str) -> str:
+    w = w.replace("ё", "е")
+    pV, p2 = _ru_regions(w)
+    # step 1: perfective gerund, else [reflexive] + adjectival|verb|noun
+    m = _longest_in_r1(
+        w, pV, sorted(_RU_GERUND_1 + _RU_GERUND_2, key=len, reverse=True)
+    )
+    done = False
+    if m:
+        if m in _RU_GERUND_2 or _ru_cond_ay(w, m, pV):
+            w = w[: -len(m)]
+            done = True
+    if not done:
+        m = _longest_in_r1(w, pV, _RU_REFLEXIVE)
+        if m:
+            w = w[: -len(m)]
+        m = _longest_in_r1(w, pV, _RU_ADJECTIVE)
+        if m:
+            w = w[: -len(m)]
+            p = _longest_in_r1(
+                w, pV,
+                sorted(_RU_PARTICIPLE_1 + _RU_PARTICIPLE_2, key=len,
+                       reverse=True),
+            )
+            if p and (p in _RU_PARTICIPLE_2 or _ru_cond_ay(w, p, pV)):
+                w = w[: -len(p)]
+        else:
+            m = _longest_in_r1(
+                w, pV,
+                sorted(_RU_VERB_1 + _RU_VERB_2, key=len, reverse=True),
+            )
+            if m and (m in _RU_VERB_2 or _ru_cond_ay(w, m, pV)):
+                w = w[: -len(m)]
+            else:
+                m = _longest_in_r1(w, pV, _RU_NOUN)
+                if m:
+                    w = w[: -len(m)]
+    # step 2: trailing и
+    if w.endswith("и") and len(w) - 1 >= pV:
+        w = w[:-1]
+    # step 3: derivational (R2 condition on the match start)
+    m = _longest_in_r1(w, pV, _RU_DERIVATIONAL)
+    if m and len(w) - len(m) >= p2:
+        w = w[: -len(m)]
+    # step 4: tidy up
+    m = _longest_in_r1(w, pV, _RU_TIDY)
+    if m in ("ейше", "ейш"):
+        w = w[: -len(m)]
+        if w.endswith("нн") and len(w) - 2 >= pV:
+            w = w[:-1]
+    elif m == "н":
+        if len(w) >= 2 and w[-2] == "н" and len(w) - 2 >= pV:
+            w = w[:-1]
+    elif m == "ь":
+        w = w[:-1]
+    return w

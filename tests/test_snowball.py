@@ -263,3 +263,41 @@ def test_norwegian_k_s_ending():
     assert snowball.norwegian_stem("verks") == "verk"
     assert snowball.norwegian_stem("juks") == "juks"
     assert snowball.norwegian_stem("foretaks") == "foretaks"
+
+
+def test_russian_full_reference_vocabulary():
+    import io
+    import zipfile
+
+    path = os.path.join(_SNOWBALL, "russian.zip")
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not present")
+    with zipfile.ZipFile(path) as zf:
+        voc = io.TextIOWrapper(zf.open("voc.txt"), encoding="utf-8").read().split("\n")
+        out = io.TextIOWrapper(zf.open("output.txt"), encoding="utf-8").read().split("\n")
+    bad = [
+        (w, want, snowball.russian_stem(w))
+        for w, want in zip(voc, out)
+        if w and snowball.russian_stem(w) != want
+    ]
+    assert not bad, bad[:10]
+
+
+_RU_SNOWBALL_VECTORS = [
+    # hand-picked shapes: perfective gerund (group 1 needs а/я), reflexive,
+    # adjectival+participle, verb, noun, derivational+R2, tidy-up нн
+    ("прочитав", "прочита"),
+    ("книгами", "книг"),
+    ("красивая", "красив"),
+    ("возможность", "возможн"),
+]
+
+
+def test_russian_embedded_vectors():
+    for w, want in _RU_SNOWBALL_VECTORS:
+        assert snowball.russian_stem(w) == want, w
+
+
+def test_russian_chain_tokens():
+    got = [t for t in lang.russian_analyze("и новые книги") if t != lang.STOP_HOLE]
+    assert got == ["нов", "книг"]
