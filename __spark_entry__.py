@@ -496,6 +496,16 @@ _LANG_CHAIN_MAP = {
         ("afbrænde", "afbrænd"), ("opfødt", "opfød"), ("og", None),
         ("det", None),
     ],
+    "dutch": [
+        ("zelfonvoldaanheid", "zelfonvoldan"), ("stortvloed", "stortvloed"),
+        ("draden", "drad"), ("verkreukelen", "verkreukel"),
+        ("grand", "grand"), ("verziekelijkte", "verziekelijkt"),
+        ("tegenovergestelde", "tegenovergesteld"), ("zuster", "zuster"),
+        ("karwei", "karwei"), ("aanvankelijke", "aanvank"),
+        ("overweging", "overweg"), ("bemòeien", "bemòei"),
+        ("bodemsanering", "bodemsaner"), ("verlengd", "verlengd"),
+        ("de", None), ("het", None),
+    ],
     "russian": [
         ("славная", "славн"), ("чахоточную", "чахоточн"),
         ("докажу", "докаж"), ("горячишься", "горяч"),
@@ -2193,6 +2203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # Russian snowball over the Cyrillic-extended tokenizer
             _lang_searcher(sp, d, "russian"), TermQuery(term="славн"), 10
         ),
+        "q_term_nl": lambda sp, d: _topk_df(
+            # Dutch snowball + the StemmerOverride default dict
+            _lang_searcher(sp, d, "dutch"), TermQuery(term="drad"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3455,6 +3469,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_da": _lang_term_sql("danish", "betal"),
         "q_term_no": _lang_term_sql("norwegian", "merkevar"),
         "q_term_ru": _lang_term_sql("russian", "славн"),
+        "q_term_nl": _lang_term_sql("dutch", "drad"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -102,7 +102,7 @@ def fold_ascii(text: str) -> str:
 #: tokenizer; stopped tokens surface as lang.STOP_HOLE (see lang.py)
 LANG_CHAINS = (
     "french", "german", "spanish", "italian", "portuguese",
-    "swedish", "danish", "norwegian", "russian",
+    "swedish", "danish", "norwegian", "russian", "dutch",
 )
 
 
@@ -127,6 +127,7 @@ def _chain_fn(base: str):
             "danish": lang.danish_analyze,
             "norwegian": lang.norwegian_analyze,
             "russian": lang.russian_analyze,
+            "dutch": lang.dutch_analyze,
         }[base]
     return {
         "standard": standard_analyze,
@@ -276,6 +277,7 @@ def flat_tokenize(
             "danish": lang.danish_token,
             "norwegian": lang.norwegian_token,
             "russian": lang.russian_token,
+            "dutch": lang.dutch_token,
         }[base]
         codes, uniq = pd.factorize(pd.Series(flat), sort=False)
         mapped = np.array([tok_fn(t) for t in uniq], dtype=object)

@@ -787,3 +787,46 @@ def russian_token(tok: str) -> str:
 
 def russian_analyze(text: str) -> List[str]:
     return [russian_token(t) for t in _lang_tokenize(text, _RUSSIAN_TOKEN_PATTERN)]
+
+
+# ---------------------------------------------------------------------------
+# Dutch chain (analysis/nl/DutchAnalyzer.java createComponents): lower ->
+# stop -> StemmerOverrideFilter (the 4-entry default dict) ->
+# SnowballFilter(DutchStemmer).
+# ---------------------------------------------------------------------------
+
+#: DutchAnalyzer.DEFAULT_STEM_DICT (analysis/nl/DutchAnalyzer.java:80-84)
+DUTCH_STEM_OVERRIDES = {
+    "fiets": "fiets", "bromfiets": "bromfiets", "ei": "eier",
+    "kind": "kinder",
+}
+
+#: snowball dutch_stop.txt
+DUTCH_STOP = frozenset((
+    "aan", "al", "alles", "als", "altijd", "andere", "ben", "bij", "daar",
+    "dan", "dat", "de", "der", "deze", "die", "dit", "doch", "doen", "door",
+    "dus", "een", "eens", "en", "er", "ge", "geen", "geweest", "haar", "had",
+    "heb", "hebben", "heeft", "hem", "het", "hier", "hij", "hoe", "hun",
+    "iemand", "iets", "ik", "in", "is", "ja", "je", "kan", "kon", "kunnen",
+    "maar", "me", "meer", "men", "met", "mij", "mijn", "moet", "na", "naar",
+    "niet", "niets", "nog", "nu", "of", "om", "omdat", "onder", "ons", "ook",
+    "op", "over", "reeds", "te", "tegen", "toch", "toen", "tot", "u", "uit",
+    "uw", "van", "veel", "voor", "want", "waren", "was", "wat", "werd",
+    "wezen", "wie", "wil", "worden", "wordt", "zal", "ze", "zelf", "zich",
+    "zij", "zijn", "zo", "zonder", "zou",
+))
+
+
+def dutch_token(tok: str) -> str:
+    from .snowball import dutch_stem
+
+    t = tok.lower()
+    if t in DUTCH_STOP:
+        return STOP_HOLE
+    if t in DUTCH_STEM_OVERRIDES:
+        return DUTCH_STEM_OVERRIDES[t]
+    return dutch_stem(t)
+
+
+def dutch_analyze(text: str) -> List[str]:
+    return [dutch_token(t) for t in _lang_tokenize(text)]

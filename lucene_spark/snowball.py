@@ -309,3 +309,165 @@ def russian_stem(w: str) -> str:
     elif m == "ь":
         w = w[:-1]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Dutch (org/tartarus/snowball/ext/DutchStemmer.java) — the DutchAnalyzer's
+# default SnowballFilter stemmer. Prelude un-accents vowels and shields
+# i/y-between-vowels as I/Y (treated as consonants by the regions and
+# grouping tests); R1 has the min-3 adjustment, R2 none; the backward
+# section runs with NO region limit on matching — regions only gate the
+# per-rule R1/R2 conditions; postlude lowers I/Y back.
+# ---------------------------------------------------------------------------
+
+_NL_V = "aeiouyè"
+_NL_V_J = "aeiouyèj"
+_NL_V_I = "Iaeiouyè"
+_NL_ACCENTS = str.maketrans("áäéëíïóöúü", "aaeeiioouu")
+
+
+def _nl_prelude(w: str) -> str:
+    w = w.translate(_NL_ACCENTS)
+    if w.startswith("y"):
+        w = "Y" + w[1:]
+    c = list(w)
+    for i in range(len(c) - 1):
+        if c[i] in _NL_V:
+            if c[i + 1] == "i" and i + 2 < len(c) and c[i + 2] in _NL_V:
+                c[i + 1] = "I"
+            elif c[i + 1] == "y":
+                c[i + 1] = "Y"
+    return "".join(c)
+
+
+def _nl_regions(w: str):
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _NL_V:
+        i += 1
+    if i == n:
+        return n, n
+    i += 1
+    while i < n and w[i] in _NL_V:
+        i += 1
+    if i == n:
+        return n, n
+    p1 = max(i + 1, 3)
+    i += 1
+    while i < n and w[i] not in _NL_V:
+        i += 1
+    if i == n:
+        return p1, n
+    i += 1
+    while i < n and w[i] in _NL_V:
+        i += 1
+    if i == n:
+        return p1, n
+    return p1, i + 1
+
+
+def _nl_undouble(w: str) -> str:
+    if w[-2:] in ("dd", "kk", "tt"):
+        return w[:-1]
+    return w
+
+
+def _nl_en_ending(w: str, m: str, p1: int) -> str:
+    start = len(w) - len(m)
+    if (
+        start >= p1
+        and start > 0
+        and w[start - 1] not in _NL_V
+        and not w[:start].endswith("gem")
+    ):
+        return _nl_undouble(w[:start])
+    return w
+
+
+def _suffix(w: str, sufs) -> Optional[str]:
+    for s in sufs:  # length-desc
+        if w.endswith(s):
+            return s
+    return None
+
+
+def dutch_stem(w: str) -> str:
+    w = _nl_prelude(w)
+    p1, p2 = _nl_regions(w)
+    # part A: heden -> heid | en(e) | s(e)
+    m = _suffix(w, ("heden", "ene", "en", "se", "s"))
+    if m == "heden":
+        if len(w) - 5 >= p1:
+            w = w[:-5] + "heid"
+    elif m in ("ene", "en"):
+        w = _nl_en_ending(w, m, p1)
+    elif m in ("se", "s"):
+        start = len(w) - len(m)
+        if start >= p1 and start > 0 and w[start - 1] not in _NL_V_J:
+            w = w[:start]
+    # part B: e-ending (remembered for the 'bar' rule)
+    e_found = False
+    if (
+        w.endswith("e")
+        and len(w) - 1 >= p1
+        and len(w) >= 2
+        and w[-2] not in _NL_V
+    ):
+        w = _nl_undouble(w[:-1])
+        e_found = True
+    # part C: heid (R2, not after c) -> delete, then a following en
+    if (
+        w.endswith("heid")
+        and len(w) - 4 >= p2
+        and not (len(w) >= 5 and w[-5] == "c")
+    ):
+        w = w[:-4]
+        if w.endswith("en"):
+            w = _nl_en_ending(w, "en", p1)
+    # part D: d-suffixes
+    m = _suffix(w, ("lijk", "baar", "end", "ing", "bar", "ig"))
+    if m in ("end", "ing"):
+        start = len(w) - 3
+        if start >= p2:
+            w = w[:start]
+            if (
+                w.endswith("ig")
+                and len(w) - 2 >= p2
+                and not (len(w) >= 3 and w[-3] == "e")
+            ):
+                w = w[:-2]
+            else:
+                w = _nl_undouble(w)
+    elif m == "ig":
+        start = len(w) - 2
+        if start >= p2 and not (start >= 1 and w[start - 1] == "e"):
+            w = w[:start]
+    elif m == "lijk":
+        start = len(w) - 4
+        if start >= p2:
+            w = w[:start]
+            if (
+                w.endswith("e")
+                and len(w) - 1 >= p1
+                and len(w) >= 2
+                and w[-2] not in _NL_V
+            ):
+                w = _nl_undouble(w[:-1])
+    elif m == "baar":
+        start = len(w) - 4
+        if start >= p2:
+            w = w[:start]
+    elif m == "bar":
+        start = len(w) - 3
+        if start >= p2 and e_found:
+            w = w[:start]
+    # part E: undouble vowel (C V V C, last char outside g_v_I)
+    if (
+        len(w) >= 4
+        and w[-1] not in _NL_V_I
+        and w[-3:-1] in ("aa", "ee", "oo", "uu")
+        and w[-4] not in _NL_V
+    ):
+        w = w[:-2] + w[-1]
+    # postlude
+    return w.replace("I", "i").replace("Y", "y")

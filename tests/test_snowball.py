@@ -301,3 +301,30 @@ def test_russian_embedded_vectors():
 def test_russian_chain_tokens():
     got = [t for t in lang.russian_analyze("и новые книги") if t != lang.STOP_HOLE]
     assert got == ["нов", "книг"]
+
+
+def test_dutch_full_reference_vocabulary():
+    import io
+    import zipfile
+
+    path = os.path.join(_SNOWBALL, "dutch.zip")
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not present")
+    with zipfile.ZipFile(path) as zf:
+        voc = io.TextIOWrapper(zf.open("voc.txt"), encoding="utf-8").read().split("\n")
+        out = io.TextIOWrapper(zf.open("output.txt"), encoding="utf-8").read().split("\n")
+    bad = [
+        (w, want, snowball.dutch_stem(w))
+        for w, want in zip(voc, out)
+        if w and snowball.dutch_stem(w) != want
+    ]
+    assert not bad, bad[:10]
+
+
+def test_dutch_chain_and_overrides():
+    # StemmerOverrideFilter's default dict beats the snowball stemmer
+    assert lang.dutch_token("kind") == "kinder"
+    assert lang.dutch_token("fiets") == "fiets"
+    assert lang.dutch_token("ei") == "eier"
+    got = [t for t in lang.dutch_analyze("de nederlandse steden") if t != lang.STOP_HOLE]
+    assert got == ["nederland", "sted"]
