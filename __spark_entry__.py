@@ -526,6 +526,36 @@ _LANG_CHAIN_MAP = {
         ("bustadorganisasjonane", "bustadorganisasjon"), ("og", None),
         ("det", None),
     ],
+    "finnish": [
+        ("evakuoidaan", "evakuoid"), ("häivähdyksen", "häivähdyks"),
+        ("asuttaminen", "asuttamin"), ("hallitustilannetta", "hallitustilan"),
+        ("hurjastella", "hurjast"), ("epäröinyt", "epäröiny"),
+        ("haastetta", "haast"), ("grönmanin", "grönman"),
+        ("etenevät", "etenev"), ("ajaakseen", "ajaaks"),
+        ("aidosti", "aidost"), ("demokraattisen", "demokraattis"),
+        ("hankaloittaa", "hankaloit"), ("fagerholmille", "fagerholm"),
+        ("ja", None), ("on", None),
+    ],
+    "hungarian": [
+        ("barátaitól", "barát"), ("megerősítése", "megerősítés"),
+        ("kilépése", "kilépés"), ("alapozta", "alapozt"),
+        ("behatolt", "behatol"), ("lemezekhez", "lemez"),
+        ("kutatásában", "kutatás"), ("ablakokon", "ablak"),
+        ("kezelőfelületre", "kezelőfelület"), ("megalkuvók", "megalkuvó"),
+        ("körülményre", "körülmény"), ("kirobbanása", "kirobbanás"),
+        ("asszonyom", "asszony"), ("megvásárlásakor", "megvásárlás"),
+        ("a", None), ("és", None),
+    ],
+    "romanian": [
+        ("calchiată", "calchiat"), ("imperativul", "imper"),
+        ("comunismului", "comunist"), ("începusem", "încep"),
+        ("frăgezimi", "frăgezim"), ("minicalculatoarelor", "minicalcul"),
+        ("inovaţiile", "inov"), ("obicinuia", "obicinui"),
+        ("mânuţele", "mânuţ"), ("năuceşte", "năuc"),
+        ("roadele", "road"), ("categorică", "categor"),
+        ("obţine", "obţin"), ("intercalată", "intercal"),
+        ("şi", None), ("de", None),
+    ],
 }
 
 
@@ -2207,6 +2237,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # Dutch snowball + the StemmerOverride default dict
             _lang_searcher(sp, d, "dutch"), TermQuery(term="drad"), 10
         ),
+        "q_term_fi": lambda sp, d: _topk_df(
+            # Finnish snowball: particle/possessive/case cascade + tidy
+            _lang_searcher(sp, d, "finnish"), TermQuery(term="haast"), 10
+        ),
+        "q_term_hu": lambda sp, d: _topk_df(
+            # Hungarian snowball: region-free among + R1 gate, v_ending
+            _lang_searcher(sp, d, "hungarian"), TermQuery(term="lemez"), 10
+        ),
+        "q_term_ro": lambda sp, d: _topk_df(
+            # Romanian snowball: u/i prelude + combo loop (Latin Ext tokens)
+            _lang_searcher(sp, d, "romanian"), TermQuery(term="comunist"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3470,6 +3512,9 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_no": _lang_term_sql("norwegian", "merkevar"),
         "q_term_ru": _lang_term_sql("russian", "славн"),
         "q_term_nl": _lang_term_sql("dutch", "drad"),
+        "q_term_fi": _lang_term_sql("finnish", "haast"),
+        "q_term_hu": _lang_term_sql("hungarian", "lemez"),
+        "q_term_ro": _lang_term_sql("romanian", "comunist"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -103,6 +103,7 @@ def fold_ascii(text: str) -> str:
 LANG_CHAINS = (
     "french", "german", "spanish", "italian", "portuguese",
     "swedish", "danish", "norwegian", "russian", "dutch",
+    "finnish", "hungarian", "romanian",
 )
 
 
@@ -128,6 +129,9 @@ def _chain_fn(base: str):
             "norwegian": lang.norwegian_analyze,
             "russian": lang.russian_analyze,
             "dutch": lang.dutch_analyze,
+            "finnish": lang.finnish_analyze,
+            "hungarian": lang.hungarian_analyze,
+            "romanian": lang.romanian_analyze,
         }[base]
     return {
         "standard": standard_analyze,
@@ -240,11 +244,12 @@ def flat_tokenize(
         # case-insensitively
         from . import lang
 
-        pat = (
-            lang._RUSSIAN_TOKEN_PATTERN
-            if base == "russian"
-            else lang._LANG_TOKEN_PATTERN
-        )
+        if base == "russian":
+            pat = lang._RUSSIAN_TOKEN_PATTERN
+        elif base in ("hungarian", "romanian"):
+            pat = lang._LATIN_EXT_TOKEN_PATTERN
+        else:
+            pat = lang._LANG_TOKEN_PATTERN
         lists = texts.str.lower().str.findall(pat)
     else:
         lists = texts.str.findall(_WDF_PART)
@@ -278,6 +283,9 @@ def flat_tokenize(
             "norwegian": lang.norwegian_token,
             "russian": lang.russian_token,
             "dutch": lang.dutch_token,
+            "finnish": lang.finnish_token,
+            "hungarian": lang.hungarian_token,
+            "romanian": lang.romanian_token,
         }[base]
         codes, uniq = pd.factorize(pd.Series(flat), sort=False)
         mapped = np.array([tok_fn(t) for t in uniq], dtype=object)

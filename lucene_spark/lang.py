@@ -830,3 +830,160 @@ def dutch_token(tok: str) -> str:
 
 def dutch_analyze(text: str) -> List[str]:
     return [dutch_token(t) for t in _lang_tokenize(text)]
+
+
+# ---------------------------------------------------------------------------
+# Finnish / Hungarian / Romanian chains (analysis/{fi,hu,ro}/
+# {Finnish,Hungarian,Romanian}Analyzer.java createComponents):
+# StandardTokenizer -> lower -> stop -> SnowballFilter. Hungarian and
+# Romanian letters extend into Latin Extended-A (ő ű / ă ş ţ are UAX#29
+# ALPHA), so those chains scan with a widened letter class.
+# ---------------------------------------------------------------------------
+
+#: Latin Extended-A + Extended-B (covers both the cedilla forms ş/ţ the
+#: reference resources use and the comma-below forms ș/ț real text uses —
+#: UAX#29 treats all of them as ALPHA)
+_L_EXT = _L + "Ā-ɏ"
+_ALPHA_RUN_EXT = (
+    "[" + _L_EXT + "](?:(?:_*|[:.'’])[" + _L_EXT + "])*"
+)
+LATIN_EXT_TOKEN_RE = r"(?:_*(?:" + _NUM_RUN + r"|" + _ALPHA_RUN_EXT + r"))+_*"
+_LATIN_EXT_TOKEN_PATTERN = re.compile(LATIN_EXT_TOKEN_RE)
+
+#: snowball finnish_stop.txt
+FINNISH_STOP = frozenset((
+    "olla", "olen", "olet", "on", "olemme", "olette", "ovat", "ole", "oli",
+    "olisi", "olisit", "olisin", "olisimme", "olisitte", "olisivat", "olit",
+    "olin", "olimme", "olitte", "olivat", "ollut", "olleet", "en", "et",
+    "ei", "emme", "ette", "eivät", "minä", "minun", "minut", "minua",
+    "minussa", "minusta", "minuun", "minulla", "minulta", "minulle",
+    "sinä", "sinun", "sinut", "sinua", "sinussa", "sinusta", "sinuun",
+    "sinulla", "sinulta", "sinulle", "hän", "hänen", "hänet", "häntä",
+    "hänessä", "hänestä", "häneen", "hänellä", "häneltä", "hänelle", "me",
+    "meidän", "meidät", "meitä", "meissä", "meistä", "meihin", "meillä",
+    "meiltä", "meille", "te", "teidän", "teidät", "teitä", "teissä",
+    "teistä", "teihin", "teillä", "teiltä", "teille", "he", "heidän",
+    "heidät", "heitä", "heissä", "heistä", "heihin", "heillä", "heiltä",
+    "heille", "tämä", "tämän", "tätä", "tässä", "tästä", "tähän", "tällä",
+    "tältä", "tälle", "tänä", "täksi", "tuo", "tuon", "tuota", "tuossa",
+    "tuosta", "tuohon", "tuolla", "tuolta", "tuolle", "tuona", "tuoksi",
+    "se", "sen", "sitä", "siinä", "siitä", "siihen", "sillä", "siltä",
+    "sille", "sinä", "siksi", "nämä", "näiden", "näitä", "näissä",
+    "näistä", "näihin", "näillä", "näiltä", "näille", "näinä", "näiksi",
+    "nuo", "noiden", "noita", "noissa", "noista", "noihin", "noilla",
+    "noilta", "noille", "noina", "noiksi", "ne", "niiden", "niitä",
+    "niissä", "niistä", "niihin", "niillä", "niiltä", "niille", "niinä",
+    "niiksi", "kuka", "kenen", "kenet", "ketä", "kenessä", "kenestä",
+    "keneen", "kenellä", "keneltä", "kenelle", "kenenä", "keneksi",
+    "ketkä", "keiden", "keitä", "keissä", "keistä", "keihin", "keillä",
+    "keiltä", "keille", "keinä", "keiksi", "mikä", "minkä", "mitä",
+    "missä", "mistä", "mihin", "millä", "miltä", "mille", "miksi",
+    "mitkä", "joka", "jonka", "jota", "jossa", "josta", "johon", "jolla",
+    "jolta", "jolle", "jona", "joksi", "jotka", "joiden", "joita",
+    "joissa", "joista", "joihin", "joilla", "joilta", "joille", "joina",
+    "joiksi", "että", "ja", "jos", "koska", "kuin", "mutta", "niin",
+    "sekä", "sillä", "tai", "vaan", "vai", "vaikka", "kanssa", "mukaan",
+    "noin", "poikki", "yli", "kun", "nyt", "itse",
+))
+
+#: snowball hungarian_stop.txt
+HUNGARIAN_STOP = frozenset((
+    "a", "ahogy", "ahol", "aki", "akik", "akkor", "alatt", "által",
+    "általában", "amely", "amelyek", "amelyekben", "amelyeket", "amelyet",
+    "amelynek", "ami", "amit", "amolyan", "amíg", "amikor", "át", "abban",
+    "ahhoz", "annak", "arra", "arról", "az", "azok", "azon", "azt",
+    "azzal", "azért", "aztán", "azután", "azonban", "bár", "be", "belül",
+    "benne", "cikk", "cikkek", "cikkeket", "csak", "de", "e", "eddig",
+    "egész", "egy", "egyes", "egyetlen", "egyéb", "egyik", "egyre",
+    "ekkor", "el", "elég", "ellen", "elő", "először", "előtt", "első",
+    "én", "éppen", "ebben", "ehhez", "emilyen", "ennek", "erre", "ez",
+    "ezt", "ezek", "ezen", "ezzel", "ezért", "és", "fel", "felé", "hanem",
+    "hiszen", "hogy", "hogyan", "igen", "így", "illetve", "ill.", "ill",
+    "ilyen", "ilyenkor", "ison", "ismét", "itt", "jó", "jól", "jobban",
+    "kell", "kellett", "keresztül", "keressünk", "ki", "kívül", "között",
+    "közül", "legalább", "lehet", "lehetett", "legyen", "lenne", "lenni",
+    "lesz", "lett", "maga", "magát", "majd", "már", "más", "másik", "meg",
+    "még", "mellett", "mert", "mely", "melyek", "mi", "mit", "míg",
+    "miért", "milyen", "mikor", "minden", "mindent", "mindenki", "mindig",
+    "mint", "mintha", "mivel", "most", "nagy", "nagyobb", "nagyon", "ne",
+    "néha", "nekem", "neki", "nem", "néhány", "nélkül", "nincs", "olyan",
+    "ott", "össze", "ő", "ők", "őket", "pedig", "persze", "rá", "s",
+    "saját", "sem", "semmi", "sok", "sokat", "sokkal", "számára",
+    "szemben", "szerint", "szinte", "talán", "tehát", "teljes", "tovább",
+    "továbbá", "több", "úgy", "ugyanis", "új", "újabb", "újra", "után",
+    "utána", "utolsó", "vagy", "vagyis", "valaki", "valami", "valamint",
+    "való", "vagyok", "van", "vannak", "volt", "voltam", "voltak",
+    "voltunk", "vissza", "vele", "viszont", "volna",
+))
+
+#: analysis/ro/stopwords.txt (cedilla forms, as shipped)
+ROMANIAN_STOP = frozenset((
+    "acea", "aceasta", "această", "aceea", "acei", "aceia", "acel",
+    "acela", "acele", "acelea", "acest", "acesta", "aceste", "acestea",
+    "aceşti", "aceştia", "acolo", "acum", "ai", "aia", "aibă", "aici",
+    "al", "ăla", "ale", "alea", "ălea", "altceva", "altcineva", "am",
+    "ar", "are", "aş", "aşadar", "asemenea", "asta", "ăsta", "astăzi",
+    "astea", "ăstea", "ăştia", "asupra", "aţi", "au", "avea", "avem",
+    "aveţi", "azi", "bine", "bucur", "bună", "ca", "că", "căci", "când",
+    "care", "cărei", "căror", "cărui", "cât", "câte", "câţi", "către",
+    "câtva", "ce", "cel", "ceva", "chiar", "cînd", "cine", "cineva",
+    "cît", "cîte", "cîţi", "cîtva", "contra", "cu", "cum", "cumva",
+    "curând", "curînd", "da", "dă", "dacă", "dar", "datorită", "de",
+    "deci", "deja", "deoarece", "departe", "deşi", "din", "dinaintea",
+    "dintr", "dintre", "drept", "după", "ea", "ei", "el", "ele", "eram",
+    "este", "eşti", "eu", "face", "fără", "fi", "fie", "fiecare", "fii",
+    "fim", "fiţi", "iar", "ieri", "îi", "îl", "îmi", "împotriva", "în",
+    "înainte", "înaintea", "încât", "încît", "încotro", "între",
+    "întrucât", "întrucît", "îţi", "la", "lângă", "le", "li", "lîngă",
+    "lor", "lui", "mă", "mâine", "mea", "mei", "mele", "mereu", "meu",
+    "mi", "mine", "mult", "multă", "mulţi", "ne", "nicăieri", "nici",
+    "nimeni", "nişte", "noastră", "noastre", "noi", "noştri", "nostru",
+    "nu", "ori", "oricând", "oricare", "oricât", "orice", "oricînd",
+    "oricine", "oricît", "oricum", "oriunde", "până", "pe", "pentru",
+    "peste", "pînă", "poate", "pot", "prea", "prima", "primul", "prin",
+    "printr", "sa", "să", "săi", "sale", "sau", "său", "se", "şi",
+    "sînt", "sîntem", "sînteţi", "spre", "sub", "sunt", "suntem",
+    "sunteţi", "ta", "tăi", "tale", "tău", "te", "ţi", "ţie", "tine",
+    "toată", "toate", "tot", "toţi", "totuşi", "tu", "un", "una", "unde",
+    "undeva", "unei", "unele", "uneori", "unor", "vă", "vi", "voastră",
+    "voastre", "voi", "voştri", "vostru", "vouă", "vreo", "vreun",
+))
+
+
+def finnish_token(tok: str) -> str:
+    from .snowball import finnish_stem
+
+    t = tok.lower()
+    if t in FINNISH_STOP:
+        return STOP_HOLE
+    return finnish_stem(t)
+
+
+def hungarian_token(tok: str) -> str:
+    from .snowball import hungarian_stem
+
+    t = tok.lower()
+    if t in HUNGARIAN_STOP:
+        return STOP_HOLE
+    return hungarian_stem(t)
+
+
+def romanian_token(tok: str) -> str:
+    from .snowball import romanian_stem
+
+    t = tok.lower()
+    if t in ROMANIAN_STOP:
+        return STOP_HOLE
+    return romanian_stem(t)
+
+
+def finnish_analyze(text: str) -> List[str]:
+    return [finnish_token(t) for t in _lang_tokenize(text)]
+
+
+def hungarian_analyze(text: str) -> List[str]:
+    return [hungarian_token(t) for t in _lang_tokenize(text, _LATIN_EXT_TOKEN_PATTERN)]
+
+
+def romanian_analyze(text: str) -> List[str]:
+    return [romanian_token(t) for t in _lang_tokenize(text, _LATIN_EXT_TOKEN_PATTERN)]

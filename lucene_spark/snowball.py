@@ -391,6 +391,547 @@ def _suffix(w: str, sufs) -> Optional[str]:
     return None
 
 
+# ---------------------------------------------------------------------------
+# Finnish (org/tartarus/snowball/ext/FinnishStemmer.java) — the
+# FinnishAnalyzer's default SnowballFilter stemmer. All suffix matching is
+# limited to R1 (R2 for 'sti' and the comparative endings); regions have NO
+# min-3 adjustment. Conditions that run after the among match (the switch
+# bodies) see the un-limited string; the r_VI / r_LONG among-methods run
+# UNDER the R1 limit, and on failure fall back to the parent entry 'n'.
+# ---------------------------------------------------------------------------
+
+_FI_V1 = "aeiouyäö"
+_FI_V2 = "aeiouäö"  # g_V2: V1 minus y
+_FI_AEI = "aeiä"
+_FI_C = "bcdfghjklmnpqrstvwxz"
+_FI_PARTICLE_END = _FI_V1 + "nt"
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_FI_PARTICLES = _by_len("pa", "pä", "sti", "kaan", "kään", "han", "hän",
+                        "kin", "ko", "kö")
+_FI_POSS = _by_len("nsa", "nsä", "mme", "nne", "ni", "si", "an", "en", "än")
+#: a_6 in textual length order; per-entry behavior dispatched below
+_FI_CASE = _by_len(
+    "seen", "tten", "siin",
+    "lla", "ssa", "lta", "sta", "tta", "lle", "ine", "ksi", "han", "den",
+    "hen", "hin", "hon", "hän", "hön", "llä", "ssä", "ltä", "stä", "ttä",
+    "na", "ta", "nä", "tä", "a", "n", "ä",
+)
+_FI_CASE_H = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+              "hän": "ä", "hön": "ö"}
+_FI_OTHER = _by_len("eja", "ejä", "imma", "impa", "immi", "impi", "immä",
+                    "impä", "mma", "mpa", "mmi", "mpi", "mmä", "mpä")
+_FI_OTHER_PO = frozenset(("mma", "mpa", "mmi", "mpi", "mmä", "mpä"))
+
+
+def _fi_regions(w: str):
+    """Standard snowball R1/R2 over g_V1, no minimum adjustment."""
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _FI_V1:
+        i += 1
+    if i == n:
+        return n, n
+    while i < n and w[i] in _FI_V1:
+        i += 1
+    if i == n:
+        return n, n
+    p1 = i + 1
+    i = p1
+    while i < n and w[i] not in _FI_V1:
+        i += 1
+    if i == n:
+        return p1, n
+    while i < n and w[i] in _FI_V1:
+        i += 1
+    if i == n:
+        return p1, n
+    return p1, i + 1
+
+
+def _fi_case_n(w: str) -> str:
+    """Case-ending entry 'n': delete it, plus one more char when the stem
+    then ends with a long vowel pair or 'ie' (region-free check)."""
+    rest = w[:-1]
+    if len(rest) >= 2 and (rest[-2:] in _FI_LONG or rest.endswith("ie")):
+        return rest[:-1]
+    return rest
+
+
+def finnish_stem(w: str) -> str:
+    p1, p2 = _fi_regions(w)
+
+    # particle etc. (R1 match; 'sti' needs R2, the rest a particle_end char)
+    m = _longest_in_r1(w, p1, _FI_PARTICLES)
+    if m == "sti":
+        if len(w) - 3 >= p2:
+            w = w[:-3]
+    elif m:
+        i = len(w) - len(m) - 1
+        if i >= 0 and w[i] in _FI_PARTICLE_END:
+            w = w[: -len(m)]
+
+    # possessive (R1 match; context checks are region-free)
+    m = _longest_in_r1(w, p1, _FI_POSS)
+    if m == "si":
+        if not (len(w) >= 3 and w[-3] == "k"):
+            w = w[:-2]
+    elif m == "ni":
+        w = w[:-2]
+        if w.endswith("kse"):
+            w = w[:-1] + "i"
+    elif m in ("nsa", "nsä", "mme", "nne"):
+        w = w[:-3]
+    elif m == "an":
+        if w[:-2].endswith(("lla", "na", "ssa", "ta", "lta", "sta")):
+            w = w[:-2]
+    elif m == "än":
+        if w[:-2].endswith(("llä", "nä", "ssä", "tä", "ltä", "stä")):
+            w = w[:-2]
+    elif m == "en":
+        if w[:-2].endswith(("lle", "ine")):
+            w = w[:-2]
+
+    # case ending (R1 match; among-method conditions under the R1 limit)
+    ending_removed = False
+    m = _longest_in_r1(w, p1, _FI_CASE)
+    if m in ("den", "tten", "siin"):
+        # r_VI: preceding "Vi" with both chars inside R1, V in g_V2
+        i = len(w) - len(m) - 1
+        if i >= p1 and w[i] == "i" and i - 1 >= p1 and w[i - 1] in _FI_V2:
+            w = w[: -len(m)]
+            ending_removed = True
+        else:
+            w = _fi_case_n(w)  # among fallback to parent entry 'n'
+            ending_removed = True
+    elif m == "seen":
+        # r_LONG under the R1 limit
+        if len(w) - 6 >= p1 and w[-6:-4] in _FI_LONG:
+            w = w[:-4]
+            ending_removed = True
+        else:
+            w = _fi_case_n(w)
+            ending_removed = True
+    elif m in _FI_CASE_H:
+        if len(w) >= 4 and w[-4] == _FI_CASE_H[m]:
+            w = w[:-3]
+            ending_removed = True
+    elif m in ("tta", "ttä"):
+        if len(w) >= 4 and w[-4] == "e":
+            w = w[:-3]
+            ending_removed = True
+    elif m == "n":
+        w = _fi_case_n(w)
+        ending_removed = True
+    elif m in ("a", "ä"):
+        if len(w) >= 3 and w[-2] in _FI_V1 and w[-3] in _FI_C:
+            w = w[:-1]
+            ending_removed = True
+    elif m:
+        w = w[: -len(m)]
+        ending_removed = True
+
+    # other endings (comparatives; R2 match, po-guard region-free)
+    m = _longest_in_r1(w, p2, _FI_OTHER)
+    if m in _FI_OTHER_PO:
+        if not w[: -len(m)].endswith("po"):
+            w = w[: -len(m)]
+    elif m:
+        w = w[: -len(m)]
+
+    if ending_removed:
+        # i_plural: trailing i/j inside R1
+        if w and w[-1] in "ij" and len(w) - 1 >= p1:
+            w = w[:-1]
+    else:
+        # t_plural: trailing t in R1 preceded by an R1 vowel, then a
+        # comparative tail in R2
+        if (
+            w.endswith("t")
+            and len(w) - 1 >= p1
+            and len(w) >= 2
+            and w[-2] in _FI_V1
+            and len(w) - 2 >= p1
+        ):
+            w = w[:-1]
+            m = _longest_in_r1(w, p2, ("imma", "mma"))
+            if m == "imma":
+                w = w[:-4]
+            elif m == "mma" and not w[:-3].endswith("po"):
+                w = w[:-3]
+
+    # tidy (each sub-step independent, on the evolving string)
+    if len(w) >= 2 and len(w) - 2 >= p1 and w[-2:] in _FI_LONG:
+        w = w[:-1]
+    if (
+        w
+        and len(w) - 1 >= p1
+        and w[-1] in _FI_AEI
+        and len(w) >= 2
+        and len(w) - 2 >= p1
+        and w[-2] in _FI_C
+    ):
+        w = w[:-1]
+    if (
+        w.endswith("j")
+        and len(w) - 1 >= p1
+        and len(w) >= 2
+        and len(w) - 2 >= p1
+        and w[-2] in "ou"
+    ):
+        w = w[:-1]
+    if (
+        w.endswith("o")
+        and len(w) - 1 >= p1
+        and len(w) >= 2
+        and len(w) - 2 >= p1
+        and w[-2] == "j"
+    ):
+        w = w[:-1]
+    # undouble the consonant just before the trailing vowel run (region-free)
+    i = len(w)
+    while i > 0 and w[i - 1] in _FI_V1:
+        i -= 1
+    if i > 0 and w[i - 1] in _FI_C and i - 2 >= 0 and w[i - 2] == w[i - 1]:
+        w = w[: i - 1] + w[i:]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Romanian (org/tartarus/snowball/ext/RomanianStemmer.java) — the
+# RomanianAnalyzer's default SnowballFilter stemmer (cedilla forms ş/ţ, as
+# in the reference's resources). Prelude shields u/i between vowels as U/I
+# (consonants thereafter); step_0 and the combo loop are R1-gated, the
+# standard suffixes R2-gated, verb suffixes match entirely inside RV, the
+# final vowel inside RV; postlude lowers I/U back.
+# ---------------------------------------------------------------------------
+
+_RO_V = "aeiouâîă"
+
+#: step_0 (a_1): suffix -> replacement ("d" = delete); 'ile' additionally
+#: fails when preceded by "ab"
+_RO_STEP0 = {
+    "iilor": "i", "aţia": "aţi", "aţie": "aţi", "atei": "at", "ului": "d",
+    "iile": "i", "ilor": "i", "elor": "e", "aua": "a", "iua": "i",
+    "ele": "e", "ile": "i", "iei": "i", "ea": "e", "ii": "i", "ul": "d",
+}
+_RO_COMBO = {
+    "abilitate": "abil", "abilitati": "abil", "abilităi": "abil",
+    "abilităţi": "abil", "ibilitate": "ibil", "ivitate": "iv",
+    "ivitati": "iv", "ivităi": "iv", "ivităţi": "iv",
+    "icala": "ic", "iciva": "ic", "icale": "ic", "icitate": "ic",
+    "icive": "ic", "icali": "ic", "icatori": "ic", "icitati": "ic",
+    "icivi": "ic", "icităi": "ic", "icităţi": "ic", "ical": "ic",
+    "icator": "ic", "iciv": "ic", "icală": "ic", "icivă": "ic",
+    "ativa": "at", "aţiune": "at", "atoare": "at", "ătoare": "at",
+    "ative": "at", "atori": "at", "ători": "at", "ativi": "at",
+    "ator": "at", "ător": "at", "ativ": "at", "ativă": "at",
+    "itiva": "it", "iţiune": "it", "itoare": "it", "itive": "it",
+    "itori": "it", "itivi": "it", "itor": "it", "itiv": "it",
+    "itivă": "it",
+}
+_RO_STD_DEL = (
+    "ica", "abila", "ibila", "oasa", "ata", "ita", "anta", "uta", "iva",
+    "ic", "ice", "abile", "ibile", "oase", "ate", "itate", "ite", "ante",
+    "ute", "ive", "ici", "abili", "ibili", "atori", "osi", "ati", "itati",
+    "iti", "anti", "uti", "ivi", "ităi", "oşi", "ităţi",
+    "abil", "ibil", "ator", "os", "at", "it", "ant", "ut", "iv",
+    "ică", "abilă", "ibilă", "oasă", "ată",
+    "ită", "antă", "ută", "ivă",
+)
+_RO_STD_IST = ("isme", "iste", "isti", "işti", "ism", "ist", "ista",
+               "istă")
+_RO_STD = {s: "d" for s in _RO_STD_DEL}
+_RO_STD.update({s: "ist" for s in _RO_STD_IST})
+_RO_STD.update({"iune": "t", "iuni": "t"})
+_RO_VERB1 = (
+    "ea", "ia", "esc", "ăsc", "ind", "ând", "are", "ere", "ire",
+    "âre", "ase", "ise", "use", "âse", "eşte",
+    "ăşte", "eze", "ai", "eai", "iai", "eşti",
+    "ăşti", "ui", "ezi", "âi", "aşi", "aseşi",
+    "iseşi", "useşi", "âseşi", "işi", "uşi",
+    "âşi", "eaţi", "iaţi", "arăţi",
+    "aserăţi", "iserăţi", "userăţi",
+    "âserăţi", "irăţi", "urăţi",
+    "ârăţi", "am", "eam", "iam", "asem", "isem", "usem",
+    "âsem", "arăm", "aserăm", "iserăm", "userăm",
+    "âserăm", "irăm", "urăm", "ârăm", "au",
+    "eau", "iau", "indu", "ându", "ez", "ească", "ară",
+    "aseră", "iseră", "useră", "âseră",
+    "iră", "ură", "âră", "ează",
+)
+_RO_VERB2 = (
+    "se", "sese", "sei", "seşi", "seseşi", "aţi",
+    "eţi", "iţi", "âţi", "serăţi",
+    "seserăţi", "em", "sesem", "im", "âm", "ăm",
+    "serăm", "seserăm", "seră", "seseră",
+)
+_RO_STEP0_KEYS = _by_len(*_RO_STEP0)
+_RO_COMBO_KEYS = _by_len(*_RO_COMBO)
+_RO_STD_KEYS = _by_len(*_RO_STD)
+_RO_VERBS = _by_len(*(_RO_VERB1 + _RO_VERB2))
+_RO_VERB2_SET = frozenset(_RO_VERB2)
+
+
+def _ro_prelude(w: str) -> str:
+    c = list(w)
+    for i in range(len(c) - 2):
+        if c[i] in _RO_V and c[i + 2] in _RO_V:
+            if c[i + 1] == "u":
+                c[i + 1] = "U"
+            elif c[i + 1] == "i":
+                c[i + 1] = "I"
+    return "".join(c)
+
+
+def _ro_rv(w: str) -> int:
+    n = len(w)
+    if n < 2:
+        return n
+    if w[0] in _RO_V:
+        i = 2
+        if w[1] in _RO_V:
+            while i < n and w[i] in _RO_V:
+                i += 1
+        else:
+            while i < n and w[i] not in _RO_V:
+                i += 1
+        return i + 1 if i < n else n
+    if w[1] in _RO_V:
+        return 3 if n >= 3 else n
+    i = 2
+    while i < n and w[i] not in _RO_V:
+        i += 1
+    return i + 1 if i < n else n
+
+
+def _ro_r1r2(w: str):
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _RO_V:
+        i += 1
+    while i < n and w[i] in _RO_V:
+        i += 1
+    if i == n:
+        return n, n
+    p1 = i + 1
+    i = p1
+    while i < n and w[i] not in _RO_V:
+        i += 1
+    while i < n and w[i] in _RO_V:
+        i += 1
+    if i == n:
+        return p1, n
+    return p1, i + 1
+
+
+def romanian_stem(w: str) -> str:
+    w = _ro_prelude(w)
+    pV = _ro_rv(w)
+    p1, p2 = _ro_r1r2(w)
+
+    # step 0: plural/article endings (R1-gated, hard fail)
+    for s in _RO_STEP0_KEYS:
+        if w.endswith(s):
+            if len(w) - len(s) >= p1:
+                rep = _RO_STEP0[s]
+                if s == "ile" and w[:-3].endswith("ab"):
+                    break
+                w = w[: -len(s)] + ("" if rep == "d" else rep)
+            break
+
+    # standard suffixes: combo loop (R1), then the main table (R2)
+    removed = False
+    changed = True
+    while changed:
+        changed = False
+        for s in _RO_COMBO_KEYS:
+            if w.endswith(s):
+                if len(w) - len(s) >= p1:
+                    w = w[: -len(s)] + _RO_COMBO[s]
+                    removed = True
+                    changed = True
+                break
+    for s in _RO_STD_KEYS:
+        if w.endswith(s):
+            if len(w) - len(s) >= p2:
+                rep = _RO_STD[s]
+                if rep == "t":
+                    # iune/iuni must follow ţ; ţ+suffix -> "t"
+                    if w[: -len(s)].endswith("ţ"):
+                        w = w[: -len(s) - 1] + "t"
+                        removed = True
+                elif rep == "d":
+                    w = w[: -len(s)]
+                    removed = True
+                else:
+                    w = w[: -len(s)] + rep
+                    removed = True
+            break
+
+    # verb suffixes (only when nothing standard was removed; match must lie
+    # entirely inside RV, and case-1 needs a non-vowel or 'u' before it,
+    # also inside RV)
+    if not removed:
+        m = _longest_in_r1(w, pV, _RO_VERBS)
+        if m:
+            if m in _RO_VERB2_SET:
+                w = w[: -len(m)]
+            else:
+                i = len(w) - len(m) - 1
+                if i >= pV and (w[i] not in _RO_V or w[i] == "u"):
+                    w = w[: -len(m)]
+
+    # final vowel (RV-gated, hard fail; 'ie' wins over 'e')
+    for s in ("ie", "a", "e", "i", "ă"):
+        if w.endswith(s):
+            if len(w) - len(s) >= pV:
+                w = w[: -len(s)]
+            break
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (org/tartarus/snowball/ext/HungarianStemmer.java) — the
+# HungarianAnalyzer's default SnowballFilter stemmer. Every backward rule
+# matches its suffix REGION-FREE (limit_backward stays 0) and only then
+# requires the match to start inside R1 — a failed R1 check fails the rule
+# with NO fallback to a shorter suffix. R1 itself treats the consonant
+# digraphs (cs/dzs/gy/ly/ny/sz/ty/zs) as single units.
+# ---------------------------------------------------------------------------
+
+_HU_V = "aeiouáéíóöúüőű"
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = _by_len(
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp", "rr",
+    "ccs", "ss", "zzs", "tt", "vv", "ggy", "lly", "nny", "tty", "ssz", "zz",
+)
+_HU_CASE = _by_len(
+    "ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel", "ul", "nál",
+    "nél", "ból", "ról", "tól", "ül", "ből", "ről", "től", "n", "an", "ban",
+    "en", "ben", "képpen", "on", "ön", "képp", "kor", "t", "at", "et",
+    "ként", "anként", "enként", "onként", "ot", "ért", "öt", "hez", "hoz",
+    "höz", "vá", "vé",
+)
+#: action tables: "d" = delete, else the replacement vowel
+_HU_OWNED = {
+    "éi": "d", "áéi": "a", "ééi": "e", "é": "d", "ké": "d", "aké": "d",
+    "eké": "d", "oké": "d", "áké": "a", "éké": "e", "öké": "d", "éé": "e",
+}
+_HU_SING_OWNER = {
+    "a": "d", "ja": "d", "d": "d", "ad": "d", "ed": "d", "od": "d",
+    "ád": "a", "éd": "e", "öd": "d", "e": "d", "je": "d", "nk": "d",
+    "unk": "d", "ánk": "a", "énk": "e", "ünk": "d", "uk": "d", "juk": "d",
+    "ájuk": "a", "ük": "d", "jük": "d", "éjük": "e", "m": "d", "am": "d",
+    "em": "d", "om": "d", "ám": "a", "ém": "e", "o": "d", "á": "a",
+    "é": "e",
+}
+_HU_PLUR_OWNER = {
+    "id": "d", "aid": "d", "jaid": "d", "eid": "d", "jeid": "d", "áid": "a",
+    "éid": "e", "i": "d", "ai": "d", "jai": "d", "ei": "d", "jei": "d",
+    "ái": "a", "éi": "e", "itek": "d", "eitek": "d", "jeitek": "d",
+    "éitek": "e", "ik": "d", "aik": "d", "jaik": "d", "eik": "d",
+    "jeik": "d", "áik": "a", "éik": "e", "ink": "d", "aink": "d",
+    "jaink": "d", "eink": "d", "jeink": "d", "áink": "a", "éink": "e",
+    "aitok": "d", "jaitok": "d", "áitok": "a", "im": "d", "aim": "d",
+    "jaim": "d", "eim": "d", "jeim": "d", "áim": "a", "éim": "e",
+}
+_HU_PLURAL = {"k": "d", "ak": "d", "ek": "d", "ok": "d", "ák": "a",
+              "ék": "e", "ök": "d"}
+_HU_OWNED_KEYS = _by_len(*_HU_OWNED)
+_HU_SING_OWNER_KEYS = _by_len(*_HU_SING_OWNER)
+_HU_PLUR_OWNER_KEYS = _by_len(*_HU_PLUR_OWNER)
+_HU_PLURAL_KEYS = _by_len(*_HU_PLURAL)
+
+
+def _hu_r1(w: str) -> int:
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _HU_V:
+        i = 1
+        while i < n and w[i] in _HU_V:
+            i += 1
+        if i == n:
+            return n
+        for d in _HU_DIGRAPHS:  # dzs first (longest)
+            if w.startswith(d, i):
+                return i + len(d)
+        return i + 1
+    i = 1
+    while i < n and w[i] not in _HU_V:
+        i += 1
+    if i == n:
+        return n
+    return i + 1
+
+
+def _hu_match(w: str, p1: int, sufs) -> Optional[str]:
+    """Longest textual suffix; None when it starts before R1 (hard fail,
+    no fallback — find_among_b runs region-free here)."""
+    for s in sufs:
+        if w.endswith(s):
+            return s if len(w) - len(s) >= p1 else None
+    return None
+
+
+def _hu_double(stem: str) -> bool:
+    return stem.endswith(_HU_DOUBLES)
+
+
+def _hu_undouble(stem: str) -> str:
+    """r_undouble: drop the second-to-last char (ggy->gy, ssz->sz, tt->t)."""
+    return stem[:-2] + stem[-1]
+
+
+def _hu_apply(w: str, p1: int, keys, table) -> str:
+    m = _hu_match(w, p1, keys)
+    if not m:
+        return w
+    act = table[m]
+    return w[: -len(m)] + ("" if act == "d" else act)
+
+
+def hungarian_stem(w: str) -> str:
+    p1 = _hu_r1(w)
+    # instrum: al/el after a double consonant -> delete + undouble
+    m = _hu_match(w, p1, ("al", "el"))
+    if m and _hu_double(w[:-2]):
+        w = _hu_undouble(w[:-2])
+    # case endings, then á/é -> a/e normalization (itself R1-gated)
+    m = _hu_match(w, p1, _HU_CASE)
+    if m:
+        w = w[: -len(m)]
+        if w.endswith("á") and len(w) - 1 >= p1:
+            w = w[:-1] + "a"
+        elif w.endswith("é") and len(w) - 1 >= p1:
+            w = w[:-1] + "e"
+    # case_special: án/ánként -> a, én -> e
+    m = _hu_match(w, p1, ("ánként", "án", "én"))
+    if m in ("ánként", "án"):
+        w = w[: -len(m)] + "a"
+    elif m == "én":
+        w = w[:-2] + "e"
+    # case_other: -stul/-stül family
+    m = _hu_match(w, p1, ("ástul", "éstül", "astul", "estül", "stul", "stül"))
+    if m == "ástul":
+        w = w[:-5] + "a"
+    elif m == "éstül":
+        w = w[:-5] + "e"
+    elif m:
+        w = w[: -len(m)]
+    # factive: á/é after a double consonant -> delete + undouble
+    m = _hu_match(w, p1, ("á", "é"))
+    if m and _hu_double(w[:-1]):
+        w = _hu_undouble(w[:-1])
+    w = _hu_apply(w, p1, _HU_OWNED_KEYS, _HU_OWNED)
+    w = _hu_apply(w, p1, _HU_SING_OWNER_KEYS, _HU_SING_OWNER)
+    w = _hu_apply(w, p1, _HU_PLUR_OWNER_KEYS, _HU_PLUR_OWNER)
+    w = _hu_apply(w, p1, _HU_PLURAL_KEYS, _HU_PLURAL)
+    return w
+
+
 def dutch_stem(w: str) -> str:
     w = _nl_prelude(w)
     p1, p2 = _nl_regions(w)

@@ -224,8 +224,11 @@ def test_snowball_embedded_vectors(fn, vectors):
         ("swedish", snowball.swedish_stem),
         ("danish", snowball.danish_stem),
         ("norwegian", snowball.norwegian_stem),
+        ("finnish", snowball.finnish_stem),
+        ("hungarian", snowball.hungarian_stem),
+        ("romanian", snowball.romanian_stem),
     ],
-    ids=["sv", "da", "no"],
+    ids=["sv", "da", "no", "fi", "hu", "ro"],
 )
 def test_snowball_full_reference_vocabulary(name, fn):
     import io
@@ -328,3 +331,27 @@ def test_dutch_chain_and_overrides():
     assert lang.dutch_token("ei") == "eier"
     got = [t for t in lang.dutch_analyze("de nederlandse steden") if t != lang.STOP_HOLE]
     assert got == ["nederland", "sted"]
+
+
+def test_finnish_chain_tokens():
+    # real voc pairs through the chain; stop holes for the stopset
+    assert [t for t in lang.finnish_analyze("ja hallitustilannetta evakuoidaan") if t != lang.STOP_HOLE] == ["hallitustilan", "evakuoid"]
+    assert snowball.finnish_stem("häivähdyksen") == "häivähdyks"
+    assert snowball.finnish_stem("epäröinyt") == "epäröiny"
+
+
+def test_hungarian_chain_tokens():
+    assert [t for t in lang.hungarian_analyze("a lemezekhez és ablakokon") if t != lang.STOP_HOLE] == ["lemez", "ablak"]
+    # case + v_ending (voc pairs)
+    assert snowball.hungarian_stem("barátaitól") == "barát"
+    assert snowball.hungarian_stem("kutatásában") == "kutatás"
+
+
+def test_romanian_chain_tokens():
+    # comma-below ș stays one token (UAX#29 letter) but matches neither the
+    # cedilla stop entry nor any stemmer suffix — reference parity
+    assert lang.romanian_analyze("imperativul și inovaţiile") == ["imper", "și", "inov"]
+    # cedilla forms flow through the stop set and the stemmer
+    assert lang.romanian_token("şi") == lang.STOP_HOLE
+    # combo loop (ismului -> ist) on a voc pair
+    assert snowball.romanian_stem("comunismului") == "comunist"
