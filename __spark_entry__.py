@@ -556,6 +556,16 @@ _LANG_CHAIN_MAP = {
         ("obţine", "obţin"), ("intercalată", "intercal"),
         ("şi", None), ("de", None),
     ],
+    "turkish": [
+        ("sapiklar", "sapik"), ("donatılmış", "donatıl"),
+        ("birikimim", "birik"), ("çelişkiye", "çelişki"),
+        ("mehepeliler", "mehepeli"), ("ereceği", "erecek"),
+        ("çocukken", "çocuk"), ("araştırırken", "araştırır"),
+        ("kuyruğa", "kuyruk"), ("algılandı", "algıla"),
+        ("motorlarındaki", "motor"), ("filmlerini", "film"),
+        ("yaklaşımla", "yaklaş"), ("gelişini", "geliş"),
+        ("ve", None), ("bir", None),
+    ],
 }
 
 
@@ -2249,6 +2259,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # Romanian snowball: u/i prelude + combo loop (Latin Ext tokens)
             _lang_searcher(sp, d, "romanian"), TermQuery(term="comunist"), 10
         ),
+        "q_term_tr": lambda sp, d: _topk_df(
+            # Turkish: apostrophe filter + Turkish-I lowercase + harmony-
+            # gated snowball suffix chains
+            _lang_searcher(sp, d, "turkish"), TermQuery(term="çelişki"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3515,6 +3530,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_fi": _lang_term_sql("finnish", "haast"),
         "q_term_hu": _lang_term_sql("hungarian", "lemez"),
         "q_term_ro": _lang_term_sql("romanian", "comunist"),
+        "q_term_tr": _lang_term_sql("turkish", "çelişki"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

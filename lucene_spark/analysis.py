@@ -103,7 +103,7 @@ def fold_ascii(text: str) -> str:
 LANG_CHAINS = (
     "french", "german", "spanish", "italian", "portuguese",
     "swedish", "danish", "norwegian", "russian", "dutch",
-    "finnish", "hungarian", "romanian",
+    "finnish", "hungarian", "romanian", "turkish",
 )
 
 
@@ -132,6 +132,7 @@ def _chain_fn(base: str):
             "finnish": lang.finnish_analyze,
             "hungarian": lang.hungarian_analyze,
             "romanian": lang.romanian_analyze,
+            "turkish": lang.turkish_analyze,
         }[base]
     return {
         "standard": standard_analyze,
@@ -246,11 +247,16 @@ def flat_tokenize(
 
         if base == "russian":
             pat = lang._RUSSIAN_TOKEN_PATTERN
-        elif base in ("hungarian", "romanian"):
+        elif base in ("hungarian", "romanian", "turkish"):
             pat = lang._LATIN_EXT_TOKEN_PATTERN
         else:
             pat = lang._LANG_TOKEN_PATTERN
-        lists = texts.str.lower().str.findall(pat)
+        if base == "turkish":
+            # Turkish casing is NOT Python-lower-compatible (I -> ı,
+            # İ -> i): scan original case; turkish_token lowers per token
+            lists = texts.str.findall(pat)
+        else:
+            lists = texts.str.lower().str.findall(pat)
     else:
         lists = texts.str.findall(_WDF_PART)
     counts = lists.map(len).to_numpy(dtype=np.int64)
@@ -286,6 +292,7 @@ def flat_tokenize(
             "finnish": lang.finnish_token,
             "hungarian": lang.hungarian_token,
             "romanian": lang.romanian_token,
+            "turkish": lang.turkish_token,
         }[base]
         codes, uniq = pd.factorize(pd.Series(flat), sort=False)
         mapped = np.array([tok_fn(t) for t in uniq], dtype=object)

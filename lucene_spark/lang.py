@@ -987,3 +987,103 @@ def hungarian_analyze(text: str) -> List[str]:
 
 def romanian_analyze(text: str) -> List[str]:
     return [romanian_token(t) for t in _lang_tokenize(text, _LATIN_EXT_TOKEN_PATTERN)]
+
+
+# ---------------------------------------------------------------------------
+# Turkish chain (analysis/tr/TurkishAnalyzer.java createComponents):
+# StandardTokenizer -> ApostropheFilter (truncate at the first ' or ’) ->
+# TurkishLowerCaseFilter (I -> ı, İ -> i, combining-dot-above handling) ->
+# StopFilter -> SnowballFilter(TurkishStemmer). Python's str.lower() maps
+# I -> i and İ -> i+U+0307, so the Turkish-aware lowering is explicit.
+# ---------------------------------------------------------------------------
+
+_TR_COMBINING_DOT = "̇"
+
+#: analysis/tr/stopwords.txt
+TURKISH_STOP = frozenset((
+    "acaba", "altmış", "altı", "ama", "ancak", "arada", "aslında",
+    "ayrıca", "bana", "bazı", "belki", "ben", "benden", "beni", "benim",
+    "beri", "beş", "bile", "bin", "bir", "birçok", "biri", "birkaç",
+    "birkez", "birşey", "birşeyi", "biz", "bize", "bizden", "bizi",
+    "bizim", "böyle", "böylece", "bu", "buna", "bunda", "bundan",
+    "bunlar", "bunları", "bunların", "bunu", "bunun", "burada", "çok",
+    "çünkü", "da", "daha", "dahi", "de", "defa", "değil", "diğer", "diye",
+    "doksan", "dokuz", "dolayı", "dolayısıyla", "dört", "edecek", "eden",
+    "ederek", "edilecek", "ediliyor", "edilmesi", "ediyor", "eğer",
+    "elli", "en", "etmesi", "etti", "ettiği", "ettiğini", "gibi", "göre",
+    "halen", "hangi", "hatta", "hem", "henüz", "hep", "hepsi", "her",
+    "herhangi", "herkesin", "hiç", "hiçbir", "için", "iki", "ile",
+    "ilgili", "ise", "işte", "itibaren", "itibariyle", "kadar", "karşın",
+    "katrilyon", "kendi", "kendilerine", "kendini", "kendisi",
+    "kendisine", "kendisini", "kez", "ki", "kim", "kimden", "kime",
+    "kimi", "kimse", "kırk", "milyar", "milyon", "mu", "mü", "mı",
+    "nasıl", "ne", "neden", "nedenle", "nerde", "nerede", "nereye",
+    "niye", "niçin", "o", "olan", "olarak", "oldu", "olduğu", "olduğunu",
+    "olduklarını", "olmadı", "olmadığı", "olmak", "olması", "olmayan",
+    "olmaz", "olsa", "olsun", "olup", "olur", "olursa", "oluyor", "on",
+    "ona", "ondan", "onlar", "onlardan", "onları", "onların", "onu",
+    "onun", "otuz", "oysa", "öyle", "pek", "rağmen", "sadece", "sanki",
+    "sekiz", "seksen", "sen", "senden", "seni", "senin", "siz", "sizden",
+    "sizi", "sizin", "şey", "şeyden", "şeyi", "şeyler", "şöyle", "şu",
+    "şuna", "şunda", "şundan", "şunları", "şunu", "tarafından",
+    "trilyon", "tüm", "üç", "üzere", "var", "vardı", "ve", "veya", "ya",
+    "yani", "yapacak", "yapılan", "yapılması", "yapıyor", "yapmak",
+    "yaptı", "yaptığı", "yaptığını", "yaptıkları", "yedi", "yerine",
+    "yetmiş", "yine", "yirmi", "yoksa", "yüz", "zaten",
+))
+
+
+def turkish_lower(t: str) -> str:
+    """TurkishLowerCaseFilter: I -> ı unless followed (through combining
+    marks) by U+0307 (then i, dot removed); combining dots after an I/i
+    run are removed; everything else 1:1 lowercase (İ -> i)."""
+    import unicodedata
+
+    out: List[str] = []
+    i = 0
+    n = len(t)
+    i_or_after = False
+    while i < n:
+        ch = t[i]
+        i_or_after = ch == "I" or (
+            i_or_after and unicodedata.category(ch) == "Mn"
+        )
+        if i_or_after:
+            if ch == _TR_COMBINING_DOT:
+                i += 1
+                continue
+            if ch == "I":
+                j = i + 1
+                before_dot = False
+                while j < n and unicodedata.category(t[j]) == "Mn":
+                    if t[j] == _TR_COMBINING_DOT:
+                        before_dot = True
+                        break
+                    j += 1
+                if before_dot:
+                    out.append("i")
+                else:
+                    out.append("ı")
+                    i_or_after = False
+                i += 1
+                continue
+        out.append("i" if ch == "İ" else ch.lower())
+        i += 1
+    return "".join(out)
+
+
+def turkish_token(tok: str) -> str:
+    from .snowball import turkish_stem
+
+    for k, ch in enumerate(tok):
+        if ch == "'" or ch == "’":
+            tok = tok[:k]
+            break
+    t = turkish_lower(tok)
+    if t in TURKISH_STOP:
+        return STOP_HOLE
+    return turkish_stem(t)
+
+
+def turkish_analyze(text: str) -> List[str]:
+    return [turkish_token(t) for t in _lang_tokenize(text, _LATIN_EXT_TOKEN_PATTERN)]

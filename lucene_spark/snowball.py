@@ -1012,3 +1012,553 @@ def dutch_stem(w: str) -> str:
         w = w[:-2] + w[-1]
     # postlude
     return w.replace("I", "i").replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# Turkish (org/tartarus/snowball/ext/TurkishStemmer.java) — the
+# TurkishAnalyzer's default SnowballFilter stemmer. No regions: every rule
+# is gated by vowel HARMONY (the last vowel of the effective prefix must be
+# preceded somewhere by a char of its harmony group) and by the
+# optional-consonant/vowel attachment checks. Marks COMPOUND — a branch
+# strips the sum of its consecutively marked suffixes; the ki-chain recurses
+# on the PREFIX with a marked-but-undeleted tail re-appended (mid-buffer
+# slice semantics of the generated cursor machine).
+# ---------------------------------------------------------------------------
+
+_TR_VOWELS = "aeıioöuü"
+_TR_U = "ıiuü"
+_TR_HARMONY = {
+    "a": "aouı", "e": "eiöü", "ı": "aı", "i": "ei",
+    "o": "ou", "ö": "öü", "u": "ou", "ü": "öü",
+}
+
+_TR_POSS = _by_len("m", "n", "miz", "niz", "muz", "nuz", "müz", "nüz",
+                   "mız", "nız")
+_TR_LARI = _by_len("leri", "ları")
+_TR_NU = _by_len("ni", "nu", "nü", "nı")
+_TR_NUN = _by_len("in", "un", "ün", "ın")
+_TR_YA = _by_len("a", "e")
+_TR_NA = _by_len("na", "ne")
+_TR_DA = _by_len("da", "ta", "de", "te")
+_TR_NDA = _by_len("nda", "nde")
+_TR_DAN = _by_len("dan", "tan", "den", "ten")
+_TR_NDAN = _by_len("ndan", "nden")
+_TR_YLA = _by_len("la", "le")
+_TR_CA = _by_len("ca", "ce")
+_TR_YUM = _by_len("im", "um", "üm", "ım")
+_TR_SUN = _by_len("sin", "sun", "sün", "sın")
+_TR_YUZ = _by_len("iz", "uz", "üz", "ız")
+_TR_SUNUZ = _by_len("siniz", "sunuz", "sünüz", "sınız")
+_TR_LAR = _by_len("lar", "ler")
+_TR_NUZ = _by_len("niz", "nuz", "nüz", "nız")
+_TR_DUR = _by_len("dir", "tir", "dur", "tur", "dür", "tür", "dır", "tır")
+_TR_CASINA = _by_len("casına", "cesine")
+_TR_YDU = _by_len(
+    "di", "ti", "dik", "tik", "duk", "tuk", "dük", "tük", "dık", "tık",
+    "dim", "tim", "dum", "tum", "düm", "tüm", "dım", "tım", "din", "tin",
+    "dun", "tun", "dün", "tün", "dın", "tın", "du", "tu", "dü", "tü",
+    "dı", "tı",
+)
+_TR_YSA = _by_len("sa", "se", "sak", "sek", "sam", "sem", "san", "sen")
+_TR_YMUS = _by_len("miş", "muş", "müş", "mış")
+
+
+def _tr_harmony_ok(e: str) -> bool:
+    j = len(e) - 1
+    while j >= 0 and e[j] not in _TR_VOWELS:
+        j -= 1
+    if j < 0:
+        return False
+    grp = _TR_HARMONY[e[j]]
+    for k in range(j - 1, -1, -1):
+        if e[k] in grp:
+            return True
+    return False
+
+
+def _tr_suf(e: str, sufs) -> Optional[int]:
+    for s in sufs:
+        if e.endswith(s):
+            return len(s)
+    return None
+
+
+def _tr_opt_c(e: str, ch: str) -> Optional[int]:
+    """Optional attachment consonant ch: extra strip 1 when present
+    (vowel-preceded), 0 when absent and the skipped char is vowel-preceded;
+    None = attachment shape invalid."""
+    if e.endswith(ch):
+        if len(e) >= 2 and e[-2] in _TR_VOWELS:
+            return 1
+        return None
+    if len(e) >= 2 and e[-2] in _TR_VOWELS:
+        return 0
+    return None
+
+
+def _tr_opt_u(e: str) -> Optional[int]:
+    if e and e[-1] in _TR_U:
+        if len(e) >= 2 and e[-2] not in _TR_VOWELS:
+            return 1
+        return None
+    if len(e) >= 2 and e[-2] not in _TR_VOWELS:
+        return 0
+    return None
+
+
+def _tr_mark(e: str, sufs, harmony: bool = True, opt=None) -> Optional[int]:
+    if harmony and not _tr_harmony_ok(e):
+        return None
+    n = _tr_suf(e, sufs)
+    if n is None:
+        return None
+    if opt is not None:
+        x = opt(e[:-n])
+        if x is None:
+            return None
+        return n + x
+    return n
+
+
+def _mk_poss(e):
+    n = _tr_suf(e, _TR_POSS)
+    if n is None:
+        return None
+    x = _tr_opt_u(e[:-n])
+    return None if x is None else n + x
+
+
+def _mk_sU(e):
+    if not _tr_harmony_ok(e):
+        return None
+    if not e or e[-1] not in _TR_U:
+        return None
+    x = _tr_opt_c(e[:-1], "s")
+    return None if x is None else 1 + x
+
+
+def _mk_lArI(e):
+    return _tr_suf(e, _TR_LARI)
+
+
+def _mk_yU(e):
+    if not _tr_harmony_ok(e):
+        return None
+    if not e or e[-1] not in _TR_U:
+        return None
+    x = _tr_opt_c(e[:-1], "y")
+    return None if x is None else 1 + x
+
+
+def _mk_nU(e):
+    return _tr_mark(e, _TR_NU)
+
+
+def _mk_nUn(e):
+    return _tr_mark(e, _TR_NUN, opt=lambda p: _tr_opt_c(p, "n"))
+
+
+def _mk_yA(e):
+    return _tr_mark(e, _TR_YA, opt=lambda p: _tr_opt_c(p, "y"))
+
+
+def _mk_nA(e):
+    return _tr_mark(e, _TR_NA)
+
+
+def _mk_DA(e):
+    return _tr_mark(e, _TR_DA)
+
+
+def _mk_ndA(e):
+    return _tr_mark(e, _TR_NDA)
+
+
+def _mk_DAn(e):
+    return _tr_mark(e, _TR_DAN)
+
+
+def _mk_ndAn(e):
+    return _tr_mark(e, _TR_NDAN)
+
+
+def _mk_ylA(e):
+    return _tr_mark(e, _TR_YLA, opt=lambda p: _tr_opt_c(p, "y"))
+
+
+def _mk_ncA(e):
+    return _tr_mark(e, _TR_CA, opt=lambda p: _tr_opt_c(p, "n"))
+
+
+def _mk_yUm(e):
+    return _tr_mark(e, _TR_YUM, opt=lambda p: _tr_opt_c(p, "y"))
+
+
+def _mk_sUn(e):
+    return _tr_mark(e, _TR_SUN)
+
+
+def _mk_yUz(e):
+    return _tr_mark(e, _TR_YUZ, opt=lambda p: _tr_opt_c(p, "y"))
+
+
+def _mk_sUnUz(e):
+    return _tr_suf(e, _TR_SUNUZ)
+
+
+def _mk_lAr(e):
+    return _tr_mark(e, _TR_LAR)
+
+
+def _mk_nUz(e):
+    return _tr_mark(e, _TR_NUZ)
+
+
+def _mk_DUr(e):
+    return _tr_mark(e, _TR_DUR)
+
+
+def _mk_cAsInA(e):
+    return _tr_suf(e, _TR_CASINA)
+
+
+def _mk_yDU(e):
+    return _tr_mark(e, _TR_YDU, opt=lambda p: _tr_opt_c(p, "y"))
+
+
+def _mk_ysA(e):
+    return _tr_mark(e, _TR_YSA, harmony=False,
+                    opt=lambda p: _tr_opt_c(p, "y"))
+
+
+def _mk_ymUs(e):
+    return _tr_mark(e, _TR_YMUS, opt=lambda p: _tr_opt_c(p, "y"))
+
+
+def _mk_yken(e):
+    if not e.endswith("ken"):
+        return None
+    x = _tr_opt_c(e[:-3], "y")
+    return None if x is None else 3 + x
+
+
+def _tr_first(e, *marks) -> Optional[int]:
+    for mk in marks:
+        n = mk(e)
+        if n is not None:
+            return n
+    return None
+
+
+def _tr_nominal_verb(w: str):
+    """r_stem_nominal_verb_suffixes: returns (new_w, continue_noun_flag)."""
+    # alt 1: ymUs_|yDU|ysA|yken
+    n = _tr_first(w, _mk_ymUs, _mk_yDU, _mk_ysA, _mk_yken)
+    if n is not None:
+        return w[:-n], True
+    # alt 2: cAsInA (sUnUz|lAr|yUm|sUn|yUz)? ymUs_
+    n1 = _mk_cAsInA(w)
+    if n1 is not None:
+        e = w[:-n1]
+        n2 = _tr_first(e, _mk_sUnUz, _mk_lAr, _mk_yUm, _mk_sUn, _mk_yUz) or 0
+        n3 = _mk_ymUs(e[: len(e) - n2] if n2 else e)
+        if n3 is not None:
+            return w[: len(w) - (n1 + n2 + n3)], True
+    # alt 3: lAr, delete, then (DUr|yDU|ysA|ymUs_)? — stops noun stemming
+    n = _mk_lAr(w)
+    if n is not None:
+        w = w[:-n]
+        m = _tr_first(w, _mk_DUr, _mk_yDU, _mk_ysA, _mk_ymUs)
+        if m is not None:
+            w = w[:-m]
+        return w, False
+    # alt 4: nUz (yDU|ysA)
+    n1 = _mk_nUz(w)
+    if n1 is not None:
+        e = w[:-n1]
+        n2 = _tr_first(e, _mk_yDU, _mk_ysA)
+        if n2 is not None:
+            return w[: len(w) - (n1 + n2)], True
+    # alt 5: (sUnUz|yUz|sUn|yUm), delete, then ymUs_?
+    n = _tr_first(w, _mk_sUnUz, _mk_yUz, _mk_sUn, _mk_yUm)
+    if n is not None:
+        w = w[:-n]
+        m = _mk_ymUs(w)
+        if m is not None:
+            w = w[:-m]
+        return w, True
+    # alt 6: DUr, delete, then ((sUnUz|lAr|yUm|sUn|yUz)? ymUs_)?
+    n = _mk_DUr(w)
+    if n is None:
+        return w, True
+    w = w[:-n]
+    n2 = _tr_first(w, _mk_sUnUz, _mk_lAr, _mk_yUm, _mk_sUn, _mk_yUz) or 0
+    n3 = _mk_ymUs(w[: len(w) - n2] if n2 else w)
+    if n3 is not None:
+        w = w[: len(w) - (n2 + n3)]
+    return w, True
+
+
+def _tr_chain_ki(w: str):
+    """r_stem_suffix_chain_before_ki: (new_w, applied). The ndA-recursive
+    path edits the PREFIX and re-appends the marked tail (mid-buffer
+    slice_del semantics)."""
+    if not w.endswith("ki"):
+        return w, False
+    e = w[:-2]
+    # alt A: DA ki -> delete, then lAr?/possessives? tails
+    n = _mk_DA(e)
+    if n is not None:
+        w2 = e[:-n]
+        m = _mk_lAr(w2)
+        if m is not None:
+            w2 = w2[:-m]
+            w3, ok = _tr_chain_ki(w2)
+            return (w3 if ok else w2), True
+        m = _mk_poss(w2)
+        if m is not None:
+            w2 = w2[:-m]
+            k = _mk_lAr(w2)
+            if k is not None:
+                w2 = w2[:-k]
+                w3, ok = _tr_chain_ki(w2)
+                if ok:
+                    w2 = w3
+            return w2, True
+        return w2, True
+    # alt B: nUn ki -> delete, then lArI | (poss|sU) lAr? chain? | chain?
+    n = _mk_nUn(e)
+    if n is not None:
+        w2 = e[:-n]
+        m = _mk_lArI(w2)
+        if m is not None:
+            return w2[:-m], True
+        m = _mk_poss(w2)
+        if m is None:
+            m = _mk_sU(w2)
+        if m is not None:
+            w2 = w2[:-m]
+            k = _mk_lAr(w2)
+            if k is not None:
+                w2 = w2[:-k]
+                w3, ok = _tr_chain_ki(w2)
+                if ok:
+                    w2 = w3
+            return w2, True
+        w3, ok = _tr_chain_ki(w2)
+        return (w3 if ok else w2), True
+    # alt C: ndA ki (marked only): lArI/sU delete through the tail; the
+    # recursive fallback edits the prefix and KEEPS the ndA+ki tail
+    n = _mk_ndA(e)
+    if n is not None:
+        w2 = e[:-n]
+        m = _mk_lArI(w2)
+        if m is not None:
+            return w2[:-m], True
+        m = _mk_sU(w2)
+        if m is not None:
+            w2 = w2[:-m]
+            k = _mk_lAr(w2)
+            if k is not None:
+                w2 = w2[:-k]
+                w3, ok = _tr_chain_ki(w2)
+                if ok:
+                    w2 = w3
+            return w2, True
+        w3, ok = _tr_chain_ki(w2)
+        if ok:
+            return w3 + e[len(e) - n:] + "ki", True
+        return w, False
+    return w, False
+
+
+def _tr_noun(w: str) -> str:
+    """r_stem_noun_suffixes (one pass; returns the possibly-shortened word)."""
+    # N1: lAr, delete, chain_ki?
+    n = _mk_lAr(w)
+    if n is not None:
+        w = w[:-n]
+        w2, ok = _tr_chain_ki(w)
+        return w2 if ok else w
+    # N2: ncA, delete, then lArI | (poss|sU) lAr?+chain | lAr+chain
+    n = _mk_ncA(w)
+    if n is not None:
+        w = w[:-n]
+        m = _mk_lArI(w)
+        if m is not None:
+            return w[:-m]
+        m = _mk_poss(w)
+        if m is None:
+            m = _mk_sU(w)
+        if m is not None:
+            w = w[:-m]
+            k = _mk_lAr(w)
+            if k is not None:
+                w = w[:-k]
+                w2, ok = _tr_chain_ki(w)
+                if ok:
+                    w = w2
+            return w
+        k = _mk_lAr(w)
+        if k is not None:
+            w2 = w[:-k]
+            w3, ok = _tr_chain_ki(w2)
+            if ok:
+                return w3
+            return w2
+        return w
+    # N3: (ndA|nA) then lArI | sU lAr?+chain | chain(prefix, tail kept)
+    n = _tr_first(w, _mk_ndA, _mk_nA)
+    if n is not None:
+        e = w[:-n]
+        m = _mk_lArI(e)
+        if m is not None:
+            return e[:-m]
+        m = _mk_sU(e)
+        if m is not None:
+            e = e[:-m]
+            k = _mk_lAr(e)
+            if k is not None:
+                e = e[:-k]
+                w2, ok = _tr_chain_ki(e)
+                if ok:
+                    e = w2
+            return e
+        w2, ok = _tr_chain_ki(e)
+        if ok:
+            return w2 + w[len(w) - n:]
+        # fall through to later alternatives on the ORIGINAL word
+    # N4: (ndAn|nU) then (sU lAr?+chain | lArI)
+    n = _tr_first(w, _mk_ndAn, _mk_nU)
+    if n is not None:
+        e = w[:-n]
+        m = _mk_sU(e)
+        if m is not None:
+            e = e[:-m]
+            k = _mk_lAr(e)
+            if k is not None:
+                e = e[:-k]
+                w2, ok = _tr_chain_ki(e)
+                if ok:
+                    e = w2
+            return e
+        m = _mk_lArI(e)
+        if m is not None:
+            return e[:-m]
+        # neither: alternative fails, continue
+    # N5: DAn, delete, then (poss lAr?+chain | lAr chain? | chain)?
+    n = _mk_DAn(w)
+    if n is not None:
+        w = w[:-n]
+        m = _mk_poss(w)
+        if m is not None:
+            w = w[:-m]
+            k = _mk_lAr(w)
+            if k is not None:
+                w = w[:-k]
+                w2, ok = _tr_chain_ki(w)
+                if ok:
+                    w = w2
+            return w
+        m = _mk_lAr(w)
+        if m is not None:
+            w2 = w[:-m]
+            w3, ok = _tr_chain_ki(w2)
+            return w3 if ok else w2
+        w2, ok = _tr_chain_ki(w)
+        return w2 if ok else w
+    # N6: (nUn|ylA), delete, then [lAr+chain | (poss|sU) lAr?+chain | chain]?
+    n = _tr_first(w, _mk_nUn, _mk_ylA)
+    if n is not None:
+        w = w[:-n]
+        m = _mk_lAr(w)
+        if m is not None:
+            w = w[:-m]
+            w2, ok = _tr_chain_ki(w)
+            if ok:
+                return w2
+            # lAr slice persists; fall to the (poss|sU) alternative
+        m = _mk_poss(w)
+        if m is None:
+            m = _mk_sU(w)
+        if m is not None:
+            w = w[:-m]
+            k = _mk_lAr(w)
+            if k is not None:
+                w = w[:-k]
+                w2, ok = _tr_chain_ki(w)
+                if ok:
+                    w = w2
+            return w
+        w2, ok = _tr_chain_ki(w)
+        return w2 if ok else w
+    # N7: lArI
+    n = _mk_lArI(w)
+    if n is not None:
+        return w[:-n]
+    # N8: chain_ki at the end
+    w2, ok = _tr_chain_ki(w)
+    if ok:
+        return w2
+    # N9: (DA|yU|yA), delete, then [poss lAr(mark)? | lAr] + slice + chain?
+    n = _tr_first(w, _mk_DA, _mk_yU, _mk_yA)
+    if n is not None:
+        w = w[:-n]
+        m = _mk_poss(w)
+        if m is not None:
+            w = w[:-m]
+            k = _mk_lAr(w)
+            if k is not None:
+                w = w[:-k]
+            w2, ok = _tr_chain_ki(w)
+            return w2 if ok else w
+        m = _mk_lAr(w)
+        if m is not None:
+            w = w[:-m]
+            w2, ok = _tr_chain_ki(w)
+            return w2 if ok else w
+        return w
+    # N10: (poss|sU), delete, then [lAr + chain]?
+    n = _mk_poss(w)
+    if n is None:
+        n = _mk_sU(w)
+    if n is not None:
+        w = w[:-n]
+        k = _mk_lAr(w)
+        if k is not None:
+            w = w[:-k]
+            w2, ok = _tr_chain_ki(w)
+            if ok:
+                w = w2
+        return w
+    return w
+
+
+def turkish_stem(w: str) -> str:
+    if sum(1 for c in w if c in _TR_VOWELS) < 2:
+        return w
+    w, cont = _tr_nominal_verb(w)
+    if not cont:
+        return w
+    w = _tr_noun(w)
+    # postlude
+    if w in ("ad", "soyad"):
+        return w
+    if w.endswith(("d", "g")):
+        j = len(w) - 1
+        while j >= 0 and w[j] not in _TR_VOWELS:
+            j -= 1
+        if j >= 0:
+            v = w[j]
+            if v in "aı":
+                w += "ı"
+            elif v in "ei":
+                w += "i"
+            elif v in "ou":
+                w += "u"
+            else:
+                w += "ü"
+    last = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}.get(w[-1:] or "")
+    if last:
+        w = w[:-1] + last
+    return w

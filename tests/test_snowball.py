@@ -227,8 +227,9 @@ def test_snowball_embedded_vectors(fn, vectors):
         ("finnish", snowball.finnish_stem),
         ("hungarian", snowball.hungarian_stem),
         ("romanian", snowball.romanian_stem),
+        ("turkish", snowball.turkish_stem),
     ],
-    ids=["sv", "da", "no", "fi", "hu", "ro"],
+    ids=["sv", "da", "no", "fi", "hu", "ro", "tr"],
 )
 def test_snowball_full_reference_vocabulary(name, fn):
     import io
@@ -355,3 +356,14 @@ def test_romanian_chain_tokens():
     assert lang.romanian_token("şi") == lang.STOP_HOLE
     # combo loop (ismului -> ist) on a voc pair
     assert snowball.romanian_stem("comunismului") == "comunist"
+
+
+def test_turkish_chain_tokens():
+    # apostrophe truncation + Turkish-I lowercase + stop + snowball
+    assert [t for t in lang.turkish_analyze("ve KAPILARI çelişkiye donatılmış") if t != lang.STOP_HOLE] == ["kapı", "çelişki", "donatıl"]
+    # I -> ı (not i); İ -> i (single char, unlike Python str.lower)
+    assert lang.turkish_lower("KAPI") == "kapı"
+    assert lang.turkish_lower("İstanbul") == "istanbul"
+    # postlude: b/c/d/ğ finals devoice; d/g stems get the harmony vowel
+    assert snowball.turkish_stem("kuyruğa") == "kuyruk"
+    assert snowball.turkish_stem("ereceği") == "erecek"
