@@ -98,13 +98,13 @@ def fold_ascii(text: str) -> str:
     return text.translate(FOLD_MAP)
 
 
-#: language chains (lang.py): per-token pure chains over the Latin-1
-#: tokenizer; stopped tokens surface as lang.STOP_HOLE (see lang.py)
-LANG_CHAINS = (
-    "french", "german", "spanish", "italian", "portuguese",
-    "swedish", "danish", "norwegian", "russian", "dutch",
-    "finnish", "hungarian", "romanian", "turkish",
-)
+#: language chains (lang.py): per-token pure chains over script-aware
+#: tokenizer patterns; stopped tokens surface as lang.STOP_HOLE. The
+#: registry (lang.CHAINS) carries (pattern, token_fn, casing mode) per
+#: language — this module dispatches purely from it.
+from . import lang as _lang
+
+LANG_CHAINS = tuple(_lang.CHAINS)
 
 
 def _resolve_chain(chain: str) -> Tuple[str, bool]:
@@ -115,25 +115,8 @@ def _resolve_chain(chain: str) -> Tuple[str, bool]:
 
 
 def _chain_fn(base: str):
-    if base in LANG_CHAINS:
-        from . import lang
-
-        return {
-            "french": lang.french_analyze,
-            "german": lang.german_analyze,
-            "spanish": lang.spanish_analyze,
-            "italian": lang.italian_analyze,
-            "portuguese": lang.portuguese_analyze,
-            "swedish": lang.swedish_analyze,
-            "danish": lang.danish_analyze,
-            "norwegian": lang.norwegian_analyze,
-            "russian": lang.russian_analyze,
-            "dutch": lang.dutch_analyze,
-            "finnish": lang.finnish_analyze,
-            "hungarian": lang.hungarian_analyze,
-            "romanian": lang.romanian_analyze,
-            "turkish": lang.turkish_analyze,
-        }[base]
+    if base in _lang.CHAINS:
+        return _lang.chain_analyze_fn(base)
     return {
         "standard": standard_analyze,
         "code": code_analyze,
@@ -240,23 +223,15 @@ def flat_tokenize(
     if base in ("standard", "english"):
         lists = texts.str.lower().str.findall(_TOKEN_PATTERN)
     elif base in LANG_CHAINS:
-        # lowercase-then-scan == scan-then-lowercase: the Latin-1/Cyrillic
-        # token classes are case-symmetric, and elision checks its prefix
-        # case-insensitively
-        from . import lang
-
-        if base == "russian":
-            pat = lang._RUSSIAN_TOKEN_PATTERN
-        elif base in ("hungarian", "romanian", "turkish"):
-            pat = lang._LATIN_EXT_TOKEN_PATTERN
+        # lowercase-then-scan == scan-then-lowercase: the token classes are
+        # case-symmetric, and elision checks its prefix case-insensitively.
+        # raw_case chains (e.g. Turkish dotted/dotless I) scan the original
+        # case and lower inside token_fn instead.
+        spec = _lang.CHAINS[base]
+        if spec.raw_case:
+            lists = texts.str.findall(spec.pattern)
         else:
-            pat = lang._LANG_TOKEN_PATTERN
-        if base == "turkish":
-            # Turkish casing is NOT Python-lower-compatible (I -> ı,
-            # İ -> i): scan original case; turkish_token lowers per token
-            lists = texts.str.findall(pat)
-        else:
-            lists = texts.str.lower().str.findall(pat)
+            lists = texts.str.lower().str.findall(spec.pattern)
     else:
         lists = texts.str.findall(_WDF_PART)
     counts = lists.map(len).to_numpy(dtype=np.int64)
@@ -276,24 +251,7 @@ def flat_tokenize(
         )
         flat = stemmed[codes]
     if base in LANG_CHAINS and len(flat):
-        from . import lang
-
-        tok_fn = {
-            "french": lang.french_token,
-            "german": lang.german_token,
-            "spanish": lang.spanish_token,
-            "italian": lang.italian_token,
-            "portuguese": lang.portuguese_token,
-            "swedish": lang.swedish_token,
-            "danish": lang.danish_token,
-            "norwegian": lang.norwegian_token,
-            "russian": lang.russian_token,
-            "dutch": lang.dutch_token,
-            "finnish": lang.finnish_token,
-            "hungarian": lang.hungarian_token,
-            "romanian": lang.romanian_token,
-            "turkish": lang.turkish_token,
-        }[base]
+        tok_fn = _lang.CHAINS[base].token_fn
         codes, uniq = pd.factorize(pd.Series(flat), sort=False)
         mapped = np.array([tok_fn(t) for t in uniq], dtype=object)
         flat = mapped[codes]

@@ -1087,3 +1087,50 @@ def turkish_token(tok: str) -> str:
 
 def turkish_analyze(text: str) -> List[str]:
     return [turkish_token(t) for t in _lang_tokenize(text, _LATIN_EXT_TOKEN_PATTERN)]
+
+
+# ---------------------------------------------------------------------------
+# Chain registry: one row per language analyzer. analysis.py dispatches
+# (scan pattern, per-token chain, batch-casing mode) entirely from here,
+# so adding a language is one row + its token function.
+# ---------------------------------------------------------------------------
+
+from typing import Callable, NamedTuple, Pattern
+
+
+class ChainSpec(NamedTuple):
+    pattern: Pattern
+    token_fn: Callable[[str], str]
+    #: True -> the chain's lowercase step is NOT ``str.lower``-compatible
+    #: (e.g. Turkish dotted/dotless I); the batch path must scan the
+    #: original case and let token_fn lower per token.
+    raw_case: bool = False
+
+
+CHAINS = {
+    "french": ChainSpec(_LANG_TOKEN_PATTERN, french_token),
+    "german": ChainSpec(_LANG_TOKEN_PATTERN, german_token),
+    "spanish": ChainSpec(_LANG_TOKEN_PATTERN, spanish_token),
+    "italian": ChainSpec(_LANG_TOKEN_PATTERN, italian_token),
+    "portuguese": ChainSpec(_LANG_TOKEN_PATTERN, portuguese_token),
+    "swedish": ChainSpec(_LANG_TOKEN_PATTERN, swedish_token),
+    "danish": ChainSpec(_LANG_TOKEN_PATTERN, danish_token),
+    "norwegian": ChainSpec(_LANG_TOKEN_PATTERN, norwegian_token),
+    "russian": ChainSpec(_RUSSIAN_TOKEN_PATTERN, russian_token),
+    "dutch": ChainSpec(_LANG_TOKEN_PATTERN, dutch_token),
+    "finnish": ChainSpec(_LATIN_EXT_TOKEN_PATTERN, finnish_token),
+    "hungarian": ChainSpec(_LATIN_EXT_TOKEN_PATTERN, hungarian_token),
+    "romanian": ChainSpec(_LATIN_EXT_TOKEN_PATTERN, romanian_token),
+    "turkish": ChainSpec(_LATIN_EXT_TOKEN_PATTERN, turkish_token,
+                         raw_case=True),
+}
+
+
+def chain_analyze_fn(name: str) -> Callable[[str], List[str]]:
+    spec = CHAINS[name]
+
+    def analyze(text: str) -> List[str]:
+        return [spec.token_fn(t) for t in _lang_tokenize(text, spec.pattern)]
+
+    analyze.__name__ = name + "_analyze"
+    return analyze
