@@ -566,6 +566,24 @@ _LANG_CHAIN_MAP = {
         ("yaklaşımla", "yaklaş"), ("gelişini", "geliş"),
         ("ve", None), ("bir", None),
     ],
+    # expected outputs from analysis/ar/Test{ArabicStemFilter,
+    # ArabicNormalizationFilter}.java vectors; stops from ar/stopwords.txt
+    "arabic": [
+        ("والحسن", "حسن"), ("بالحسن", "حسن"), ("كالحسن", "حسن"),
+        ("فالحسن", "حسن"), ("للاخر", "اخر"), ("زوجها", "زوج"),
+        ("ساهدان", "ساهد"), ("ساهدات", "ساهد"), ("ساهدون", "ساهد"),
+        ("ساهدين", "ساهد"), ("ساهدهات", "ساهد"), ("الو", "الو"),
+        ("أحمد", "احمد"), ("آجن", "اجن"), ("في", None), ("من", None),
+    ],
+    # expected outputs from analysis/fa/TestPersianNormalizationFilter.java
+    # vectors (+ pure-copy words); stops from fa/stopwords.txt (normalized)
+    "persian": [
+        ("کشاندن", "كشاندن"), ("كتابۀ", "كتابه"), ("زادہ", "زاده"),
+        ("کتاب", "كتاب"), ("خوب", "خوب"), ("درخت", "درخت"),
+        ("آسمان", "اسمان"), ("ستاره", "ستاره"), ("دریا", "دريا"),
+        ("کوه", "كوه"), ("باران", "باران"), ("نور", "نور"),
+        ("شهری", "شهري"), ("نامه", "نامه"), ("یا", None), ("ده", None),
+    ],
 }
 
 
@@ -2264,6 +2282,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # gated snowball suffix chains
             _lang_searcher(sp, d, "turkish"), TermQuery(term="çelişki"), 10
         ),
+        "q_term_ar": lambda sp, d: _topk_df(
+            # Arabic: digit fold + pre-norm stop + hamza/teh-marbuta
+            # normalization + article/suffix light stem (Arabic-script scan)
+            _lang_searcher(sp, d, "arabic"), TermQuery(term="حسن"), 10
+        ),
+        "q_term_fa": lambda sp, d: _topk_df(
+            # Persian: ZWNJ split + Arabic+Persian normalization, post-norm
+            # stop, no stemming
+            _lang_searcher(sp, d, "persian"), TermQuery(term="كتاب"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3531,6 +3559,8 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_hu": _lang_term_sql("hungarian", "lemez"),
         "q_term_ro": _lang_term_sql("romanian", "comunist"),
         "q_term_tr": _lang_term_sql("turkish", "çelişki"),
+        "q_term_ar": _lang_term_sql("arabic", "حسن"),
+        "q_term_fa": _lang_term_sql("persian", "كتاب"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -1134,3 +1134,135 @@ def chain_analyze_fn(name: str) -> Callable[[str], List[str]]:
 
     analyze.__name__ = name + "_analyze"
     return analyze
+
+
+# ---------------------------------------------------------------------------
+# Arabic & Persian (analysis/ar/ArabicAnalyzer.java:128-137,
+# analysis/fa/PersianAnalyzer.java:121-131)
+#
+# Chains:
+# - Arabic:  LowerCase -> DecimalDigit -> Stop (pre-normalization: the
+#   stopword file's own header says "not normalized, so use before
+#   normalization") -> ArabicNormalization -> ArabicStem.
+# - Persian: PersianCharFilter (ZWNJ U+200C -> space; here: ZWNJ is simply
+#   not a token char, same split) -> LowerCase -> DecimalDigit ->
+#   ArabicNormalization -> PersianNormalization -> Stop. No stemming.
+#
+# Tokenizer envelope: one run of Arabic-script letters (harakat and other
+# combining marks continue a run, as UAX#29 Extend does); Arabic-Indic
+# digit runs with MidNum joins; Latin runs as in LANG_TOKEN_RE. ZWNJ breaks
+# tokens in both chains (exact for Persian via the char filter; a
+# documented simplification for Arabic, where UAX#29 would join).
+# ---------------------------------------------------------------------------
+
+import unicodedata as _ud
+
+#: Arabic-script letters (hamza..yeh, extended/Farsi blocks, suppl.)
+_AR_L = (
+    "ء-غف-يٮ-ٯٱ-ۓە"
+    "ۥ-ۦۮ-ۯۺ-ۿݐ-ݿ"
+)
+#: in-word continuations: harakat + superscript alef + tatweel + quranic marks
+_AR_M = "ً-ْٰـٓ-ٕۖ-ۜ۟-ۤۧ-۪ۨ-ۭ"
+_AR_D = "0-9٠-٩۰-۹"
+_AR_NUM_RUN = "[" + _AR_D + r"](?:(?:_*|[.,;'،٫٬])[" + _AR_D + "])*"
+_AR_ALPHA_RUN = "[" + _AR_L + "][" + _AR_L + _AR_M + "]*"
+ARABIC_TOKEN_RE = (
+    r"(?:_*(?:" + _AR_NUM_RUN + r"|" + _AR_ALPHA_RUN + r"|" + _ALPHA_RUN + r"))+_*"
+)
+_ARABIC_TOKEN_PATTERN = re.compile(ARABIC_TOKEN_RE)
+
+from .langdata import ARABIC_STOP, PERSIAN_STOP  # noqa: E402
+
+
+def fold_decimal_digits(t: str) -> str:
+    """DecimalDigitFilter (analysis/core/DecimalDigitFilter.java:43-58):
+    any non-ASCII Unicode decimal digit folds to its 0-9 equivalent."""
+    if t.isascii():
+        return t
+    return "".join(
+        chr(ord("0") + _ud.digit(ch))
+        if ord(ch) > 0x7F and _ud.category(ch) == "Nd"
+        else ch
+        for ch in t
+    )
+
+
+_AR_NORM = str.maketrans(
+    {
+        "آ": "ا", "أ": "ا", "إ": "ا",  # hamza-seat alefs -> alef
+        "ى": "ي",  # dotless yeh -> yeh
+        "ة": "ه",  # teh marbuta -> heh
+        "ـ": None,      # tatweel
+        "ً": None, "ٌ": None, "ٍ": None,  # -atan harakat
+        "َ": None, "ُ": None, "ِ": None,  # fatha/damma/kasra
+        "ّ": None, "ْ": None,                  # shadda/sukun
+    }
+)
+
+
+def arabic_normalize(t: str) -> str:
+    """ArabicNormalizer.normalize (analysis/ar/ArabicNormalizer.java:56-87)."""
+    return t.translate(_AR_NORM)
+
+
+_FA_NORM = str.maketrans(
+    {
+        "ی": "ي", "ے": "ي",  # farsi yeh / yeh barree -> yeh
+        "ک": "ك",                      # keheh -> kaf
+        "ۀ": "ه", "ہ": "ه",  # heh+yeh / heh goal -> heh
+        "ٔ": None,                          # hamza above
+    }
+)
+
+
+def persian_normalize(t: str) -> str:
+    """PersianNormalizer.normalize (analysis/fa/PersianNormalizer.java:47-75)."""
+    return t.translate(_FA_NORM)
+
+
+#: ArabicStemmer prefix/suffix tables (analysis/ar/ArabicStemmer.java:37-59)
+_AR_PREFIXES = ("ال", "وال", "بال",
+                "كال", "فال", "لل",
+                "و")
+_AR_SUFFIXES = ("ها", "ان", "ات",
+                "ون", "ين", "يه",
+                "ية", "ه", "ة", "ي")
+
+
+def arabic_stem(w: str) -> str:
+    """ArabicStemmer.stem (analysis/ar/ArabicStemmer.java:66-105): strip the
+    first matching attached article/conjunction prefix (wa- needs length>=4,
+    others length>=prefix+2), then one ordered pass over the suffix table,
+    each match stripping if >=2 chars remain."""
+    for p in _AR_PREFIXES:
+        if w.startswith(p):
+            if len(p) == 1:
+                if len(w) >= 4:
+                    w = w[len(p):]
+                    break
+            elif len(w) >= len(p) + 2:
+                w = w[len(p):]
+                break
+    for s in _AR_SUFFIXES:
+        if len(w) >= len(s) + 2 and w.endswith(s):
+            w = w[: -len(s)]
+    return w
+
+
+def arabic_token(tok: str) -> str:
+    t = fold_decimal_digits(tok.lower())
+    if t in ARABIC_STOP:
+        return STOP_HOLE
+    return arabic_stem(arabic_normalize(t))
+
+
+def persian_token(tok: str) -> str:
+    t = persian_normalize(arabic_normalize(fold_decimal_digits(tok.lower())))
+    if t in PERSIAN_STOP:
+        return STOP_HOLE
+    return t
+
+
+CHAINS["arabic"] = ChainSpec(_ARABIC_TOKEN_PATTERN, arabic_token)
+CHAINS["persian"] = ChainSpec(_ARABIC_TOKEN_PATTERN, persian_token)

@@ -1,0 +1,124 @@
+"""Round-4b language chains (Arabic script, Indic, Greek, and friends) —
+validated against the reference's own test vectors
+(analysis/common/src/test/org/apache/lucene/analysis/<lang>/Test*.java).
+"""
+
+import pandas as pd
+import pytest
+
+from lucene_spark import lang
+from lucene_spark.analysis import flat_tokenize, _chain_fn
+
+S = lang.STOP_HOLE
+
+
+# ---------------------------------------------------------------------------
+# Arabic (TestArabicStemFilter / TestArabicNormalizationFilter vectors)
+# ---------------------------------------------------------------------------
+
+AR_STEM_VECTORS = [
+    # analysis/ar/TestArabicStemFilter.java (already-normalized inputs)
+    ("الحسن", "حسن"), ("والحسن", "حسن"), ("بالحسن", "حسن"),
+    ("كالحسن", "حسن"), ("فالحسن", "حسن"), ("للاخر", "اخر"),
+    ("وحسن", "حسن"), ("زوجها", "زوج"), ("ساهدان", "ساهد"),
+    ("ساهدات", "ساهد"), ("ساهدون", "ساهد"), ("ساهدين", "ساهد"),
+    ("ساهديه", "ساهد"), ("ساهدية", "ساهد"), ("ساهده", "ساهد"),
+    ("ساهدة", "ساهد"), ("ساهدي", "ساهد"), ("وساهدون", "ساهد"),
+    ("ساهدهات", "ساهد"), ("الو", "الو"), ("english", "english"),
+]
+
+AR_NORM_VECTORS = [
+    # analysis/ar/TestArabicNormalizationFilter.java
+    ("آجن", "اجن"), ("أحمد", "احمد"), ("إعاذ", "اعاذ"),
+    ("بنى", "بني"), ("فاطمة", "فاطمه"), ("روبرـــــت", "روبرت"),
+    ("مَبنا", "مبنا"), ("علِي", "علي"), ("بُوات", "بوات"),
+    ("ولداً", "ولدا"), ("ولدٍ", "ولد"), ("ولدٌ", "ولد"),
+    ("نلْسون", "نلسون"), ("هتميّ", "هتمي"),
+]
+
+
+def test_arabic_stem_reference_vectors():
+    for w, want in AR_STEM_VECTORS:
+        assert lang.arabic_stem(w) == want, w
+
+
+def test_arabic_normalize_reference_vectors():
+    for w, want in AR_NORM_VECTORS:
+        assert lang.arabic_normalize(w) == want, w
+
+
+def test_arabic_chain():
+    fn = _chain_fn("arabic")
+    # stop applies BEFORE normalization (ar/stopwords.txt header)
+    assert fn("والحسن في المدرسة") == ["حسن", S, "مدرس"]
+    # harakat stay in-token through the scan, then normalize away
+    assert fn("مَبنا") == ["مبنا"]
+    # Arabic-Indic digits fold to ASCII (DecimalDigitFilter); no English
+    # stemming in this chain ("سنة" -> teh-marbuta norm -> heh suffix strip)
+    assert fn("سنة ١٢٣٤") == ["سن", "1234"]
+    assert fn("۴۵ items") == ["45", "items"]
+
+
+# ---------------------------------------------------------------------------
+# Persian (TestPersianNormalizationFilter vectors)
+# ---------------------------------------------------------------------------
+
+FA_NORM_VECTORS = [
+    ("های", "هاي"), ("هاے", "هاي"), ("کشاندن", "كشاندن"),
+    ("كتابۀ", "كتابه"), ("كتابهٔ", "كتابه"), ("زادہ", "زاده"),
+]
+
+
+def test_persian_normalize_reference_vectors():
+    for w, want in FA_NORM_VECTORS:
+        got = lang.persian_normalize(lang.arabic_normalize(w))
+        assert got == want, w
+
+
+def test_persian_chain():
+    fn = _chain_fn("persian")
+    # ZWNJ splits (PersianCharFilter replaces U+200C with space)
+    assert fn("کتاب‌ها خوب") == ["كتاب", S, "خوب"]
+    # stop applies AFTER normalization; no stemming
+    assert fn("کتاب یا درخت") == ["كتاب", S, "درخت"]
+
+
+# ---------------------------------------------------------------------------
+# shared invariants for every registered chain
+# ---------------------------------------------------------------------------
+
+NEW_CHAINS = ["arabic", "persian"]
+
+
+@pytest.mark.parametrize("name", NEW_CHAINS)
+def test_batch_path_matches_compositional(name):
+    fn = _chain_fn(name)
+    texts = pd.Series([
+        "والحسن في المدرسة ١٢٣",
+        "کتاب‌ها های خوب",
+        "English mixed مع العربية text",
+        "",
+        "ـــ",
+    ])
+    flat, counts = flat_tokenize(texts, name)
+    want = [fn(t) for t in texts]
+    assert list(counts) == [len(w) for w in want]
+    assert list(flat) == [tok for row in want for tok in row]
+
+
+def test_oracle_map_pairs_match_chains():
+    """Every (word, output) pair embedded in the oracle fixture map must map
+    through its chain — drift here silently breaks q_term_* oracles."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _LANG_CHAIN_MAP
+
+    for name, pairs in _LANG_CHAIN_MAP.items():
+        fn = lang.CHAINS[name].token_fn
+        pat = lang.CHAINS[name].pattern
+        for w, want in pairs:
+            toks = pat.findall(w)
+            assert len(toks) == 1, (name, w, toks)
+            got = fn(toks[0])
+            got = None if got == S else got
+            assert got == want, (name, w, want, got)
