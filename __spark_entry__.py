@@ -584,6 +584,34 @@ _LANG_CHAIN_MAP = {
         ("کوه", "كوه"), ("باران", "باران"), ("نور", "نور"),
         ("شهری", "شهري"), ("نامه", "نامه"), ("یا", None), ("ده", None),
     ],
+    # expected outputs from analysis/bg/TestBulgarianStemmer.java vectors
+    "bulgarian": [
+        ("градове", "град"), ("народите", "народ"), ("пътища", "път"),
+        ("дядовци", "дяд"), ("мъжете", "мъж"), ("краката", "крак"),
+        ("братята", "брат"), ("вестта", "вест"), ("дърветата", "дърв"),
+        ("морето", "мор"), ("изключенията", "изключени"),
+        ("градовете", "град"), ("красив", "красив"), ("градът", "град"),
+        ("и", None), ("на", None),
+    ],
+    # expected outputs from analysis/cz/TestCzechStemmer.java vectors
+    "czech": [
+        ("hradu", "hrad"), ("mužích", "muh"), ("předsedů", "předsd"),
+        ("soudcem", "soudk"), ("písním", "písn"), ("městem", "měst"),
+        ("kuřeti", "kuř"), ("mladých", "mlad"), ("jarním", "jarn"),
+        ("kluk", "kluk"), ("pán", "pán"), ("ženu", "žn"),
+        ("hradem", "hrad"), ("hrady", "hrad"), ("a", None), ("se", None),
+    ],
+    # expected outputs from analysis/ckb/TestSoraniStemFilter.java vectors
+    # (all re-verified against the full ckbtestdata.zip vocabulary)
+    "sorani": [
+        ("پیاوەکان", "پیاو"), ("پیاوێک", "پیاو"), ("پیاوان", "پیاو"),
+        ("دەرگاکان", "دەرگا"), ("دەرگایەک", "دەرگا"),
+        ("هۆتیلێکی", "هۆتیل"), ("هۆتیلانی", "هۆتیل"),
+        ("دوورەوە", "دوور"), ("نیوەشەودا", "نیوەشەو"),
+        ("پارەمان", "پارە"), ("پارەتان", "پارە"), ("کتاویە", "کتاوی"),
+        ("سۆرانا", "سۆران"), ("دەرگایان", "دەرگا"),
+        ("بۆ", None), ("ئەم", None),
+    ],
 }
 
 
@@ -2292,6 +2320,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # stop, no stemming
             _lang_searcher(sp, d, "persian"), TermQuery(term="كتاب"), 10
         ),
+        "q_term_bg": lambda sp, d: _topk_df(
+            # Bulgarian: BulStem light stemmer (article + plural + ya/vowel
+            # + en/ъ rewrites) over the Cyrillic tokenizer
+            _lang_searcher(sp, d, "bulgarian"), TermQuery(term="град"), 10
+        ),
+        "q_term_cz": lambda sp, d: _topk_df(
+            # Czech: Dolamic/Savoy light stemmer (case + possessive +
+            # palatalization normalize)
+            _lang_searcher(sp, d, "czech"), TermQuery(term="hrad"), 10
+        ),
+        "q_term_ckb": lambda sp, d: _topk_df(
+            # Sorani Kurdish: normalize-before-lowercase chain (ZWNJ-aware)
+            # + ezafe/article suffix stemmer
+            _lang_searcher(sp, d, "sorani"), TermQuery(term="پیاو"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3561,6 +3604,9 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_tr": _lang_term_sql("turkish", "çelişki"),
         "q_term_ar": _lang_term_sql("arabic", "حسن"),
         "q_term_fa": _lang_term_sql("persian", "كتاب"),
+        "q_term_bg": _lang_term_sql("bulgarian", "град"),
+        "q_term_cz": _lang_term_sql("czech", "hrad"),
+        "q_term_ckb": _lang_term_sql("sorani", "پیاو"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

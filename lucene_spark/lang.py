@@ -1266,3 +1266,248 @@ def persian_token(tok: str) -> str:
 
 CHAINS["arabic"] = ChainSpec(_ARABIC_TOKEN_PATTERN, arabic_token)
 CHAINS["persian"] = ChainSpec(_ARABIC_TOKEN_PATTERN, persian_token)
+
+
+# ---------------------------------------------------------------------------
+# Bulgarian (analysis/bg/BulgarianAnalyzer.java:109-117: LowerCase -> Stop
+# -> BulgarianStemmer — the light stemmer of Nakov, "BulStem")
+# ---------------------------------------------------------------------------
+
+from .langdata import BULGARIAN_STOP  # noqa: E402
+
+
+def bulgarian_stem(w: str) -> str:
+    """BulgarianStemmer.stem (analysis/bg/BulgarianStemmer.java:33-66)."""
+    if len(w) < 4:
+        return w
+    if len(w) > 5 and w.endswith("ища"):
+        return w[:-3]
+    # article
+    if len(w) > 6 and w.endswith("ият"):
+        w = w[:-3]
+    elif len(w) > 5 and w[-2:] in ("ът", "то", "те", "та", "ия"):
+        w = w[:-2]
+    elif len(w) > 4 and w.endswith("ят"):
+        w = w[:-2]
+    # plural
+    if len(w) > 6 and w.endswith("овци"):
+        w = w[:-3]
+    elif len(w) > 6 and w.endswith("ове"):
+        w = w[:-3]
+    elif len(w) > 6 and w.endswith("еве"):
+        w = w[:-3] + "й"
+    elif len(w) > 5 and w.endswith("ища"):
+        w = w[:-3]
+    elif len(w) > 5 and w.endswith("та"):
+        w = w[:-2]
+    elif len(w) > 5 and w.endswith("ци"):
+        w = w[:-2] + "к"
+    elif len(w) > 5 and w.endswith("зи"):
+        w = w[:-2] + "г"
+    elif len(w) > 5 and w[-3] == "е" and w[-1] == "и":
+        w = w[:-3] + "я" + w[-2]
+    elif len(w) > 4 and w.endswith("си"):
+        w = w[:-2] + "х"
+    elif len(w) > 4 and w.endswith("и"):
+        w = w[:-1]
+    if len(w) > 3:
+        if w.endswith("я"):
+            w = w[:-1]
+        if w[-1] in "аое":
+            w = w[:-1]
+    if len(w) > 4 and w.endswith("ен"):
+        w = w[:-2] + "н"
+    if len(w) > 5 and w[-2] == "ъ":
+        w = w[:-2] + w[-1]
+    return w
+
+
+def bulgarian_token(tok: str) -> str:
+    t = tok.lower()
+    if t in BULGARIAN_STOP:
+        return STOP_HOLE
+    return bulgarian_stem(t)
+
+
+CHAINS["bulgarian"] = ChainSpec(_RUSSIAN_TOKEN_PATTERN, bulgarian_token)
+
+
+# ---------------------------------------------------------------------------
+# Czech (analysis/cz/CzechAnalyzer.java:120-128: LowerCase -> Stop ->
+# CzechStemmer — the light stemmer of Dolamic/Savoy)
+# ---------------------------------------------------------------------------
+
+from .langdata import CZECH_STOP  # noqa: E402
+
+_CZ_CASE_5 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+              "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+              "aty", "ých", "ama", "ami", "ové", "ovi", "ými")
+_CZ_CASE_4 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+              "mi", "ou")
+_CZ_VOWEL = frozenset("aeiouůyáéíýě")
+
+
+def czech_stem(w: str) -> str:
+    """CzechStemmer.stem (analysis/cz/CzechStemmer.java:36-44): case
+    removal, possessive removal, then palatalization normalization."""
+    # removeCase
+    if len(w) > 7 and w.endswith("atech"):
+        w = w[:-5]
+    elif len(w) > 6 and (w.endswith("ětem") or w.endswith("etem")
+                         or w.endswith("atům")):
+        w = w[:-4]
+    elif len(w) > 5 and w[-3:] in _CZ_CASE_5:
+        w = w[:-3]
+    elif len(w) > 4 and w[-2:] in _CZ_CASE_4:
+        w = w[:-2]
+    elif len(w) > 3 and w[-1] in _CZ_VOWEL:
+        w = w[:-1]
+    # removePossessives
+    if len(w) > 5 and (w.endswith("ov") or w.endswith("in")
+                       or w.endswith("ův")):
+        w = w[:-2]
+    # normalize
+    if not w:
+        return w
+    if w.endswith("čt"):
+        return w[:-2] + "ck"
+    if w.endswith("št"):
+        return w[:-2] + "sk"
+    if w[-1] in "cč":
+        return w[:-1] + "k"
+    if w[-1] in "zž":
+        return w[:-1] + "h"
+    if len(w) > 1 and w[-2] == "e":
+        return w[:-2] + w[-1]
+    if len(w) > 2 and w[-2] == "ů":
+        return w[:-2] + "o" + w[-1]
+    return w
+
+
+def czech_token(tok: str) -> str:
+    t = tok.lower()
+    if t in CZECH_STOP:
+        return STOP_HOLE
+    return czech_stem(t)
+
+
+CHAINS["czech"] = ChainSpec(_LATIN_EXT_TOKEN_PATTERN, czech_token)
+
+
+# ---------------------------------------------------------------------------
+# Sorani Kurdish (analysis/ckb/SoraniAnalyzer.java:121-130: the ONLY chain
+# that normalizes BEFORE lowercasing — SoraniNormalization -> LowerCase ->
+# DecimalDigit -> Stop -> SoraniStemmer)
+# ---------------------------------------------------------------------------
+
+from .langdata import SORANI_STOP  # noqa: E402
+
+#: Sorani keeps ZWNJ in-token (the normalizer consumes it: heh+ZWNJ -> AE)
+_CKB_ALPHA_RUN = "[" + _AR_L + "][" + _AR_L + _AR_M + "‌‎‏]*"
+SORANI_TOKEN_RE = (
+    r"(?:_*(?:" + _AR_NUM_RUN + r"|" + _CKB_ALPHA_RUN + r"|" + _ALPHA_RUN + r"))+_*"
+)
+_SORANI_TOKEN_PATTERN = re.compile(SORANI_TOKEN_RE)
+
+
+def sorani_normalize(t: str) -> str:
+    """SoraniNormalizer.normalize (analysis/ckb/SoraniNormalizer.java:57-105).
+
+    yeh/dotless-yeh -> farsi yeh, kaf -> keheh, heh+ZWNJ -> ae (else ZWNJ
+    deleted), final heh -> ae, teh marbuta -> ae, heh doachashmee -> heh,
+    initial reh -> rreh, rreh-above -> rreh, harakat/tatweel/format deleted.
+    """
+    s = list(t)
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "يى":
+            s[i] = "ی"
+        elif ch == "ك":
+            s[i] = "ک"
+        elif ch == "‌":
+            if i > 0 and s[i - 1] == "ه":
+                s[i - 1] = "ە"
+            del s[i]
+            continue
+        elif ch == "ه":
+            if i == len(s) - 1:
+                s[i] = "ە"
+        elif ch == "ة":
+            s[i] = "ە"
+        elif ch == "ھ":
+            s[i] = "ه"
+        elif ch == "ر":
+            if i == 0:
+                s[i] = "ڕ"
+        elif ch == "ڒ":
+            s[i] = "ڕ"
+        elif ch in "ـًٌٍَُِّْ" or _ud.category(ch) == "Cf":
+            del s[i]
+            continue
+        i += 1
+    return "".join(s)
+
+
+def sorani_stem(w: str) -> str:
+    """SoraniStemmer.stem (analysis/ckb/SoraniStemmer.java:30-93)."""
+    n = len(w)
+    # postposition
+    if n > 5 and w.endswith("دا"):
+        w = w[:-2]
+    elif n > 4 and w.endswith("نا"):
+        w = w[:-1]
+    elif n > 6 and w.endswith("ەوە"):
+        w = w[:-3]
+    n = len(w)
+    # possessive pronoun
+    if n > 6 and (w.endswith("مان") or w.endswith("یان") or w.endswith("تان")):
+        w = w[:-3]
+    n = len(w)
+    # the remaining groups form one if/elif chain in the reference
+    if n > 6 and w.endswith("ێکی"):
+        return w[:-3]
+    if n > 7 and w.endswith("یەکی"):
+        return w[:-4]
+    if n > 5 and w.endswith("ێک"):
+        return w[:-2]
+    if n > 6 and w.endswith("یەک"):
+        return w[:-3]
+    if n > 6 and w.endswith("ەکە"):
+        return w[:-3]
+    if n > 5 and w.endswith("کە"):
+        return w[:-2]
+    if n > 7 and w.endswith("ەکان"):
+        return w[:-4]
+    if n > 6 and w.endswith("کان"):
+        return w[:-3]
+    if n > 7 and w.endswith("یانی"):
+        return w[:-4]
+    if n > 6 and w.endswith("انی"):
+        return w[:-3]
+    if n > 6 and w.endswith("یان"):
+        return w[:-3]
+    if n > 5 and w.endswith("ان"):
+        return w[:-2]
+    if n > 7 and w.endswith("یانە"):
+        return w[:-4]
+    if n > 6 and w.endswith("انە"):
+        return w[:-3]
+    if n > 5 and (w.endswith("ایە") or w.endswith("ەیە")):
+        return w[:-2]
+    if n > 4 and w.endswith("ە"):
+        return w[:-1]
+    if n > 4 and w.endswith("ی"):
+        return w[:-1]
+    return w
+
+
+def sorani_token(tok: str) -> str:
+    t = fold_decimal_digits(sorani_normalize(tok).lower())
+    if t in SORANI_STOP:
+        return STOP_HOLE
+    return sorani_stem(t)
+
+
+CHAINS["sorani"] = ChainSpec(_SORANI_TOKEN_PATTERN, sorani_token,
+                             raw_case=True)

@@ -122,3 +122,119 @@ def test_oracle_map_pairs_match_chains():
             got = fn(toks[0])
             got = None if got == S else got
             assert got == want, (name, w, want, got)
+
+
+# ---------------------------------------------------------------------------
+# Bulgarian (TestBulgarianStemmer vectors)
+# ---------------------------------------------------------------------------
+
+BG_VECTORS = [
+    ("град", "град"), ("града", "град"), ("градът", "град"),
+    ("градове", "град"), ("градовете", "град"), ("народите", "народ"),
+    ("пътят", "път"), ("пътища", "път"), ("пътищата", "път"),
+    ("градец", "градец"), ("градовце", "градовц"), ("дядовците", "дяд"),
+    ("мъжете", "мъж"), ("мъжът", "мъжът"), ("краката", "крак"),
+    ("братята", "брат"), ("вестта", "вест"), ("дърветата", "дърв"),
+    ("моретата", "мор"), ("изключенията", "изключени"),
+    ("изключения", "изключн"),
+]
+
+
+def test_bulgarian_stem_reference_vectors():
+    for w, want in BG_VECTORS:
+        assert lang.bulgarian_stem(w) == want, w
+
+
+# ---------------------------------------------------------------------------
+# Czech (TestCzechStemmer vectors)
+# ---------------------------------------------------------------------------
+
+CZ_VECTORS = [
+    ("pán", "pán"), ("páni", "pán"), ("pánové", "pán"), ("pánů", "pán"),
+    ("hradu", "hrad"), ("hradem", "hrad"), ("hradech", "hrad"),
+    ("mužích", "muh"), ("předsedů", "předsd"), ("soudcem", "soudk"),
+    ("písním", "písn"), ("ženu", "žn"), ("městem", "měst"),
+    ("kuřeti", "kuř"), ("kuřatech", "kuř"), ("mladých", "mlad"),
+    ("jarním", "jarn"), ("jarních", "jarn"), ("kluk", "kluk"),
+    ("klucích", "kluk"), ("český", "česk"), ("čeští", "česk"),
+    ("kniha", "knih"), ("knize", "knih"), ("mazat", "mah"),
+    ("mažu", "mah"), ("hezčí", "hezk"), ("hůl", "hol"),
+    ("desek", "desk"), ("e", "e"), ("zi", "zi"),
+]
+
+
+def test_czech_stem_reference_vectors():
+    for w, want in CZ_VECTORS:
+        assert lang.czech_stem(w) == want, w
+
+
+# ---------------------------------------------------------------------------
+# Sorani (TestSoraniStemFilter / TestSoraniNormalizationFilter vectors +
+# the FULL ckbtestdata.zip vocabulary)
+# ---------------------------------------------------------------------------
+
+CKB_VECTORS = [
+    ("پیاوێک", "پیاو"), ("دەرگایەک", "دەرگا"), ("پیاوەكە", "پیاو"),
+    ("دەرگاكە", "دەرگا"), ("کتاویە", "کتاوی"), ("دەرگایە", "دەرگا"),
+    ("پیاوان", "پیاو"), ("دەرگایان", "دەرگا"), ("پیاوەکان", "پیاو"),
+    ("دەرگاکان", "دەرگا"), ("پیاوانە", "پیاو"), ("دەرگایانە", "دەرگا"),
+    ("هۆتیلی", "هۆتیل"), ("هۆتیلێکی", "هۆتیل"), ("هۆتیلانی", "هۆتیل"),
+    ("دوورەوە", "دوور"), ("نیوەشەودا", "نیوەشەو"), ("سۆرانا", "سۆران"),
+    ("پارەمان", "پارە"), ("پارەتان", "پارە"), ("پارەیان", "پارە"),
+]
+
+
+def test_sorani_stem_reference_vectors():
+    for w, want in CKB_VECTORS:
+        assert lang.sorani_stem(lang.sorani_normalize(w).lower()) == want, w
+
+
+def test_sorani_full_reference_vocabulary():
+    """Every pair in the reference's ckbtestdata.zip (8272 words) through
+    SoraniNormalization -> SoraniStemmer, exactly the zip test's chain."""
+    import os
+    import zipfile
+
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/ckb/ckbtestdata.zip"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference data unavailable")
+    with zipfile.ZipFile(path) as zf:
+        data = zf.read("testdata.txt").decode("utf-8")
+    n = 0
+    for line in data.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) != 2:
+            continue
+        w, want = parts
+        assert lang.sorani_stem(lang.sorani_normalize(w)) == want, w
+        n += 1
+    assert n > 8000
+
+
+def test_sorani_chain_zwnj_and_order():
+    fn = _chain_fn("sorani")
+    # normalize runs BEFORE stop: heh+ZWNJ -> ae inside the token
+    assert fn("پیاوە‌کان") != []
+    # stopword after normalization
+    assert fn("بۆ پیاوەکان") == [S, "پیاو"]
+    # initial reh -> rreh
+    assert lang.sorani_normalize("رەش") == "ڕەش"
+
+
+def test_new_chain_batch_parity_bg_cz_ckb():
+    for name, texts in [
+        ("bulgarian", ["градовете и народите", "мъжете на пътя"]),
+        ("czech", ["hradu a mužích", "PŘEDSEDŮ soudcem"]),
+        ("sorani", ["پیاوەکان بۆ دەرگاکان", "هۆتیلێکی دوورەوە"]),
+    ]:
+        fn = _chain_fn(name)
+        flat, counts = flat_tokenize(pd.Series(texts), name)
+        want = [fn(t) for t in texts]
+        assert list(counts) == [len(w) for w in want], name
+        assert list(flat) == [tok for row in want for tok in row], name
