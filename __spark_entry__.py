@@ -612,6 +612,25 @@ _LANG_CHAIN_MAP = {
         ("سۆرانا", "سۆران"), ("دەرگایان", "دەرگا"),
         ("بۆ", None), ("ئەم", None),
     ],
+    # chain compositions of analysis/hi test vectors (each stage —
+    # IndicNormalizer, HindiNormalizer, HindiStemmer — validated against
+    # its own reference vectors in tests/test_lang_world.py)
+    "hindi": [
+        ("लडका", "लडक"), ("लडके", "लडक"), ("लडकों", "लडक"),
+        ("गुरुओं", "गुर"), ("गुरु", "गुर"), ("लडकियों", "लडक"),
+        ("किताब", "किताब"), ("किताबें", "किताब"), ("किताबों", "किताब"),
+        ("खाना", "खा"), ("खाता", "खा"), ("कठिनाइयां", "कठिन"),
+        ("खाती", "खात"), ("दोस्तों", "दोसत"), ("के", None), ("और", None),
+    ],
+    # chain compositions of analysis/bn test vectors (same validation)
+    "bengali": [
+        ("করেছিলাম", "কর"), ("করিতেছিলে", "কর"), ("খাইতাম", "খাই"),
+        ("যাইবে", "যা"), ("করছিলাম", "কর"), ("করতাম", "কর"),
+        ("যাব", "যা"), ("করি", "কর"), ("করো", "কর"),
+        ("মেয়েরা", "মে"), ("একটি", "এক"), ("মানুষগুলি", "মানুস"),
+        ("ছেলেরা", "ছেল"), ("বাড়িতে", "বার"),
+        ("এবং", "এবং"), ("করে", None),
+    ],
 }
 
 
@@ -2335,6 +2354,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # + ezafe/article suffix stemmer
             _lang_searcher(sp, d, "sorani"), TermQuery(term="پیاو"), 10
         ),
+        "q_term_hi": lambda sp, d: _topk_df(
+            # Hindi: Indic script composition + nukta/virama/vowel-shortening
+            # normalization + Ramanathan-Rao suffix stemmer
+            _lang_searcher(sp, d, "hindi"), TermQuery(term="लडक"), 10
+        ),
+        "q_term_bn": lambda sp, d: _topk_df(
+            # Bengali: Indic composition + ja/ba-phala + visarga rules +
+            # verb-suffix stemmer
+            _lang_searcher(sp, d, "bengali"), TermQuery(term="কর"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3607,6 +3636,8 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_bg": _lang_term_sql("bulgarian", "град"),
         "q_term_cz": _lang_term_sql("czech", "hrad"),
         "q_term_ckb": _lang_term_sql("sorani", "پیاو"),
+        "q_term_hi": _lang_term_sql("hindi", "लडक"),
+        "q_term_bn": _lang_term_sql("bengali", "কর"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -1511,3 +1511,56 @@ def sorani_token(tok: str) -> str:
 
 CHAINS["sorani"] = ChainSpec(_SORANI_TOKEN_PATTERN, sorani_token,
                              raw_case=True)
+
+
+# ---------------------------------------------------------------------------
+# Hindi & Bengali (analysis/hi/HindiAnalyzer.java:123-133,
+# analysis/bn/BengaliAnalyzer.java:121-132): LowerCase -> DecimalDigit ->
+# IndicNormalization -> {Hindi,Bengali}Normalization -> Stop -> Stem.
+# Tokenizer: Devanagari/Bengali letter runs with combining signs (matras,
+# virama, bindus — UAX#29 Extend) and ZWJ/ZWNJ continuing a run; native
+# digit runs fold to ASCII via DecimalDigitFilter.
+# ---------------------------------------------------------------------------
+
+from .indic import (  # noqa: E402
+    bengali_normalize, bengali_stem, hindi_normalize, hindi_stem,
+    indic_normalize,
+)
+from .langdata import BENGALI_STOP, HINDI_STOP  # noqa: E402
+
+_DEV_L = "ऄ-हऽॐक़-ॡॱ-ॿ"
+_DEV_M = "ऀ-ःऺ-़ा-ॏ॑-ॗॢ-ॣ‌‍"
+_DEV_D = "0-9०-९"
+_BENG_L = "অ-ঌএ-ঐও-নপ-রলশ-হঽৎড়-ঢ়য়-ৡৰ-ৱ"
+_BENG_M = "ঀ-ঃ়া-ৄে-ৈো-্ৗৢ-ৣ‌‍"
+_BENG_D = "0-9০-৯"
+
+
+def _indic_token_pattern(letters: str, marks: str, digits: str):
+    num = "[" + digits + r"](?:(?:_*|[.,;'])[" + digits + "])*"
+    alpha = "[" + letters + "][" + letters + marks + "]*"
+    return re.compile(
+        r"(?:_*(?:" + num + r"|" + alpha + r"|" + _ALPHA_RUN + r"))+_*"
+    )
+
+
+_HINDI_TOKEN_PATTERN = _indic_token_pattern(_DEV_L, _DEV_M, _DEV_D)
+_BENGALI_TOKEN_PATTERN = _indic_token_pattern(_BENG_L, _BENG_M, _BENG_D)
+
+
+def hindi_token(tok: str) -> str:
+    t = hindi_normalize(indic_normalize(fold_decimal_digits(tok.lower())))
+    if t in HINDI_STOP:
+        return STOP_HOLE
+    return hindi_stem(t)
+
+
+def bengali_token(tok: str) -> str:
+    t = bengali_normalize(indic_normalize(fold_decimal_digits(tok.lower())))
+    if t in BENGALI_STOP:
+        return STOP_HOLE
+    return bengali_stem(t)
+
+
+CHAINS["hindi"] = ChainSpec(_HINDI_TOKEN_PATTERN, hindi_token)
+CHAINS["bengali"] = ChainSpec(_BENGALI_TOKEN_PATTERN, bengali_token)

@@ -238,3 +238,125 @@ def test_new_chain_batch_parity_bg_cz_ckb():
         want = [fn(t) for t in texts]
         assert list(counts) == [len(w) for w in want], name
         assert list(flat) == [tok for row in want for tok in row], name
+
+
+# ---------------------------------------------------------------------------
+# Hindi / Bengali (full reference vector sets from analysis/hi, analysis/bn
+# tests; machine-extracted)
+# ---------------------------------------------------------------------------
+
+from lucene_spark import indic
+
+HI_NORM_VECTORS = [
+    ('अँगरेज़ी', 'अंगरेजि'),
+    ('अँगरेजी', 'अंगरेजि'),
+    ('अँग्रेज़ी', 'अंगरेजि'),
+    ('अँग्रेजी', 'अंगरेजि'),
+    ('अंगरेज़ी', 'अंगरेजि'),
+    ('अंगरेजी', 'अंगरेजि'),
+    ('अंग्रेज़ी', 'अंगरेजि'),
+    ('अंग्रेजी', 'अंगरेजि'),
+    ('क़िताब', 'किताब'),
+    ('फ़र्ज़', 'फरज'),
+    ('क़र्ज़', 'करज'),
+    ('ऱऴख़ग़ड़ढ़य़', 'रळखगडढय'),
+    ('शार्\u200dमा', 'शारमा'),
+    ('शार्\u200cमा', 'शारमा'),
+    ('ॅॆॉॊऍऎऑऒॲ', 'ेेोोएएओओअ'),
+    ('आईऊॠॡऐऔीूॄॣैौ', 'अइउऋऌएओिुृॢेो'),
+]
+
+HI_STEM_VECTORS = [
+    ('लडका', 'लडक'),
+    ('लडके', 'लडक'),
+    ('लडकों', 'लडक'),
+    ('गुरु', 'गुर'),
+    ('गुरुओं', 'गुर'),
+    ('दोस्त', 'दोस्त'),
+    ('दोस्तों', 'दोस्त'),
+    ('लडकी', 'लडक'),
+    ('लडकियों', 'लडक'),
+    ('किताब', 'किताब'),
+    ('किताबें', 'किताब'),
+    ('किताबों', 'किताब'),
+    ('आध्यापीका', 'आध्यापीक'),
+    ('आध्यापीकाएं', 'आध्यापीक'),
+    ('आध्यापीकाओं', 'आध्यापीक'),
+    ('खाना', 'खा'),
+    ('खाता', 'खा'),
+    ('खाती', 'खा'),
+    ('खा', 'खा'),
+    ('कठिनाइयां', 'कठिन'),
+    ('कठिन', 'कठिन'),
+]
+
+BN_NORM_VECTORS = [
+    ('চাঁদ', 'চাদ'),
+    ('বাড়ী', 'বারি'),
+    ('তীর', 'তির'),
+    ('ভূল', 'ভুল'),
+    ('অনূপ', 'অনুপ'),
+    ('বাঙলা', 'বাংলা'),
+    ('ব্যাক্তি', 'বেক্তি'),
+    ('সন্ধ্যা', 'সন্ধা'),
+    ('স্বদেশ', 'সদেস'),
+    ('তত্ত্ব', 'তত্ত'),
+    ('বিশ্ব', 'বিসস'),
+    ('দুঃখ', 'দুখখ'),
+    ('উঃ', 'উহ'),
+    ('পুনঃ', 'পুন'),
+    ('কণা', 'কনা'),
+    ('শরীর', 'সরির'),
+    ('বাড়ি', 'বারি'),
+]
+
+BN_STEM_VECTORS = [
+    ('করেছিলাম', 'কর'),
+    ('করিতেছিলে', 'কর'),
+    ('খাইতাম', 'খাই'),
+    ('যাইবে', 'যা'),
+    ('করছিলাম', 'কর'),
+    ('করছিলে', 'কর'),
+    ('করতাম', 'কর'),
+    ('যাব', 'যা'),
+    ('যাবে', 'যা'),
+    ('করি', 'কর'),
+    ('করো', 'কর'),
+    ('মেয়েরা', 'মে'),
+    ('মেয়েদেরকে', 'মে'),
+    ('মেয়েদের', 'মে'),
+    ('একটি', 'এক'),
+    ('মানুষগুলি', 'মানুষ'),
+]
+
+
+def test_hindi_normalize_reference_vectors():
+    for w, want in HI_NORM_VECTORS:
+        assert indic.hindi_normalize(indic.indic_normalize(w)) == want, w
+
+
+def test_hindi_stem_reference_vectors():
+    for w, want in HI_STEM_VECTORS:
+        assert indic.hindi_stem(w) == want, w
+
+
+def test_bengali_normalize_reference_vectors():
+    for w, want in BN_NORM_VECTORS:
+        assert indic.bengali_normalize(indic.indic_normalize(w)) == want, w
+
+
+def test_bengali_stem_reference_vectors():
+    for w, want in BN_STEM_VECTORS:
+        assert indic.bengali_stem(w) == want, w
+
+
+def test_indic_chain_batch_parity():
+    for name, texts in [
+        ("hindi", ["लडका लडके खाना १२३", "किताबें और दोस्तों"]),
+        ("bengali", ["ছেলেরা ভালো বই", "মেয়েরা একটি করে"]),
+    ]:
+        fn = _chain_fn(name)
+        flat, counts = flat_tokenize(pd.Series(texts), name)
+        want = [fn(t) for t in texts]
+        assert list(counts) == [len(w) for w in want], name
+        assert list(flat) == [tok for row in want for tok in row], name
