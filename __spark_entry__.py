@@ -631,6 +631,23 @@ _LANG_CHAIN_MAP = {
         ("ছেলেরা", "ছেল"), ("বাড়িতে", "বার"),
         ("এবং", "এবং"), ("করে", None),
     ],
+    # expected outputs from analysis/id/TestIndonesianStemmer.java vectors
+    "indonesian": [
+        ("bukukah", "buku"), ("bukupun", "buku"), ("bukuku", "buku"),
+        ("bukunya", "buku"), ("mengukur", "ukur"), ("menyapu", "sapu"),
+        ("menduga", "duga"), ("membaca", "baca"), ("merusak", "rusak"),
+        ("pengukur", "ukur"), ("diukur", "ukur"), ("tersapu", "sapu"),
+        ("kekasih", "kasih"), ("berlari", "lari"),
+        ("yang", None), ("dan", None),
+    ],
+    # expected outputs from analysis/lv/TestLatvianStemmer.java vectors
+    "latvian": [
+        ("tēvs", "tēv"), ("tēviem", "tēv"), ("tēvus", "tēv"),
+        ("tēvos", "tēv"), ("lācis", "lāc"), ("lāčiem", "lāc"),
+        ("lāčus", "lāc"), ("lācī", "lāc"), ("tēvam", "tēv"),
+        ("lācim", "lāc"), ("tēvā", "tēv"), ("lāča", "lāc"),
+        ("tēva", "tēv"), ("lāči", "lāc"), ("un", None), ("ir", None),
+    ],
 }
 
 
@@ -2364,6 +2381,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # verb-suffix stemmer
             _lang_searcher(sp, d, "bengali"), TermQuery(term="কর"), 10
         ),
+        "q_term_id": lambda sp, d: _topk_df(
+            # Indonesian: derivational prefix/suffix stemmer with
+            # rule-firing interlock flags
+            _lang_searcher(sp, d, "indonesian"), TermQuery(term="buku"), 10
+        ),
+        "q_term_lv": lambda sp, d: _topk_df(
+            # Latvian: vowel-gated affix strip + palatalization unwind
+            _lang_searcher(sp, d, "latvian"), TermQuery(term="lāc"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3638,6 +3664,8 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_ckb": _lang_term_sql("sorani", "پیاو"),
         "q_term_hi": _lang_term_sql("hindi", "लडक"),
         "q_term_bn": _lang_term_sql("bengali", "কর"),
+        "q_term_id": _lang_term_sql("indonesian", "buku"),
+        "q_term_lv": _lang_term_sql("latvian", "lāc"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

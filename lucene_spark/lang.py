@@ -1564,3 +1564,200 @@ def bengali_token(tok: str) -> str:
 
 CHAINS["hindi"] = ChainSpec(_HINDI_TOKEN_PATTERN, hindi_token)
 CHAINS["bengali"] = ChainSpec(_BENGALI_TOKEN_PATTERN, bengali_token)
+
+
+# ---------------------------------------------------------------------------
+# Indonesian (analysis/id/IndonesianAnalyzer.java:118-125: LowerCase ->
+# Stop -> IndonesianStemmer, the Asian/Tan derivational stemmer)
+# ---------------------------------------------------------------------------
+
+from .langdata import INDONESIAN_STOP  # noqa: E402
+
+_ID_VOWELS = frozenset("aeiou")
+
+
+def indonesian_stem(w: str, derivational: bool = True) -> str:
+    """IndonesianStemmer.stem (analysis/id/IndonesianStemmer.java:46-60):
+    particle + possessive removal, then first-order prefix / suffix /
+    second-order prefix with the rule-firing interlock flags."""
+    syl = sum(1 for c in w if c in _ID_VOWELS)
+    flags = 0
+    KE, PENG, DI, MENG, TER, BER, PE = 1, 2, 4, 8, 16, 32, 64
+
+    if syl > 2 and (w.endswith("kah") or w.endswith("lah")
+                    or w.endswith("pun")):
+        syl -= 1
+        w = w[:-3]
+    if syl > 2:
+        if w.endswith("ku") or w.endswith("mu"):
+            syl -= 1
+            w = w[:-2]
+        elif w.endswith("nya"):
+            syl -= 1
+            w = w[:-3]
+    if not derivational:
+        return w
+
+    def first_order(w, syl, flags):
+        if w.startswith("meng"):
+            return w[4:], syl - 1, flags | MENG
+        if w.startswith("meny") and len(w) > 4 and w[4] in _ID_VOWELS:
+            return "s" + w[4:], syl - 1, flags | MENG
+        if w.startswith("men"):
+            return w[3:], syl - 1, flags | MENG
+        if w.startswith("mem"):
+            return w[3:], syl - 1, flags | MENG
+        if w.startswith("me"):
+            return w[2:], syl - 1, flags | MENG
+        if w.startswith("peng"):
+            return w[4:], syl - 1, flags | PENG
+        if w.startswith("peny") and len(w) > 4 and w[4] in _ID_VOWELS:
+            return "s" + w[4:], syl - 1, flags | PENG
+        if w.startswith("peny"):
+            return w[4:], syl - 1, flags | PENG
+        if w.startswith("pen") and len(w) > 3 and w[3] in _ID_VOWELS:
+            return "t" + w[3:], syl - 1, flags | PENG
+        if w.startswith("pen"):
+            return w[3:], syl - 1, flags | PENG
+        if w.startswith("pem"):
+            return w[3:], syl - 1, flags | PENG
+        if w.startswith("di"):
+            return w[2:], syl - 1, flags | DI
+        if w.startswith("ter"):
+            return w[3:], syl - 1, flags | TER
+        if w.startswith("ke"):
+            return w[2:], syl - 1, flags | KE
+        return w, syl, flags
+
+    def second_order(w, syl, flags):
+        if w.startswith("ber"):
+            return w[3:], syl - 1, flags | BER
+        if w == "belajar":
+            return w[3:], syl - 1, flags | BER
+        if (w.startswith("be") and len(w) > 4 and w[2] not in _ID_VOWELS
+                and w[3] == "e" and w[4] == "r"):
+            return w[2:], syl - 1, flags | BER
+        if w.startswith("per"):
+            return w[3:], syl - 1, flags
+        if w == "pelajar":
+            return w[3:], syl - 1, flags
+        if w.startswith("pe"):
+            return w[2:], syl - 1, flags | PE
+        return w, syl, flags
+
+    def suffix(w, syl, flags):
+        if w.endswith("kan") and not flags & (KE | PENG | PE):
+            return w[:-3], syl - 1
+        if w.endswith("an") and not flags & (DI | MENG | TER):
+            return w[:-2], syl - 1
+        if (w.endswith("i") and not w.endswith("si")
+                and not flags & (BER | KE | PENG)):
+            return w[:-1], syl - 1
+        return w, syl
+
+    old = w
+    if syl > 2:
+        w, syl, flags = first_order(w, syl, flags)
+    if old != w:  # a rule fired: suffix, then second-order
+        old = w
+        if syl > 2:
+            w, syl = suffix(w, syl, flags)
+        if old != w and syl > 2:
+            w, syl, flags = second_order(w, syl, flags)
+    else:
+        if syl > 2:
+            w, syl, flags = second_order(w, syl, flags)
+        if syl > 2:
+            w, syl = suffix(w, syl, flags)
+    return w
+
+
+def indonesian_token(tok: str) -> str:
+    t = tok.lower()
+    if t in INDONESIAN_STOP:
+        return STOP_HOLE
+    return indonesian_stem(t)
+
+
+CHAINS["indonesian"] = ChainSpec(_LANG_TOKEN_PATTERN, indonesian_token)
+
+
+# ---------------------------------------------------------------------------
+# Latvian (analysis/lv/LatvianAnalyzer.java:119-127: LowerCase -> Stop ->
+# LatvianStemmer — light stemmer with palatalization unwinding)
+# ---------------------------------------------------------------------------
+
+from .langdata import LATVIAN_STOP  # noqa: E402
+
+#: (suffix, vowel_count_required_exclusive, palatalizes)
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+)
+_LV_VOWELS = frozenset("aeiouāīēū")
+
+
+def _lv_unpalatalize(w: str, removed_first: str) -> str:
+    """LatvianStemmer.unpalatalize (analysis/lv/LatvianStemmer.java:79-133).
+
+    removed_first is the first character of the stripped affix (the
+    reference peeks at s[len], the slot just past the new length)."""
+    if removed_first == "u":
+        if w.endswith("kš"):
+            return w[:-2] + "kst"
+        if w.endswith("ņņ"):
+            return w[:-2] + "nn"
+    if w[-2:] in ("pj", "bj", "mj", "vj"):
+        return w[:-1]
+    if w.endswith("šņ"):
+        return w[:-2] + "sn"
+    if w.endswith("žņ"):
+        return w[:-2] + "zn"
+    if w.endswith("šļ"):
+        return w[:-2] + "sl"
+    if w.endswith("žļ"):
+        return w[:-2] + "zl"
+    if w.endswith("ļņ"):
+        return w[:-2] + "ln"
+    if w.endswith("ļļ"):
+        return w[:-2] + "ll"
+    if w.endswith("č"):
+        return w[:-1] + "c"
+    if w.endswith("ļ"):
+        return w[:-1] + "l"
+    if w.endswith("ņ"):
+        return w[:-1] + "n"
+    return w
+
+
+def latvian_stem(w: str) -> str:
+    """LatvianStemmer.stem (analysis/lv/LatvianStemmer.java:34-45): first
+    matching affix with enough remaining vowels strips; palatalizing
+    affixes then unwind the palatalization."""
+    nv = sum(1 for c in w if c in _LV_VOWELS)
+    for suf, vc, pal in _LV_AFFIXES:
+        if nv > vc and len(w) >= len(suf) + 3 and w.endswith(suf):
+            stem = w[: -len(suf)]
+            return _lv_unpalatalize(stem, suf[0]) if pal else stem
+    return w
+
+
+def latvian_token(tok: str) -> str:
+    t = tok.lower()
+    if t in LATVIAN_STOP:
+        return STOP_HOLE
+    return latvian_stem(t)
+
+
+CHAINS["latvian"] = ChainSpec(_LATIN_EXT_TOKEN_PATTERN, latvian_token)

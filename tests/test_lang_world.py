@@ -360,3 +360,46 @@ def test_indic_chain_batch_parity():
         want = [fn(t) for t in texts]
         assert list(counts) == [len(w) for w in want], name
         assert list(flat) == [tok for row in want for tok in row], name
+
+
+# ---------------------------------------------------------------------------
+# Indonesian / Latvian (full reference vector sets, machine-checked in the
+# build session; representative subsets embedded here)
+# ---------------------------------------------------------------------------
+
+ID_VECTORS = [
+    ("bukukah", "buku"), ("adalah", "ada"), ("bukupun", "buku"),
+    ("bukuku", "buku"), ("bukumu", "buku"), ("bukunya", "buku"),
+    ("mengukur", "ukur"), ("menyapu", "sapu"), ("menduga", "duga"),
+    ("menuduh", "uduh"), ("membaca", "baca"), ("merusak", "rusak"),
+    ("pengukur", "ukur"), ("penyapu", "sapu"), ("penduga", "duga"),
+    ("pembaca", "baca"), ("diukur", "ukur"), ("tersapu", "sapu"),
+    ("kekasih", "kasih"), ("berlari", "lari"), ("belajar", "ajar"),
+    ("bekerja", "kerja"), ("perjelas", "jelas"), ("pelajar", "ajar"),
+    ("pekerja", "kerja"), ("tarikkan", "tarik"), ("ambilkan", "ambil"),
+    ("mengambilkan", "ambil"), ("makanan", "makan"), ("janjian", "janji"),
+    ("perjanjian", "janji"),
+]
+
+
+def test_indonesian_stem_reference_vectors():
+    for w, want in ID_VECTORS:
+        assert lang.indonesian_stem(w) == want, w
+
+
+LV_VECTORS = [
+    ("tēvs", "tēv"), ("tēvi", "tēv"), ("tēva", "tēv"), ("tēvu", "tēv"),
+    ("tēvam", "tēv"), ("tēviem", "tēv"), ("tēvus", "tēv"), ("tēvā", "tēv"),
+    ("tēvos", "tēv"), ("lācis", "lāc"), ("lāči", "lāc"), ("lāča", "lāc"),
+    ("lāču", "lāc"), ("lācim", "lāc"), ("lāčiem", "lāc"), ("lāci", "lāc"),
+    ("lāčus", "lāc"), ("lācī", "lāc"), ("lāčos", "lāc"),
+    # palatalization unwinding
+    ("kaķis", "kaķ"), ("kuģis", "kuģ"), ("akmens", "akmen"),
+    ("kupls", "kupl"), ("kaijas", "kaij"), ("zvaigznes", "zvaigzn"),
+    ("kugis", "kug"),
+]
+
+
+def test_latvian_stem_reference_vectors():
+    for w, want in LV_VECTORS:
+        assert lang.latvian_stem(w) == want, w
