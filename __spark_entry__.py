@@ -648,6 +648,17 @@ _LANG_CHAIN_MAP = {
         ("lācim", "lāc"), ("tēvā", "tēv"), ("lāča", "lāc"),
         ("tēva", "tēv"), ("lāči", "lāc"), ("un", None), ("ir", None),
     ],
+    # expected outputs from analysis/el/TestGreekStemmer.java vectors
+    # (full-chain GreekLowerCase + stem)
+    "greek": [
+        ("άνθρωπος", "ανθρωπ"), ("ανθρώπου", "ανθρωπ"),
+        ("άνθρωπε", "ανθρωπ"), ("ανθρώπων", "ανθρωπ"),
+        ("ανθρώπους", "ανθρωπ"), ("πελάτης", "πελατ"),
+        ("πελάτη", "πελατ"), ("γραμματέα", "γραμματε"),
+        ("γραμματείς", "γραμματ"), ("γραμματέων", "γραμματ"),
+        ("βιβλίο", "βιβλι"), ("βιβλίου", "βιβλ"), ("βιβλία", "βιβλ"),
+        ("άνθρωπο", "ανθρωπ"), ("και", None), ("του", None),
+    ],
 }
 
 
@@ -2390,6 +2401,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # Latvian: vowel-gated affix strip + palatalization unwind
             _lang_searcher(sp, d, "latvian"), TermQuery(term="lāc"), 10
         ),
+        "q_term_el": lambda sp, d: _topk_df(
+            # Greek: diacritic-folding lowercase + the 22-rule Ntais stemmer
+            _lang_searcher(sp, d, "greek"), TermQuery(term="ανθρωπ"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3666,6 +3681,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_bn": _lang_term_sql("bengali", "কর"),
         "q_term_id": _lang_term_sql("indonesian", "buku"),
         "q_term_lv": _lang_term_sql("latvian", "lāc"),
+        "q_term_el": _lang_term_sql("greek", "ανθρωπ"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

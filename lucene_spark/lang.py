@@ -1761,3 +1761,55 @@ def latvian_token(tok: str) -> str:
 
 
 CHAINS["latvian"] = ChainSpec(_LATIN_EXT_TOKEN_PATTERN, latvian_token)
+
+
+# ---------------------------------------------------------------------------
+# Greek (analysis/el/GreekAnalyzer.java:84-91: GreekLowerCase -> Stop ->
+# GreekStemmer). GreekLowerCaseFilter both lowercases and strips the
+# tonos/dialytika diacritics, folding final sigma to sigma.
+# ---------------------------------------------------------------------------
+
+from .langdata import GREEK_STOP  # noqa: E402
+
+#: GreekLowerCaseFilter.lowerCase (analysis/el/GreekLowerCaseFilter.java:
+#: 49-103); applied per codepoint AFTER the table, default Char.toLowerCase
+_EL_MAP = str.maketrans({
+    "ς": "σ",
+    "Ά": "α", "ά": "α",
+    "Έ": "ε", "έ": "ε",
+    "Ή": "η", "ή": "η",
+    "Ί": "ι", "Ϊ": "ι", "ί": "ι", "ϊ": "ι", "ΐ": "ι",
+    "Ύ": "υ", "Ϋ": "υ", "ύ": "υ", "ϋ": "υ", "ΰ": "υ",
+    "Ό": "ο", "ό": "ο",
+    "Ώ": "ω", "ώ": "ω",
+    "΢": "ς",
+})
+
+
+def greek_lower(t: str) -> str:
+    """Python ``str.lower`` then the table: equivalent to the reference's
+    per-codepoint switch-then-toLowerCase — every capital table row lowers
+    onto another table row, and running the table last undoes Python's
+    contextual final-sigma (the reference lowers Σ to σ positionlessly)."""
+    return t.lower().translate(_EL_MAP)
+
+
+_GREEK = "Ͱ-ͳͶ-ͷͻ-ͽͿΆΈ-Ͽἀ-῾"
+_GREEK_ALPHA_RUN = (
+    "[" + _L + _GREEK + "](?:(?:_*|[:.'’])[" + _L + _GREEK + "])*"
+)
+GREEK_TOKEN_RE = r"(?:_*(?:" + _NUM_RUN + r"|" + _GREEK_ALPHA_RUN + r"))+_*"
+_GREEK_TOKEN_PATTERN = re.compile(GREEK_TOKEN_RE)
+
+
+def greek_token(tok: str) -> str:
+    from .greek import greek_stem
+
+    t = greek_lower(tok)
+    if t in GREEK_STOP:
+        return STOP_HOLE
+    return greek_stem(t)
+
+
+CHAINS["greek"] = ChainSpec(_GREEK_TOKEN_PATTERN, greek_token,
+                            raw_case=True)

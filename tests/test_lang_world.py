@@ -403,3 +403,39 @@ LV_VECTORS = [
 def test_latvian_stem_reference_vectors():
     for w, want in LV_VECTORS:
         assert lang.latvian_stem(w) == want, w
+
+
+# ---------------------------------------------------------------------------
+# Greek — the FULL 342-vector reference set, machine-extracted at test time
+# from el/TestGreekStemmer.java (full chain: GreekLowerCase + GreekStemmer)
+# ---------------------------------------------------------------------------
+
+def test_greek_full_reference_vectors():
+    import os
+    import re
+
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/el/TestGreekStemmer.java"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference data unavailable")
+    src = open(path, encoding="utf-8").read()
+    vecs = re.findall(r'checkOneTerm\(a, "([^"]+)", "([^"]+)"\)', src)
+    assert len(vecs) > 300
+    for w, want in vecs:
+        assert lang.greek_token(w) == want, w
+
+
+def test_greek_lowercase_and_chain():
+    # final sigma folds; tonos/dialytika strip; stopwords hole
+    assert lang.greek_lower("ΜΆΪΟΣ") == "μαιοσ"
+    assert lang.greek_lower("Ϋαλος") == "υαλοσ"
+    fn = _chain_fn("greek")
+    assert fn("και του βιβλίου") == [S, S, "βιβλ"]
+    flat, counts = flat_tokenize(
+        pd.Series(["άνθρωπος ΚΑΙ βιβλία", "γραμματέων"]), "greek"
+    )
+    want = [fn("άνθρωπος ΚΑΙ βιβλία"), fn("γραμματέων")]
+    assert list(counts) == [len(w) for w in want]
+    assert list(flat) == [t for row in want for t in row]
