@@ -659,6 +659,15 @@ _LANG_CHAIN_MAP = {
         ("βιβλίο", "βιβλι"), ("βιβλίου", "βιβλ"), ("βιβλία", "βιβλ"),
         ("άνθρωπο", "ανθρωπ"), ("και", None), ("του", None),
     ],
+    # expected outputs from analysis/br/TestBrazilianAnalyzer.java vectors
+    "brazilian": [
+        ("boataria", "boat"), ("boate", "boat"), ("boates", "boat"),
+        ("bôas", "boas"), ("quinzena", "quinzen"), ("bobagem", "bobag"),
+        ("meninas", "menin"), ("boatos", "boat"), ("boa", "boa"),
+        ("boassu", "boassu"), ("bocadinho", "bocadinh"),
+        ("bocado", "boc"), ("bocaiúva", "bocaiuv"), ("boçal", "bocal"),
+        ("os", None), ("das", None),
+    ],
 }
 
 
@@ -2405,6 +2414,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # Greek: diacritic-folding lowercase + the 22-rule Ntais stemmer
             _lang_searcher(sp, d, "greek"), TermQuery(term="ανθρωπ"), 10
         ),
+        "q_term_br": lambda sp, d: _topk_df(
+            # Brazilian Portuguese: accent-folding RSLP-style step cascade
+            # (null stems keep the token)
+            _lang_searcher(sp, d, "brazilian"), TermQuery(term="boat"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3682,6 +3696,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_id": _lang_term_sql("indonesian", "buku"),
         "q_term_lv": _lang_term_sql("latvian", "lāc"),
         "q_term_el": _lang_term_sql("greek", "ανθρωπ"),
+        "q_term_br": _lang_term_sql("brazilian", "boat"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -1813,3 +1813,24 @@ def greek_token(tok: str) -> str:
 
 CHAINS["greek"] = ChainSpec(_GREEK_TOKEN_PATTERN, greek_token,
                             raw_case=True)
+
+
+# ---------------------------------------------------------------------------
+# Brazilian Portuguese (analysis/br/BrazilianAnalyzer.java:114-121:
+# LowerCase -> Stop -> BrazilianStemFilter; a null stem keeps the token)
+# ---------------------------------------------------------------------------
+
+from .langdata import BRAZILIAN_STOP  # noqa: E402
+
+
+def brazilian_token(tok: str) -> str:
+    from .brazilian import brazilian_stem
+
+    t = tok.lower()
+    if t in BRAZILIAN_STOP:
+        return STOP_HOLE
+    st = brazilian_stem(t)
+    return t if st is None else st
+
+
+CHAINS["brazilian"] = ChainSpec(_LANG_TOKEN_PATTERN, brazilian_token)

@@ -439,3 +439,36 @@ def test_greek_lowercase_and_chain():
     want = [fn("άνθρωπος ΚΑΙ βιβλία"), fn("γραμματέων")]
     assert list(counts) == [len(w) for w in want]
     assert list(flat) == [t for row in want for t in row]
+
+
+# ---------------------------------------------------------------------------
+# Brazilian Portuguese — the FULL analyzer vector set from
+# br/TestBrazilianAnalyzer.java, machine-extracted at test time
+# ---------------------------------------------------------------------------
+
+def test_brazilian_full_reference_vectors():
+    import os
+    import re
+
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/br/TestBrazilianAnalyzer.java"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference data unavailable")
+    src = open(path, encoding="utf-8").read()
+    vecs = re.findall(r'check\("([^"]+)", "([^"]+)"\)', src)
+    assert len(vecs) > 80
+    for w, want in vecs:
+        assert lang.brazilian_token(w) == want, w
+
+
+def test_brazilian_chain_null_stem_keeps_token():
+    from lucene_spark.brazilian import brazilian_stem
+
+    # too short / too long terms are unindexable -> token kept verbatim
+    assert brazilian_stem("ab") is None
+    assert brazilian_stem("x" * 30) is None
+    assert lang.brazilian_token("ab") == "ab"
+    # stopword holes
+    assert _chain_fn("brazilian")("os boatos") == [S, "boat"]
