@@ -668,6 +668,25 @@ _LANG_CHAIN_MAP = {
         ("bocado", "boc"), ("bocaiúva", "bocaiuv"), ("boçal", "bocal"),
         ("os", None), ("das", None),
     ],
+    # expected outputs from the reference's gltestdata.zip vocabulary
+    "galician": [
+        ("aceiro", "aceir"), ("aceitosa", "aceit"), ("acelera", "aceler"),
+        ("acenaron", "acen"), ("acende", "acend"), ("acenou", "acen"),
+        ("acentúa", "acentu"), ("acepta", "acept"),
+        ("aceptable", "acept"), ("aceptación", "acept"),
+        ("aceptada", "acept"), ("aceptado", "acept"),
+        ("acentúanse", "acentuans"), ("aceptadas", "acept"),
+        ("os", None), ("unha", None),
+    ],
+    # expected outputs from the reference's ptrslptestdata.zip vocabulary
+    "portuguese_rslp": [
+        ("absurdas", "absurd"), ("absurdo", "absurd"),
+        ("abuelita", "abuelit"), ("abundância", "abund"),
+        ("abundante", "abund"), ("abusando", "abus"), ("abusar", "abus"),
+        ("abuse", "abus"), ("abuso", "abus"), ("abusou", "abus"),
+        ("acaba", "acab"), ("abusos", "abus"), ("abujamra", "abujamr"),
+        ("absurdos", "absurd"), ("as", None), ("uma", None),
+    ],
 }
 
 
@@ -2419,6 +2438,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # (null stems keep the token)
             _lang_searcher(sp, d, "brazilian"), TermQuery(term="boat"), 10
         ),
+        "q_term_gl": lambda sp, d: _topk_df(
+            # Galician: RSLP rules engine (plural/unification/adverb/
+            # augmentative-loop/noun-or-verb/vowel steps)
+            _lang_searcher(sp, d, "galician"), TermQuery(term="acept"), 10
+        ),
+        "q_term_pt_rslp": lambda sp, d: _topk_df(
+            # Portuguese RSLP variant (selectable alternative to the
+            # default light stemmer)
+            _lang_searcher(sp, d, "portuguese_rslp"),
+            TermQuery(term="abus"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3697,6 +3727,8 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_lv": _lang_term_sql("latvian", "lāc"),
         "q_term_el": _lang_term_sql("greek", "ανθρωπ"),
         "q_term_br": _lang_term_sql("brazilian", "boat"),
+        "q_term_gl": _lang_term_sql("galician", "acept"),
+        "q_term_pt_rslp": _lang_term_sql("portuguese_rslp", "abus"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

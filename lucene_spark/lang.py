@@ -1834,3 +1834,36 @@ def brazilian_token(tok: str) -> str:
 
 
 CHAINS["brazilian"] = ChainSpec(_LANG_TOKEN_PATTERN, brazilian_token)
+
+
+# ---------------------------------------------------------------------------
+# Galician (analysis/gl/GalicianAnalyzer.java:118-125: LowerCase -> Stop ->
+# GalicianStemFilter, RSLP rules) and the Portuguese RSLP variant
+# (analysis/pt/PortugueseStemmer.java — selectable alternative to the
+# default light stemmer already registered as "portuguese")
+# ---------------------------------------------------------------------------
+
+from .langdata import GALICIAN_STOP  # noqa: E402
+
+
+def galician_token(tok: str) -> str:
+    from .rslp import galician_stem
+
+    t = tok.lower()
+    if t in GALICIAN_STOP:
+        return STOP_HOLE
+    return galician_stem(t)
+
+
+def portuguese_rslp_token(tok: str) -> str:
+    from .rslp import portuguese_rslp_stem
+
+    t = tok.lower()
+    if t in PORTUGUESE_STOP:
+        return STOP_HOLE
+    return portuguese_rslp_stem(t)
+
+
+CHAINS["galician"] = ChainSpec(_LANG_TOKEN_PATTERN, galician_token)
+CHAINS["portuguese_rslp"] = ChainSpec(_LANG_TOKEN_PATTERN,
+                                      portuguese_rslp_token)

@@ -472,3 +472,50 @@ def test_brazilian_chain_null_stem_keeps_token():
     assert lang.brazilian_token("ab") == "ab"
     # stopword holes
     assert _chain_fn("brazilian")("os boatos") == [S, "boat"]
+
+
+# ---------------------------------------------------------------------------
+# Galician / Portuguese-RSLP — FULL reference vocabulary zips (9,416 and
+# 32,016 pairs) through the RSLP engine
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "zip_rel,inner,fn_name",
+    [
+        ("gl/gltestdata.zip", "gl.txt", "galician_stem"),
+        ("pt/ptrslptestdata.zip", "ptrslp.txt", "portuguese_rslp_stem"),
+    ],
+    ids=["gl", "pt-rslp"],
+)
+def test_rslp_full_reference_vocabulary(zip_rel, inner, fn_name):
+    import os
+    import zipfile
+
+    from lucene_spark import rslp
+
+    fn = getattr(rslp, fn_name)
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/" + zip_rel
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference data unavailable")
+    with zipfile.ZipFile(path) as zf:
+        data = zf.read(inner).decode("utf-8")
+    n = 0
+    for line in data.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) != 2:
+            continue
+        w, want = parts
+        assert fn(w) == want, w
+        n += 1
+    assert n > 9000
+
+
+def test_rslp_chain_stop_holes():
+    assert _chain_fn("galician")("os aceptados") == [S, "acept"]
+    assert _chain_fn("portuguese_rslp")("as abundâncias") == [S, "abund"]
