@@ -687,6 +687,18 @@ _LANG_CHAIN_MAP = {
         ("acaba", "acab"), ("abusos", "abus"), ("abujamra", "abujamr"),
         ("absurdos", "absurd"), ("as", None), ("uma", None),
     ],
+    # expected outputs from the reference's snowball irish.zip vocabulary
+    # + ga/TestIrishAnalyzer.java vectors
+    "irish": [
+        ("siopadóireacht", "siopadóir"), ("síceapatacha", "síceapaite"),
+        ("mheidhir", "meidhir"), ("dhísle", "dísle"),
+        ("thimpireach", "timpir"), ("dheasós", "deasós"),
+        ("mhíneoidh", "míneoidh"), ("b'fhearr", "fearr"),
+        ("m'athair", "athair"), ("bhforaois", "foraois"),
+        ("maoile", "maoile"), ("seadóg", "seadóg"),
+        ("ardchúrsa", "ardchúrsa"), ("rannáin", "rannáin"),
+        ("le", None), ("agus", None),
+    ],
 }
 
 
@@ -2449,6 +2461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lang_searcher(sp, d, "portuguese_rslp"),
             TermQuery(term="abus"), 10
         ),
+        "q_term_ga": lambda sp, d: _topk_df(
+            # Irish: hyphenation stops + elision + Irish lowercase (n/t +
+            # capital vowel hyphen insertion) + snowball mutation/suffix
+            _lang_searcher(sp, d, "irish"), TermQuery(term="athair"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3729,6 +3746,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_br": _lang_term_sql("brazilian", "boat"),
         "q_term_gl": _lang_term_sql("galician", "acept"),
         "q_term_pt_rslp": _lang_term_sql("portuguese_rslp", "abus"),
+        "q_term_ga": _lang_term_sql("irish", "athair"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

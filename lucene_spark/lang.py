@@ -1867,3 +1867,42 @@ def portuguese_rslp_token(tok: str) -> str:
 CHAINS["galician"] = ChainSpec(_LANG_TOKEN_PATTERN, galician_token)
 CHAINS["portuguese_rslp"] = ChainSpec(_LANG_TOKEN_PATTERN,
                                       portuguese_rslp_token)
+
+
+# ---------------------------------------------------------------------------
+# Irish (analysis/ga/IrishAnalyzer.java:118-129): hyphenation-fragment stop
+# (h/n/t tokens from t-athair splits) -> Elision (d'/m'/b') ->
+# IrishLowerCase (n/t + capital vowel inserts the hyphen back:
+# nAthair -> n-athair) -> Stop -> snowball Irish.
+# ---------------------------------------------------------------------------
+
+from .langdata import IRISH_STOP  # noqa: E402
+
+_GA_ARTICLES = frozenset(("d", "m", "b"))
+_GA_HYPHENATIONS = frozenset(("h", "n", "t"))
+_GA_UPPER_V = frozenset("AEIOUÁÉÍÓÚ")
+
+
+def irish_lower(t: str) -> str:
+    """IrishLowerCaseFilter (analysis/ga/IrishLowerCaseFilter.java:42-60):
+    n/t prefix before a capital vowel gets an inserted hyphen (undoing the
+    tokenizer's split semantics), then per-char lowercase from there."""
+    if len(t) > 1 and t[0] in "nt" and t[1] in _GA_UPPER_V:
+        return t[0] + "-" + t[1:].lower()
+    return t.lower()
+
+
+def irish_token(tok: str) -> str:
+    from .snowball import irish_stem
+
+    if tok.lower() in _GA_HYPHENATIONS:
+        return STOP_HOLE
+    t = elide(tok, _GA_ARTICLES)
+    t = irish_lower(t)
+    if t in IRISH_STOP:
+        return STOP_HOLE
+    return irish_stem(t)
+
+
+CHAINS["irish"] = ChainSpec(_LANG_TOKEN_PATTERN, irish_token,
+                            raw_case=True)

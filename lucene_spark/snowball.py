@@ -1562,3 +1562,113 @@ def turkish_stem(w: str) -> str:
     if last:
         w = w[:-1] + last
     return w
+
+
+# ---------------------------------------------------------------------------
+# Irish (snowball/ext/IrishStemmer.java, Snowball 2.0 'irish'): an initial
+# mutation/eclipsis prefix table, then noun / derivational / verb suffix
+# tables gated on the standard pV/p1/p2 regions — validated against the
+# reference's irish.zip vocabulary.
+# ---------------------------------------------------------------------------
+
+_GA_V = frozenset("aeiouáéíóú")
+
+#: initial_morph among a_0 (longest prefix wins): replacement or None=delete
+_GA_PREFIXES = (
+    ("d'fh", "f"), ("bhf", "f"),
+    ("b'", None), ("bh", "b"), ("bp", "p"), ("ch", "c"), ("d'", None),
+    ("dh", "d"), ("dt", "t"), ("fh", "f"), ("gc", "c"), ("gh", "g"),
+    ("h-", None), ("m'", None), ("mb", "b"), ("mh", "m"), ("n-", None),
+    ("nd", "d"), ("ng", "g"), ("ph", "p"), ("sh", "s"), ("t-", None),
+    ("th", "t"), ("ts", "s"),
+)
+
+#: noun_sfx among a_1: (suffix, region) region 1 = R1, 2 = R2; delete
+_GA_NOUN = (
+    ("íochta", 1), ("aíochta", 1), ("ire", 2), ("aire", 2), ("abh", 1),
+    ("eabh", 1), ("ibh", 1), ("aibh", 1), ("amh", 1), ("eamh", 1),
+    ("imh", 1), ("aimh", 1), ("íocht", 1), ("aíocht", 1), ("irí", 2),
+    ("airí", 2),
+)
+
+#: deriv among a_2: (suffix, region-or-None, replacement-or-None)
+_GA_DERIV = (
+    ("óideacha", None, "óid"), ("patacha", None, "paite"),
+    ("achta", 2, None), ("arcachta", None, "arc"), ("eachta", 2, None),
+    ("grafaíochta", None, "graf"), ("paite", None, "paite"),
+    ("ach", 2, None), ("each", 2, None), ("óideach", None, "óid"),
+    ("gineach", None, "gin"), ("patach", None, "paite"),
+    ("grafaíoch", None, "graf"), ("pataigh", None, "paite"),
+    ("óidigh", None, "óid"), ("achtúil", 2, None), ("eachtúil", 2, None),
+    ("gineas", None, "gin"), ("ginis", None, "gin"), ("acht", 2, None),
+    ("arcacht", None, "arc"), ("eacht", 2, None),
+    ("grafaíocht", None, "graf"), ("arcachtaí", None, "arc"),
+    ("grafaíochtaí", None, "graf"),
+)
+
+#: verb_sfx among a_3: (suffix, region) region 0 = RV, 1 = R1; delete
+_GA_VERB = (
+    ("imid", 0), ("aimid", 0), ("ímid", 0), ("aímid", 0), ("adh", 1),
+    ("eadh", 1), ("faidh", 0), ("fidh", 0), ("áil", 1), ("ain", 1),
+    ("tear", 1), ("tar", 1),
+)
+
+
+def _ga_regions(w: str):
+    n = len(w)
+    pV = p1 = p2 = n
+    for i, ch in enumerate(w):
+        if ch in _GA_V:
+            pV = i + 1
+            break
+    i = 0
+    while i < n and w[i] not in _GA_V:
+        i += 1
+    while i < n and w[i] in _GA_V:
+        i += 1
+    if i < n:
+        p1 = i + 1
+        i += 1
+        while i < n and w[i] not in _GA_V:
+            i += 1
+        while i < n and w[i] in _GA_V:
+            i += 1
+        if i < n:
+            p2 = i + 1
+    return pV, p1, p2
+
+
+def irish_stem(w: str) -> str:
+    """Snowball Irish (snowball/ext/IrishStemmer.java:330-352): prefix
+    mutation strip, then noun/deriv/verb suffix passes applied in sequence
+    on the mutated word, each gated on regions computed from the
+    prefix-stripped form."""
+    for pre, rep in sorted(_GA_PREFIXES, key=lambda x: -len(x[0])):
+        if w.startswith(pre):
+            w = (rep or "") + w[len(pre):]
+            break
+    pV, p1, p2 = _ga_regions(w)
+
+    def gate(region: int, start: int) -> bool:
+        bound = (pV, p1, p2)[region]
+        return bound <= start
+
+    # noun_sfx: longest suffix in the table; fires only if its region allows
+    for suf, reg in sorted(_GA_NOUN, key=lambda x: -len(x[0])):
+        if w.endswith(suf):
+            if gate(reg, len(w) - len(suf)):
+                w = w[: -len(suf)]
+            break
+    for suf, reg, rep in sorted(_GA_DERIV, key=lambda x: -len(x[0])):
+        if w.endswith(suf):
+            if reg is None:
+                w = w[: -len(suf)] + rep
+            elif gate(reg, len(w) - len(suf)):
+                w = w[: -len(suf)]
+            break
+    for suf, reg in sorted(_GA_VERB, key=lambda x: -len(x[0])):
+        if w.endswith(suf):
+            if gate(reg, len(w) - len(suf)):
+                w = w[: -len(suf)]
+            break
+    return w

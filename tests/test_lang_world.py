@@ -519,3 +519,44 @@ def test_rslp_full_reference_vocabulary(zip_rel, inner, fn_name):
 def test_rslp_chain_stop_holes():
     assert _chain_fn("galician")("os aceptados") == [S, "acept"]
     assert _chain_fn("portuguese_rslp")("as abundâncias") == [S, "abund"]
+
+
+# ---------------------------------------------------------------------------
+# Irish — FULL snowball irish.zip vocabulary (2,000 pairs) + analyzer chain
+# ---------------------------------------------------------------------------
+
+def test_irish_full_reference_vocabulary():
+    import os
+    import zipfile
+
+    from lucene_spark.snowball import irish_stem
+
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/snowball/irish.zip"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference data unavailable")
+    with zipfile.ZipFile(path) as zf:
+        voc = zf.read("voc.txt").decode("utf-8").split()
+        out = zf.read("output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) == 2000
+    for w, want in zip(voc, out):
+        assert irish_stem(w) == want, w
+
+
+def test_irish_chain():
+    fn = _chain_fn("irish")
+    # ga/TestIrishAnalyzer.java vectors
+    assert fn("siopadóireacht síceapatacha") == ["siopadóir", "síceapaite"]
+    # elision of b'/m' articles before lowercase
+    assert fn("b'fhearr m'athair") == ["fearr", "athair"]
+    # hyphenation fragments from tokenizer splits are stopped;
+    # IrishLowerCase re-inserts the hyphen for untokenized nAthair
+    assert fn("nAthair") == ["athair"]
+    assert fn("le hathair") == [S, "hathair"]
+    flat, counts = flat_tokenize(
+        pd.Series(["b'fhearr m'athair", "siopadóireacht"]), "irish"
+    )
+    assert list(flat) == ["fearr", "athair", "siopadóir"]
+    assert list(counts) == [2, 1]
