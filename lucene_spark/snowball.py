@@ -1769,3 +1769,572 @@ def armenian_stem(w: str) -> str:
     w = strip(w, _HY_ADJ)
     w = strip(w, _HY_NOUN)
     return w
+
+
+# ---------------------------------------------------------------------------
+# Catalan (snowball/ext/CatalanStemmer.java, Snowball 2.0 'catalan'):
+# attached pronoun -> (standard suffix | verb suffix) -> residual suffix,
+# R1/R2 post-gates, then accent cleaning. Among tables machine-extracted.
+# ---------------------------------------------------------------------------
+
+_CA_V = frozenset("aeiouàáèéíïòóúü")
+
+_CA_A_0 = (
+    ("·", 6), ("à", 1), ("á", 1), ("è", 2), ("é", 2), ("ì", 3),
+    ("í", 3), ("ï", 3), ("ò", 4), ("ó", 4), ("ú", 5), ("ü", 5),
+)
+
+_CA_A_1 = (
+    ("selas", 1), ("selos", 1), ("-les", 1), ("-nos", 1), ("sela", 1),
+    ("selo", 1), ("'hi", 1), ("'ho", 1), ("'ls", 1), ("'ns", 1),
+    ("-la", 1), ("-li", 1), ("-ls", 1), ("-me", 1), ("-ns", 1),
+    ("-te", 1), ("-us", 1), ("ens", 1), ("las", 1), ("les", 1),
+    ("los", 1), ("nos", 1), ("vos", 1), ("'l", 1), ("'m", 1),
+    ("'n", 1), ("'s", 1), ("'t", 1), ("-m", 1), ("-n", 1), ("hi", 1),
+    ("ho", 1), ("la", 1), ("le", 1), ("li", 1), ("lo", 1), ("me", 1),
+    ("se", 1), ("us", 1),
+)
+
+_CA_A_2 = (
+    ("allengües", 1), ("ativitats", 1), ("quíssimes", 5),
+    ("ativitat", 1), ("bilitats", 1), ("ialismes", 1), ("ialistes", 1),
+    ("ionistes", 1), ("lógiques", 3), ("quíssima", 5), ("quíssims", 5),
+    ("atòries", 1), ("bilitat", 1), ("ialisme", 1), ("ialista", 1),
+    ("ionisme", 1), ("ionista", 1), ("isament", 1), ("ivitats", 1),
+    ("quíssim", 5), ("íssimes", 1), ("acions", 2), ("aments", 1),
+    ("ancies", 1), ("atives", 1), ("atòria", 1), ("encies", 1),
+    ("formes", 1), ("idores", 1), ("ificar", 1), ("ivisme", 1),
+    ("ivitat", 1), ("logies", 3), ("logíes", 3), ("lógica", 3),
+    ("lógics", 3), ("ències", 1), ("íssima", 1), ("íssims", 1),
+    ("ables", 1), ("adora", 1), ("adors", 1), ("adura", 1),
+    ("ament", 1), ("ancia", 1), ("asses", 1), ("assos", 1),
+    ("atius", 1), ("ativa", 1), ("cions", 1), ("doras", 1),
+    ("dores", 1), ("dures", 1), ("encia", 1), ("eries", 1),
+    ("ibles", 1), ("ictes", 1), ("idors", 1), ("inies", 1),
+    ("iques", 4), ("ismes", 1), ("issem", 1), ("isseu", 1),
+    ("issos", 1), ("istes", 1), ("itats", 1), ("itzar", 1),
+    ("logia", 3), ("logis", 3), ("logía", 3), ("ments", 1),
+    ("sfera", 1), ("toris", 1), ("trius", 1), ("àries", 1),
+    ("ència", 1), ("ìssem", 1), ("ìsseu", 1), ("ìssin", 1),
+    ("ícies", 1), ("íinia", 1), ("ínies", 1), ("íssem", 1),
+    ("ísseu", 1), ("íssim", 1), ("íssiu", 1), ("ístic", 1),
+    ("ívola", 1), ("ïtats", 1), ("able", 1), ("ació", 1), ("ades", 2),
+    ("aire", 1), ("alla", 1), ("amen", 1), ("ants", 1), ("aris", 1),
+    ("assa", 1), ("atge", 1), ("atiu", 1), ("bles", 1), ("dora", 1),
+    ("dors", 1), ("egar", 1), ("ejar", 1), ("ella", 1), ("ells", 1),
+    ("enca", 1), ("ents", 1), ("eres", 1), ("eria", 1), ("eses", 1),
+    ("esos", 1), ("essa", 1), ("ible", 1), ("icis", 1), ("icte", 1),
+    ("ient", 1), ("imes", 1), ("ines", 1), ("inia", 1), ("ions", 1),
+    ("isam", 1), ("isme", 1), ("issa", 1), ("ista", 1), ("iste", 1),
+    ("itar", 1), ("itat", 1), ("ites", 1), ("ives", 1), ("logi", 3),
+    ("ment", 1), ("nces", 1), ("ores", 1), ("oses", 1), ("osos", 1),
+    ("otes", 1), ("tori", 1), ("triu", 1), ("ària", 1), ("ícia", 1),
+    ("ícis", 1), ("ívol", 1), ("ïtat", 1), ("ada", 2), ("all", 1),
+    ("als", 1), ("ana", 1), ("ant", 1), ("ari", 1), ("ats", 1),
+    ("ble", 1), ("ció", 1), ("dor", 1), ("dur", 1), ("dís", 1),
+    ("ell", 1), ("enc", 1), ("ent", 1), ("era", 1), ("ers", 1),
+    ("esa", 1), ("esc", 1), ("eta", 1), ("ets", 1), ("fer", 1),
+    ("ica", 4), ("ici", 1), ("ics", 4), ("ima", 1), ("ims", 1),
+    ("ina", 1), ("ita", 1), ("ius", 1), ("iva", 1), ("nça", 1),
+    ("ora", 1), ("ors", 1), ("osa", 1), ("ota", 1), ("ots", 1),
+    ("uds", 1), ("uts", 1), ("íci", 1), ("al", 1), ("ar", 1),
+    ("et", 1), ("ic", 4), ("il", 1), ("ió", 1), ("ls", 1), ("or", 1),
+    ("ot", 1), ("ud", 1), ("ès", 1), ("és", 1), ("ís", 1), ("ós", 1),
+    ("ó", 1),
+)
+
+_CA_A_3 = (
+    ("aríamos", 1), ("eresseu", 1), ("eríamos", 1), ("iríamos", 1),
+    ("iéramos", 1), ("iésemos", 1), ("adores", 1), ("aremos", 1),
+    ("aríais", 1), ("asteis", 1), ("eremos", 1), ("eríais", 1),
+    ("esquen", 1), ("esques", 1), ("esquin", 1), ("esquis", 1),
+    ("ierais", 1), ("ieseis", 1), ("iremos", 1), ("iríais", 1),
+    ("isquen", 1), ("isteis", 1), ("ábamos", 1), ("áramos", 1),
+    ("ásemos", 1), ("ïsquen", 1), ("ïsques", 1), ("abais", 1),
+    ("adora", 1), ("adors", 1), ("arais", 1), ("arian", 1),
+    ("arien", 1), ("aries", 1), ("aréis", 1), ("arían", 1),
+    ("arías", 1), ("aríem", 1), ("aríeu", 1), ("aseis", 1),
+    ("assen", 1), ("asses", 1), ("asseu", 1), ("assim", 1),
+    ("assin", 1), ("assis", 1), ("assiu", 1), ("atges", 1),
+    ("eixen", 1), ("eixer", 1), ("eixes", 1), ("eixin", 1),
+    ("eixis", 1), ("erass", 1), ("eréis", 1), ("erían", 1),
+    ("erías", 1), ("esqui", 1), ("essen", 1), ("esses", 1),
+    ("esseu", 1), ("essim", 1), ("essin", 1), ("essis", 1),
+    ("iendo", 1), ("ieran", 1), ("ieras", 1), ("ieron", 1),
+    ("iesen", 1), ("ieses", 1), ("iguem", 1), ("igueu", 1),
+    ("irien", 1), ("iries", 1), ("iréis", 1), ("irìem", 1),
+    ("irìeu", 1), ("irían", 1), ("irías", 1), ("iríem", 1),
+    ("iríeu", 1), ("issen", 1), ("isses", 1), ("issim", 1),
+    ("issin", 1), ("issis", 1), ("issiu", 1), ("itzeu", 1),
+    ("itzis", 1), ("àssem", 1), ("àsseu", 1), ("àssim", 1),
+    ("àssiu", 1), ("èssim", 1), ("èssiu", 1), ("éssem", 1),
+    ("éssen", 1), ("ésseu", 1), ("éssim", 1), ("éssiu", 1),
+    ("íamos", 1), ("íssim", 1), ("íssiu", 1), ("ïguem", 1),
+    ("ïgueu", 1), ("ïssen", 1), ("ïsses", 1), ("ïssin", 1),
+    ("ïssis", 1), ("aban", 1), ("abas", 1), ("adas", 1), ("ades", 1),
+    ("ador", 1), ("ados", 1), ("amos", 1), ("ando", 2), ("aran", 1),
+    ("aras", 1), ("arem", 1), ("aren", 1), ("ares", 1), ("areu", 1),
+    ("aria", 1), ("aron", 1), ("aràs", 1), ("arán", 1), ("arás", 1),
+    ("arés", 1), ("aría", 1), ("asen", 1), ("ases", 1), ("aste", 1),
+    ("avem", 1), ("aven", 1), ("aves", 1), ("eixi", 1), ("eixo", 1),
+    ("ents", 1), ("erau", 1), ("eren", 1), ("erán", 1), ("erás", 1),
+    ("ería", 1), ("esca", 1), ("idas", 1), ("ides", 1), ("idos", 1),
+    ("iera", 1), ("iese", 1), ("imos", 1), ("ineu", 1), ("inin", 1),
+    ("inis", 1), ("iran", 1), ("irem", 1), ("iren", 1), ("ires", 1),
+    ("ireu", 1), ("iria", 1), ("iràs", 1), ("irán", 1), ("irás", 1),
+    ("iría", 1), ("isca", 1), ("isin", 1), ("isis", 1), ("iste", 1),
+    ("itza", 1), ("itzi", 1), ("itzo", 1), ("itzà", 1), ("ixen", 1),
+    ("ixes", 1), ("ques", 1), ("tzar", 1), ("udes", 1), ("àrem", 1),
+    ("àren", 1), ("àreu", 1), ("àvem", 1), ("àveu", 1), ("ávem", 1),
+    ("áveu", 1), ("íais", 1), ("írem", 1), ("íreu", 1), ("ïdes", 1),
+    ("ïren", 1), ("ïres", 1), ("ïsca", 1), ("ïxen", 1), ("ïxes", 1),
+    ("aba", 1), ("ada", 1), ("ado", 1), ("ams", 1), ("ant", 1),
+    ("ara", 1), ("arà", 1), ("ará", 1), ("aré", 1), ("ase", 1),
+    ("ass", 1), ("ats", 1), ("ava", 1), ("dre", 1), ("eix", 1),
+    ("ent", 1), ("erá", 1), ("eré", 1), ("ess", 1), ("ida", 1),
+    ("ido", 1), ("ids", 1), ("ien", 1), ("ies", 1), ("ieu", 1),
+    ("ini", 1), ("int", 1), ("ira", 1), ("irà", 1), ("irá", 1),
+    ("irè", 1), ("iré", 1), ("isc", 1), ("its", 1), ("itz", 1),
+    ("ixa", 1), ("ixo", 1), ("iïn", 1), ("iïs", 1), ("sin", 1),
+    ("sis", 1), ("uda", 1), ("áis", 1), ("ìeu", 1), ("ían", 1),
+    ("ías", 1), ("íem", 1), ("íeu", 1), ("ïda", 1), ("ïen", 1),
+    ("ïes", 1), ("ïra", 1), ("ïsc", 1), ("ïxo", 1), ("ad", 1),
+    ("am", 1), ("an", 1), ("ar", 1), ("as", 1), ("at", 1), ("au", 1),
+    ("ed", 1), ("em", 1), ("en", 1), ("er", 1), ("es", 1), ("ia", 1),
+    ("id", 1), ("ie", 1), ("ii", 1), ("in", 1), ("io", 1), ("ir", 1),
+    ("it", 1), ("ix", 1), ("ià", 1), ("iï", 1), ("ió", 1), ("re", 1),
+    ("ut", 1), ("às", 1), ("és", 1), ("ía", 1), ("ís", 1), ("ïa", 1),
+    ("ïm", 1), ("ït", 1), ("ïu", 1), ("ïx", 1), ("í", 1),
+)
+
+_CA_A_4 = (
+    ("iqu", 2), ("itz", 1), ("eu", 1), ("ir", 1), ("is", 1), ("it", 1),
+    ("iu", 1), ("os", 1), ("ïn", 1), ("ïs", 1), ("a", 1), ("e", 1),
+    ("i", 1), ("o", 1), ("s", 1), ("à", 1), ("á", 1), ("é", 1),
+    ("ì", 1), ("í", 1), ("ï", 1), ("ó", 1),
+)
+
+
+_CA_CLEAN = str.maketrans({
+    "à": "a", "á": "a", "è": "e", "é": "e", "ì": "i", "í": "i",
+    "ï": "i", "ò": "o", "ó": "o", "ú": "u", "ü": "u", "·": ".",
+})
+
+
+def _std_regions(w: str, vowels) -> tuple:
+    """Standard snowball p1/p2: after the first non-vowel following the
+    first vowel; p2 likewise continuing from p1."""
+    n = len(w)
+    p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in vowels:
+        i += 1
+    if i < n:
+        i += 1
+        while i < n and w[i] in vowels:
+            i += 1
+        if i < n:
+            i += 1
+            p1 = i
+            while i < n and w[i] not in vowels:
+                i += 1
+            if i < n:
+                i += 1
+                while i < n and w[i] in vowels:
+                    i += 1
+                if i < n:
+                    i += 1
+                    p2 = i
+    return p1, p2
+
+
+def _match_b(word: str, table):
+    """Longest-suffix match: (suffix, action) or None (tables pre-sorted
+    by length desc)."""
+    for suf, act in table:
+        if word.endswith(suf):
+            return suf, act
+    return None
+
+
+def catalan_stem(w: str) -> str:
+    """Snowball Catalan (snowball/ext/CatalanStemmer.java:684-724)."""
+    p1, p2 = _std_regions(w, _CA_V)
+
+    def gated(word, suf, region):
+        return len(word) - len(suf) >= (p1 if region == 1 else p2)
+
+    m = _match_b(w, _CA_A_1)
+    if m and gated(w, m[0], 1):
+        w = w[: -len(m[0])]
+    did = False
+    m = _match_b(w, _CA_A_2)
+    if m:
+        suf, act = m
+        if act == 1 and gated(w, suf, 1):
+            w = w[: -len(suf)]
+            did = True
+        elif act == 2 and gated(w, suf, 2):
+            w = w[: -len(suf)]
+            did = True
+        elif act == 3 and gated(w, suf, 2):
+            w = w[: -len(suf)] + "log"
+            did = True
+        elif act == 4 and gated(w, suf, 2):
+            w = w[: -len(suf)] + "ic"
+            did = True
+        elif act == 5 and gated(w, suf, 1):
+            w = w[: -len(suf)] + "c"
+            did = True
+    if not did:
+        m = _match_b(w, _CA_A_3)
+        if m:
+            suf, act = m
+            if gated(w, suf, act):
+                w = w[: -len(suf)]
+    m = _match_b(w, _CA_A_4)
+    if m:
+        suf, act = m
+        if act == 1 and gated(w, suf, 1):
+            w = w[: -len(suf)]
+        elif act == 2 and gated(w, suf, 1):
+            w = w[: -len(suf)] + "ic"
+    return w.translate(_CA_CLEAN)
+
+
+# ---------------------------------------------------------------------------
+# Basque (snowball/ext/BasqueStemmer.java, Snowball 2.0 'basque'):
+# repeat(aditzak) -> repeat(izenak) -> adjetiboak. The repeats continue
+# matching LEFTWARD from the last slice position (snowball cursor
+# semantics), not from the end of the word. Among tables machine-extracted.
+# ---------------------------------------------------------------------------
+
+_EU_V = frozenset("aeiou")
+
+_EU_A_0 = (
+    ("arabera", 4), ("atseden", 3), ("tzailea", 1), ("aldatu", 1),
+    ("baditu", 5), ("erreza", 1), ("gailua", 1), ("gaitza", 1),
+    ("garria", 2), ("kaitza", 1), ("karria", 1), ("kizuna", 1),
+    ("kundea", 1), ("kuntza", 1), ("tailea", 1), ("taldia", 1),
+    ("tarazi", 1), ("tezina", 1), ("tzaile", 1), ("aldia", 1),
+    ("arazi", 1), ("bidea", 1), ("errez", 1), ("etari", 1),
+    ("ezina", 1), ("gailu", 1), ("gaitz", 1), ("galea", 1),
+    ("garri", 2), ("gunea", 1), ("kaitz", 1), ("karia", 1),
+    ("karri", 1), ("kidea", 1), ("kizun", 1), ("korra", 1),
+    ("kunde", 1), ("kunea", 1), ("pidea", 1), ("rekin", 1),
+    ("taile", 1), ("taldi", 1), ("tezin", 1), ("tzaga", 1),
+    ("tzaka", 1), ("tzake", 1), ("tzeke", 1), ("aldi", 1), ("atze", 1),
+    ("bera", 1), ("bide", 1), ("dako", 1), ("dura", 1), ("etan", 1),
+    ("ezin", 1), ("gaia", 1), ("gale", 1), ("gune", 1), ("gura", 1),
+    ("idea", 1), ("kari", 1), ("kera", 1), ("keta", 1), ("kide", 1),
+    ("kina", 1), ("kuna", 1), ("kune", 1), ("kura", 1), ("lari", 1),
+    ("mena", 1), ("orra", 1), ("pena", 1), ("pera", 1), ("pide", 1),
+    ("rean", 1), ("tari", 1), ("tatu", 1), ("tuna", 1), ("tura", 1),
+    ("tzat", 1), ("tzez", 1), ("ago", 1), ("ari", 1), ("atu", 1),
+    ("ean", 1), ("era", 1), ("eta", 1), ("eza", 1), ("gai", 1),
+    ("ide", 1), ("kan", 1), ("kin", 1), ("kor", 1), ("men", 1),
+    ("pen", 1), ("tio", 1), ("tun", 1), ("tza", 2), ("tze", 1),
+    ("an", 1), ("du", 1), ("ez", 1), ("go", 1), ("ka", 1), ("ki", 1),
+    ("la", 1), ("le", 1), ("or", 1), ("tu", 1),
+)
+
+_EU_A_1 = (
+    ("minutuko", 6), ("garrena", 1), ("gerrena", 1), ("aurrea", 1),
+    ("garren", 1), ("garria", 2), ("gerren", 1), ("gibela", 1),
+    ("gintza", 1), ("gintzo", 1), ("gintzu", 1), ("handia", 1),
+    ("kaldea", 1), ("kintza", 1), ("kirria", 1), ("koitza", 1),
+    ("kondoa", 1), ("kuntza", 1), ("larria", 1), ("mendia", 1),
+    ("mendua", 1), ("mentua", 1), ("ontzia", 1), ("taldea", 1),
+    ("taldia", 1), ("tariko", 1), ("tasuna", 1), ("tzaina", 1),
+    ("tzalea", 1), ("tzarra", 1), ("urrena", 1), ("zionea", 1),
+    ("aizun", 1), ("aldea", 1), ("aldia", 1), ("antza", 1),
+    ("artea", 1), ("asuna", 1), ("aurka", 10), ("aurre", 1),
+    ("behar", 1), ("bizia", 1), ("burua", 1), ("degia", 1),
+    ("denda", 1), ("duria", 1), ("durua", 1), ("eroza", 1),
+    ("estua", 1), ("etako", 1), ("etara", 1), ("etxea", 1),
+    ("gabea", 1), ("garna", 1), ("garri", 2), ("geldi", 8),
+    ("gibel", 1), ("gilea", 1), ("gunea", 1), ("handi", 1),
+    ("igaro", 9), ("kabea", 1), ("kaila", 1), ("kalde", 1),
+    ("karia", 1), ("keria", 1), ("kirri", 1), ("koitz", 1),
+    ("kondo", 1), ("korra", 1), ("kotea", 1), ("kumea", 1),
+    ("laria", 1), ("larri", 1), ("lekua", 1), ("liara", 1),
+    ("mendi", 1), ("mendu", 1), ("mentu", 1), ("nahia", 1),
+    ("ondoa", 1), ("ontzi", 1), ("ordea", 1), ("ordua", 1),
+    ("ostea", 1), ("skila", 1), ("takoa", 1), ("talde", 1),
+    ("taldi", 1), ("taria", 1), ("tarik", 1), ("taroa", 1),
+    ("tasun", 1), ("tegia", 1), ("teria", 1), ("tiara", 1),
+    ("tokia", 1), ("trako", 5), ("tzain", 1), ("tzale", 1),
+    ("tzara", 1), ("urren", 1), ("zaina", 1), ("zalea", 1),
+    ("zaroa", 1), ("zehar", 7), ("zinoa", 1), ("zione", 1),
+    ("alde", 1), ("aldi", 1), ("anda", 1), ("anga", 1), ("aria", 1),
+    ("aroa", 1), ("arte", 1), ("asia", 1), ("asun", 1), ("bera", 1),
+    ("buru", 2), ("dara", 1), ("degi", 1), ("duna", 1), ("duri", 1),
+    ("duru", 1), ("egia", 1), ("emea", 1), ("enea", 1), ("eria", 1),
+    ("eroa", 1), ("eroz", 1), ("estu", 1), ("etan", 1), ("etxe", 1),
+    ("ezia", 1), ("gabe", 1), ("gaia", 1), ("geia", 1), ("gela", 1),
+    ("gile", 1), ("giro", 1), ("gune", 1), ("joka", 3), ("kabe", 1),
+    ("kada", 1), ("kail", 1), ("kana", 1), ("kari", 1), ("kera", 1),
+    ("keta", 1), ("kide", 1), ("kina", 1), ("koia", 1), ("kote", 1),
+    ("kume", 1), ("lari", 1), ("leku", 1), ("liar", 1), ("mina", 1),
+    ("nahi", 1), ("ngoa", 1), ("ohia", 1), ("ondo", 1), ("orde", 1),
+    ("ordu", 1), ("oroa", 1), ("osoa", 1), ("oste", 1), ("pera", 1),
+    ("tako", 1), ("tara", 1), ("tari", 1), ("taro", 1), ("tatu", 4),
+    ("tegi", 1), ("tiar", 1), ("tila", 1), ("toki", 1), ("tsua", 1),
+    ("ttoa", 1), ("tuko", 1), ("txoa", 1), ("txua", 1), ("tzar", 1),
+    ("tzen", 4), ("tzoa", 1), ("tzua", 1), ("unea", 1), ("zain", 1),
+    ("zale", 1), ("zaro", 1), ("zino", 1), ("zioa", 1), ("zkoa", 1),
+    ("ztoa", 1), ("ada", 1), ("ail", 1), ("ara", 1), ("ari", 1),
+    ("aro", 1), ("asi", 1), ("dar", 1), ("dua", 1), ("dun", 1),
+    ("egi", 1), ("eko", 1), ("eme", 1), ("ena", 1), ("ero", 1),
+    ("eta", 1), ("eza", 1), ("gai", 1), ("gei", 1), ("goi", 1),
+    ("kan", 1), ("ket", 1), ("kia", 1), ("kin", 1), ("koa", 1),
+    ("koi", 1), ("kor", 1), ("min", 1), ("nea", 1), ("ngo", 1),
+    ("noa", 1), ("ohi", 1), ("oia", 1), ("ola", 1), ("ora", 2),
+    ("oro", 1), ("osa", 1), ("oso", 1), ("pea", 1), ("ren", 2),
+    ("ska", 1), ("sko", 1), ("sta", 1), ("tan", 1), ("tar", 1),
+    ("tea", 1), ("ten", 4), ("tia", 1), ("toa", 1), ("tra", 1),
+    ("tsu", 1), ("tto", 1), ("tua", 1), ("txo", 1), ("txu", 1),
+    ("tza", 2), ("tzo", 1), ("tzu", 1), ("una", 1), ("une", 1),
+    ("xka", 1), ("zio", 1), ("zka", 1), ("zko", 1), ("zto", 1),
+    ("zua", 1), ("ñoa", 1), ("ak", 1), ("ar", 1), ("di", 1), ("du", 1),
+    ("ek", 1), ("en", 4), ("ez", 1), ("ga", 1), ("ge", 1), ("go", 1),
+    ("ka", 1), ("ki", 1), ("ko", 1), ("na", 1), ("ne", 1), ("no", 1),
+    ("oi", 1), ("or", 2), ("os", 1), ("pe", 1), ("ra", 1), ("ro", 1),
+    ("sa", 1), ("ta", 1), ("te", 1), ("ti", 1), ("to", 1), ("tu", 1),
+    ("tz", 1), ("za", 1), ("zp", 1), ("zu", 1), ("ñi", 1), ("ño", 1),
+    ("z", 1),
+)
+
+_EU_A_2 = (
+    ("keria", 1), ("lanik", 1), ("larik", 1), ("dade", 1), ("date", 1),
+    ("tade", 1), ("tate", 1), ("zlea", 2), ("ztik", 1), ("era", 1),
+    ("ero", 1), ("rik", 1), ("gi", 1), ("go", 1), ("ik", 1), ("ki", 1),
+    ("la", 1), ("ro", 1), ("to", 1),
+)
+
+
+#: per-table action maps: act -> (gate_region, replacement); region
+#: 'v' = RV, 1 = R1, 2 = R2, None = ungated
+_EU_ACT_0 = {1: ("v", ""), 2: (2, ""), 3: (None, "atseden"),
+             4: (None, "arabera"), 5: (None, "baditu")}
+_EU_ACT_1 = {1: ("v", ""), 2: (2, ""), 3: (None, "jok"), 4: (1, ""),
+             5: (None, "tra"), 6: (None, "minutu"), 7: (None, "zehar"),
+             8: (None, "geldi"), 9: (None, "igaro"), 10: (None, "aurka")}
+_EU_ACT_2 = {1: ("v", ""), 2: (None, "z")}
+
+
+def _rv_romance(w: str, V) -> int:
+    """Snowball romance-language pV: second-letter-consonant -> after next
+    vowel; two leading vowels -> after next consonant; consonant-vowel ->
+    after the third letter; else end of word."""
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in V:
+        if n > 1 and w[1] not in V:
+            j = 2
+            while j < n and w[j] not in V:
+                j += 1
+            return j + 1 if j < n else n
+        j = 2
+        while j < n and w[j] in V:
+            j += 1
+        return j + 1 if j < n else n
+    if n > 1 and w[1] not in V:
+        j = 2
+        while j < n and w[j] not in V:
+            j += 1
+        return j + 1 if j < n else n
+    if n > 1 and w[1] in V:
+        return 3 if n > 2 else n
+    return n
+
+
+def _rule_b(w: str, end: int, table, actions, pV: int, p1: int, p2: int):
+    """One backward among application at cursor=end: (new_w, new_end) or
+    None if no match / gate failed."""
+    tail = w[:end]
+    for suf, act in table:
+        if tail.endswith(suf):
+            start = end - len(suf)
+            region, rep = actions[act]
+            if region == "v" and start < pV:
+                return None
+            if region == 1 and start < p1:
+                return None
+            if region == 2 and start < p2:
+                return None
+            return w[:start] + rep + w[end:], start
+    return None
+
+
+def basque_stem(w: str) -> str:
+    """Snowball Basque (snowball/ext/BasqueStemmer.java:688-741)."""
+    pV = _rv_romance(w, _EU_V)
+    p1, p2 = _std_regions(w, _EU_V)
+    end = len(w)
+    while True:
+        r = _rule_b(w, end, _EU_A_0, _EU_ACT_0, pV, p1, p2)
+        if r is None:
+            break
+        w, end = r
+    while True:
+        r = _rule_b(w, end, _EU_A_1, _EU_ACT_1, pV, p1, p2)
+        if r is None:
+            break
+        w, end = r
+    r = _rule_b(w, end, _EU_A_2, _EU_ACT_2, pV, p1, p2)
+    if r is not None:
+        w, end = r
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Lithuanian (snowball/ext/LithuanianStemmer.java, Snowball 2.0
+# 'lithuanian'): fix_conflicts -> step1 (R1-bounded case endings) ->
+# fix_chdz -> repeat(step2, R1-bounded) -> fix_chdz -> fix_gd. Words
+# starting with 'a' and longer than 6 compute p1 from position 1.
+# ---------------------------------------------------------------------------
+
+_LT_V = frozenset("aeiouyąęėįūų")
+
+_LT_A_0 = (
+    ("tumeisi", -1), ("tumėmės", -1), ("tumėtės", -1), ("enimis", -1),
+    ("iuosna", -1), ("siuosi", -1), ("telėti", -1), ("terėti", -1),
+    ("tumeis", -1), ("tumėme", -1), ("tumėte", -1), ("čiausi", -1),
+    ("enims", -1), ("eniui", -1), ("enyje", -1), ("enyse", -1),
+    ("eriai", -1), ("erimi", -1), ("erims", -1), ("eryje", -1),
+    ("eryse", -1), ("iamės", -1), ("iatės", -1), ("iauti", -1),
+    ("inėti", -1), ("iomis", -1), ("iosna", -1), ("iuose", -1),
+    ("iuosi", -1), ("iuoti", -1), ("kimės", -1), ("siesi", -1),
+    ("simės", -1), ("sitės", -1), ("tumei", -1), ("tumėm", -1),
+    ("tumėt", -1), ("uosna", -1), ("ėjosi", -1), ("aisi", -1),
+    ("amės", -1), ("asis", -1), ("atės", -1), ("ausi", -1),
+    ("auti", -1), ("eisi", -1), ("enie", -1), ("enio", -1),
+    ("enis", -1), ("eniu", -1), ("enti", -1), ("enys", -1),
+    ("eria", -1), ("erie", -1), ("erys", -1), ("iais", -1),
+    ("iame", -1), ("iams", -1), ("iasi", -1), ("iate", -1),
+    ("iaus", -1), ("iems", -1), ("iesi", -1), ("imis", -1),
+    ("imės", -1), ("inti", -1), ("ioje", -1), ("ioms", -1),
+    ("iose", -1), ("ioti", -1), ("iuje", -1), ("iumi", -1),
+    ("iuos", -1), ("kite", -1), ("omis", -1), ("omės", -1),
+    ("osna", -1), ("otės", -1), ("sime", -1), ("site", -1),
+    ("tute", -1), ("tųsi", -1), ("uisi", -1), ("umis", -1),
+    ("uose", -1), ("uosi", -1), ("uoti", -1), ("ysis", -1),
+    ("ysna", -1), ("čiau", -1), ("ėmis", -1), ("ėmės", -1),
+    ("ėsna", -1), ("ėtės", -1), ("ais", -1), ("ame", -1), ("ams", -1),
+    ("asi", -1), ("ate", -1), ("aus", -1), ("ens", -1), ("enį", -1),
+    ("ers", -1), ("erį", -1), ("erų", -1), ("esi", -1), ("iai", -1),
+    ("iam", -1), ("ias", -1), ("iat", -1), ("iau", -1), ("iem", -1),
+    ("ies", -1), ("imi", -1), ("ims", -1), ("ion", -1), ("ios", -1),
+    ("isi", -1), ("ite", -1), ("iui", -1), ("iun", -1), ("ius", -1),
+    ("iąs", -1), ("oje", -1), ("ome", -1), ("oms", -1), ("ose", -1),
+    ("osi", -1), ("ote", -1), ("oti", -1), ("sim", -1), ("sit", -1),
+    ("siu", -1), ("tum", -1), ("tųs", -1), ("uje", -1), ("umi", -1),
+    ("ums", -1), ("uos", -1), ("usi", -1), ("yje", -1), ("yse", -1),
+    ("yti", -1), ("ąsi", -1), ("ėje", -1), ("ėjo", -1), ("ėme", -1),
+    ("ėms", -1), ("ėse", -1), ("ėsi", -1), ("ėte", -1), ("ėti", -1),
+    ("ųsi", -1), ("ai", -1), ("am", -1), ("an", -1), ("as", -1),
+    ("at", -1), ("au", -1), ("ei", -1), ("es", -1), ("ia", -1),
+    ("ie", -1), ("im", -1), ("io", -1), ("is", -1), ("it", -1),
+    ("iu", -1), ("ią", -1), ("ių", -1), ("ki", -1), ("oj", -1),
+    ("om", -1), ("on", -1), ("os", -1), ("ot", -1), ("si", -1),
+    ("ti", -1), ("ui", -1), ("un", -1), ("uo", -1), ("us", -1),
+    ("ys", -1), ("ąs", -1), ("ėj", -1), ("ėm", -1), ("ėn", -1),
+    ("ės", -1), ("ėt", -1), ("įs", -1), ("ūs", -1), ("a", -1),
+    ("e", -1), ("i", -1), ("k", -1), ("o", -1), ("s", -1), ("u", -1),
+    ("y", -1), ("ą", -1), ("ė", -1), ("ę", -1), ("į", -1), ("ų", -1),
+)
+
+_LT_A_1 = (
+    ("utėait", -1), ("siant", -1), ("uliuk", -1), ("učiuk", -1),
+    ("iais", -1), ("iant", -1), ("iaus", -1), ("iuoj", -1),
+    ("iuos", -1), ("iuot", -1), ("ykšt", -1), ("ykšč", -1),
+    ("zgan", -1), ("ain", -1), ("ais", -1), ("ant", -1), ("auj", -1),
+    ("aus", -1), ("dam", -1), ("dav", -1), ("esn", -1), ("iaj", -1),
+    ("ias", -1), ("iau", -1), ("iej", -1), ("ies", -1), ("ing", -1),
+    ("int", -1), ("ioj", -1), ("iok", -1), ("iop", -1), ("ios", -1),
+    ("iuk", -1), ("iul", -1), ("iąj", -1), ("iąs", -1), ("išk", -1),
+    ("iųj", -1), ("jam", -1), ("uoj", -1), ("uos", -1), ("uot", -1),
+    ("ėję", -1), ("aj", -1), ("am", -1), ("oj", -1), ("ok", -1),
+    ("op", -1), ("os", -1), ("ot", -1), ("sv", -1), ("yl", -1),
+    ("yt", -1), ("ąj", -1), ("ąs", -1), ("ėj", -1), ("ėl", -1),
+    ("ėt", -1), ("ęs", -1), ("šv", -1), ("ųj", -1), ("ę", -1),
+)
+
+_LT_A_2 = (
+    ("okatės", 8), ("aitės", 1), ("asius", 5), ("avime", 6),
+    ("ojime", 7), ("okate", 8), ("uotės", 2), ("ėjime", 3),
+    ("aite", 1), ("esiu", 4), ("uote", 2),
+)
+
+_LT_A_3 = (
+    ("dž", 2), ("č", 1),
+)
+
+_LT_A_4 = (
+    ("gd", 1),
+)
+
+
+_LT_CONFLICT = {1: "aitė", 2: "uotė", 3: "ėjimas", 4: "esys", 5: "asys",
+                6: "avimas", 7: "ojimas", 8: "okatė"}
+
+
+def _lt_p1(w: str) -> int:
+    n = len(w)
+    i = 1 if (w.startswith("a") and n > 6) else 0
+    while i < n and w[i] not in _LT_V:
+        i += 1
+    if i >= n:
+        return n
+    i += 1
+    while i < n and w[i] in _LT_V:
+        i += 1
+    if i >= n:
+        return n
+    return i + 1
+
+
+def lithuanian_stem(w: str) -> str:
+    """Snowball Lithuanian (snowball/ext/LithuanianStemmer.java:470-545)."""
+    p1 = _lt_p1(w)
+    # fix_conflicts (unbounded, once)
+    for suf, act in _LT_A_2:
+        if w.endswith(suf):
+            w = w[: -len(suf)] + _LT_CONFLICT[act]
+            break
+    # step1: longest a_0 suffix lying entirely within R1, delete
+    if len(w) >= p1:
+        tail = w[p1:]
+        for suf, act in _LT_A_0:
+            if tail.endswith(suf):
+                w = w[: -len(suf)]
+                break
+    # fix_chdz
+    for suf, act in _LT_A_3:
+        if w.endswith(suf):
+            w = w[: -len(suf)] + ("t" if act == 1 else "d")
+            break
+    # repeat(step2): R1-bounded deletes, cursor moves left
+    end = len(w)
+    while end >= p1:
+        tail = w[p1:end]
+        hit = None
+        for suf, act in _LT_A_1:
+            if tail.endswith(suf):
+                hit = suf
+                break
+        if hit is None:
+            break
+        end -= len(hit)
+        w = w[:end] + w[end + len(hit):]
+    # fix_chdz again
+    for suf, act in _LT_A_3:
+        if w.endswith(suf):
+            w = w[: -len(suf)] + ("t" if act == 1 else "d")
+            break
+    # fix_gd
+    if w.endswith("gd"):
+        w = w[:-2] + "g"
+    return w
