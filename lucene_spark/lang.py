@@ -1986,3 +1986,23 @@ def lithuanian_token(tok: str) -> str:
 
 CHAINS["basque"] = ChainSpec(_LANG_TOKEN_PATTERN, basque_token)
 CHAINS["lithuanian"] = ChainSpec(_LATIN_EXT_TOKEN_PATTERN, lithuanian_token)
+
+
+# ---------------------------------------------------------------------------
+# Estonian (analysis/et/EstonianAnalyzer.java:120-128: LowerCase -> Stop ->
+# snowball Estonian)
+# ---------------------------------------------------------------------------
+
+from .langdata import ESTONIAN_STOP  # noqa: E402
+
+
+def estonian_token(tok: str) -> str:
+    from .snowball import estonian_stem
+
+    t = tok.lower()
+    if t in ESTONIAN_STOP:
+        return STOP_HOLE
+    return estonian_stem(t)
+
+
+CHAINS["estonian"] = ChainSpec(_LATIN_EXT_TOKEN_PATTERN, estonian_token)

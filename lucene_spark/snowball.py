@@ -2338,3 +2338,276 @@ def lithuanian_stem(w: str) -> str:
     if w.endswith("gd"):
         w = w[:-2] + "g"
     return w
+
+
+# ---------------------------------------------------------------------------
+# Estonian (snowball/ext/EstonianStemmer.java, Snowball 3.0 'estonian'):
+# whole-word verb exceptions short-circuit; otherwise emphasis (gi/ki) ->
+# verb endings -> (if not verb) substantive cascade -> undouble kk/pp/tt.
+# All suffix rules match bounded to R1. Among tables machine-extracted.
+# ---------------------------------------------------------------------------
+
+_ET_V1 = frozenset("aeiouäõöü")
+_ET_RV = frozenset("aeiou")
+_ET_KI = frozenset("bdfghkpstzšž")
+_ET_GI = frozenset("aceijlmnoqruvwxäõöü")
+
+_ET_A_0 = (
+    ("gi", 1), ("ki", 2),
+)
+
+_ET_A_1 = (
+    ("nuksime", 1), ("nuksite", 1), ("nuksid", 1), ("nuksin", 1),
+    ("dakse", 1), ("ksime", 1), ("ksite", 1), ("takse", 1),
+    ("akse", 2), ("daks", 1), ("ksid", 1), ("ksin", 1), ("mata", 1),
+    ("sime", 1), ("site", 1), ("taks", 1), ("sin", 1), ("da", 3),
+    ("me", 3), ("b", 3), ("n", 3),
+)
+
+_ET_A_10 = (
+    ("joodakse", 1), ("jäädakse", 12), ("jääksime", 12),
+    ("jääksite", 12), ("keedakse", 4), ("keeksime", 4),
+    ("keeksite", 4), ("käiksime", 8), ("käiksite", 8),
+    ("laoksime", 16), ("laoksite", 16), ("loeksime", 14),
+    ("loeksite", 14), ("looksime", 7), ("looksite", 7),
+    ("löödakse", 5), ("lööksime", 5), ("lööksite", 5),
+    ("müüksime", 13), ("müüksite", 13), ("näeksime", 18),
+    ("näeksite", 18), ("nägemata", 18), ("põeksime", 15),
+    ("põeksite", 15), ("saadakse", 2), ("saaksime", 2),
+    ("saaksite", 2), ("söödakse", 9), ("sööksime", 9), ("sööksite", 9),
+    ("teeksime", 17), ("teeksite", 17), ("tegemata", 17),
+    ("tooksime", 10), ("tooksite", 10), ("viiksime", 3),
+    ("viiksite", 3), ("võidakse", 11), ("võiksime", 11),
+    ("võiksite", 11), ("joomata", 1), ("juuakse", 1), ("jääksid", 12),
+    ("jääksin", 12), ("jäämata", 12), ("keeksid", 4), ("keeksin", 4),
+    ("keemata", 4), ("käiakse", 8), ("käiksid", 8), ("käiksin", 8),
+    ("käimata", 8), ("laoksid", 16), ("laoksin", 16), ("loeksid", 14),
+    ("loeksin", 14), ("looksid", 7), ("looksin", 7), ("loomata", 7),
+    ("luuakse", 7), ("lööksid", 5), ("lööksin", 5), ("löömata", 5),
+    ("lüüakse", 5), ("müüakse", 13), ("müüksid", 13), ("müüksin", 13),
+    ("müümata", 13), ("näeksid", 18), ("näeksin", 18), ("nähakse", 18),
+    ("põeksid", 15), ("põeksin", 15), ("saaksid", 2), ("saaksin", 2),
+    ("saamata", 2), ("sööksid", 9), ("sööksin", 9), ("söömata", 9),
+    ("süüakse", 9), ("teeksid", 17), ("teeksin", 17), ("tehakse", 17),
+    ("tooksid", 10), ("tooksin", 10), ("toomata", 10), ("tuuakse", 10),
+    ("viiakse", 3), ("viiksid", 3), ("viiksin", 3), ("viimata", 3),
+    ("viisime", 3), ("viisite", 3), ("võiksid", 11), ("võiksin", 11),
+    ("võimata", 11), ("joovad", 1), ("jäävad", 12), ("keevad", 4),
+    ("käivad", 8), ("laovad", 16), ("loevad", 14), ("loovad", 7),
+    ("löövad", 5), ("müüvad", 13), ("näevad", 18), ("nägema", 18),
+    ("põevad", 15), ("saavad", 2), ("söövad", 9), ("teevad", 17),
+    ("tegema", 17), ("toovad", 10), ("viisin", 3), ("viivad", 3),
+    ("võivad", 11), ("jooma", 1), ("joome", 1), ("joote", 1),
+    ("jäime", 12), ("jäite", 12), ("jääda", 12), ("jäädi", 12),
+    ("jääks", 12), ("jääma", 12), ("jääme", 12), ("jääte", 12),
+    ("jõime", 1), ("jõite", 1), ("keeks", 4), ("keema", 4),
+    ("keeme", 4), ("keeta", 4), ("keete", 4), ("käidi", 8),
+    ("käiks", 8), ("käima", 8), ("käime", 8), ("käite", 8),
+    ("laoks", 16), ("laome", 16), ("laote", 16), ("loeks", 14),
+    ("loeme", 14), ("loete", 14), ("loodi", 7), ("looks", 7),
+    ("looma", 7), ("loome", 7), ("loote", 7), ("lõime", 6),
+    ("lõite", 6), ("löödi", 5), ("lööks", 5), ("lööma", 5),
+    ("lööme", 5), ("lööte", 5), ("müüdi", 13), ("müüks", 13),
+    ("müüma", 13), ("müüme", 13), ("müüte", 13), ("näeks", 18),
+    ("näeme", 18), ("näete", 18), ("nähti", 18), ("põeks", 15),
+    ("põeme", 15), ("põete", 15), ("saada", 2), ("saadi", 2),
+    ("saaks", 2), ("saama", 2), ("saame", 2), ("saate", 2),
+    ("saime", 2), ("saite", 2), ("sõime", 9), ("sõite", 9),
+    ("söödi", 9), ("sööks", 9), ("sööma", 9), ("sööme", 9),
+    ("sööte", 9), ("teeks", 17), ("teeme", 17), ("teete", 17),
+    ("tehti", 17), ("toodi", 10), ("tooks", 10), ("tooma", 10),
+    ("toome", 10), ("toote", 10), ("tõime", 10), ("tõite", 10),
+    ("viidi", 3), ("viiks", 3), ("viima", 3), ("viime", 3),
+    ("viite", 3), ("võida", 11), ("võidi", 11), ("võiks", 11),
+    ("võima", 11), ("võime", 11), ("võite", 11), ("joob", 1),
+    ("jood", 1), ("joon", 1), ("juua", 1), ("jäid", 12), ("jäin", 12),
+    ("jääb", 12), ("jääd", 12), ("jään", 12), ("jõid", 1), ("jõin", 1),
+    ("keeb", 4), ("keed", 4), ("keen", 4), ("kees", 4), ("käia", 8),
+    ("käib", 8), ("käid", 8), ("käin", 8), ("käis", 8), ("laob", 16),
+    ("laod", 16), ("laon", 16), ("loeb", 14), ("loed", 14),
+    ("loen", 14), ("loob", 7), ("lood", 7), ("loon", 7), ("luua", 7),
+    ("lõid", 6), ("lõin", 6), ("lööb", 5), ("lööd", 5), ("löön", 5),
+    ("lüüa", 5), ("müüa", 13), ("müüb", 13), ("müüd", 13),
+    ("müün", 13), ("müüs", 13), ("näeb", 18), ("näed", 18),
+    ("näen", 18), ("näha", 18), ("põeb", 15), ("põed", 15),
+    ("põen", 15), ("saab", 2), ("saad", 2), ("saan", 2), ("said", 2),
+    ("sain", 2), ("sõid", 9), ("sõin", 9), ("sööb", 9), ("sööd", 9),
+    ("söön", 9), ("süüa", 9), ("teeb", 17), ("teed", 17), ("teen", 17),
+    ("teha", 17), ("toob", 10), ("tood", 10), ("toon", 10),
+    ("tuua", 10), ("tõid", 10), ("tõin", 10), ("viia", 3), ("viib", 3),
+    ("viid", 3), ("viin", 3), ("võib", 11), ("võid", 11), ("võin", 11),
+    ("võis", 11), ("jäi", 12), ("jõi", 1), ("lõi", 6), ("sai", 2),
+    ("sõi", 9), ("tõi", 10),
+)
+
+_ET_A_2 = (
+    ("aa", -1), ("ee", -1), ("ii", -1), ("oo", -1), ("uu", -1),
+    ("ää", -1), ("õõ", -1), ("öö", -1), ("üü", -1),
+)
+
+_ET_A_3 = (
+    ("i", 1),
+)
+
+_ET_A_4 = (
+    ("lasse", 1), ("lisse", 3), ("misse", 2), ("lane", 1), ("lasi", 1),
+    ("last", 1), ("line", 3), ("lisi", 3), ("list", 3), ("mine", 2),
+    ("misi", 2), ("mist", 2),
+)
+
+_ET_A_5 = (
+    ("sse", 1), ("ga", 1), ("ks", 1), ("le", 1), ("lt", 1), ("st", 1),
+    ("ta", 1), ("l", 1), ("s", 1), ("t", 1),
+)
+
+_ET_A_6 = (
+    ("ikkude", 1), ("ikke", 1), ("ike", 1), ("sid", 2), ("de", 4),
+    ("te", 3), ("d", 4),
+)
+
+_ET_A_7 = (
+    ("kk", -1), ("pp", -1), ("tt", -1),
+)
+
+_ET_A_8 = (
+    ("du", -1), ("nu", -1), ("tu", -1), ("va", -1),
+)
+
+_ET_A_9 = (
+    ("mai", 1), ("ma", 2), ("m", 1),
+)
+
+_ET_VERB_EXC_REPL = {1: 'joo', 2: 'saa', 3: 'viima', 4: 'keesi', 5: 'löö', 6: 'löi', 7: 'loo', 8: 'käisi', 9: 'söö', 10: 'too', 11: 'võisi', 12: 'jääma', 13: 'müüsi', 14: 'luge', 15: 'põde', 16: 'ladu', 17: 'tegi', 18: 'nägi'}
+
+
+def _et_p1(w: str) -> int:
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _ET_V1:
+        i += 1
+    if i >= n:
+        return n
+    while i < n and w[i] in _ET_V1:
+        i += 1
+    if i >= n:
+        return n
+    return i + 1
+
+
+def _et_match(w: str, table, p1: int):
+    """Longest suffix of w lying within [p1, len(w)]: (suffix, act) or
+    None."""
+    if len(w) < p1:
+        return None
+    tail = w[p1:]
+    for suf, act in table:
+        if tail.endswith(suf):
+            return suf, act
+    return None
+
+
+def _et_longv(w: str) -> bool:
+    return any(w.endswith(s) for s, _ in _ET_A_2)
+
+
+def estonian_stem(w: str) -> str:
+    """Snowball Estonian (snowball/ext/EstonianStemmer.java:918-975)."""
+    for word, act in _ET_A_10:
+        if w == word:
+            return _ET_VERB_EXC_REPL[act]
+    p1 = _et_p1(w)
+
+    # emphasis: gi/ki with >=4 chars before the suffix
+    m = _et_match(w, _ET_A_0, p1)
+    if m:
+        suf, act = m
+        start = len(w) - len(suf)
+        if start - 4 >= 0:
+            if act == 1:
+                if (w[start - 1] in _ET_GI
+                        and not _et_longv(w[:start])):
+                    w = w[:start]
+            else:
+                if w[start - 1] in _ET_KI:
+                    w = w[:start]
+
+    # verb endings
+    is_verb = False
+    m = _et_match(w, _ET_A_1, p1)
+    if m:
+        suf, act = m
+        start = len(w) - len(suf)
+        if act == 1:
+            w = w[:start]
+            is_verb = True
+        elif act == 2:
+            w = w[:start] + "a"
+            is_verb = True
+        elif act == 3:
+            if start > 0 and w[start - 1] in _ET_V1:
+                w = w[:start]
+                is_verb = True
+
+    if not is_verb:
+        # special noun endings
+        m = _et_match(w, _ET_A_4, p1)
+        if m:
+            suf, act = m
+            w = w[: -len(suf)] + {1: "lase", 2: "mise", 3: "lise"}[act]
+        # case ending: previous char in RV or long vowel before
+        m = _et_match(w, _ET_A_5, p1)
+        if m:
+            suf, _ = m
+            start = len(w) - len(suf)
+            if (start > 0 and w[start - 1] in _ET_RV) or _et_longv(w[:start]):
+                w = w[:start]
+        # plural and the three first cases
+        m = _et_match(w, _ET_A_6, p1)
+        if m:
+            suf, act = m
+            start = len(w) - len(suf)
+            if act == 1:
+                w = w[:start] + "iku"
+            elif act == 2:
+                if not _et_longv(w[:start]):
+                    w = w[:start]
+            elif act == 3:
+                head = w[:start]
+                if start - 4 >= 0 and not head.endswith("t"):
+                    if head.endswith(("mis", "las", "lis")):
+                        w = head + "e"
+                    else:
+                        w = head
+                elif not head.endswith("t"):
+                    w = head + "t"
+            elif act == 4:
+                if (start > 0 and w[start - 1] in _ET_RV) or _et_longv(
+                    w[:start]
+                ):
+                    w = w[:start]
+        # degrees
+        m = _et_match(w, _ET_A_9, p1)
+        if m:
+            suf, act = m
+            start = len(w) - len(suf)
+            if act == 1:
+                if start > 0 and w[start - 1] in _ET_RV:
+                    w = w[:start]
+            else:
+                w = w[:start]
+        # i-plural
+        m = _et_match(w, _ET_A_3, p1)
+        if m:
+            start = len(w) - 1
+            if start > 0 and w[start - 1] in _ET_RV:
+                w = w[:start]
+        # nu/du/tu/va
+        m = _et_match(w, _ET_A_8, p1)
+        if m:
+            w = w[: -len(m[0])]
+
+    # remove double kpt: final vowel preceded by kk/pp/tt drops one
+    if (len(w) >= 3 and w[-1] in _ET_V1
+            and w[-3:-1] in ("kk", "pp", "tt")):
+        w = w[:-2] + w[-1]
+    return w

