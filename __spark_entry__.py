@@ -757,6 +757,16 @@ _LANG_CHAIN_MAP = {
         ("õppijat", "õppija"), ("talled", "talle"),
         ("ja", None), ("ei", None),
     ],
+    # two-char CJK words bigram to themselves (cjk/TestCJKAnalyzer.java
+    # semantics); stops from cjk/stopwords.txt
+    "cjk": [
+        ("学生", "学生"), ("試験", "試験"), ("中国", "中国"),
+        ("日本", "日本"), ("東京", "東京"), ("あい", "あい"),
+        ("カタ", "カタ"), ("한국", "한국"), ("学校", "学校"),
+        ("多く", "多く"), ("落ち", "落ち"), ("電車", "電車"),
+        ("新聞", "新聞"), ("映画", "映画"),
+        ("the", None), ("www", None),
+    ],
 }
 
 
@@ -2548,6 +2558,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # verb/substantive cascades + kpt undoubling
             _lang_searcher(sp, d, "estonian"), TermQuery(term="kooli"), 10
         ),
+        "q_term_cjk": lambda sp, d: _topk_df(
+            # CJK: width fold + overlapping script-run bigrams (lone char
+            # unigrams), Stop after bigramming
+            _lang_searcher(sp, d, "cjk"), TermQuery(term="学生"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3834,6 +3849,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_eu": _lang_term_sql("basque", "zaldi"),
         "q_term_lt": _lang_term_sql("lithuanian", "vaik"),
         "q_term_et": _lang_term_sql("estonian", "kooli"),
+        "q_term_cjk": _lang_term_sql("cjk", "学生"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -220,6 +220,17 @@ def flat_tokenize(
     base, fold = _resolve_chain(chain)
     if fold:
         texts = texts.str.translate(FOLD_MAP)
+    if base in LANG_CHAINS and _lang.CHAINS[base].analyze is not None:
+        # non-1:1 chains (CJK bigramming): map rows through the full
+        # analyze function
+        import itertools
+
+        rebuilt = texts.map(_lang.CHAINS[base].analyze)
+        counts = rebuilt.map(len).to_numpy(dtype=np.int64)
+        flat = np.array(
+            list(itertools.chain.from_iterable(rebuilt)), dtype=object
+        )
+        return flat, counts
     if base in ("standard", "english"):
         lists = texts.str.lower().str.findall(_TOKEN_PATTERN)
     elif base in LANG_CHAINS:

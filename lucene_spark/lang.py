@@ -1105,6 +1105,10 @@ class ChainSpec(NamedTuple):
     #: (e.g. Turkish dotted/dotless I); the batch path must scan the
     #: original case and let token_fn lower per token.
     raw_case: bool = False
+    #: set for chains that are NOT a 1:1 token map (e.g. CJK bigramming):
+    #: a full text -> token-list function; the batch path maps rows
+    #: through it instead of scan+map.
+    analyze: Callable[[str], List[str]] = None
 
 
 CHAINS = {
@@ -1128,6 +1132,8 @@ CHAINS = {
 
 def chain_analyze_fn(name: str) -> Callable[[str], List[str]]:
     spec = CHAINS[name]
+    if spec.analyze is not None:
+        return spec.analyze
 
     def analyze(text: str) -> List[str]:
         return [spec.token_fn(t) for t in _lang_tokenize(text, spec.pattern)]
@@ -2006,3 +2012,119 @@ def estonian_token(tok: str) -> str:
 
 
 CHAINS["estonian"] = ChainSpec(_LATIN_EXT_TOKEN_PATTERN, estonian_token)
+
+
+# ---------------------------------------------------------------------------
+# CJK (analysis/cjk/CJKAnalyzer.java:90-99): CJKWidthFilter -> LowerCase ->
+# CJKBigramFilter (HAN|HIRAGANA|KATAKANA|HANGUL) -> Stop. Re-expressed as a
+# text-level scan: width-fold first (it can merge halfwidth kana + voiced
+# marks), then contiguous runs of the four flagged scripts emit n-1
+# overlapping bigrams (a lone char emits a unigram); other tokens pass
+# through the standard path. Offset gaps (spaces, punctuation, non-CJK
+# neighbors) break runs exactly as the filter's offset-contiguity check.
+# ---------------------------------------------------------------------------
+
+from .langdata import CJK_STOP  # noqa: E402
+
+#: CJKWidthFilter.KANA_NORM (analysis/cjk/CJKWidthFilter.java:33-46)
+_KANA_NORM = [
+    0x30FB, 0x30F2, 0x30A1, 0x30A3, 0x30A5, 0x30A7, 0x30A9, 0x30E3, 0x30E5,
+    0x30E7, 0x30C3, 0x30FC, 0x30A2, 0x30A4, 0x30A6, 0x30A8, 0x30AA, 0x30AB,
+    0x30AD, 0x30AF, 0x30B1, 0x30B3, 0x30B5, 0x30B7, 0x30B9, 0x30BB, 0x30BD,
+    0x30BF, 0x30C1, 0x30C4, 0x30C6, 0x30C8, 0x30CA, 0x30CB, 0x30CC, 0x30CD,
+    0x30CE, 0x30CF, 0x30D2, 0x30D5, 0x30D8, 0x30DB, 0x30DE, 0x30DF, 0x30E0,
+    0x30E1, 0x30E2, 0x30E4, 0x30E6, 0x30E8, 0x30E9, 0x30EA, 0x30EB, 0x30EC,
+    0x30ED, 0x30EF, 0x30F3, 0x3099, 0x309A,
+]
+#: kana combining diffs over 0x30A6-0x30FD (CJKWidthFilter.java:76-93)
+_KANA_VOICED = [
+    78, 0, 0, 0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0,
+    1, 0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 1, 0,
+    0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 8, 8, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1,
+]
+_KANA_HALF_VOICED = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 2, 0,
+    0, 2, 0, 0, 2, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+]
+
+
+def cjk_width_fold(t: str) -> str:
+    """CJKWidthFilter: fullwidth ASCII -> ASCII; halfwidth katakana ->
+    fullwidth, composing voiced/semi-voiced marks with the previous kana."""
+    if not any(0xFF01 <= ord(c) <= 0xFF9F for c in t):
+        return t
+    out: List[str] = []
+    for ch in t:
+        o = ord(ch)
+        if 0xFF01 <= o <= 0xFF5E:
+            out.append(chr(o - 0xFEE0))
+        elif 0xFF65 <= o <= 0xFF9F:
+            if o in (0xFF9E, 0xFF9F) and out:
+                prev = ord(out[-1])
+                if 0x30A6 <= prev <= 0x30FD:
+                    d = (_KANA_HALF_VOICED if o == 0xFF9F
+                         else _KANA_VOICED)[prev - 0x30A6]
+                    if d:
+                        out[-1] = chr(prev + d)
+                        continue
+                out.append(chr(o - 0xFF9E + 0x3099))
+            else:
+                out.append(chr(_KANA_NORM[o - 0xFF65]))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+#: the four bigrammed script classes (per the StandardTokenizer types the
+#: filter accepts); 3099-309A continue a run (combining kana marks)
+_CJK_RUN = (
+    "\u3041-\u3096\u309D-\u309E"      # hiragana
+    "\u30A1-\u30FA\u30FC-\u30FE\u31F0-\u31FF"  # katakana
+    "\u3400-\u4DBF\u4E00-\u9FFF\uF900-\uFAFF\u3005\u3007"  # han (BMP)
+    "\U00020000-\U0002FA1F"            # han (supplementary ideographs)
+    "\uAC00-\uD7A3\u1100-\u11FF\u3130-\u318F"  # hangul
+)
+#: non-CJK tokens pass through the standard path: one multi-script letter
+#: run (Latin/Cyrillic/Greek/Armenian with the UAX#29 joiners), an
+#: Arabic-script run, or a digit run
+_CJK_OTHER_L = _L_EXT + _CYR + _GREEK + _HY_SCRIPT
+_CJK_OTHER_RUN = (
+    r"(?:_*(?:" + _NUM_RUN
+    + r"|[" + _CJK_OTHER_L + r"](?:(?:_*|[:.'\u2019])[" + _CJK_OTHER_L + r"])*"
+    + r"|" + _AR_ALPHA_RUN + r"))+_*"
+)
+_CJK_SEG_PATTERN = re.compile(
+    "([" + _CJK_RUN + "][" + _CJK_RUN + "\u3099-\u309A]*)"
+    + r"|(" + _CJK_OTHER_RUN + r")"
+)
+
+
+def cjk_analyze(text: str) -> List[str]:
+    text = cjk_width_fold(text)
+    out: List[str] = []
+    for m in _CJK_SEG_PATTERN.finditer(text):
+        run = m.group(1)
+        if run is not None:
+            if len(run) == 1:
+                toks = [run]
+            else:
+                toks = [run[i:i + 2] for i in range(len(run) - 1)]
+        else:
+            toks = [m.group(2).lower()]
+        for t in toks:
+            out.append(STOP_HOLE if t in CJK_STOP else t)
+    return out
+
+
+def cjk_token(tok: str) -> str:
+    """Single-token path (MemoryIndex etc.): width-fold + lowercase +
+    stop; bigramming happens in :func:`cjk_analyze`."""
+    t = cjk_width_fold(tok).lower()
+    return STOP_HOLE if t in CJK_STOP else t
+
+
+CHAINS["cjk"] = ChainSpec(_CJK_SEG_PATTERN, cjk_token, raw_case=True,
+                          analyze=cjk_analyze)

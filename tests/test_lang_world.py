@@ -113,7 +113,17 @@ def test_oracle_map_pairs_match_chains():
     sys.path.insert(0, "/root/repo")
     from __spark_entry__ import _LANG_CHAIN_MAP
 
+    from lucene_spark.analysis import _chain_fn
+
     for name, pairs in _LANG_CHAIN_MAP.items():
+        if lang.CHAINS[name].analyze is not None:
+            fn = _chain_fn(name)
+            for w, want in pairs:
+                got = fn(w)
+                assert len(got) == 1, (name, w, got)
+                got = None if got[0] == S else got[0]
+                assert got == want, (name, w, want, got)
+            continue
         fn = lang.CHAINS[name].token_fn
         pat = lang.CHAINS[name].pattern
         for w, want in pairs:
@@ -647,3 +657,59 @@ def test_estonian_chain():
     from lucene_spark.snowball import estonian_stem
     assert estonian_stem("seppade") == "sepa"
     assert estonian_stem("lugedes") == "luge"
+
+
+# ---------------------------------------------------------------------------
+# CJK — the full TestCJKAnalyzer vector set, machine-extracted at test time
+# ---------------------------------------------------------------------------
+
+def test_cjk_full_reference_vectors():
+    import json
+    import os
+    import re
+
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/cjk/TestCJKAnalyzer.java"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference data unavailable")
+    src = open(path, encoding="utf-8").read()
+
+    def ju(s):
+        s = re.sub(r"\\u([0-9a-fA-F]{4})",
+                   lambda m: chr(int(m.group(1), 16)), s)
+        return s.replace('\\"', '"').replace("\\\\", "\\")
+
+    fn = _chain_fn("cjk")
+    n = 0
+    for m in re.finditer(
+        r'assertAnalyzesTo\(\s*analyzer,\s*"((?:[^"\\]|\\.)*)",'
+        r'\s*new String\[\] \{([^}]*)\}', src
+    ):
+        inp = ju(m.group(1))
+        if inp == "ab":  # fake-type custom-analyzer case in the Java test
+            continue
+        want = [ju(t) for t in
+                re.findall(r'"((?:[^"\\]|\\.)*)"', m.group(2))]
+        got = [t for t in fn(inp) if t != S]
+        assert got == want, (inp, want, got)
+        n += 1
+    assert n >= 19
+
+
+def test_cjk_width_fold():
+    # halfwidth katakana + voiced marks compose (TestCJKWidthFilter)
+    assert lang.cjk_width_fold("ｶﾞｷﾞｸﾞ") == "ガギグ"
+    assert lang.cjk_width_fold("Ｔｅｓｔ １２３") == "Test 123"
+    fn = _chain_fn("cjk")
+    assert fn("ｶﾞｷﾞｸﾞ") == ["ガギ", "ギグ"]
+
+
+def test_cjk_batch_parity():
+    texts = ["一 二三四 五六七八九 十", "abc あい the", "𩬅艱鍟䇹愯瀛"]
+    fn = _chain_fn("cjk")
+    flat, counts = flat_tokenize(pd.Series(texts), "cjk")
+    want = [fn(t) for t in texts]
+    assert list(counts) == [len(w) for w in want]
+    assert list(flat) == [t for row in want for t in row]
