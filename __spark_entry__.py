@@ -767,6 +767,51 @@ _LANG_CHAIN_MAP = {
         ("新聞", "新聞"), ("映画", "映画"),
         ("the", None), ("www", None),
     ],
+    # expected outputs from the reference's rulighttestdata.zip vocabulary
+    "russian_light": [
+        ("алгебра", "алгебр"), ("англичанах", "англичан"),
+        ("ахиллесу", "ахиллес"), ("бараньим", "баран"),
+        ("бегающих", "бегающ"), ("безделку", "безделк"),
+        ("безобразные", "безобразн"), ("белоснежная", "белоснежн"),
+        ("бесплодная", "бесплодн"), ("библия", "библ"),
+        ("благолепие", "благолеп"), ("бледнея", "бледн"),
+        ("бессловного", "бессловн"), ("аристократическими",
+                                      "аристократическ"),
+        ("и", None), ("на", None),
+    ],
+    # expected outputs from the reference's filighttestdata.zip vocabulary
+    "finnish_light": [
+        ("aapisen", "aapi"), ("aatelisia", "aatelis"),
+        ("aavistin", "aavis"), ("afgaaneja", "afgaan"),
+        ("aggressiot", "aggress"), ("ahdistusta", "ahdistu"),
+        ("ahnehtii", "ahneht"), ("ahtisaareen", "ahtisaar"),
+        ("aidosti", "aido"), ("aihepiiriin", "aihepiir"),
+        ("aiheutuva", "aiheutuv"), ("aikaisempien", "aikaisemp"),
+        ("acre", "acr"), ("aamukahdeksasta", "aamukahdeks"),
+        ("ja", None), ("on", None),
+    ],
+    # expected outputs from the reference's ptminimaltestdata.zip vocabulary
+    "portuguese_minimal": [
+        ("águas", "água"), ("amassos", "amasso"),
+        ("antiarmas", "antiarma"), ("árbitros", "árbitro"),
+        ("assassinas", "assassina"), ("autógrafos", "autógrafo"),
+        ("banqueiros", "banqueiro"), ("bilhões", "bilhão"),
+        ("brigávamos", "brigávamo"), ("calouros", "calouro"),
+        ("carinhosas", "carinhosa"), ("centenas", "centena"),
+        ("cientistas", "cientista"), ("ades", "ade"),
+        ("as", None), ("uma", None),
+    ],
+    # expected outputs from the reference's frminimaltestdata.zip vocabulary
+    "french_minimal": [
+        ("accourus", "accouru"), ("adopter", "adopt"),
+        ("agrémentées", "agrément"), ("amassée", "amas"),
+        ("approuvée", "approuv"), ("arrivons", "arrivon"),
+        ("attache", "attach"), ("autorisée", "autoris"),
+        ("balustrade", "balustrad"), ("belliqueux", "belliqueu"),
+        ("bonheurs", "bonheu"), ("brantôme", "brantôm"),
+        ("cabane", "caban"), ("antigénéreuses", "antigénéreus"),
+        ("les", None), ("du", None),
+    ],
 }
 
 
@@ -2563,6 +2608,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # unigrams), Stop after bigramming
             _lang_searcher(sp, d, "cjk"), TermQuery(term="学生"), 10
         ),
+        "q_term_ru_light": lambda sp, d: _topk_df(
+            # RussianLightStemmer variant chain (zip-validated, 49,673
+            # pairs)
+            _lang_searcher(sp, d, "russian_light"),
+            TermQuery(term="библ"), 10
+        ),
+        "q_term_fi_light": lambda sp, d: _topk_df(
+            # FinnishLightStemmer variant chain (50,000 zip pairs)
+            _lang_searcher(sp, d, "finnish_light"),
+            TermQuery(term="aapi"), 10
+        ),
+        "q_term_pt_minimal": lambda sp, d: _topk_df(
+            # PortugueseMinimalStemmer (RSLP Plural step only)
+            _lang_searcher(sp, d, "portuguese_minimal"),
+            TermQuery(term="água"), 10
+        ),
+        "q_term_fr_minimal": lambda sp, d: _topk_df(
+            # FrenchMinimalStemmer variant chain (20,403 zip pairs)
+            _lang_searcher(sp, d, "french_minimal"),
+            TermQuery(term="amas"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3850,6 +3916,10 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_lt": _lang_term_sql("lithuanian", "vaik"),
         "q_term_et": _lang_term_sql("estonian", "kooli"),
         "q_term_cjk": _lang_term_sql("cjk", "学生"),
+        "q_term_ru_light": _lang_term_sql("russian_light", "библ"),
+        "q_term_fi_light": _lang_term_sql("finnish_light", "aapi"),
+        "q_term_pt_minimal": _lang_term_sql("portuguese_minimal", "água"),
+        "q_term_fr_minimal": _lang_term_sql("french_minimal", "amas"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -2128,3 +2128,56 @@ def cjk_token(tok: str) -> str:
 
 CHAINS["cjk"] = ChainSpec(_CJK_SEG_PATTERN, cjk_token, raw_case=True,
                           analyze=cjk_analyze)
+
+
+# ---------------------------------------------------------------------------
+# Light/minimal stemmer variants (analysis/{ru,sv,fr,de,fi,hu,no,pt,gl}/
+# *Light* / *Minimal* filters): same tokenizer + stopset as the parent
+# chain, alternative stemmer — selectable exactly like the reference's
+# per-field filter choice. Each stemmer is validated against the
+# reference's vocabulary zips (247k pairs total) in tests.
+# ---------------------------------------------------------------------------
+
+def _variant(parent_stop, stem_import, pattern, lower=None):
+    def token(tok: str) -> str:
+        from . import lightstem
+
+        t = (lower or str.lower)(tok)
+        if t in parent_stop:
+            return STOP_HOLE
+        return getattr(lightstem, stem_import)(t)
+
+    return ChainSpec(pattern, token)
+
+
+CHAINS["russian_light"] = _variant(RUSSIAN_STOP, "russian_light_stem",
+                                   _RUSSIAN_TOKEN_PATTERN)
+CHAINS["swedish_light"] = _variant(SWEDISH_STOP, "swedish_light_stem",
+                                   _LANG_TOKEN_PATTERN)
+def french_minimal_token(tok: str) -> str:
+    from .lightstem import french_minimal_stem
+
+    t = elide(tok).lower()
+    if t in FRENCH_STOP:
+        return STOP_HOLE
+    return french_minimal_stem(t)
+
+
+CHAINS["french_minimal"] = ChainSpec(_LANG_TOKEN_PATTERN,
+                                     french_minimal_token)
+CHAINS["german_minimal"] = _variant(GERMAN_STOP, "german_minimal_stem",
+                                    _LANG_TOKEN_PATTERN)
+CHAINS["finnish_light"] = _variant(FINNISH_STOP, "finnish_light_stem",
+                                   _LATIN_EXT_TOKEN_PATTERN)
+CHAINS["hungarian_light"] = _variant(HUNGARIAN_STOP, "hungarian_light_stem",
+                                     _LATIN_EXT_TOKEN_PATTERN)
+CHAINS["norwegian_light"] = _variant(NORWEGIAN_STOP, "norwegian_light_stem",
+                                     _LANG_TOKEN_PATTERN)
+CHAINS["norwegian_minimal"] = _variant(NORWEGIAN_STOP,
+                                       "norwegian_minimal_stem",
+                                       _LANG_TOKEN_PATTERN)
+CHAINS["portuguese_minimal"] = _variant(PORTUGUESE_STOP,
+                                        "portuguese_minimal_stem",
+                                        _LANG_TOKEN_PATTERN)
+CHAINS["galician_minimal"] = _variant(GALICIAN_STOP, "galician_minimal_stem",
+                                      _LANG_TOKEN_PATTERN)

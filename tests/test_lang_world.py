@@ -713,3 +713,77 @@ def test_cjk_batch_parity():
     want = [fn(t) for t in texts]
     assert list(counts) == [len(w) for w in want]
     assert list(flat) == [t for row in want for t in row]
+
+
+# ---------------------------------------------------------------------------
+# Light/minimal stemmer variants — FULL reference vocabulary zips
+# (247,748 pairs across seven stemmers)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "zip_rel,inner,fn_name",
+    [
+        ("ru/rulighttestdata.zip", "rulight.txt", "russian_light_stem"),
+        ("sv/svlighttestdata.zip", "svlight.txt", "swedish_light_stem"),
+        ("fr/frminimaltestdata.zip", "frminimal.txt",
+         "french_minimal_stem"),
+        ("de/deminimaltestdata.zip", "deminimal.txt",
+         "german_minimal_stem"),
+        ("fi/filighttestdata.zip", "filight.txt", "finnish_light_stem"),
+        ("hu/hulighttestdata.zip", "hulight.txt", "hungarian_light_stem"),
+        ("pt/ptminimaltestdata.zip", "ptminimal.txt",
+         "portuguese_minimal_stem"),
+    ],
+    ids=["ru", "sv", "fr", "de", "fi", "hu", "pt"],
+)
+def test_light_stemmers_full_reference_vocabulary(zip_rel, inner, fn_name):
+    import os
+    import zipfile
+
+    from lucene_spark import lightstem
+
+    fn = getattr(lightstem, fn_name)
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/" + zip_rel
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference data unavailable")
+    with zipfile.ZipFile(path) as zf:
+        data = zf.read(inner).decode("utf-8")
+    n = 0
+    for line in data.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) != 2:
+            continue
+        w, want = parts
+        assert fn(w) == want, w
+        n += 1
+    assert n > 20000
+
+
+def test_norwegian_and_galician_minimal_vectors():
+    from lucene_spark import lightstem as L
+
+    # no/TestNorwegianLightStemFilter.java + NorwegianMinimal vectors
+    assert L.norwegian_light_stem("epler") == "epl"
+    assert L.norwegian_light_stem("eplet") == "epl"
+    assert L.norwegian_light_stem("hemmeligheter") == "hemmelig"
+    assert L.norwegian_minimal_stem("eplene") == "epl"
+    assert L.norwegian_minimal_stem("epler") == "epl"
+    # nynorsk flag
+    assert L.norwegian_light_stem("gutane", bokmaal=False,
+                                  nynorsk=True) == "gut"
+    # gl/TestGalicianMinimalStemFilter.java
+    assert L.galician_minimal_stem("elefantes") == "elefante"
+
+
+def test_variant_chains():
+    assert _chain_fn("russian_light")("библия и") == ["библ", S]
+    assert _chain_fn("french_minimal")("les amassée") == [S, "amas"]
+    assert _chain_fn("norwegian_light")("hemmeligheter og") == \
+        ["hemmelig", S]
+    assert _chain_fn("galician_minimal")("os elefantes") == [S, "elefante"]
