@@ -812,6 +812,15 @@ _LANG_CHAIN_MAP = {
         ("cabane", "caban"), ("antigénéreuses", "antigénéreus"),
         ("les", None), ("du", None),
     ],
+    # expected outputs from en/TestEnglishMinimalStemFilter.java vectors
+    "english_minimal": [
+        ("queries", "query"), ("phrases", "phrase"), ("corpus", "corpus"),
+        ("stress", "stress"), ("kings", "king"), ("panels", "panel"),
+        ("aerodynamics", "aerodynamic"), ("congress", "congress"),
+        ("serious", "serious"), ("tables", "table"), ("words", "word"),
+        ("armies", "army"), ("dies", "dy"), ("shoes", "shoes"),
+        ("news", "new"), ("goes", "goes"),
+    ],
 }
 
 
@@ -2629,6 +2638,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lang_searcher(sp, d, "french_minimal"),
             TermQuery(term="amas"), 10
         ),
+        "q_term_en_minimal": lambda sp, d: _topk_df(
+            # EnglishMinimal (Harman S-stemmer) variant chain
+            _lang_searcher(sp, d, "english_minimal"),
+            TermQuery(term="query"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3920,6 +3934,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_fi_light": _lang_term_sql("finnish_light", "aapi"),
         "q_term_pt_minimal": _lang_term_sql("portuguese_minimal", "água"),
         "q_term_fr_minimal": _lang_term_sql("french_minimal", "amas"),
+        "q_term_en_minimal": _lang_term_sql("english_minimal", "query"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

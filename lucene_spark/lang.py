@@ -2181,3 +2181,15 @@ CHAINS["portuguese_minimal"] = _variant(PORTUGUESE_STOP,
                                         _LANG_TOKEN_PATTERN)
 CHAINS["galician_minimal"] = _variant(GALICIAN_STOP, "galician_minimal_stem",
                                       _LANG_TOKEN_PATTERN)
+
+
+def english_minimal_token(tok: str) -> str:
+    """EnglishMinimalStemFilter variant (S-stemmer): lowercase + plural
+    strip; stopwords stay IndexConfig-driven like the english chain."""
+    from .lightstem import english_minimal_stem
+
+    return english_minimal_stem(tok.lower())
+
+
+CHAINS["english_minimal"] = ChainSpec(_LANG_TOKEN_PATTERN,
+                                      english_minimal_token)

@@ -354,3 +354,20 @@ def galician_minimal_stem(w: str) -> str:
     if rslp._GL is None:
         rslp._GL = rslp.parse_rslp(os.path.join(rslp._RES, "galician.rslp"))
     return rslp._GL["Plural"].apply(w)
+
+
+def english_minimal_stem(w: str) -> str:
+    """EnglishMinimalStemmer (analysis/en/EnglishMinimalStemmer.java) —
+    the S-stemmer of Harman: plural-only removal."""
+    if len(w) < 3 or w[-1] != "s":
+        return w
+    p = w[-2]
+    if p in "us":
+        return w
+    if p == "e":
+        if len(w) > 3 and w[-3] == "i" and w[-4] not in "ae":
+            return w[:-3] + "y"
+        if w[-3] in "iaoe":
+            return w
+        return w[:-1]  # intentional fallthrough in the reference
+    return w[:-1]

@@ -787,3 +787,15 @@ def test_variant_chains():
     assert _chain_fn("norwegian_light")("hemmeligheter og") == \
         ["hemmelig", S]
     assert _chain_fn("galician_minimal")("os elefantes") == [S, "elefante"]
+
+
+def test_english_minimal_reference_vectors():
+    from lucene_spark.lightstem import english_minimal_stem
+
+    # en/TestEnglishMinimalStemFilter.java
+    for w, want in [("queries", "query"), ("phrases", "phrase"),
+                    ("corpus", "corpus"), ("stress", "stress"),
+                    ("kings", "king"), ("panels", "panel"),
+                    ("aerodynamics", "aerodynamic"),
+                    ("congress", "congress"), ("serious", "serious")]:
+        assert english_minimal_stem(w) == want, w
