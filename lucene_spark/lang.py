@@ -2193,3 +2193,14 @@ def english_minimal_token(tok: str) -> str:
 
 CHAINS["english_minimal"] = ChainSpec(_LANG_TOKEN_PATTERN,
                                       english_minimal_token)
+
+
+def nepali_token(tok: str) -> str:
+    """Snowball Nepali over the Devanagari tokenizer (the reference ships
+    it as a SnowballFilter language; no analyzer/stopset exists)."""
+    from .snowball import nepali_stem
+
+    return nepali_stem(fold_decimal_digits(tok.lower()))
+
+
+CHAINS["nepali"] = ChainSpec(_HINDI_TOKEN_PATTERN, nepali_token)

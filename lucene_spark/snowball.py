@@ -2611,3 +2611,81 @@ def estonian_stem(w: str) -> str:
             and w[-3:-1] in ("kk", "pp", "tt")):
         w = w[:-2] + w[-1]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Nepali (snowball/ext/NepaliStemmer.java, Snowball 2.0 'nepali'):
+# category-1 suffix strip (conditional on the preceding vowel sign), then
+# a loop alternating category-2 (guarded deletes) and category-3 strips.
+# Among tables machine-extracted.
+# ---------------------------------------------------------------------------
+
+_NE_A_0 = (
+    ("द्वारा", 1), ("मार्फत", 1), ("सँगै", 1), ("पछि", 1), ("लाइ", 1),
+    ("लाई", 1), ("सँग", 1), ("संग", 1), ("का", 2), ("कि", 2),
+    ("की", 2), ("कै", 2), ("को", 2), ("मा", 1), ("मै", 1), ("रत", 1),
+    ("ले", 1),
+)
+
+_NE_A_1 = (
+    ("ँ", -1), ("ं", -1), ("ै", -1),
+)
+
+_NE_A_2 = (
+    ("ँ", 1), ("ं", 1), ("ै", 2),
+)
+
+_NE_A_3 = (
+    ("थिइस्", 1), ("नेछन्", 1), ("नेछस्", 1), ("हुनेछ", 1),
+    ("हुन्छ", 1), ("इएका", 1), ("इएकी", 1), ("इएको", 1), ("इछन्", 1),
+    ("इछस्", 1), ("इन्छ", 1), ("एछन्", 1), ("एछस्", 1), ("छिन्", 1),
+    ("छेस्", 1), ("छ्यौ", 1), ("थिन्", 1), ("थियो", 1), ("थियौ", 1),
+    ("थिस्", 1), ("थ्यो", 1), ("थ्यौ", 1), ("दियो", 1), ("देखि", 1),
+    ("देखी", 1), ("नेका", 1), ("नेकै", 1), ("नेको", 1), ("नेछु", 1),
+    ("नेछौ", 1), ("माथि", 1), ("लान्", 1), ("होस्", 1), ("िएका", 1),
+    ("िएकी", 1), ("िएको", 1), ("िछन्", 1), ("िछस्", 1), ("िन्छ", 1),
+    ("ेछन्", 1), ("ेछस्", 1), ("इछौ", 1), ("इदा", 1), ("इदै", 1),
+    ("इदो", 1), ("इयो", 1), ("इस्", 1), ("एका", 1), ("एकी", 1),
+    ("एकै", 1), ("एको", 1), ("एछु", 1), ("एछौ", 1), ("छन्", 1),
+    ("छस्", 1), ("थिए", 1), ("नेछ", 1), ("पर्", 1), ("भयो", 1),
+    ("हरु", 1), ("हरू", 1), ("िछौ", 1), ("िदा", 1), ("िदै", 1),
+    ("िदो", 1), ("ियो", 1), ("िस्", 1), ("ेका", 1), ("ेकी", 1),
+    ("ेकै", 1), ("ेको", 1), ("ेछु", 1), ("ेछौ", 1), ("इछ", 1),
+    ("एछ", 1), ("छु", 1), ("छे", 1), ("छौ", 1), ("थी", 1), ("थे", 1),
+    ("दा", 1), ("दी", 1), ("दै", 1), ("दो", 1), ("नु", 1), ("ने", 1),
+    ("यो", 1), ("यौ", 1), ("िछ", 1), ("ेछ", 1), ("छ", 1),
+)
+
+
+def nepali_stem(w: str) -> str:
+    """Snowball Nepali (snowball/ext/NepaliStemmer.java:250-292)."""
+    m = _match_b(w, _NE_A_0)
+    if m:
+        suf, act = m
+        head = w[: -len(suf)]
+        if act == 1:
+            w = head
+        elif act == 2 and not head.endswith(("ए", "े")):
+            w = head
+    while True:
+        changed = False
+        m = _match_b(w, _NE_A_1)
+        if m:  # check_category_2 guard: a_1 matches at the end
+            m2 = _match_b(w, _NE_A_2)
+            if m2:
+                suf, act = m2
+                head = w[: -len(suf)]
+                if act == 1 and head.endswith(("यौ", "छौ", "नौ", "थे")):
+                    w = head
+                    changed = True
+                elif act == 2 and head.endswith("त्र"):
+                    w = head
+                    changed = True
+        if not changed:
+            m3 = _match_b(w, _NE_A_3)
+            if m3:
+                w = w[: -len(m3[0])]
+                changed = True
+        if not changed:
+            break
+    return w

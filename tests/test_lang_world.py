@@ -799,3 +799,23 @@ def test_english_minimal_reference_vectors():
                     ("aerodynamics", "aerodynamic"),
                     ("congress", "congress"), ("serious", "serious")]:
         assert english_minimal_stem(w) == want, w
+
+
+def test_nepali_full_reference_vocabulary():
+    import os
+    import zipfile
+
+    from lucene_spark.snowball import nepali_stem
+
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/snowball/nepali.zip"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference data unavailable")
+    with zipfile.ZipFile(path) as zf:
+        voc = zf.read("voc.txt").decode("utf-8").split()
+        out = zf.read("output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) == 2000
+    for w, want in zip(voc, out):
+        assert nepali_stem(w) == want, w
