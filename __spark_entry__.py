@@ -830,7 +830,7 @@ _LANG_CHAIN_MAP = {
         ("निस्केछौ", "निस्क"), ("चाख्लान्", "चाख्"),
         ("बास्थ्यौ", "बास्"), ("माझ्थिन्", "माझ्"),
         ("बगाउथिन्", "बगाउ"), ("थुक्थ्यौ", "थुक्"),
-        ("गर्छ", "गर्छ"), ("राम", "राम"),
+        ("गर्छ", "गर्"), ("राम", "राम"),
     ],
 }
 
