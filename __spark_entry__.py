@@ -832,6 +832,30 @@ _LANG_CHAIN_MAP = {
         ("बगाउथिन्", "बगाउ"), ("थुक्थ्यौ", "थुक्"),
         ("गर्छ", "गर्"), ("राम", "राम"),
     ],
+    # expected outputs from the reference's snowball german.zip vocabulary
+    "german_snowball": [
+        ("lernens", "lern"), ("zeichnete", "zeichnet"),
+        ("frecher", "frech"), ("erdbeere", "erdbe"),
+        ("spazieren", "spazi"), ("gesonnen", "gesonn"),
+        ("verwendung", "verwend"), ("jemands", "jemand"),
+        ("zuträglichkeit", "zutrag"), ("regimente", "regiment"),
+        ("schaudern", "schaud"), ("schenkstuben", "schenkstub"),
+        ("blökende", "blokend"), ("dantine", "dantin"),
+        ("die", None), ("und", None),
+    ],
+    # expected outputs from the reference's snowball german2.zip vocabulary
+    # (ae/oe/ue folding prelude)
+    "german2": [
+        ("laert", "lart"), ("feuern", "feu"),
+        ("abenteuerliches", "abenteu"), ("zueilten", "zuilt"),
+        ("feuerherde", "feuerherd"), ("zerbläuen", "zerblau"),
+        ("freilassen", "freilass"), ("heraufkäme", "heraufkam"),
+        ("frühleben", "fruhleb"), ("silberbügel", "silberbugel"),
+        ("kräuterwust", "krauterwust"),
+        ("niederträchtigen", "niedertracht"), ("gelegtes", "gelegt"),
+        ("nichtsdestominder", "nichtsdestomind"),
+        ("die", None), ("und", None),
+    ],
 }
 
 
@@ -2659,6 +2683,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # Devanagari tokenizer (2,000 zip pairs validated)
             _lang_searcher(sp, d, "nepali"), TermQuery(term="भुल्"), 10
         ),
+        "q_term_de_snowball": lambda sp, d: _topk_df(
+            # German snowball variant (2,000 zip pairs validated)
+            _lang_searcher(sp, d, "german_snowball"),
+            TermQuery(term="verwend"), 10
+        ),
+        "q_term_de2": lambda sp, d: _topk_df(
+            # German2 variant: ae/oe/ue folding prelude (2,000 zip pairs)
+            _lang_searcher(sp, d, "german2"),
+            TermQuery(term="feu"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3952,6 +3986,8 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_fr_minimal": _lang_term_sql("french_minimal", "amas"),
         "q_term_en_minimal": _lang_term_sql("english_minimal", "query"),
         "q_term_ne": _lang_term_sql("nepali", "भुल्"),
+        "q_term_de_snowball": _lang_term_sql("german_snowball", "verwend"),
+        "q_term_de2": _lang_term_sql("german2", "feu"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

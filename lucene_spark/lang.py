@@ -2204,3 +2204,26 @@ def nepali_token(tok: str) -> str:
 
 
 CHAINS["nepali"] = ChainSpec(_HINDI_TOKEN_PATTERN, nepali_token)
+
+
+def german_snowball_token(tok: str) -> str:
+    from .snowball import german_snowball_stem
+
+    t = tok.lower()
+    if t in GERMAN_STOP:
+        return STOP_HOLE
+    return german_snowball_stem(t)
+
+
+def german2_token(tok: str) -> str:
+    from .snowball import german2_stem
+
+    t = tok.lower()
+    if t in GERMAN_STOP:
+        return STOP_HOLE
+    return german2_stem(t)
+
+
+CHAINS["german_snowball"] = ChainSpec(_LANG_TOKEN_PATTERN,
+                                      german_snowball_token)
+CHAINS["german2"] = ChainSpec(_LANG_TOKEN_PATTERN, german2_token)

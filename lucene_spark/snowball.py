@@ -2689,3 +2689,170 @@ def nepali_stem(w: str) -> str:
         if not changed:
             break
     return w
+
+
+# ---------------------------------------------------------------------------
+# German snowball (snowball/ext/GermanStemmer.java, Snowball 2.0 'german')
+# — selectable alternative to the default GermanLightStemmer chain.
+# ---------------------------------------------------------------------------
+
+_DE_A_0 = (
+    ("U", 2), ("Y", 1), ("ä", 3), ("ö", 4), ("ü", 2),
+)
+
+_DE_A_1 = (
+    ("ern", 1), ("em", 1), ("en", 2), ("er", 1), ("es", 2), ("e", 2),
+    ("s", 3),
+)
+
+_DE_A_2 = (
+    ("est", 1), ("en", 1), ("er", 1), ("st", 2),
+)
+
+_DE_A_3 = (
+    ("lich", 1), ("ig", 1),
+)
+
+_DE_A_4 = (
+    ("heit", 3), ("isch", 2), ("keit", 4), ("lich", 3), ("end", 1),
+    ("ung", 1), ("ig", 2), ("ik", 2),
+)
+
+
+_DE_SB_V = frozenset("aeiouyäöü")
+_DE_S_ENDING = frozenset("bdfghklmnrt")
+_DE_ST_ENDING = frozenset("bdfghklmnt")
+_DE_POSTLUDE = str.maketrans({"U": "u", "Y": "y", "ä": "a", "ö": "o",
+                              "ü": "u"})
+
+
+def _de_prelude(w: str) -> str:
+    w = w.replace("ß", "ss")
+    s = list(w)
+    for i in range(1, len(s) - 1):
+        if s[i] == "u" and s[i - 1] in _DE_SB_V and s[i + 1] in _DE_SB_V:
+            s[i] = "U"
+        elif s[i] == "y" and s[i - 1] in _DE_SB_V and s[i + 1] in _DE_SB_V:
+            s[i] = "Y"
+    return "".join(s)
+
+
+def _de_regions(w: str):
+    p1, p2 = _std_regions(w, _DE_SB_V)
+    if p1 < 3:
+        p1 = 3
+    return p1, p2
+
+
+def german_snowball_stem(w: str) -> str:
+    """Snowball German (snowball/ext/GermanStemmer.java:432-455): prelude
+    (ss + intervocalic u/y protection), three R1/R2-gated suffix steps
+    with the niss / e-guard / er-en / lich-ig bonus deletions, postlude
+    unfolds umlauts."""
+    w = _de_prelude(w)
+    p1, p2 = _de_regions(w)
+    return _de_suffix_steps(w, p1, p2)
+
+
+def _de_suffix_steps(w: str, p1: int, p2: int) -> str:
+    def in_r1(start):
+        return start >= p1
+
+    def in_r2(start):
+        return start >= p2
+
+    # step A (a_1)
+    m = _match_b(w, _DE_A_1)
+    if m and in_r1(len(w) - len(m[0])):
+        suf, act = m
+        if act == 1:
+            w = w[: -len(suf)]
+        elif act == 2:
+            w = w[: -len(suf)]
+            if w.endswith("niss"):
+                w = w[:-1]
+        elif act == 3:
+            start = len(w) - 1
+            if start > 0 and w[start - 1] in _DE_S_ENDING:
+                w = w[:start]
+    # step B (a_2)
+    m = _match_b(w, _DE_A_2)
+    if m and in_r1(len(w) - len(m[0])):
+        suf, act = m
+        if act == 1:
+            w = w[: -len(suf)]
+        elif act == 2:
+            start = len(w) - 2
+            # in_grouping_b consumes the st-ending char BEFORE the 3-char
+            # room check (GermanStemmer.java r_standard_suffix case 2)
+            if (start > 0 and w[start - 1] in _DE_ST_ENDING
+                    and start - 1 - 3 >= 0):
+                w = w[:start]
+    # step C (a_4)
+    m = _match_b(w, _DE_A_4)
+    if m and in_r2(len(w) - len(m[0])):
+        suf, act = m
+        if act == 1:  # end/ung
+            w = w[: -len(suf)]
+            if (w.endswith("ig") and not w.endswith("eig")
+                    and in_r2(len(w) - 2)):
+                w = w[:-2]
+        elif act == 2:  # ig/ik/isch: not preceded by e
+            if not w[: -len(suf)].endswith("e"):
+                w = w[: -len(suf)]
+        elif act == 3:  # lich/heit
+            w = w[: -len(suf)]
+            if w.endswith(("er", "en")) and in_r1(len(w) - 2):
+                w = w[:-2]
+        elif act == 4:  # keit
+            w = w[: -len(suf)]
+            m3 = _match_b(w, _DE_A_3)
+            if m3 and in_r2(len(w) - len(m3[0])):
+                w = w[: -len(m3[0])]
+    return w.translate(_DE_POSTLUDE)
+
+
+def _de2_prelude(w: str) -> str:
+    """German2 prelude (snowball/ext/German2Stemmer.java r_prelude):
+    intervocalic u/y marking FIRST, then ss/ae/oe/ue folding with the
+    'qu' protection."""
+    s = list(w)
+    for i in range(1, len(s) - 1):
+        if s[i] == "u" and s[i - 1] in _DE_SB_V and s[i + 1] in _DE_SB_V:
+            s[i] = "U"
+        elif s[i] == "y" and s[i - 1] in _DE_SB_V and s[i + 1] in _DE_SB_V:
+            s[i] = "Y"
+    out: List[str] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        two = s[i] + (s[i + 1] if i + 1 < n else "")
+        if s[i] == "ß":
+            out.append("ss")
+            i += 1
+        elif two == "ae":
+            out.append("ä")
+            i += 2
+        elif two == "oe":
+            out.append("ö")
+            i += 2
+        elif two == "ue":
+            out.append("ü")
+            i += 2
+        elif two == "qu":
+            out.append("qu")
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def german2_stem(w: str) -> str:
+    """Snowball German2 (snowball/ext/German2Stemmer.java): German with
+    the ae/oe/ue folding prelude; suffix steps identical."""
+    w = _de2_prelude(w)
+    p1, p2 = _de_regions(w)
+    return _de_suffix_steps(w, p1, p2)
+
+

@@ -819,3 +819,33 @@ def test_nepali_full_reference_vocabulary():
     assert len(voc) == len(out) == 2000
     for w, want in zip(voc, out):
         assert nepali_stem(w) == want, w
+
+
+@pytest.mark.parametrize(
+    "zip_name,fn_name",
+    [
+        ("german", "german_snowball_stem"),
+        ("german2", "german2_stem"),
+        ("nepali", "nepali_stem"),
+    ],
+    ids=["de-sb", "de2", "ne"],
+)
+def test_snowball_zip_vocabularies(zip_name, fn_name):
+    import os
+    import zipfile
+
+    from lucene_spark import snowball
+
+    fn = getattr(snowball, fn_name)
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/snowball/" + zip_name + ".zip"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference data unavailable")
+    with zipfile.ZipFile(path) as zf:
+        voc = zf.read("voc.txt").decode("utf-8").split()
+        out = zf.read("output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) == 2000
+    for w, want in zip(voc, out):
+        assert fn(w) == want, w
