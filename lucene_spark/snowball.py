@@ -2856,3 +2856,239 @@ def german2_stem(w: str) -> str:
     return _de_suffix_steps(w, p1, p2)
 
 
+
+
+# ---------------------------------------------------------------------------
+# English snowball / Porter2 (snowball/ext/EnglishStemmer.java, Snowball
+# 2.0 'english') — selectable alternative to the classic Porter stemmer in
+# stem.py. Among tables machine-extracted.
+# ---------------------------------------------------------------------------
+
+_EN_A_0 = (
+    ("commun", -1), ("arsen", -1), ("gener", -1),
+)
+
+_EN_A_1 = (
+    ("'s'", 1), ("'s", 1), ("'", 1),
+)
+
+_EN_A_10 = (
+    ("cosmos", -1), ("gently", 7), ("singly", 11), ("andes", -1),
+    ("atlas", -1), ("dying", 3), ("early", 9), ("lying", 4),
+    ("skies", 2), ("tying", 5), ("bias", -1), ("howe", -1),
+    ("idly", 6), ("news", -1), ("only", 10), ("skis", 1), ("ugly", 8),
+    ("sky", -1),
+)
+
+_EN_A_2 = (
+    ("sses", 1), ("ied", 2), ("ies", 2), ("ss", -1), ("us", -1),
+    ("s", 3),
+)
+
+_EN_A_3 = (
+    ("at", 1), ("bb", 2), ("bl", 1), ("dd", 2), ("ff", 2), ("gg", 2),
+    ("iz", 1), ("mm", 2), ("nn", 2), ("pp", 2), ("rr", 2), ("tt", 2),
+)
+
+_EN_A_4 = (
+    ("eedly", 1), ("ingly", 2), ("edly", 2), ("eed", 1), ("ing", 2),
+    ("ed", 2),
+)
+
+_EN_A_5 = (
+    ("ational", 7), ("fulness", 9), ("iveness", 11), ("ization", 6),
+    ("ousness", 10), ("biliti", 12), ("lessli", 14), ("tional", 1),
+    ("alism", 8), ("aliti", 8), ("ation", 7), ("entli", 5),
+    ("fulli", 9), ("iviti", 11), ("ousli", 10), ("abli", 4),
+    ("alli", 8), ("anci", 3), ("ator", 7), ("enci", 2), ("izer", 6),
+    ("bli", 12), ("ogi", 13), ("li", 15),
+)
+
+_EN_A_6 = (
+    ("ational", 2), ("tional", 1), ("alize", 3), ("ative", 6),
+    ("icate", 4), ("iciti", 4), ("ical", 4), ("ness", 5), ("ful", 5),
+)
+
+_EN_A_7 = (
+    ("ement", 1), ("able", 1), ("ance", 1), ("ence", 1), ("ible", 1),
+    ("ment", 1), ("ant", 1), ("ate", 1), ("ent", 1), ("ion", 2),
+    ("ism", 1), ("iti", 1), ("ive", 1), ("ize", 1), ("ous", 1),
+    ("al", 1), ("er", 1), ("ic", 1),
+)
+
+_EN_A_8 = (
+    ("e", 1), ("l", 2),
+)
+
+_EN_A_9 = (
+    ("canning", -1), ("earring", -1), ("herring", -1), ("proceed", -1),
+    ("succeed", -1), ("exceed", -1), ("inning", -1), ("outing", -1),
+)
+
+
+_EN_V = frozenset("aeiouy")
+_EN_WXY = frozenset("Yaeiouwxy")
+_EN_VALID_LI = frozenset("cdeghkmnrt")
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_EXC1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EN_EXC2 = frozenset(("inning", "outing", "canning", "herring", "earring",
+                      "proceed", "exceed", "succeed"))
+_EN_S2_MAP = {1: "tion", 2: "ence", 3: "ance", 4: "able", 5: "ent",
+              6: "ize", 7: "ate", 8: "al", 9: "ful", 10: "ous",
+              11: "ive", 12: "ble", 14: "less"}
+_EN_S3_MAP = {1: "tion", 2: "ate", 3: "al", 4: "ic"}
+
+
+def _en_shortv(w: str, end: int) -> bool:
+    """r_shortv at cursor=end: ...CVC' with C' not in WXY, or ^CV."""
+    if end >= 3 and (w[end - 1] not in _EN_WXY and w[end - 2] in _EN_V
+                     and w[end - 3] not in _EN_V):
+        return True
+    return end == 2 and w[0] in _EN_V and w[1] not in _EN_V
+
+
+def english_snowball_stem(w: str) -> str:
+    """Snowball English / Porter2 (snowball/ext/EnglishStemmer.java:
+    855-931)."""
+    if w in _EN_EXC1:
+        return _EN_EXC1[w]
+    if len(w) < 3:
+        return w
+    # prelude
+    y_found = False
+    if w.startswith("'"):
+        w = w[1:]
+    s = list(w)
+    if s and s[0] == "y":
+        s[0] = "Y"
+        y_found = True
+    for i in range(1, len(s)):
+        if s[i] == "y" and s[i - 1] in _EN_V:
+            s[i] = "Y"
+            y_found = True
+    w = "".join(s)
+    # mark regions (gener/commun/arsen prefix exception)
+    p1 = p2 = len(w)
+    for pre in ("commun", "gener", "arsen"):
+        if w.startswith(pre):
+            p1 = len(pre)
+            break
+    else:
+        i, n = 0, len(w)
+        while i < n and w[i] not in _EN_V:
+            i += 1
+        if i < n:
+            i += 1
+            while i < n and w[i] in _EN_V:
+                i += 1
+            if i < n:
+                p1 = i + 1
+    # p2 continues from p1
+    i, n = p1, len(w)
+    while i < n and w[i] not in _EN_V:
+        i += 1
+    if i < n:
+        i += 1
+        while i < n and w[i] in _EN_V:
+            i += 1
+        if i < n:
+            p2 = i + 1
+
+    # Step 1a
+    m = _match_b(w, _EN_A_1)
+    if m:
+        w = w[: -len(m[0])]
+    m = _match_b(w, _EN_A_2)
+    if m:
+        suf, act = m
+        if act == 1:
+            w = w[:-4] + "ss"
+        elif act == 2:
+            head = w[: -len(suf)]
+            w = head + ("i" if len(head) > 1 else "ie")
+        elif act == 3:
+            if any(c in _EN_V for c in w[: -2]):
+                w = w[:-1]
+        # ss/us (act -1): no change, but the match consumes the step
+
+    if w in _EN_EXC2:
+        return w
+
+    # Step 1b
+    m = _match_b(w, _EN_A_4)
+    if m:
+        suf, act = m
+        start = len(w) - len(suf)
+        if act == 1:
+            if start >= p1:
+                w = w[:start] + "ee"
+        else:
+            if any(c in _EN_V for c in w[:start]):
+                w = w[:start]
+                m3 = _match_b(w, _EN_A_3)
+                if m3 and m3[1] == 1:          # at/bl/iz
+                    w = w + "e"
+                elif w[-2:] in _EN_DOUBLES:    # undouble
+                    w = w[:-1]
+                elif len(w) == p1 and _en_shortv(w, len(w)):
+                    w = w + "e"
+    # Step 1c
+    if (len(w) > 2 and w[-1] in "yY" and w[-2] not in _EN_V):
+        w = w[:-1] + "i"
+    # Step 2
+    m = _match_b(w, _EN_A_5)
+    if m and len(w) - len(m[0]) >= p1:
+        suf, act = m
+        head = w[: -len(suf)]
+        if act in _EN_S2_MAP:
+            w = head + _EN_S2_MAP[act]
+        elif act == 13:  # ogi -> og if preceded by l
+            if head.endswith("l"):
+                w = head + "og"
+        elif act == 15:  # li after valid_LI
+            if head and head[-1] in _EN_VALID_LI:
+                w = head
+    # Step 3
+    m = _match_b(w, _EN_A_6)
+    if m and len(w) - len(m[0]) >= p1:
+        suf, act = m
+        head = w[: -len(suf)]
+        if act in _EN_S3_MAP:
+            w = head + _EN_S3_MAP[act]
+        elif act == 5:   # ness/ful
+            w = head
+        elif act == 6:   # ative: R2
+            if len(head) >= p2:
+                w = head
+    # Step 4
+    m = _match_b(w, _EN_A_7)
+    if m and len(w) - len(m[0]) >= p2:
+        suf, act = m
+        head = w[: -len(suf)]
+        if act == 1:
+            w = head
+        elif act == 2:   # ion preceded by s/t
+            if head.endswith(("s", "t")):
+                w = head
+    # Step 5
+    m = _match_b(w, _EN_A_8)
+    if m:
+        suf, act = m
+        start = len(w) - 1
+        if act == 1:     # e
+            if start >= p2 or (start >= p1
+                               and not _en_shortv(w, start)):
+                w = w[:start]
+        else:            # l: R2 and preceded by l
+            if start >= p2 and w[start - 1] == "l":
+                w = w[:start]
+    # postlude
+    if y_found:
+        w = w.replace("Y", "y")
+    return w

@@ -849,3 +849,38 @@ def test_snowball_zip_vocabularies(zip_name, fn_name):
     assert len(voc) == len(out) == 2000
     for w, want in zip(voc, out):
         assert fn(w) == want, w
+
+
+def test_english_snowball_full_zip():
+    import os
+    import zipfile
+
+    from lucene_spark.snowball import english_snowball_stem
+
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/snowball/english.zip"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference data unavailable")
+    with zipfile.ZipFile(path) as zf:
+        voc = zf.read("voc.txt").decode("utf-8").split()
+        out = zf.read("output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) == 2000
+    for w, want in zip(voc, out):
+        assert english_snowball_stem(w) == want, w
+
+
+def test_english_snowball_exceptions_and_shortv():
+    from lucene_spark.snowball import english_snowball_stem as st
+
+    # exception1 map + short-word e-protection + Y handling
+    assert st("dying") == "die"
+    assert st("skies") == "sky"
+    assert st("news") == "news"
+    assert st("useful") == "use"
+    assert st("ide") == "ide"
+    assert st("hopping") == "hop"
+    assert st("hoping") == "hope"
+    assert st("inning") == "inning"
+    assert st("conspicuously") == "conspicu"
