@@ -868,6 +868,39 @@ _LANG_CHAIN_MAP = {
         ("dibabs", "dibab"), ("direcfly", "direcfli"),
         ("abrolhos", "abrolho"), ("dying", "die"), ("skies", "sky"),
     ],
+    # expected outputs from the reference's snowball spanish.zip vocabulary
+    "spanish_snowball": [
+        ("creadores", "creador"), ("templo", "templ"),
+        ("complicación", "complic"), ("historia", "histori"),
+        ("calabaza", "calabaz"), ("espacio", "espaci"),
+        ("partículas", "particul"), ("enjuiciar", "enjuici"),
+        ("hundida", "hund"), ("cuidado", "cuid"),
+        ("cepillan", "cepill"), ("vitro", "vitr"),
+        ("reconducción", "reconduccion"), ("ésta", "esta"),
+        ("los", None), ("una", None),
+    ],
+    # expected outputs from the reference's snowball italian.zip vocabulary
+    "italian_snowball": [
+        ("pessotto", "pessott"), ("sbagliato", "sbagl"),
+        ("sposata", "spos"), ("volerlo", "vol"),
+        ("coltivare", "coltiv"), ("esitava", "esit"),
+        ("escludono", "esclud"), ("rifiutaste", "rifiutast"),
+        ("sapremmo", "sapr"), ("istituzionale", "istituzional"),
+        ("riceverla", "ricev"), ("stretti", "strett"),
+        ("rassettar", "rassett"), ("raditelevisive", "raditelevis"),
+        ("gli", None), ("una", None),
+    ],
+    # expected outputs from the reference's snowball portuguese.zip
+    "portuguese_snowball": [
+        ("peluda", "pelud"), ("jazadji", "jazadj"),
+        ("motorizados", "motoriz"), ("norte", "nort"),
+        ("deixam", "deix"), ("prefixo", "prefix"),
+        ("craveiro", "craveir"), ("capitais", "capit"),
+        ("confeccionadas", "confeccion"), ("citar", "cit"),
+        ("aderiram", "ader"), ("respirava", "respir"),
+        ("contido", "cont"), ("amizades", "amizad"),
+        ("as", None), ("uma", None),
+    ],
 }
 
 
@@ -2710,6 +2743,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lang_searcher(sp, d, "english_snowball"),
             TermQuery(term="continu"), 10
         ),
+        "q_term_es_snowball": lambda sp, d: _topk_df(
+            # Spanish snowball variant (2,000 zip pairs)
+            _lang_searcher(sp, d, "spanish_snowball"),
+            TermQuery(term="creador"), 10
+        ),
+        "q_term_it_snowball": lambda sp, d: _topk_df(
+            # Italian snowball variant (2,000 zip pairs)
+            _lang_searcher(sp, d, "italian_snowball"),
+            TermQuery(term="coltiv"), 10
+        ),
+        "q_term_pt_snowball": lambda sp, d: _topk_df(
+            # Portuguese snowball variant (2,000 zip pairs)
+            _lang_searcher(sp, d, "portuguese_snowball"),
+            TermQuery(term="motoriz"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -4006,6 +4054,10 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_de_snowball": _lang_term_sql("german_snowball", "verwend"),
         "q_term_de2": _lang_term_sql("german2", "feu"),
         "q_term_en_snowball": _lang_term_sql("english_snowball", "continu"),
+        "q_term_es_snowball": _lang_term_sql("spanish_snowball", "creador"),
+        "q_term_it_snowball": _lang_term_sql("italian_snowball", "coltiv"),
+        "q_term_pt_snowball": _lang_term_sql("portuguese_snowball",
+                                             "motoriz"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

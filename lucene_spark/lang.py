@@ -2240,3 +2240,38 @@ def english_snowball_token(tok: str) -> str:
 
 CHAINS["english_snowball"] = ChainSpec(_LANG_TOKEN_PATTERN,
                                        english_snowball_token)
+
+
+def spanish_snowball_token(tok: str) -> str:
+    from .snowball import spanish_snowball_stem
+
+    t = tok.lower()
+    if t in SPANISH_STOP:
+        return STOP_HOLE
+    return spanish_snowball_stem(t)
+
+
+def italian_snowball_token(tok: str) -> str:
+    from .snowball import italian_snowball_stem
+
+    t = elide(tok, ITALIAN_ARTICLES).lower()
+    if t in ITALIAN_STOP:
+        return STOP_HOLE
+    return italian_snowball_stem(t)
+
+
+def portuguese_snowball_token(tok: str) -> str:
+    from .snowball import portuguese_snowball_stem
+
+    t = tok.lower()
+    if t in PORTUGUESE_STOP:
+        return STOP_HOLE
+    return portuguese_snowball_stem(t)
+
+
+CHAINS["spanish_snowball"] = ChainSpec(_LANG_TOKEN_PATTERN,
+                                       spanish_snowball_token)
+CHAINS["italian_snowball"] = ChainSpec(_LANG_TOKEN_PATTERN,
+                                       italian_snowball_token)
+CHAINS["portuguese_snowball"] = ChainSpec(_LANG_TOKEN_PATTERN,
+                                          portuguese_snowball_token)

@@ -3092,3 +3092,559 @@ def english_snowball_stem(w: str) -> str:
     if y_found:
         w = w.replace("Y", "y")
     return w
+
+
+# ---------------------------------------------------------------------------
+# Spanish snowball (snowball/ext/SpanishStemmer.java, Snowball 2.0
+# 'spanish') — selectable alternative to the default SpanishLightStemmer.
+# ---------------------------------------------------------------------------
+
+_ES_A_0 = (
+    ("á", 1), ("é", 2), ("í", 3), ("ó", 4), ("ú", 5),
+)
+
+_ES_A_1 = (
+    ("selas", -1), ("selos", -1), ("sela", -1), ("selo", -1),
+    ("las", -1), ("les", -1), ("los", -1), ("nos", -1), ("la", -1),
+    ("le", -1), ("lo", -1), ("me", -1), ("se", -1),
+)
+
+_ES_A_2 = (
+    ("iendo", 6), ("iéndo", 1), ("yendo", 7), ("ando", 6), ("ándo", 2),
+    ("ar", 6), ("er", 6), ("ir", 6), ("ár", 3), ("ér", 4), ("ír", 5),
+)
+
+_ES_A_3 = (
+    ("ad", -1), ("ic", -1), ("iv", 1), ("os", -1),
+)
+
+_ES_A_4 = (
+    ("able", 1), ("ante", 1), ("ible", 1),
+)
+
+_ES_A_5 = (
+    ("abil", 1), ("ic", 1), ("iv", 1),
+)
+
+_ES_A_6 = (
+    ("amientos", 1), ("imientos", 1), ("aciones", 2), ("amiento", 1),
+    ("imiento", 1), ("uciones", 4), ("adoras", 2), ("adores", 2),
+    ("amente", 6), ("ancias", 2), ("encias", 5), ("idades", 8),
+    ("logías", 3), ("ables", 1), ("ación", 2), ("adora", 2),
+    ("ancia", 2), ("antes", 2), ("anzas", 1), ("encia", 5),
+    ("ibles", 1), ("ismos", 1), ("istas", 1), ("logía", 3),
+    ("mente", 7), ("ución", 4), ("able", 1), ("ador", 2), ("ante", 2),
+    ("anza", 1), ("ible", 1), ("icas", 1), ("icos", 1), ("idad", 8),
+    ("ismo", 1), ("ista", 1), ("ivas", 9), ("ivos", 9), ("osas", 1),
+    ("osos", 1), ("ica", 1), ("ico", 1), ("iva", 9), ("ivo", 9),
+    ("osa", 1), ("oso", 1),
+)
+
+_ES_A_7 = (
+    ("yamos", 1), ("yendo", 1), ("yeron", 1), ("yais", 1), ("yan", 1),
+    ("yas", 1), ("yen", 1), ("yes", 1), ("ya", 1), ("ye", 1),
+    ("yo", 1), ("yó", 1),
+)
+
+_ES_A_8 = (
+    ("aríamos", 2), ("eríamos", 2), ("iríamos", 2), ("iéramos", 2),
+    ("iésemos", 2), ("aremos", 2), ("aríais", 2), ("asteis", 2),
+    ("eremos", 2), ("eríais", 2), ("ierais", 2), ("ieseis", 2),
+    ("iremos", 2), ("iríais", 2), ("isteis", 2), ("ábamos", 2),
+    ("áramos", 2), ("ásemos", 2), ("abais", 2), ("arais", 2),
+    ("aréis", 2), ("arían", 2), ("arías", 2), ("aseis", 2),
+    ("eréis", 2), ("erían", 2), ("erías", 2), ("iendo", 2),
+    ("ieran", 2), ("ieras", 2), ("ieron", 2), ("iesen", 2),
+    ("ieses", 2), ("iréis", 2), ("irían", 2), ("irías", 2),
+    ("íamos", 2), ("aban", 2), ("abas", 2), ("adas", 2), ("ados", 2),
+    ("amos", 2), ("ando", 2), ("aran", 2), ("aras", 2), ("aron", 2),
+    ("arán", 2), ("arás", 2), ("aría", 2), ("asen", 2), ("ases", 2),
+    ("aste", 2), ("emos", 1), ("erán", 2), ("erás", 2), ("ería", 2),
+    ("idas", 2), ("idos", 2), ("iera", 2), ("iese", 2), ("imos", 2),
+    ("irán", 2), ("irás", 2), ("iría", 2), ("iste", 2), ("íais", 2),
+    ("aba", 2), ("ada", 2), ("ado", 2), ("ara", 2), ("ará", 2),
+    ("aré", 2), ("ase", 2), ("erá", 2), ("eré", 2), ("ida", 2),
+    ("ido", 2), ("irá", 2), ("iré", 2), ("áis", 2), ("éis", 1),
+    ("ían", 2), ("ías", 2), ("ad", 2), ("an", 2), ("ar", 2), ("as", 2),
+    ("ed", 2), ("en", 1), ("er", 2), ("es", 1), ("id", 2), ("ir", 2),
+    ("ió", 2), ("ía", 2), ("ís", 2),
+)
+
+_ES_A_9 = (
+    ("os", 1), ("a", 1), ("e", 2), ("o", 1), ("á", 1), ("é", 2),
+    ("í", 1), ("ó", 1),
+)
+
+
+_ES_V = frozenset("aeiouáéíóúü")
+_ES_POSTLUDE = str.maketrans({"á": "a", "é": "e", "í": "i", "ó": "o",
+                              "ú": "u"})
+_ES_A2_REPL = {1: "iendo", 2: "ando", 3: "ar", 4: "er", 5: "ir"}
+
+
+def spanish_snowball_stem(w: str) -> str:
+    """Snowball Spanish (snowball/ext/SpanishStemmer.java:832-871)."""
+    pV = _rv_romance(w, _ES_V)
+    p1, p2 = _std_regions(w, _ES_V)
+
+    def r1(start):
+        return start >= p1
+
+    def r2(start):
+        return start >= p2
+
+    def rv(start):
+        return start >= pV
+
+    # attached pronoun
+    m = _match_b(w, _ES_A_1)
+    if m:
+        pron = m[0]
+        head = w[: -len(pron)]
+        m2 = _match_b(head, _ES_A_2)
+        if m2:
+            mark, act = m2
+            start = len(head) - len(mark)
+            if rv(start):
+                if act in _ES_A2_REPL:
+                    w = head[:start] + _ES_A2_REPL[act]
+                elif act == 6:
+                    w = head
+                elif act == 7 and head[:start].endswith("u"):
+                    w = head
+
+    # standard suffix | y-verb | verb
+    done = False
+    m = _match_b(w, _ES_A_6)
+    if m:
+        suf, act = m
+        start = len(w) - len(suf)
+        head = w[:start]
+        if act == 1 and r2(start):
+            w = head
+            done = True
+        elif act == 2 and r2(start):
+            w = head
+            done = True
+            if w.endswith("ic") and r2(len(w) - 2):
+                w = w[:-2]
+        elif act == 3 and r2(start):
+            w = head + "log"
+            done = True
+        elif act == 4 and r2(start):
+            w = head + "u"
+            done = True
+        elif act == 5 and r2(start):
+            w = head + "ente"
+            done = True
+        elif act == 6 and r1(start):
+            w = head
+            done = True
+            m3 = _match_b(w, _ES_A_3)
+            if m3 and r2(len(w) - len(m3[0])):
+                iv = m3[1] == 1
+                w = w[: -len(m3[0])]
+                if iv and w.endswith("at") and r2(len(w) - 2):
+                    w = w[:-2]
+        elif act == 7 and r2(start):
+            w = head
+            done = True
+            m3 = _match_b(w, _ES_A_4)
+            if m3 and r2(len(w) - len(m3[0])):
+                w = w[: -len(m3[0])]
+        elif act == 8 and r2(start):
+            w = head
+            done = True
+            m3 = _match_b(w, _ES_A_5)
+            if m3 and r2(len(w) - len(m3[0])):
+                w = w[: -len(m3[0])]
+        elif act == 9 and r2(start):
+            w = head
+            done = True
+            if w.endswith("at") and r2(len(w) - 2):
+                w = w[:-2]
+    if not done:
+        # y-verb: bounded to RV, requires preceding u
+        tail = w[pV:]
+        m = _match_b(tail, _ES_A_7)
+        if m and w[: len(w) - len(m[0])].endswith("u"):
+            w = w[: -len(m[0])]
+            done = True
+    if not done:
+        tail = w[pV:]
+        m = _match_b(tail, _ES_A_8)
+        if m:
+            suf, act = m
+            start = len(w) - len(suf)
+            if act == 1 and w[:start].endswith("gu"):
+                w = w[: start - 1]
+            else:
+                w = w[:start]
+    # residual
+    m = _match_b(w, _ES_A_9)
+    if m:
+        suf, act = m
+        start = len(w) - len(suf)
+        if act == 1 and rv(start):
+            w = w[:start]
+        elif act == 2 and rv(start):
+            w = w[:start]
+            if (w.endswith("gu") and rv(len(w) - 1)):
+                w = w[:-1]
+    return w.translate(_ES_POSTLUDE)
+
+
+# ---------------------------------------------------------------------------
+# Italian snowball (snowball/ext/ItalianStemmer.java, Snowball 2.0
+# 'italian') — selectable alternative to the default ItalianLightStemmer.
+# ---------------------------------------------------------------------------
+
+_IT_A_0 = (
+    ("qu", 6), ("á", 1), ("é", 2), ("í", 3), ("ó", 4), ("ú", 5),
+)
+
+_IT_A_1 = (
+    ("I", 1), ("U", 2),
+)
+
+_IT_A_2 = (
+    ("gliela", -1), ("gliele", -1), ("glieli", -1), ("glielo", -1),
+    ("gliene", -1), ("cela", -1), ("cele", -1), ("celi", -1),
+    ("celo", -1), ("cene", -1), ("mela", -1), ("mele", -1),
+    ("meli", -1), ("melo", -1), ("mene", -1), ("sene", -1),
+    ("tela", -1), ("tele", -1), ("teli", -1), ("telo", -1),
+    ("tene", -1), ("vela", -1), ("vele", -1), ("veli", -1),
+    ("velo", -1), ("vene", -1), ("gli", -1), ("ci", -1), ("la", -1),
+    ("le", -1), ("li", -1), ("lo", -1), ("mi", -1), ("ne", -1),
+    ("si", -1), ("ti", -1), ("vi", -1),
+)
+
+_IT_A_3 = (
+    ("ando", 1), ("endo", 1), ("ar", 2), ("er", 2), ("ir", 2),
+)
+
+_IT_A_4 = (
+    ("abil", -1), ("ic", -1), ("iv", 1), ("os", -1),
+)
+
+_IT_A_5 = (
+    ("abil", 1), ("ic", 1), ("iv", 1),
+)
+
+_IT_A_6 = (
+    ("amente", 7), ("amenti", 6), ("amento", 6), ("atrice", 1),
+    ("atrici", 1), ("azione", 2), ("azioni", 2), ("imenti", 6),
+    ("imento", 6), ("usione", 4), ("usioni", 4), ("uzione", 4),
+    ("uzioni", 4), ("abile", 1), ("abili", 1), ("atore", 2),
+    ("atori", 2), ("ibile", 1), ("ibili", 1), ("logia", 3),
+    ("logie", 3), ("mente", 1), ("ante", 1), ("anti", 1), ("anza", 1),
+    ("anze", 1), ("enza", 5), ("enze", 5), ("iche", 1), ("ichi", 1),
+    ("ismi", 1), ("ismo", 1), ("ista", 1), ("iste", 1), ("isti", 1),
+    ("istà", 1), ("istè", 1), ("istì", 1), ("ica", 1), ("ice", 1),
+    ("ici", 1), ("ico", 1), ("ità", 8), ("iva", 9), ("ive", 9),
+    ("ivi", 9), ("ivo", 9), ("osa", 1), ("ose", 1), ("osi", 1),
+    ("oso", 1),
+)
+
+_IT_A_7 = (
+    ("erebbero", 1), ("irebbero", 1), ("assero", 1), ("assimo", 1),
+    ("eranno", 1), ("erebbe", 1), ("eremmo", 1), ("ereste", 1),
+    ("eresti", 1), ("essero", 1), ("iranno", 1), ("irebbe", 1),
+    ("iremmo", 1), ("ireste", 1), ("iresti", 1), ("iscano", 1),
+    ("iscono", 1), ("issero", 1), ("arono", 1), ("avamo", 1),
+    ("avano", 1), ("avate", 1), ("eremo", 1), ("erete", 1),
+    ("erono", 1), ("evamo", 1), ("evano", 1), ("evate", 1),
+    ("iremo", 1), ("irete", 1), ("irono", 1), ("ivamo", 1),
+    ("ivano", 1), ("ivate", 1), ("Yamo", 1), ("ammo", 1), ("ando", 1),
+    ("asse", 1), ("assi", 1), ("emmo", 1), ("enda", 1), ("ende", 1),
+    ("endi", 1), ("endo", 1), ("erai", 1), ("erei", 1), ("iamo", 1),
+    ("immo", 1), ("irai", 1), ("irei", 1), ("isca", 1), ("isce", 1),
+    ("isci", 1), ("isco", 1), ("ano", 1), ("are", 1), ("ata", 1),
+    ("ate", 1), ("ati", 1), ("ato", 1), ("ava", 1), ("avi", 1),
+    ("avo", 1), ("ere", 1), ("erà", 1), ("erò", 1), ("ete", 1),
+    ("eva", 1), ("evi", 1), ("evo", 1), ("ire", 1), ("irà", 1),
+    ("irò", 1), ("ita", 1), ("ite", 1), ("iti", 1), ("ito", 1),
+    ("iva", 1), ("ivi", 1), ("ivo", 1), ("ono", 1), ("uta", 1),
+    ("ute", 1), ("uti", 1), ("uto", 1), ("ar", 1), ("ir", 1),
+)
+
+
+_IT_V = frozenset("aeiouàèìòù")
+_IT_AEIO = frozenset("aeioàèìò")
+_IT_ACUTE = str.maketrans({"á": "à", "é": "è", "í": "ì", "ó": "ò",
+                           "ú": "ù"})
+_IT_POSTLUDE = str.maketrans({"I": "i", "U": "u"})
+
+
+def _it_prelude(w: str) -> str:
+    w = w.translate(_IT_ACUTE).replace("qu", "qU")
+    s = list(w)
+    for i in range(1, len(s) - 1):
+        if s[i] == "u" and s[i - 1] in _IT_V and s[i + 1] in _IT_V:
+            s[i] = "U"
+        elif s[i] == "i" and s[i - 1] in _IT_V and s[i + 1] in _IT_V:
+            s[i] = "I"
+    return "".join(s)
+
+
+def italian_snowball_stem(w: str) -> str:
+    """Snowball Italian (snowball/ext/ItalianStemmer.java:843-883)."""
+    w = _it_prelude(w)
+    pV = _rv_romance(w, _IT_V)
+    p1, p2 = _std_regions(w, _IT_V)
+
+    def r1(s):
+        return s >= p1
+
+    def r2(s):
+        return s >= p2
+
+    def rv(s):
+        return s >= pV
+
+    # attached pronoun
+    m = _match_b(w, _IT_A_2)
+    if m:
+        pron = m[0]
+        head = w[: -len(pron)]
+        m2 = _match_b(head, _IT_A_3)
+        if m2 and rv(len(head) - len(m2[0])):
+            w = head if m2[1] == 1 else head + "e"
+
+    done = False
+    m = _match_b(w, _IT_A_6)
+    if m:
+        suf, act = m
+        start = len(w) - len(suf)
+        head = w[:start]
+        if act == 1 and r2(start):
+            w = head
+            done = True
+        elif act == 2 and r2(start):
+            w = head
+            done = True
+            if w.endswith("ic") and r2(len(w) - 2):
+                w = w[:-2]
+        elif act == 3 and r2(start):
+            w = head + "log"
+            done = True
+        elif act == 4 and r2(start):
+            w = head + "u"
+            done = True
+        elif act == 5 and r2(start):
+            w = head + "ente"
+            done = True
+        elif act == 6 and rv(start):
+            w = head
+            done = True
+        elif act == 7 and r1(start):
+            w = head
+            done = True
+            m3 = _match_b(w, _IT_A_4)
+            if m3 and r2(len(w) - len(m3[0])):
+                iv = m3[1] == 1
+                w = w[: -len(m3[0])]
+                if iv and w.endswith("at") and r2(len(w) - 2):
+                    w = w[:-2]
+        elif act == 8 and r2(start):
+            w = head
+            done = True
+            m3 = _match_b(w, _IT_A_5)
+            if m3 and r2(len(w) - len(m3[0])):
+                w = w[: -len(m3[0])]
+        elif act == 9 and r2(start):
+            w = head
+            done = True
+            if w.endswith("at") and r2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("ic") and r2(len(w) - 2):
+                    w = w[:-2]
+    if not done:
+        tail = w[pV:]
+        m = _match_b(tail, _IT_A_7)
+        if m:
+            w = w[: -len(m[0])]
+    # vowel suffix
+    if w and w[-1] in _IT_AEIO and rv(len(w) - 1):
+        w = w[:-1]
+        if w.endswith("i") and rv(len(w) - 1):
+            w = w[:-1]
+    # ch/gh -> c/g: the RV check runs after consuming BOTH chars
+    # (ItalianStemmer.java r_vowel_suffix second block)
+    if (len(w) >= 2 and w[-1] == "h" and w[-2] in "cg"
+            and rv(len(w) - 2)):
+        w = w[:-1]
+    return w.translate(_IT_POSTLUDE)
+
+
+# ---------------------------------------------------------------------------
+# Portuguese snowball (snowball/ext/PortugueseStemmer.java, Snowball 2.0
+# 'portuguese') — selectable alternative to the light/RSLP stemmers.
+# ---------------------------------------------------------------------------
+
+_PTSB_A_0 = (
+    ("ã", 1), ("õ", 2),
+)
+
+_PTSB_A_1 = (
+    ("a~", 1), ("o~", 2),
+)
+
+_PTSB_A_2 = (
+    ("ad", -1), ("ic", -1), ("iv", 1), ("os", -1),
+)
+
+_PTSB_A_3 = (
+    ("ante", 1), ("avel", 1), ("ível", 1),
+)
+
+_PTSB_A_4 = (
+    ("abil", 1), ("ic", 1), ("iv", 1),
+)
+
+_PTSB_A_5 = (
+    ("amentos", 1), ("imentos", 1), ("adoras", 1), ("adores", 1),
+    ("amente", 5), ("amento", 1), ("aço~es", 1), ("idades", 7),
+    ("imento", 1), ("logias", 2), ("uço~es", 3), ("ências", 4),
+    ("adora", 1), ("antes", 1), ("aça~o", 1), ("idade", 7),
+    ("ismos", 1), ("istas", 1), ("logia", 2), ("mente", 6),
+    ("uça~o", 3), ("ância", 1), ("ência", 4), ("ador", 1), ("ante", 1),
+    ("ezas", 1), ("icas", 1), ("icos", 1), ("iras", 9), ("ismo", 1),
+    ("ista", 1), ("ivas", 8), ("ivos", 8), ("osas", 1), ("osos", 1),
+    ("ável", 1), ("ível", 1), ("eza", 1), ("ica", 1), ("ico", 1),
+    ("ira", 9), ("iva", 8), ("ivo", 8), ("osa", 1), ("oso", 1),
+)
+
+_PTSB_A_6 = (
+    ("aríamos", 1), ("eríamos", 1), ("iríamos", 1), ("ássemos", 1),
+    ("êssemos", 1), ("íssemos", 1), ("aremos", 1), ("aríeis", 1),
+    ("eremos", 1), ("eríeis", 1), ("iremos", 1), ("iríeis", 1),
+    ("áramos", 1), ("ásseis", 1), ("ávamos", 1), ("éramos", 1),
+    ("ésseis", 1), ("íramos", 1), ("ísseis", 1), ("ara~o", 1),
+    ("ardes", 1), ("areis", 1), ("ariam", 1), ("arias", 1),
+    ("armos", 1), ("assem", 1), ("asses", 1), ("astes", 1),
+    ("era~o", 1), ("erdes", 1), ("ereis", 1), ("eriam", 1),
+    ("erias", 1), ("ermos", 1), ("essem", 1), ("esses", 1),
+    ("estes", 1), ("ira~o", 1), ("irdes", 1), ("ireis", 1),
+    ("iriam", 1), ("irias", 1), ("irmos", 1), ("issem", 1),
+    ("isses", 1), ("istes", 1), ("áreis", 1), ("áveis", 1),
+    ("éreis", 1), ("íamos", 1), ("íreis", 1), ("adas", 1), ("ados", 1),
+    ("amos", 1), ("ando", 1), ("aram", 1), ("aras", 1), ("arei", 1),
+    ("arem", 1), ("ares", 1), ("aria", 1), ("arás", 1), ("asse", 1),
+    ("aste", 1), ("avam", 1), ("avas", 1), ("emos", 1), ("endo", 1),
+    ("eram", 1), ("eras", 1), ("erei", 1), ("erem", 1), ("eres", 1),
+    ("eria", 1), ("erás", 1), ("esse", 1), ("este", 1), ("idas", 1),
+    ("idos", 1), ("imos", 1), ("indo", 1), ("iram", 1), ("iras", 1),
+    ("irei", 1), ("irem", 1), ("ires", 1), ("iria", 1), ("irás", 1),
+    ("isse", 1), ("iste", 1), ("ámos", 1), ("íeis", 1), ("ada", 1),
+    ("ado", 1), ("ais", 1), ("ara", 1), ("ará", 1), ("ava", 1),
+    ("eis", 1), ("era", 1), ("erá", 1), ("iam", 1), ("ias", 1),
+    ("ida", 1), ("ido", 1), ("ira", 1), ("irá", 1), ("am", 1),
+    ("ar", 1), ("as", 1), ("ei", 1), ("em", 1), ("er", 1), ("es", 1),
+    ("eu", 1), ("ia", 1), ("ir", 1), ("is", 1), ("iu", 1), ("ou", 1),
+)
+
+_PTSB_A_7 = (
+    ("os", 1), ("a", 1), ("i", 1), ("o", 1), ("á", 1), ("í", 1),
+    ("ó", 1),
+)
+
+_PTSB_A_8 = (
+    ("e", 1), ("ç", 2), ("é", 1), ("ê", 1),
+)
+
+
+_PTSB_V = frozenset("aeiouáâéêíóôú")
+_PTSB_POST = (("a~", "ã"), ("o~", "õ"))
+
+
+def portuguese_snowball_stem(w: str) -> str:
+    """Snowball Portuguese (snowball/ext/PortugueseStemmer.java:783-853)."""
+    w = w.replace("ã", "a~").replace("õ", "o~")
+    pV = _rv_romance(w, _PTSB_V)
+    p1, p2 = _std_regions(w, _PTSB_V)
+
+    def r1(s):
+        return s >= p1
+
+    def r2(s):
+        return s >= p2
+
+    def rv(s):
+        return s >= pV
+
+    def standard(w):
+        m = _match_b(w, _PTSB_A_5)
+        if not m:
+            return None
+        suf, act = m
+        start = len(w) - len(suf)
+        head = w[:start]
+        if act == 1 and r2(start):
+            return head
+        if act == 2 and r2(start):
+            return head + "log"
+        if act == 3 and r2(start):
+            return head + "u"
+        if act == 4 and r2(start):
+            return head + "ente"
+        if act == 5 and r1(start):
+            w = head
+            m3 = _match_b(w, _PTSB_A_2)
+            if m3 and r2(len(w) - len(m3[0])):
+                iv = m3[1] == 1
+                w = w[: -len(m3[0])]
+                if iv and w.endswith("at") and r2(len(w) - 2):
+                    w = w[:-2]
+            return w
+        if act == 6 and r2(start):
+            w = head
+            m3 = _match_b(w, _PTSB_A_3)
+            if m3 and r2(len(w) - len(m3[0])):
+                w = w[: -len(m3[0])]
+            return w
+        if act == 7 and r2(start):
+            w = head
+            m3 = _match_b(w, _PTSB_A_4)
+            if m3 and r2(len(w) - len(m3[0])):
+                w = w[: -len(m3[0])]
+            return w
+        if act == 8 and r2(start):
+            w = head
+            if w.endswith("at") and r2(len(w) - 2):
+                w = w[:-2]
+            return w
+        if act == 9 and rv(start) and head.endswith("e"):
+            return head + "ir"
+        return None
+
+    res = standard(w)
+    if res is None:
+        tail = w[pV:]
+        m = _match_b(tail, _PTSB_A_6)
+        if m:
+            res = w[: -len(m[0])]
+    if res is not None:
+        w = res
+        # trailing i after c in RV
+        if w.endswith("ci") and rv(len(w) - 1):
+            w = w[:-1]
+    else:
+        m = _match_b(w, _PTSB_A_7)
+        if m and rv(len(w) - len(m[0])):
+            w = w[: -len(m[0])]
+    # residual form
+    m = _match_b(w, _PTSB_A_8)
+    if m:
+        suf, act = m
+        start = len(w) - len(suf)
+        if act == 1 and rv(start):
+            w = w[:start]
+            if ((w.endswith("gu") or w.endswith("ci"))
+                    and rv(len(w) - 1)):
+                w = w[:-1]
+        elif act == 2:
+            w = w[:start] + "c"
+    for marker, ch in _PTSB_POST:
+        w = w.replace(marker, ch)
+    return w

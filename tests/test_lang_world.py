@@ -884,3 +884,33 @@ def test_english_snowball_exceptions_and_shortv():
     assert st("hoping") == "hope"
     assert st("inning") == "inning"
     assert st("conspicuously") == "conspicu"
+
+
+@pytest.mark.parametrize(
+    "zip_name,fn_name",
+    [
+        ("spanish", "spanish_snowball_stem"),
+        ("italian", "italian_snowball_stem"),
+        ("portuguese", "portuguese_snowball_stem"),
+    ],
+    ids=["es-sb", "it-sb", "pt-sb"],
+)
+def test_romance_snowball_zip_vocabularies(zip_name, fn_name):
+    import os
+    import zipfile
+
+    from lucene_spark import snowball
+
+    fn = getattr(snowball, fn_name)
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/snowball/" + zip_name + ".zip"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference data unavailable")
+    with zipfile.ZipFile(path) as zf:
+        voc = zf.read("voc.txt").decode("utf-8").split()
+        out = zf.read("output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) >= 1999
+    for w, want in zip(voc, out):
+        assert fn(w) == want, w
