@@ -901,6 +901,17 @@ _LANG_CHAIN_MAP = {
         ("contido", "cont"), ("amizades", "amizad"),
         ("as", None), ("uma", None),
     ],
+    # expected outputs from the reference snowball FrenchStemmer run as a
+    # dev-time oracle over the 20,403-word fr vocabulary (all match)
+    "french_snowball": [
+        ("accoster", "accost"), ("acquerrait", "acquerr"),
+        ("adorateur", "ador"), ("affirmait", "affirm"),
+        ("aidées", "aid"), ("alarmée", "alarm"), ("amarres", "amarr"),
+        ("anciennes", "ancien"), ("antipathie", "antipath"),
+        ("applaudissaient", "applaud"), ("aquetta", "aquet"),
+        ("arrêtaient", "arrêt"), ("aspirez", "aspir"),
+        ("astronomes", "astronom"), ("les", None), ("qu'une", None),
+    ],
 }
 
 
@@ -2758,6 +2769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lang_searcher(sp, d, "portuguese_snowball"),
             TermQuery(term="motoriz"), 10
         ),
+        "q_term_fr_snowball": lambda sp, d: _topk_df(
+            # French snowball variant (20,403 oracle pairs)
+            _lang_searcher(sp, d, "french_snowball"),
+            TermQuery(term="ador"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -4058,6 +4074,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_it_snowball": _lang_term_sql("italian_snowball", "coltiv"),
         "q_term_pt_snowball": _lang_term_sql("portuguese_snowball",
                                              "motoriz"),
+        "q_term_fr_snowball": _lang_term_sql("french_snowball", "ador"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -2275,3 +2275,16 @@ CHAINS["italian_snowball"] = ChainSpec(_LANG_TOKEN_PATTERN,
                                        italian_snowball_token)
 CHAINS["portuguese_snowball"] = ChainSpec(_LANG_TOKEN_PATTERN,
                                           portuguese_snowball_token)
+
+
+def french_snowball_token(tok: str) -> str:
+    from .snowball import french_snowball_stem
+
+    t = elide(tok).lower()
+    if t in FRENCH_STOP:
+        return STOP_HOLE
+    return french_snowball_stem(t)
+
+
+CHAINS["french_snowball"] = ChainSpec(_LANG_TOKEN_PATTERN,
+                                      french_snowball_token)

@@ -3648,3 +3648,305 @@ def portuguese_snowball_stem(w: str) -> str:
     for marker, ch in _PTSB_POST:
         w = w.replace(marker, ch)
     return w
+
+
+# ---------------------------------------------------------------------------
+# French snowball (snowball/ext/FrenchStemmer.java, Snowball 2.0 'french')
+# — selectable alternative to the default FrenchLightStemmer. Validated
+# against the reference snowball implementation run as a dev-time oracle.
+# ---------------------------------------------------------------------------
+
+_FRSB_A_0 = (
+    ("col", -1), ("par", -1), ("tap", -1),
+)
+
+_FRSB_A_1 = (
+    ("He", 4), ("Hi", 5), ("H", 6), ("I", 1), ("U", 2), ("Y", 3),
+)
+
+_FRSB_A_2 = (
+    ("Ièr", 4), ("abl", 3), ("eus", 2), ("iqU", 3), ("ièr", 4),
+    ("iv", 1),
+)
+
+_FRSB_A_3 = (
+    ("abil", 1), ("ic", 2), ("iv", 3),
+)
+
+_FRSB_A_4 = (
+    ("issements", 12), ("issement", 12), ("atrices", 2),
+    ("amment", 13), ("ateurs", 2), ("ations", 2), ("atrice", 2),
+    ("ements", 6), ("emment", 14), ("logies", 3), ("usions", 4),
+    ("utions", 4), ("ables", 1), ("ances", 1), ("ateur", 2),
+    ("ation", 2), ("ement", 6), ("ences", 5), ("euses", 11),
+    ("iqUes", 1), ("ismes", 1), ("istes", 1), ("logie", 3),
+    ("ments", 15), ("usion", 4), ("ution", 4), ("able", 1),
+    ("ance", 1), ("eaux", 9), ("ence", 5), ("euse", 11), ("iqUe", 1),
+    ("isme", 1), ("iste", 1), ("ités", 7), ("ives", 8), ("ment", 15),
+    ("aux", 10), ("eux", 1), ("ifs", 8), ("ité", 7), ("ive", 8),
+    ("if", 8),
+)
+
+_FRSB_A_5 = (
+    ("issaIent", 1), ("issantes", 1), ("iraIent", 1), ("issante", 1),
+    ("issants", 1), ("issions", 1), ("irions", 1), ("issais", 1),
+    ("issait", 1), ("issant", 1), ("issent", 1), ("issiez", 1),
+    ("issons", 1), ("irais", 1), ("irait", 1), ("irent", 1),
+    ("iriez", 1), ("irons", 1), ("iront", 1), ("isses", 1),
+    ("issez", 1), ("irai", 1), ("iras", 1), ("irez", 1), ("isse", 1),
+    ("îmes", 1), ("îtes", 1), ("ies", 1), ("ira", 1), ("ie", 1),
+    ("ir", 1), ("is", 1), ("it", 1), ("ît", 1), ("i", 1),
+)
+
+_FRSB_A_6 = (
+    ("assions", 3), ("eraIent", 2), ("assent", 3), ("assiez", 3),
+    ("erions", 2), ("aIent", 3), ("antes", 3), ("asses", 3),
+    ("erais", 2), ("erait", 2), ("eriez", 2), ("erons", 2),
+    ("eront", 2), ("èrent", 2), ("ante", 3), ("ants", 3), ("asse", 3),
+    ("erai", 2), ("eras", 2), ("erez", 2), ("ions", 1), ("âmes", 3),
+    ("âtes", 3), ("ais", 3), ("ait", 3), ("ant", 3), ("era", 2),
+    ("iez", 2), ("ées", 2), ("ai", 3), ("as", 3), ("er", 2), ("ez", 2),
+    ("ât", 3), ("ée", 2), ("és", 2), ("a", 3), ("é", 2),
+)
+
+_FRSB_A_7 = (
+    ("Ière", 2), ("ière", 2), ("Ier", 2), ("ier", 2), ("ion", 1),
+    ("e", 3),
+)
+
+_FRSB_A_8 = (
+    ("eill", -1), ("ell", -1), ("enn", -1), ("ett", -1), ("onn", -1),
+)
+
+
+_FR_V = frozenset("aeiouyàâèéêëîïôùû")
+_FR_KEEP_S = frozenset("aiosuè")
+
+
+def _fr_prelude(w: str) -> str:
+    s = list(w)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in _FR_V and i + 1 < len(s):
+            if (s[i + 1] == "u" and i + 2 < len(s)
+                    and s[i + 2] in _FR_V):
+                s[i + 1] = "U"
+                i += 2
+                continue
+            if (s[i + 1] == "i" and i + 2 < len(s)
+                    and s[i + 2] in _FR_V):
+                s[i + 1] = "I"
+                i += 2
+                continue
+            if s[i + 1] == "y":
+                s[i + 1] = "Y"
+                i += 2
+                continue
+        if c == "ë":
+            s[i:i + 1] = ["H", "e"]
+            i += 2
+            continue
+        if c == "ï":
+            s[i:i + 1] = ["H", "i"]
+            i += 2
+            continue
+        if c == "y" and i + 1 < len(s) and s[i + 1] in _FR_V:
+            s[i] = "Y"
+            i += 1
+            continue
+        if c == "q" and i + 1 < len(s) and s[i + 1] == "u":
+            s[i + 1] = "U"
+            i += 2
+            continue
+        i += 1
+    return "".join(s)
+
+
+def _fr_pv(w: str) -> int:
+    n = len(w)
+    if n >= 2 and w[0] in _FR_V and w[1] in _FR_V and n >= 3:
+        return 3
+    if w.startswith(("col", "par", "tap")):
+        return 3
+    i = 1
+    while i < n and w[i] not in _FR_V:
+        i += 1
+    return i + 1 if i < n else n
+
+
+_FR_POSTLUDE = [("I", "i"), ("U", "u"), ("Y", "y"), ("He", "ë"),
+                ("Hi", "ï"), ("H", "")]
+
+
+def french_snowball_stem(w: str) -> str:
+    """Snowball French (snowball/ext/FrenchStemmer.java:1070-1160)."""
+    w = _fr_prelude(w)
+    pV = _fr_pv(w)
+    p1, p2 = _std_regions(w, _FR_V)
+
+    def r1(s):
+        return s >= p1
+
+    def r2(s):
+        return s >= p2
+
+    def rv(s):
+        return s >= pV
+
+    def standard(w):
+        """Returns (new_w, success); cases 13-15 mutate but report
+        failure (the driver then runs residual_suffix)."""
+        m = _match_b(w, _FRSB_A_4)
+        if not m:
+            return w, False
+        suf, act = m
+        start = len(w) - len(suf)
+        head = w[:start]
+        if act == 1 and r2(start):
+            return head, True
+        if act == 2 and r2(start):
+            w = head
+            if w.endswith("ic"):
+                if r2(len(w) - 2):
+                    w = w[:-2]
+                else:
+                    w = w[:-2] + "iqU"
+            return w, True
+        if act == 3 and r2(start):
+            return head + "log", True
+        if act == 4 and r2(start):
+            return head + "u", True
+        if act == 5 and r2(start):
+            return head + "ent", True
+        if act == 6 and rv(start):
+            w = head
+            m3 = _match_b(w, _FRSB_A_2)
+            if m3:
+                s3, a3 = m3
+                st3 = len(w) - len(s3)
+                if a3 == 1 and r2(st3):      # iv
+                    w = w[:st3]
+                    if w.endswith("at") and r2(len(w) - 2):
+                        w = w[:-2]
+                elif a3 == 2:                # eus
+                    if r2(st3):
+                        w = w[:st3]
+                    elif r1(st3):
+                        w = w[:st3] + "eux"
+                elif a3 == 3 and r2(st3):    # abl/iqU
+                    w = w[:st3]
+                elif a3 == 4 and rv(st3):    # ièr/Ièr
+                    w = w[:st3] + "i"
+            return w, True
+        if act == 7 and r2(start):
+            w = head
+            m3 = _match_b(w, _FRSB_A_3)
+            if m3:
+                s3, a3 = m3
+                st3 = len(w) - len(s3)
+                if a3 == 1:                  # abil
+                    w = w[:st3] if r2(st3) else w[:st3] + "abl"
+                elif a3 == 2:                # ic
+                    w = w[:st3] if r2(st3) else w[:st3] + "iqU"
+                elif a3 == 3 and r2(st3):    # iv
+                    w = w[:st3]
+            return w, True
+        if act == 8 and r2(start):
+            w = head
+            if w.endswith("at") and r2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("ic"):
+                    if r2(len(w) - 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+            return w, True
+        if act == 9:
+            return head + "eau", True
+        if act == 10 and r1(start):
+            return head + "al", True
+        if act == 11:                        # euse/euses
+            if r2(start):
+                return head, True
+            if r1(start):
+                return head + "eux", True
+            return w, False
+        if act == 12 and r1(start) and head and head[-1] not in _FR_V:
+            return head, True
+        if act == 13 and rv(start):          # amment -> ant, continue
+            return head + "ant", False
+        if act == 14 and rv(start):          # emment -> ent, continue
+            return head + "ent", False
+        if act == 15:                        # ment(s) after RV vowel
+            if start > 0 and w[start - 1] in _FR_V and rv(start - 1):
+                return head, False
+            return w, False
+        return w, False
+
+    w, done = standard(w)
+    if not done:
+        tail = w[pV:]
+        m = _match_b(tail, _FRSB_A_5)
+        if m:
+            start = len(w) - len(m[0])
+            head = w[:start]
+            # not preceded by H; preceded by a non-vowel (within RV bound)
+            if (not head.endswith("H") and start - 1 >= pV
+                    and head and head[-1] not in _FR_V):
+                w = head
+                done = True
+    if not done:
+        tail = w[pV:]
+        m = _match_b(tail, _FRSB_A_6)
+        if m:
+            suf, act = m
+            start = len(w) - len(suf)
+            if act == 1:
+                if r2(start):
+                    w = w[:start]
+                    done = True
+            else:
+                w = w[:start]
+                # the e-bonus matches under limit_backward = pV
+                if act == 3 and w.endswith("e") and len(w) - 1 >= pV:
+                    w = w[:-1]
+                done = True
+    if done:
+        # final Y -> i, or ç -> c
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # residual: optional s-deletion, then a_7 bounded to RV
+        if w.endswith("s"):
+            head = w[:-1]
+            if head.endswith("Hi") or (head and head[-1]
+                                       not in _FR_KEEP_S):
+                w = head
+        tail = w[pV:]
+        m = _match_b(tail, _FRSB_A_7)
+        if m:
+            suf, act = m
+            start = len(w) - len(suf)
+            if act == 1:
+                if r2(start) and w[:start].endswith(("s", "t")):
+                    w = w[:start]
+            elif act == 2:
+                w = w[:start] + "i"
+            else:
+                w = w[:start]
+    # un_double
+    if w.endswith(("eill", "ell", "enn", "ett", "onn")):
+        w = w[:-1]
+    # un_accent: at least one trailing non-vowel, then é/è -> e
+    i = len(w)
+    while i > 0 and w[i - 1] not in _FR_V:
+        i -= 1
+    if i < len(w) and i > 0 and w[i - 1] in "éè":
+        w = w[:i - 1] + "e" + w[i:]
+    # postlude
+    for marker, ch in _FR_POSTLUDE:
+        w = w.replace(marker, ch)
+    return w

@@ -914,3 +914,25 @@ def test_romance_snowball_zip_vocabularies(zip_name, fn_name):
     assert len(voc) == len(out) >= 1999
     for w, want in zip(voc, out):
         assert fn(w) == want, w
+
+
+
+# ---------------------------------------------------------------------------
+# French snowball — validated against the reference snowball FrenchStemmer
+# run as a dev-time oracle over the 20,403-word fr vocabulary (all match);
+# 60-pair sample embedded
+# ---------------------------------------------------------------------------
+
+FRSB_VECTORS = [('a', 'a'), ('acteur', 'acteur'), ('aimerais', 'aim'), ('annoncés', 'annonc'), ('arrangé', 'arrang'), ('attribuera', 'attribu'), ('bar', 'bar'), ('bone', 'bon'), ('bureaux', 'bureau'), ('cavallo', 'cavallo'), ('cherchais', 'cherch'), ('combattaient', 'combatt'), ('conférences', 'conférent'), ('contrariés', 'contrari'), ('couvents', 'couvent'), ('décachetées', 'décachet'), ('dénonce', 'dénonc'), ('détendu', 'détendu'), ('dispute', 'disput'), ('dût', 'dût'), ('el', 'el'), ('endormit', 'endorm'), ('envi', 'envi'), ('éteignait', 'éteign'), ('expansif', 'expans'), ('fermiers', 'fermi'), ('fouillez', 'fouill'), ('garnison', 'garnison'), ('grossières', 'grossi'), ('hook', 'hook'), ('impuissants', 'impuiss'), ('inquiétudes', 'inquiétud'), ('isolement', 'isol'), ('laissèrent', 'laiss'), ('longévité', 'longev'), ('marchande', 'marchand'), ('méritait', 'mérit'), ('moquait', 'moqu'), ('nigauds', 'nigaud'), ('oiseaux', 'oiseau'), ('pamphlets', 'pamphlet'), ('patna', 'patn'), ('pétrifié', 'pétrifi'), ('poissonnerie', 'poissonner'), ('prenez', 'pren'), ('promenant', 'promen'), ('raccordent', 'raccordent'), ('reconduire', 'reconduir'), ('relis', 'rel'), ('répondu', 'répondu'), ('réuni', 'réun'), ('rues', 'ru'), ('secouru', 'secouru'), ('singularité', 'singular'), ('souvent', 'souvent'), ('surveillait', 'surveil'), ('tien', 'tien'), ('transire', 'transir'), ('vains', 'vain'), ('villequier', 'villequi')]
+
+
+def test_french_snowball_oracle_sample():
+    from lucene_spark.snowball import french_snowball_stem
+
+    for w, want in FRSB_VECTORS:
+        assert french_snowball_stem(w) == want, w
+
+
+def test_french_snowball_chain():
+    fn = _chain_fn("french_snowball")
+    assert fn("les adorateurs s'affirmaient") == [S, "ador", "affirm"]
