@@ -334,25 +334,24 @@ def norwegian_minimal_stem(w: str, bokmaal: bool = True,
 def portuguese_minimal_stem(w: str) -> str:
     """PortugueseMinimalStemmer: only the RSLP Plural step
     (analysis/pt/PortugueseMinimalStemmer.java)."""
-    from .rslp import _PT, parse_rslp, _RES
-    import os
-
     from . import rslp
 
     if rslp._PT is None:
-        rslp._PT = parse_rslp(os.path.join(_RES, "portuguese.rslp"))
+        from .rslpdata import PT_STEPS
+
+        rslp._PT = rslp._steps_from_data(PT_STEPS)
     return rslp._PT["Plural"].apply(w)
 
 
 def galician_minimal_stem(w: str) -> str:
     """GalicianMinimalStemmer: only the RSLP Plural step
     (analysis/gl/GalicianMinimalStemmer.java)."""
-    import os
-
     from . import rslp
 
     if rslp._GL is None:
-        rslp._GL = rslp.parse_rslp(os.path.join(rslp._RES, "galician.rslp"))
+        from .rslpdata import GL_STEPS
+
+        rslp._GL = rslp._steps_from_data(GL_STEPS)
     return rslp._GL["Plural"].apply(w)
 
 

@@ -119,7 +119,20 @@ def parse_rslp(path: str) -> Dict[str, Step]:
     return steps
 
 
-_RES = os.path.join(os.path.dirname(__file__), "resources")
+def _steps_from_data(rows) -> Dict[str, Step]:
+    steps: Dict[str, Step] = {}
+    for name, min_, suffixes, rules in rows:
+        rs = [Rule(suf, m, rep, exc_words=ew, exc_suffixes=es)
+              for suf, m, rep, ew, es in rules]
+        st = Step.__new__(Step)
+        st.name = name
+        st.rules = rs
+        st.min = min_
+        st.suffixes = tuple(suffixes) if suffixes else None
+        steps[name] = st
+    return steps
+
+
 _GL: Optional[Dict[str, Step]] = None
 _PT: Optional[Dict[str, Step]] = None
 
@@ -140,7 +153,9 @@ def galician_stem(w: str) -> str:
     """GalicianStemmer.stem (analysis/gl/GalicianStemmer.java:44-76)."""
     global _GL
     if _GL is None:
-        _GL = parse_rslp(os.path.join(_RES, "galician.rslp"))
+        from .rslpdata import GL_STEPS
+
+        _GL = _steps_from_data(GL_STEPS)
     st = _GL
     w = st["Plural"].apply(w)
     w = st["Unification"].apply(w)
@@ -162,7 +177,9 @@ def portuguese_rslp_stem(w: str) -> str:
     """PortugueseStemmer.stem (analysis/pt/PortugueseStemmer.java:39-76)."""
     global _PT
     if _PT is None:
-        _PT = parse_rslp(os.path.join(_RES, "portuguese.rslp"))
+        from .rslpdata import PT_STEPS
+
+        _PT = _steps_from_data(PT_STEPS)
     st = _PT
     w = st["Plural"].apply(w)
     w = st["Adverb"].apply(w)
