@@ -912,6 +912,17 @@ _LANG_CHAIN_MAP = {
         ("arrêtaient", "arrêt"), ("aspirez", "aspir"),
         ("astronomes", "astronom"), ("les", None), ("qu'une", None),
     ],
+    # expected outputs from the reference's snowball lovins.zip vocabulary
+    "lovins": [
+        ("anywhere", "anywhes"), ("ranchos", "rancho"),
+        ("deception", "decept"), ("moaned", "moan"),
+        ("footfall", "footfal"), ("littoral", "littor"),
+        ("arrives", "arriv"), ("misconstruing", "misconstru"),
+        ("melancholy", "melancho"), ("inquired", "inquir"),
+        ("comforting", "comfort"), ("erased", "eras"),
+        ("praised", "prais"), ("requirements", "requirement"),
+        ("disinterestedness", "disinterested"), ("believe", "belief"),
+    ],
 }
 
 
@@ -2774,6 +2785,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lang_searcher(sp, d, "french_snowball"),
             TermQuery(term="ador"), 10
         ),
+        "q_term_lovins": lambda sp, d: _topk_df(
+            # Lovins 1968 stemmer: condition-gated endings with trie
+            # backtracking + undouble + respell (2,000 zip pairs)
+            _lang_searcher(sp, d, "lovins"), TermQuery(term="decept"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -4075,6 +4091,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_pt_snowball": _lang_term_sql("portuguese_snowball",
                                              "motoriz"),
         "q_term_fr_snowball": _lang_term_sql("french_snowball", "ador"),
+        "q_term_lovins": _lang_term_sql("lovins", "decept"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

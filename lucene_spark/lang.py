@@ -2288,3 +2288,13 @@ def french_snowball_token(tok: str) -> str:
 
 CHAINS["french_snowball"] = ChainSpec(_LANG_TOKEN_PATTERN,
                                       french_snowball_token)
+
+
+def lovins_token(tok: str) -> str:
+    """Lovins (1968) English stemmer variant (SnowballFilter('Lovins'))."""
+    from .lovins import lovins_stem
+
+    return lovins_stem(tok.lower())
+
+
+CHAINS["lovins"] = ChainSpec(_LANG_TOKEN_PATTERN, lovins_token)

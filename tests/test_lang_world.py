@@ -936,3 +936,33 @@ def test_french_snowball_oracle_sample():
 def test_french_snowball_chain():
     fn = _chain_fn("french_snowball")
     assert fn("les adorateurs s'affirmaient") == [S, "ador", "affirm"]
+
+
+def test_lovins_full_zip():
+    import os
+    import zipfile
+
+    from lucene_spark.lovins import lovins_stem
+
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/snowball/lovins.zip"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference data unavailable")
+    with zipfile.ZipFile(path) as zf:
+        voc = zf.read("voc.txt").decode("utf-8").split()
+        out = zf.read("output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) == 2000
+    for w, want in zip(voc, out):
+        assert lovins_stem(w) == want, w
+
+
+def test_lovins_condition_backtracking():
+    from lucene_spark.lovins import lovins_stem
+
+    # a longer ending whose condition rejects falls back to a shorter one
+    assert lovins_stem("nationally") == "nat"
+    assert lovins_stem("sitting") == "sit"       # undouble
+    assert lovins_stem("believe") == "belief"    # iev -> ief respell
+    assert lovins_stem("crystallize") == "crystal"
