@@ -923,6 +923,29 @@ _LANG_CHAIN_MAP = {
         ("praised", "prais"), ("requirements", "requirement"),
         ("disinterestedness", "disinterested"), ("believe", "belief"),
     ],
+    # expected outputs from the reference's snowball/kp.zip vocabulary
+    # (voc.txt/output.txt pairs) + the dutch_stop.txt stopset
+    "dutch_kp": [
+        ("de", None), ("lichamelijk", "lichamelijk"),
+        ("opheffen", "ophef"), ("kaarten", "kaart"),
+        ("gekregen", "kreeg"), ("bomen", "boom"),
+        ("gelijkwaardige", "lijkwaar"), ("aandacht", "aandacht"),
+        ("een", None), ("mogelijkheid", "molijk"),
+        ("verhalen", "verhaal"), ("plaatsen", "plaats"),
+        ("wedstrijden", "wedstrijd"), ("miljoen", "miljoen"),
+        ("voor", None), ("gebruikt", "bruik"),
+    ],
+    # expected outputs from the reference's en/kstemTestData.zip vocabulary
+    "english_kstem": [
+        ("abatement", "abate"), ("abettors", "abet"),
+        ("abdicated", "abdicate"), ("announcing", "announce"),
+        ("dying", "die"), ("italians", "italy"),
+        ("settlements", "settlement"), ("windows", "window"),
+        ("computers", "computer"), ("quickly", "quick"),
+        ("studies", "study"), ("carrying", "carry"),
+        ("americanization", "americanize"), ("diversification", "diversify"),
+        ("electronically", "electronic"), ("friendliness", "friendly"),
+    ],
 }
 
 
@@ -2790,6 +2813,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # backtracking + undouble + respell (2,000 zip pairs)
             _lang_searcher(sp, d, "lovins"), TermQuery(term="decept"), 10
         ),
+        "q_term_en_kstem": lambda sp, d: _topk_df(
+            # Krovetz dictionary-validated stemmer (12,130 zip pairs)
+            _lang_searcher(sp, d, "english_kstem"), TermQuery(term="abate"), 10
+        ),
+        "q_term_nl_kp": lambda sp, d: _topk_df(
+            # Kraaij-Pohlmann Dutch: ge- prefix/infix removal, vowel
+            # re-lengthening, 'ij' vowel units (2,000 zip pairs)
+            _lang_searcher(sp, d, "dutch_kp"), TermQuery(term="boom"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -4092,6 +4124,8 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
                                              "motoriz"),
         "q_term_fr_snowball": _lang_term_sql("french_snowball", "ador"),
         "q_term_lovins": _lang_term_sql("lovins", "decept"),
+        "q_term_en_kstem": _lang_term_sql("english_kstem", "abate"),
+        "q_term_nl_kp": _lang_term_sql("dutch_kp", "boom"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -2298,3 +2298,29 @@ def lovins_token(tok: str) -> str:
 
 
 CHAINS["lovins"] = ChainSpec(_LANG_TOKEN_PATTERN, lovins_token)
+
+
+def english_kstem_token(tok: str) -> str:
+    """KStemFilter variant (analysis/en/KStemFilter.java): lowercase + the
+    Krovetz dictionary-validated stemmer; stopwords stay IndexConfig-driven
+    like the other English chains."""
+    from .kstem import kstem
+
+    return kstem(tok.lower())
+
+
+CHAINS["english_kstem"] = ChainSpec(_LANG_TOKEN_PATTERN, english_kstem_token)
+
+
+def dutch_kp_token(tok: str) -> str:
+    """Kraaij-Pohlmann Dutch variant (SnowballFilter('Kp')): stop + the Kp
+    cursor machine (kp.py), sharing the dutch chain's stopset."""
+    from .kp import kp_stem
+
+    t = tok.lower()
+    if t in DUTCH_STOP:
+        return STOP_HOLE
+    return kp_stem(t)
+
+
+CHAINS["dutch_kp"] = ChainSpec(_LANG_TOKEN_PATTERN, dutch_kp_token)

@@ -352,6 +352,10 @@ class Searcher:
         self._bounds_bulk: Optional[tuple] = None
         # per-query exact k-th-score cache (minCompetitiveScore carry-over)
         self._theta_cache: Dict[tuple, float] = {}
+        # distributed-tier per-(term, boost) WAND metadata (gmax / top
+        # achieved scores / probe block key) — tiny per entry, so it stays
+        # driver-resident even when the block bounds themselves don't
+        self._dist_meta_cache: Dict[tuple, dict] = {}
         # transient block-metadata predicate for sorted early termination
         self._block_pred = None
         # driver-resident decoded postings for hot terms — the analog of
@@ -622,15 +626,22 @@ class Searcher:
     def top_docs(self, q: Query, k: int = 10) -> List[Tuple[int, float]]:
         """TopDocs-style result: [(doc_id, score)] ordered by score desc,
         doc_id asc — no DataFrame round-trip (the latency-measuring API;
-        IndexSearcher.search returns TopDocs, not a cursor)."""
+        IndexSearcher.search returns TopDocs, not a cursor). The pruned tiers
+        hand their rows back directly, so no job is spent re-collecting a
+        driver-local result frame."""
         q = rewrite(q)
         rows = self._hot_topk_rows(q, k)
         if rows is not None:
             return rows
-        return [
-            (int(r["doc_id"]), float(r["score"]))
-            for r in self.search(q, k).collect()
-        ]
+        from .prune import try_pruned_topk_rows
+
+        pruned = try_pruned_topk_rows(self, q, k)
+        if pruned is not None:
+            return [(int(d), float(s)) for d, s in pruned]
+        df = self._topk(
+            self._apply_deletes(self._eval(q, needs_scores=True)), k
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
 
     def search_sorted(
         self, q: Query, k: int = 10, ascending: bool = True
@@ -1041,6 +1052,72 @@ class Searcher:
 
         return self._postings_for(list(scorer_map)).mapInPandas(run, schema=schema)
 
+    def _fused_bool_scored(
+        self, must: list, should: list, needs_scores: bool
+    ) -> Optional[DataFrame]:
+        """Single-scan decode for a flat boolean over distinct TermQuery
+        clauses: ONE postings scan + ONE Arrow stage emitting
+        (doc_id, score, is_must) for every clause match, instead of a union
+        of per-term scans. This is the distributed serving shape: Lucene's
+        BooleanScorer walks all clause postings in one pass
+        (search/BooleanScorer.java:262-285); a union of N scans re-reads the
+        postings source N times and schedules N Python stages. Falls back
+        (returns None) for non-term clauses or repeated terms."""
+        clauses = must + should
+        if len(clauses) < 2:
+            return None
+        if not all(isinstance(sq, TermQuery) for sq in clauses):
+            return None
+        if any(sq.field is not None for sq in clauses):
+            # field-qualified clauses route to per-field indexes
+            # (MultiFieldSearcher._eval) — they can't share one scan
+            return None
+        terms_all = [sq.term for sq in clauses]
+        if len(set(terms_all)) != len(terms_all):
+            return None
+        stats = self.term_stats(terms_all)
+        present = [sq for sq in clauses if sq.term in stats]
+        if not present:
+            return self._empty().withColumn("is_must", F.lit(0))
+        must_terms = {sq.term for sq in must}
+        # MUST clauses are always scored (the reference scores required
+        # clauses even under a non-scoring collector); SHOULD clauses score
+        # 1.0 when scores aren't needed — identical to the per-clause path.
+        const_terms = (
+            set() if needs_scores else {sq.term for sq in should if sq.term in stats}
+        )
+        scorers = {
+            sq.term: self.scorer_for(sq.boost, stats[sq.term]) for sq in present
+        }
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    n = int(row.count)
+                    docs, freqs, norms = codec.decode_block_row(row)
+                    if row.term in const_terms:
+                        sc = np.ones(n, dtype=np.float64)
+                    else:
+                        sc = scorers[row.term].score(freqs, norms).astype(np.float64)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": docs,
+                                "score": sc,
+                                "is_must": np.repeat(
+                                    np.int32(1 if row.term in must_terms else 0), n
+                                ),
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return self._postings_for(list(scorers)).mapInPandas(
+            run, schema="doc_id long, score double, is_must int"
+        )
+
     def decode_raw(
         self, terms: Sequence[str], with_positions: bool = False
     ) -> DataFrame:
@@ -1329,20 +1406,24 @@ class Searcher:
         must_not = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
         msm = q.minimum_should_match
 
-        parts = []
-        for sq in must:
-            parts.append(
-                self._eval(sq, True).select(
-                    "doc_id", "score", F.lit(1).alias("is_must")
-                )
-            )
-        for sq in should:
-            parts.append(
-                self._eval(sq, needs_scores).select(
-                    "doc_id", "score", F.lit(0).alias("is_must")
-                )
-            )
         base: Optional[DataFrame] = None
+        u = self._fused_bool_scored(must, should, needs_scores)
+        if u is None:
+            parts = []
+            for sq in must:
+                parts.append(
+                    self._eval(sq, True).select(
+                        "doc_id", "score", F.lit(1).alias("is_must")
+                    )
+                )
+            for sq in should:
+                parts.append(
+                    self._eval(sq, needs_scores).select(
+                        "doc_id", "score", F.lit(0).alias("is_must")
+                    )
+                )
+        else:
+            parts = [u]
         if parts:
             u = parts[0]
             for p in parts[1:]:

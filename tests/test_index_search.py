@@ -264,6 +264,34 @@ def test_pruned_distributed_fallback(searcher, oracle, monkeypatch):
     assert_topk_equal(searcher.search(q2, 10, prune=True), exp2)
 
 
+@pytest.mark.parametrize("driver_cap", ["2000000", "0"])
+def test_warm_wand_job_count(built, oracle, spark, monkeypatch, driver_cap):
+    """A warm repeated top-k on the WAND tiers spends at most 2 Spark jobs
+    (one action; AQE materializes the shuffle stage as its own job). This is
+    the 100-TB serving contract: per query, one decode+agg pass over the
+    postings — bounds, θ, and term stats all come from driver caches.
+    driver_cap="0" forces the fully distributed tier (bounds never
+    collected; the WAND test runs inline in the decode scanner)."""
+    monkeypatch.setenv("LUCENE_SPARK_DRIVER_META_MAX", driver_cap)
+    s = Searcher(built, dtype=np.float32, preload_stats=True)
+    q = bool_query(should=[TermQuery(term=t) for t in ["the", "spark", "merge"]])
+    exp = BruteForceIndex.topk(oracle.score_bool(should=["the", "spark", "merge"]), 10)
+
+    def job_ids():
+        st = spark.sparkContext.statusTracker()
+        return set(st.getJobIdsForGroup(None) or [])
+
+    s.top_docs(q, 10)  # cold: bounds/meta fetch + θ
+    s.top_docs(q, 10)
+    before = job_ids()
+    got = s.top_docs(q, 10)
+    n_jobs = len(job_ids() - before)
+    assert [(d, np.float32(sc)) for d, sc in got] == [
+        (d, np.float32(sc)) for d, sc in exp[:10]
+    ]
+    assert n_jobs <= 2, f"warm WAND query ran {n_jobs} jobs (cap 2)"
+
+
 def test_multi_phrase_query(searcher, oracle, corpus):
     w = corpus[0].split()[:2]
     slots = ((w[0], "zzznope"), (w[1],))
