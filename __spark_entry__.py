@@ -923,6 +923,29 @@ _LANG_CHAIN_MAP = {
         ("praised", "prais"), ("requirements", "requirement"),
         ("disinterestedness", "disinterested"), ("believe", "belief"),
     ],
+    # stems from the reference SerbianStemmer compiled as a dev oracle,
+    # then the SerbianNormalizationFilter's published char map (stem ->
+    # bald-latin, the analyzer's filter order); stopwords from
+    # sr/stopwords.txt
+    "serbian": [
+        ("и", None), ("ljubavi", "ljubav"), ("devojka", "devojk"),
+        ("девојка", "devojk"), ("pjevati", "pevat"),
+        ("okruženju", "okruzenj"), ("vrtovi", "vrtov"), ("prsti", "prst"),
+        ("srpski", "srpsk"), ("računari", "racunar"),
+        ("gradovi", "gradov"), ("knjige", "knjig"), ("школама", "skol"),
+        ("piscima", "pisc"), ("zemljama", "zemlj"), ("su", None),
+    ],
+    # Thai: dictionary segmentation (each surface is one lexicon word ->
+    # one token; JDK-BreakIterator-oracle-validated in tests/test_thai.py)
+    # + th/stopwords.txt; no stemming in the reference chain
+    "thai": [
+        ("ที่", None), ("โศลก", "โศลก"), ("จักรวาต", "จักรวาต"),
+        ("ปาฏิบท", "ปาฏิบท"), ("กะทำ", "กะทำ"), ("กีดกัน", "กีดกัน"),
+        ("เทพ", "เทพ"), ("ราชทินนาม", "ราชทินนาม"),
+        ("ขับถ่าย", "ขับถ่าย"), ("ประทัด", "ประทัด"), ("ภาษา", "ภาษา"),
+        ("ไทย", "ไทย"), ("แสดง", "แสดง"), ("งาน", "งาน"), ("ดี", "ดี"),
+        ("ได้", None),
+    ],
     # expected outputs from the reference's snowball/kp.zip vocabulary
     # (voc.txt/output.txt pairs) + the dutch_stop.txt stopset
     "dutch_kp": [
@@ -2822,6 +2845,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # re-lengthening, 'ij' vowel units (2,000 zip pairs)
             _lang_searcher(sp, d, "dutch_kp"), TermQuery(term="boom"), 10
         ),
+        "q_term_sr": lambda sp, d: _topk_df(
+            # Serbian: cyr->lat + ije/je prelude + 2,165-suffix tables,
+            # then the normalization filter (18,837-word dev-oracle parity)
+            _lang_searcher(sp, d, "serbian"), TermQuery(term="devojk"), 10
+        ),
+        "q_term_th": lambda sp, d: _topk_df(
+            # Thai: dictionary word segmentation (31,992-word JDK lexicon,
+            # BreakIterator-oracle parity) + digit fold + stopwords
+            _lang_searcher(sp, d, "thai"), TermQuery(term="ภาษา"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -4126,6 +4159,8 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_lovins": _lang_term_sql("lovins", "decept"),
         "q_term_en_kstem": _lang_term_sql("english_kstem", "abate"),
         "q_term_nl_kp": _lang_term_sql("dutch_kp", "boom"),
+        "q_term_sr": _lang_term_sql("serbian", "devojk"),
+        "q_term_th": _lang_term_sql("thai", "ภาษา"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

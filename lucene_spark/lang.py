@@ -2324,3 +2324,104 @@ def dutch_kp_token(tok: str) -> str:
 
 
 CHAINS["dutch_kp"] = ChainSpec(_LANG_TOKEN_PATTERN, dutch_kp_token)
+
+
+# ---------------------------------------------------------------------------
+# Serbian (SerbianAnalyzer: standard -> lower -> stop -> snowball Serbian ->
+# SerbianNormalizationFilter; analysis/sr/SerbianAnalyzer.java:59-68)
+# ---------------------------------------------------------------------------
+
+#: analysis/sr/stopwords.txt (reference resource data, embedded for parity)
+SERBIAN_STOP = frozenset((
+    "i", "ili", "a", "ali", "pa", "biti", "ne", "jesam", "sam", "jesi", "si",
+    "je", "jesmo", "smo", "jeste", "ste", "jesu", "su", "nijesam", "nisam",
+    "nijesi", "nisi", "nije", "nijesmo", "nismo", "nijeste", "niste",
+    "nijesu", "nisu", "budem", "budeš", "bude", "budemo", "budete", "budu",
+    "budes", "bih", "bi", "bismo", "biste", "biše", "bise", "bio", "bili",
+    "budimo", "budite", "bila", "bilo", "bile", "ću", "ćeš", "će", "ćemo",
+    "ćete", "neću", "nećeš", "neće", "nećemo", "nećete", "cu", "ces", "ce",
+    "cemo", "cete", "necu", "neces", "nece", "necemo", "necete", "mogu",
+    "možeš", "može", "možemo", "možete", "mozes", "moze", "mozemo", "mozete",
+    "и", "или", "а", "али", "па", "бити", "не", "јесам", "сам", "јеси", "си",
+    "је", "јесмо", "смо", "јесте", "сте", "јесу", "су", "нијесам", "нисам",
+    "нијеси", "ниси", "није", "нијесмо", "нисмо", "нијесте", "нисте",
+    "нијесу", "нису", "будем", "будеш", "буде", "будемо", "будете", "буду",
+    "будес", "бих", "би", "бисмо", "бисте", "бише", "бисе", "био", "били",
+    "будимо", "будите", "била", "било", "биле", "ћу", "ћеш", "ће", "ћемо",
+    "ћете", "нећу", "нећеш", "неће", "нећемо", "нећете", "цу", "цес", "це",
+    "цемо", "цете", "нецу", "нецес", "неце", "нецемо", "нецете", "могу",
+    "можеш", "може", "можемо", "можете", "мозес", "мозе", "моземо", "мозете"
+))
+
+_SERBIAN_TOKEN_PATTERN = re.compile(
+    r"(?:_*(?:" + _NUM_RUN + r"|["
+    + _L_EXT + _CYR + r"](?:(?:_*|[:.'\u2019])[" + _L_EXT + _CYR + r"])*))+_*"
+)
+
+
+def serbian_token(tok: str) -> str:
+    from .serbian import serbian_normalize, serbian_stem
+
+    t = tok.lower()
+    if t in SERBIAN_STOP:
+        return STOP_HOLE
+    return serbian_normalize(serbian_stem(t))
+
+
+CHAINS["serbian"] = ChainSpec(_SERBIAN_TOKEN_PATTERN, serbian_token)
+
+
+# ---------------------------------------------------------------------------
+# Thai (analysis/th/ThaiAnalyzer.java:95-100: ThaiTokenizer -> LowerCase ->
+# DecimalDigit -> Stop). The tokenizer is the dictionary segmenter in
+# thai.py (ThaiTokenizer.java:34-40 delegates to the JDK's Thai
+# BreakIterator; see thai.py for the ported engine and its envelope).
+# Run division: Thai letter/mark runs are dictionary-segmented; the
+# repetition/elongation signs (ๆ U+0E46, ๅ U+0E45) stand alone, as the
+# JDK's word rules break them out; Thai punctuation (ฯ ๏ ๚ ๛) starts no
+# token (ThaiTokenizer.java:93-96 skips segments whose first char is not
+# a letter or digit); Latin/digit runs follow the standard word pattern,
+# with Thai digits joining digit runs and folding to ASCII.
+# ---------------------------------------------------------------------------
+
+from .langdata import THAI_STOP  # noqa: E402
+
+_THAI_DICT_RUN = "[ก-ฮะ-ฺเ-ไ็-๎]+"
+_THAI_D = "0-9๐-๙"
+_THAI_NUM_RUN = "[" + _THAI_D + r"](?:(?:_*|[.,;'])[" + _THAI_D + "])*"
+_THAI_OTHER_RUN = (
+    r"(?:_*(?:" + _THAI_NUM_RUN
+    + r"|[" + _L_EXT + r"](?:(?:_*|[:.'’])[" + _L_EXT + r"])*))+_*"
+)
+_THAI_SEG_PATTERN = re.compile(
+    "(" + _THAI_DICT_RUN + ")|([ๅๆ])|(" + _THAI_OTHER_RUN + ")"
+)
+
+
+def thai_analyze(text: str) -> List[str]:
+    from .thai import segment_thai_run
+
+    out: List[str] = []
+    for m in _THAI_SEG_PATTERN.finditer(text):
+        run = m.group(1)
+        if run is not None:
+            toks = segment_thai_run(run)
+        elif m.group(2) is not None:
+            toks = [m.group(2)]
+        else:
+            toks = [m.group(3).lower()]
+        for t in toks:
+            t = fold_decimal_digits(t)
+            out.append(STOP_HOLE if t in THAI_STOP else t)
+    return out
+
+
+def thai_token(tok: str) -> str:
+    """Single-token path (MemoryIndex etc.): lowercase + digit fold +
+    stop; dictionary segmentation happens in :func:`thai_analyze`."""
+    t = fold_decimal_digits(tok.lower())
+    return STOP_HOLE if t in THAI_STOP else t
+
+
+CHAINS["thai"] = ChainSpec(_THAI_SEG_PATTERN, thai_token, raw_case=True,
+                           analyze=thai_analyze)
