@@ -34,6 +34,10 @@ sys.path.insert(0, REPO)
 
 BUILD_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 QUERY_REPS = 5
+# BENCH/BASELINE.md is a hand-merged multi-execution report; set
+# SPARK_GRAFT_SCALING_MD=0 so a single execution logs JSON without
+# clobbering it (the per-execution logs live in BENCH/scaling_*.json.log).
+WRITE_MD = os.environ.get("SPARK_GRAFT_SCALING_MD", "1") != "0"
 
 
 def _burn(_):
@@ -211,6 +215,8 @@ def main() -> None:
     report = {"n_docs": n_docs, "levels": results, "pairs": pair_reports}
     print(json.dumps(report, indent=2))
 
+    if not WRITE_MD:
+        return
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     level_rows = "\n".join(
         f"| local[{c}] | {results[c]['build_sec']} | {results[c]['docs_per_sec']} "
