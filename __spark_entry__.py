@@ -291,6 +291,25 @@ def _block_children_of(sp: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _graph_syn_query(kind: str) -> Query:
+    """Query-time multi-word synonym expansion (synonymgraph.py analog of
+    SynonymGraphFilter + QueryBuilder's graph decision tree,
+    util/QueryBuilder.java:505-583) over the expand rule 'fast table, quick':
+    bool   -> SHOULD[ SHOULD[MUST[fast, table], quick], merge ]
+    phrase -> SHOULD[ phrase(fast table), term(quick) ]"""
+    from lucene_spark.analysis import standard_analyze
+    from lucene_spark.synonymgraph import (
+        create_boolean_query,
+        create_phrase_query,
+        parse_solr_synonyms,
+    )
+
+    m = parse_solr_synonyms("fast table, quick", standard_analyze)
+    if kind == "bool":
+        return create_boolean_query("fast table merge", standard_analyze, m)
+    return create_phrase_query("fast table", standard_analyze, m)
+
+
 def _syn_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index with index-time synonyms: 'fast' also indexes 'quick' at the
     same position (posIncr=0 overlap); norms discount the injected tokens."""
@@ -2610,6 +2629,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # phrase accepts the injected synonym at the base position
             _syn_searcher(sp, d), PhraseQuery(terms=("quick", "table")), 10
         ),
+        "q_synonym_graph_bool": lambda sp, d: _topk_df(
+            # query-time SynonymGraphFilter expansion (no reindex): the
+            # multi-word segment becomes SHOULD[MUST[fast,table], quick]
+            _searcher(sp, d), _graph_syn_query("bool"), 10
+        ),
+        "q_synonym_graph_phrase": lambda sp, d: _topk_df(
+            # analyzeGraphPhrase: every full path as a phrase/term clause
+            _searcher(sp, d), _graph_syn_query("phrase"), 10
+        ),
         # ---- language analysis chains (fr/de/es default analyzers) ----
         "q_term_fr": lambda sp, d: _topk_df(
             # French chain end-to-end: elision + stop holes + light stem
@@ -4167,6 +4195,8 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_synonym_index_phrase": _phrase_sql(
             ["quick", "table"], prelude=_syn_prelude([("fast", ["quick"])])
         ),
+        "q_synonym_graph_bool": _graph_syn_bool_sql(),
+        "q_synonym_graph_phrase": _graph_syn_phrase_sql(),
         "q_index_sorted_topk": _sorted_topk_sql("vector", 10, True),
         "q_index_sorted_topk_desc": _sorted_topk_sql("vector", 10, False),
         "q_search_after": _PRELUDE
@@ -6912,6 +6942,64 @@ ssc AS (
 """
         + _rank_tail("score", "FROM ssc", k)
     )
+
+
+def _graph_syn_bool_sql(k: int = 10) -> str:
+    """Oracle for q_synonym_graph_bool: outer SHOULD sums the graph-segment
+    clause (itself a SHOULD over MUST[fast,table] and quick) with merge;
+    pure-SHOULD boolean requires >= 1 matching clause at every level."""
+    sql = _PRELUDE + _scored_cte(["fast", "table", "quick", "merge"])
+    sql += """
+, conj AS (
+  SELECT doc_id, sum(score) AS score FROM sc WHERE term IN ('fast', 'table')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+),
+qk AS (SELECT doc_id, score FROM sc WHERE term = 'quick'),
+gseg AS (
+  SELECT coalesce(c.doc_id, k.doc_id) AS doc_id,
+         coalesce(c.score, 0) + coalesce(k.score, 0) AS score
+  FROM conj c FULL OUTER JOIN qk k ON k.doc_id = c.doc_id
+),
+mg AS (SELECT doc_id, score FROM sc WHERE term = 'merge'),
+outq AS (
+  SELECT coalesce(g.doc_id, m.doc_id) AS doc_id,
+         coalesce(g.score, 0) + coalesce(m.score, 0) AS score
+  FROM gseg g FULL OUTER JOIN mg m ON m.doc_id = g.doc_id
+)
+"""
+    return sql + _rank_tail("score", "FROM outq", k)
+
+
+def _graph_syn_phrase_sql(k: int = 10) -> str:
+    """Oracle for q_synonym_graph_phrase: SHOULD[phrase(fast table),
+    term(quick)] — exact-phrase BM25 (idf sum, consecutive positions)
+    summed with the term clause where either matches."""
+    inv = _INV.format(k1=K1, b=B)
+    idf = (
+        "ln(1 + (s.n - (SELECT df FROM dfreq WHERE term = '{t}') + 0.5)"
+        " / ((SELECT df FROM dfreq WHERE term = '{t}') + 0.5))"
+    )
+    idf_sum = idf.format(t="fast") + " + " + idf.format(t="table")
+    sql = _PRELUDE + _scored_cte(["quick"])
+    sql += f"""
+, pf AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS freq
+  FROM tokp p0 JOIN tokp p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'fast' AND p1.term = 'table'
+  GROUP BY p0.doc_id
+),
+psc AS (
+  SELECT pf.doc_id,
+         (({idf_sum})) - (({idf_sum})) / (1 + pf.freq * {inv}) AS score
+  FROM pf JOIN dlq q ON q.doc_id = pf.doc_id CROSS JOIN stats s
+),
+outq AS (
+  SELECT coalesce(p.doc_id, qk.doc_id) AS doc_id,
+         coalesce(p.score, 0) + coalesce(qk.score, 0) AS score
+  FROM psc p FULL OUTER JOIN sc qk ON qk.doc_id = p.doc_id
+)
+"""
+    return sql + _rank_tail("score", "FROM outq", k)
 
 
 def _dismax_sql(terms: list[str], tie: float, k: int = 10) -> str:

@@ -57,6 +57,48 @@ def calibrate(procs: int) -> float:
     return (procs * 2) / (time.time() - t0)
 
 
+def serve(cores: int, n_docs: int) -> None:
+    """Interactive child for --paired mode: warm up once, then run one
+    measured build per 'build' command on stdin. Keeping the JVM alive
+    lets the driver alternate 8- and 32-core builds back-to-back, so each
+    efficiency pair samples the same host window (slow Firecracker drift
+    between the two phases is what sank whole-phase executions)."""
+    from lucene_spark.build import IndexConfig, build_index
+    from lucene_spark.corpus import generate_corpus, sha256_sidecar, verify_sha256
+    from lucene_spark.session import get_spark
+
+    spark = get_spark(app=f"scaling_{cores}", cores=cores, shuffle_partitions=cores * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = generate_corpus(spark, n_docs, num_partitions=cores * 4).persist()
+    corpus.count()
+    sidecar = sha256_sidecar(corpus).persist()
+    sidecar.count()
+    verify_sha256(corpus, sidecar)
+    cfg = IndexConfig(chain="code", seg_size=1 << 13, block_size=128,
+                      with_positions=False)
+
+    def one_build():
+        t0 = time.time()
+        idx = build_index(corpus, cfg, order_cols=["repo", "path"],
+                          num_partitions=cores * 2, eager=True)
+        return time.time() - t0, idx
+
+    _, idx = one_build()  # warm-up (JVM codegen + worker spin-up), excluded
+    idx.unpersist()
+    print(json.dumps({"ready": cores}), flush=True)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "quit":
+            break
+        if cmd != "build":
+            continue
+        sec, idx = one_build()
+        idx.unpersist()
+        print(json.dumps({"cores": cores, "build_sec": round(sec, 2),
+                          "docs_per_sec": round(n_docs / sec, 1)}), flush=True)
+    spark.stop()
+
+
 def run_level(cores: int, n_docs: int) -> dict:
     out = subprocess.run(
         [sys.executable, __file__, "--child", str(cores), str(n_docs)],
@@ -179,9 +221,97 @@ def child(cores: int, n_docs: int) -> None:
     spark.stop()
 
 
+def _read_json(proc, want_key: str) -> dict:
+    """Next stdout line that parses as JSON carrying want_key (Spark can
+    interleave stray lines despite ERROR log level)."""
+    while True:
+        line = proc.stdout.readline()
+        if not line:
+            raise RuntimeError("scaling child exited early")
+        try:
+            obj = json.loads(line.strip())
+        except (ValueError, TypeError):
+            continue
+        if want_key in obj:
+            return obj
+
+
+def paired(lo: int, hi: int, n_docs: int) -> None:
+    """Paired-interleave protocol: both levels live in persistent warmed
+    JVMs; builds alternate lo,hi,lo,hi so every efficiency pair samples
+    one host window. Per-pair efficiency = (docs/s[hi] / docs/s[lo]) /
+    (hi/lo); the median over pairs is the headline (robust to a single
+    noisy window), best/mean reported alongside. Calibration burn runs
+    after the pairs, as in the classic protocol."""
+    procs = {}
+    for cores in (lo, hi):
+        procs[cores] = subprocess.Popen(
+            [sys.executable, __file__, "--serve", str(cores), str(n_docs)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, cwd=REPO, bufsize=1,
+        )
+    for cores in (lo, hi):
+        _read_json(procs[cores], "ready")
+        print(json.dumps({"ready": cores}), flush=True)
+
+    def build(cores: int) -> dict:
+        procs[cores].stdin.write("build\n")
+        procs[cores].stdin.flush()
+        return _read_json(procs[cores], "build_sec")
+
+    ratio = hi / lo
+    pairs = []
+    for i in range(BUILD_REPS):
+        a = build(lo)
+        b = build(hi)
+        eff = (b["docs_per_sec"] / a["docs_per_sec"]) / ratio
+        pairs.append({"rep": i, f"build_sec_{lo}": a["build_sec"],
+                      f"build_sec_{hi}": b["build_sec"],
+                      f"docs_per_sec_{lo}": a["docs_per_sec"],
+                      f"docs_per_sec_{hi}": b["docs_per_sec"],
+                      "efficiency_raw": round(eff, 3)})
+        print(json.dumps(pairs[-1]), flush=True)
+    for cores in (lo, hi):
+        try:
+            procs[cores].stdin.write("quit\n")
+            procs[cores].stdin.flush()
+        except BrokenPipeError:
+            pass
+    calib = {c: calibrate(c) for c in (lo, hi)}
+    ceiling = (calib[hi] / calib[lo]) / ratio
+    effs = sorted(p["efficiency_raw"] for p in pairs)
+    median = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+    best_lo = max(p[f"docs_per_sec_{lo}"] for p in pairs)
+    best_hi = max(p[f"docs_per_sec_{hi}"] for p in pairs)
+    report = {
+        "mode": "paired", "n_docs": n_docs, "pair": f"{lo}->{hi}",
+        "pairs": pairs,
+        "efficiency_median": median,
+        "efficiency_best": effs[-1],
+        "efficiency_mean": round(sum(effs) / len(effs), 3),
+        "best_docs_per_sec": {str(lo): best_lo, str(hi): best_hi},
+        "efficiency_best_of_builds": round((best_hi / best_lo) / ratio, 3),
+        "hardware_ceiling": round(ceiling, 3),
+        "efficiency_median_vs_ceiling": round(median / ceiling, 3),
+    }
+    print(json.dumps(report, indent=2))
+    for p in procs.values():
+        p.wait(timeout=120)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--serve":
+        serve(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--paired":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 120_000
+        pair = sys.argv[3] if len(sys.argv) > 3 else "8:32"
+        lo, hi = (int(x) for x in pair.split(":"))
+        paired(lo, hi, n_docs)
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
     pairs_arg = sys.argv[2] if len(sys.argv) > 2 else "8:32"
