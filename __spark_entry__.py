@@ -310,6 +310,37 @@ def _graph_syn_query(kind: str) -> Query:
     return create_phrase_query("fast table", standard_analyze, m)
 
 
+#: dictionary for the compound-decompounding entries: 'customer' ->
+#: custom+mer, 'merge' -> mer (DictionaryCompoundWordTokenFilter brute-force
+#: substring scan, reference analysis/compound/DictionaryCompoundWordTokenFilter.java:68-94)
+_COMPOUND_WORDS = ("custom", "mer")
+
+
+def _compound_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with dictionary decompounding: each token's dictionary
+    substrings are injected at the token's position (posIncr=0 overlaps,
+    norm-discounted like synonyms)."""
+    from lucene_spark.compound import DictionaryDecompounder
+
+    key = f"{sf_dir}::compound"
+    if key not in _CACHE:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).repartition(spark.sparkContext.defaultParallelism)
+        cfg = IndexConfig(
+            chain="standard",
+            seg_size=1 << 10,
+            block_size=128,
+            with_positions=True,
+            decompound=DictionaryDecompounder(words=frozenset(_COMPOUND_WORDS)),
+        )
+        idx = build_index(
+            docs, cfg, content_col="text", doc_id_col="doc_id"
+        ).persist()
+        _CACHE[key] = Searcher(idx, dtype=np.float64)
+    return _CACHE[key]
+
+
 def _syn_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index with index-time synonyms: 'fast' also indexes 'quick' at the
     same position (posIncr=0 overlap); norms discount the injected tokens."""
@@ -2629,6 +2660,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # phrase accepts the injected synonym at the base position
             _syn_searcher(sp, d), PhraseQuery(terms=("quick", "table")), 10
         ),
+        "q_compound_term": lambda sp, d: _topk_df(
+            # DictionaryCompoundWordTokenFilter: 'customer' injects
+            # 'custom'+'mer' at its position; the subword is searchable
+            _compound_searcher(sp, d), TermQuery(term="custom"), 10
+        ),
+        "q_compound_phrase": lambda sp, d: _topk_df(
+            # subword sits AT the compound's position: phrase through it
+            _compound_searcher(sp, d), PhraseQuery(terms=("custom", "query")), 10
+        ),
         "q_synonym_graph_bool": lambda sp, d: _topk_df(
             # query-time SynonymGraphFilter expansion (no reindex): the
             # multi-word segment becomes SHOULD[MUST[fast,table], quick]
@@ -4194,6 +4234,12 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         + _rank_tail("score", "FROM sc", 10),
         "q_synonym_index_phrase": _phrase_sql(
             ["quick", "table"], prelude=_syn_prelude([("fast", ["quick"])])
+        ),
+        "q_compound_term": _compound_prelude(_COMPOUND_WORDS)
+        + _scored_cte(["custom"])
+        + _rank_tail("score", "FROM sc", 10),
+        "q_compound_phrase": _phrase_sql(
+            ["custom", "query"], prelude=_compound_prelude(_COMPOUND_WORDS)
         ),
         "q_synonym_graph_bool": _graph_syn_bool_sql(),
         "q_synonym_graph_phrase": _graph_syn_phrase_sql(),
@@ -6248,6 +6294,50 @@ def _stop_prelude(stopset: tuple) -> str:
         "tokp AS (\n  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos\n  FROM tokarr\n)",
         "tokp0 AS (\n  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos\n  FROM tokarr\n),\n"
         f"tokp AS (SELECT * FROM tokp0 WHERE term NOT IN ({lits}))",
+    )
+    return out
+
+
+def _compound_prelude(
+    words: tuple[str, ...],
+    min_word: int = 5,
+    min_sub: int = 2,
+    max_sub: int = 15,
+) -> str:
+    """_PRELUDE with dictionary-decompounding (posIncr=0) semantics,
+    re-deriving the brute-force substring scan of
+    DictionaryCompoundWordTokenFilter.decompose INDEPENDENTLY in SQL: for
+    every token of length >= min_word, every dictionary word of length in
+    [min_sub, max_sub] occurring at any start offset is injected at the
+    token's position. tf/df/sttf count the injections; the norm-length
+    chain counts only base tokens (numOverlap discount)."""
+    lits = ", ".join(f"('{w}')" for w in words)
+    adds = f"""  UNION ALL
+  SELECT t.doc_id, d.w AS term{{pos_sel}}
+  FROM {{src}} t, (VALUES {lits}) d(w), generate_series(1, 64) g(i)
+  WHERE length(t.term) >= {min_word}
+    AND length(d.w) BETWEEN {min_sub} AND {max_sub}
+    AND g.i + length(d.w) - 1 <= length(t.term)
+    AND substring(t.term, g.i, length(d.w)) = d.w"""
+    adds_tok = adds.format(src="tok0", pos_sel="")
+    adds_tokp = adds.format(src="tokp0", pos_sel=", t.pos")
+    out = _PRELUDE.replace(
+        "tok AS (\n  SELECT doc_id, unnest(toks) AS term FROM tokarr\n)",
+        "tok0 AS (\n  SELECT doc_id, unnest(toks) AS term FROM tokarr\n),\n"
+        "tok AS (\n  SELECT * FROM tok0\n" + adds_tok + "\n)",
+    )
+    out = out.replace(
+        "tokp AS (\n  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos\n  FROM tokarr\n)",
+        "tokp0 AS (\n  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos\n  FROM tokarr\n),\n"
+        "tokp AS (\n  SELECT * FROM tokp0\n" + adds_tokp + "\n)",
+    )
+    out = out.replace(
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY 1)",
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok0 GROUP BY 1)",
+    )
+    out = out.replace(
+        "(SELECT coalesce(sum(len), 0) FROM dl)::DOUBLE AS sttf",
+        "(SELECT count(*) FROM tok)::DOUBLE AS sttf",
     )
     return out
 

@@ -201,6 +201,29 @@ def _invert_core(config: IndexConfig, pairs):
                 if total == 0:
                     continue
             base_counts = counts
+            if config.decompound is not None:
+                # CompoundWordTokenFilterBase: each token's dictionary /
+                # hyphenation subwords join at the SAME position (posIncr=0
+                # overlaps, norm-discounted like synonyms). Decompose once
+                # per DISTINCT token (memoized across batches), then expand.
+                dec = config.decompound
+                codes_d, uniq_d = pd.factorize(pd.Series(flat), sort=False)
+                subs = [dec.decompose(u) for u in uniq_d]
+                n_subs = np.fromiter((len(s) for s in subs), np.int64, len(subs))
+                per_tok = n_subs[codes_d]
+                if per_tok.any():
+                    src = np.nonzero(per_tok)[0]
+                    add_t = np.array(
+                        [w for i in src for w in subs[codes_d[i]]], dtype=object
+                    )
+                    rep = per_tok[src]
+                    flat = np.concatenate([flat, add_t])
+                    row_idx = np.concatenate([row_idx, np.repeat(row_idx[src], rep)])
+                    pos = np.concatenate([pos, np.repeat(pos[src], rep)])
+                    counts = np.bincount(
+                        row_idx, minlength=len(batch_docs)
+                    ).astype(np.int64)
+                    total = len(flat)
             if syn_map:
                 # SynonymFilter posIncr=0: inject extras at the SAME
                 # position; injected tokens are overlaps (count into
@@ -225,7 +248,7 @@ def _invert_core(config: IndexConfig, pairs):
             # one vectorized (row, term) aggregation for the whole batch:
             codes, _ = pd.factorize(pd.Series(flat), sort=False)
             key = row_idx.astype(np.int64) * (codes.max() + 1) + codes
-            if syn_map:
+            if syn_map or config.decompound is not None:
                 # injected tokens break the pre-sorted pos invariant
                 order = np.lexsort((pos, key))
             else:
@@ -763,6 +786,9 @@ def config_to_dict(config: IndexConfig) -> dict:
         "store_cols": list(config.store_cols),
         "stopwords": sorted(config.stopwords),
         "synonyms": [[b, list(e)] for b, e in config.synonyms],
+        "decompound": (
+            config.decompound.to_json() if config.decompound is not None else None
+        ),
     }
 
 
@@ -771,6 +797,9 @@ def config_from_dict(mc: dict) -> IndexConfig:
     mc["store_cols"] = tuple(mc.get("store_cols") or ())
     mc["stopwords"] = frozenset(mc.get("stopwords") or ())
     mc["synonyms"] = tuple((b, tuple(e)) for b, e in (mc.get("synonyms") or ()))
+    from .compound import decompounder_from_json
+
+    mc["decompound"] = decompounder_from_json(mc.get("decompound"))
     return IndexConfig(**mc)
 
 

@@ -39,3 +39,8 @@ class IndexConfig:
     # norm discounts them (FieldInvertState.numOverlap,
     # index/IndexingChain.java:1196; BM25Similarity discountOverlaps).
     synonyms: Tuple[Tuple[str, Tuple[str, ...]], ...] = ()
+    # compound-word decompounding (CompoundWordTokenFilterBase subclasses):
+    # a compound.DictionaryDecompounder / HyphenationDecompounder whose
+    # subwords are injected at the original token's position (posIncr=0
+    # overlaps, same norm discount as synonyms) — SURVEY.md §2.2.
+    decompound: Optional[object] = None
