@@ -341,6 +341,49 @@ def _compound_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return _CACHE[key]
 
 
+#: DoubleMetaphone(primary, alternate) codes for the corpus's fixed 31-word
+#: vocabulary — the oracle twin injects these like index-time synonyms
+#: (the PhoneticFilter inject mode IS posIncr=0 synonym injection). Rows
+#: are consistency-tested against the encoder in tests/test_phonetic.py;
+#: the algorithm itself is pinned by the reference filter vectors there.
+_PHONETIC_MAP = [
+    ("a", ["A"]), ("agg", ["AK"]), ("batch", ["PX"]), ("big", ["PK"]),
+    ("column", ["KLMN"]), ("customer", ["KSTM"]), ("data", ["TT"]),
+    ("dup", ["TP"]), ("fast", ["FST"]), ("filter", ["FLTR"]),
+    ("group", ["KRP"]), ("hash", ["HX"]), ("join", ["JN", "AN"]),
+    ("key", ["K"]), ("line", ["LN"]), ("merge", ["MRJ", "MRK"]),
+    ("order", ["ARTR"]), ("part", ["PRT"]), ("query", ["KR"]),
+    ("row", ["R", "RF"]), ("scan", ["SKN"]), ("slow", ["SL", "XLF"]),
+    ("small", ["SML", "XML"]), ("sort", ["SRT"]), ("spark", ["SPRK"]),
+    ("stream", ["STRM"]), ("table", ["TPL"]), ("the", ["0", "T"]),
+    ("value", ["FL"]), ("vector", ["FKTR"]), ("window", ["ANT", "FNTF"]),
+]
+
+
+def _phonetic_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with DoubleMetaphone inject=True: primary (and differing
+    alternate) codes join each token's position as posIncr=0 overlaps."""
+    from lucene_spark.phonetic import PhoneticConfig
+
+    key = f"{sf_dir}::phonetic"
+    if key not in _CACHE:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).repartition(spark.sparkContext.defaultParallelism)
+        cfg = IndexConfig(
+            chain="standard",
+            seg_size=1 << 10,
+            block_size=128,
+            with_positions=True,
+            phonetic=PhoneticConfig("doublemetaphone", inject=True),
+        )
+        idx = build_index(
+            docs, cfg, content_col="text", doc_id_col="doc_id"
+        ).persist()
+        _CACHE[key] = Searcher(idx, dtype=np.float64)
+    return _CACHE[key]
+
+
 def _syn_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index with index-time synonyms: 'fast' also indexes 'quick' at the
     same position (posIncr=0 overlap); norms discount the injected tokens."""
@@ -2669,6 +2712,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # subword sits AT the compound's position: phrase through it
             _compound_searcher(sp, d), PhraseQuery(terms=("custom", "query")), 10
         ),
+        "q_phonetic_term": lambda sp, d: _topk_df(
+            # DoubleMetaphone inject: 'customer' also indexes KSTM at its
+            # position; phonetic search hits the code term
+            _phonetic_searcher(sp, d), TermQuery(term="KSTM"), 10
+        ),
+        "q_phonetic_cross_match": lambda sp, d: _topk_df(
+            # 'merge' (MRJ|MRK) found via its alternate code — the
+            # spelling-variant matching phonetic filters exist for
+            _phonetic_searcher(sp, d), TermQuery(term="MRK"), 10
+        ),
         "q_synonym_graph_bool": lambda sp, d: _topk_df(
             # query-time SynonymGraphFilter expansion (no reindex): the
             # multi-word segment becomes SHOULD[MUST[fast,table], quick]
@@ -4241,6 +4294,12 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_compound_phrase": _phrase_sql(
             ["custom", "query"], prelude=_compound_prelude(_COMPOUND_WORDS)
         ),
+        "q_phonetic_term": _syn_prelude(_PHONETIC_MAP)
+        + _scored_cte(["KSTM"])
+        + _rank_tail("score", "FROM sc", 10),
+        "q_phonetic_cross_match": _syn_prelude(_PHONETIC_MAP)
+        + _scored_cte(["MRK"])
+        + _rank_tail("score", "FROM sc", 10),
         "q_synonym_graph_bool": _graph_syn_bool_sql(),
         "q_synonym_graph_phrase": _graph_syn_phrase_sql(),
         "q_index_sorted_topk": _sorted_topk_sql("vector", 10, True),

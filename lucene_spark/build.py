@@ -245,10 +245,44 @@ def _invert_core(config: IndexConfig, pairs):
                         row_idx, minlength=len(batch_docs)
                     ).astype(np.int64)
                     total = len(flat)
+            if config.phonetic is not None:
+                # PhoneticFilter runs LAST in the chain: replacements are a
+                # 1:1 map over the (possibly already expanded) stream;
+                # encoded overlaps join at the source token's position and
+                # are norm-discounted (captured base_counts unchanged)
+                pho = config.phonetic
+                codes_p, uniq_p = pd.factorize(pd.Series(flat), sort=False)
+                trans = [pho.transform(u) for u in uniq_p]
+                repl = np.array([t[0] for t in trans], dtype=object)
+                flat = repl[codes_p]
+                n_ext = np.fromiter(
+                    (len(t[1]) for t in trans), np.int64, len(trans)
+                )
+                per_tok = n_ext[codes_p]
+                if per_tok.any():
+                    src = np.nonzero(per_tok)[0]
+                    add_t = np.array(
+                        [w for i in src for w in trans[codes_p[i]][1]],
+                        dtype=object,
+                    )
+                    rep = per_tok[src]
+                    flat = np.concatenate([flat, add_t])
+                    row_idx = np.concatenate(
+                        [row_idx, np.repeat(row_idx[src], rep)]
+                    )
+                    pos = np.concatenate([pos, np.repeat(pos[src], rep)])
+                    counts = np.bincount(
+                        row_idx, minlength=len(batch_docs)
+                    ).astype(np.int64)
+                    total = len(flat)
             # one vectorized (row, term) aggregation for the whole batch:
             codes, _ = pd.factorize(pd.Series(flat), sort=False)
             key = row_idx.astype(np.int64) * (codes.max() + 1) + codes
-            if syn_map or config.decompound is not None:
+            if (
+                syn_map
+                or config.decompound is not None
+                or config.phonetic is not None
+            ):
                 # injected tokens break the pre-sorted pos invariant
                 order = np.lexsort((pos, key))
             else:
@@ -789,6 +823,9 @@ def config_to_dict(config: IndexConfig) -> dict:
         "decompound": (
             config.decompound.to_json() if config.decompound is not None else None
         ),
+        "phonetic": (
+            config.phonetic.to_json() if config.phonetic is not None else None
+        ),
     }
 
 
@@ -798,8 +835,10 @@ def config_from_dict(mc: dict) -> IndexConfig:
     mc["stopwords"] = frozenset(mc.get("stopwords") or ())
     mc["synonyms"] = tuple((b, tuple(e)) for b, e in (mc.get("synonyms") or ()))
     from .compound import decompounder_from_json
+    from .phonetic import phonetic_from_json
 
     mc["decompound"] = decompounder_from_json(mc.get("decompound"))
+    mc["phonetic"] = phonetic_from_json(mc.get("phonetic"))
     return IndexConfig(**mc)
 
 

@@ -44,3 +44,8 @@ class IndexConfig:
     # subwords are injected at the original token's position (posIncr=0
     # overlaps, same norm discount as synonyms) — SURVEY.md §2.2.
     decompound: Optional[object] = None
+    # phonetic token expansion (PhoneticFilter / DoubleMetaphoneFilter):
+    # a phonetic.PhoneticConfig; applied LAST in the chain (after stop /
+    # decompound / synonyms), encoded forms replace (inject=False) or
+    # overlap (inject=True, posIncr=0) their source token.
+    phonetic: Optional[object] = None
