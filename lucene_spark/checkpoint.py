@@ -201,9 +201,13 @@ def build_checkpointed(
         from pyspark import StorageLevel
 
         tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize the block encode before repartitionByRange: the range
+        # exchange's sampling job would otherwise re-execute the whole
+        # segment write (see build_index eager path)
         postings = tf.groupBy("segment_id").applyInPandas(
             _segment_writer_fn(config), schema=POSTINGS_SCHEMA
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        postings.count()
         tmp = sdir + ".tmp"
         (
             postings.repartitionByRange(max(inner_partitions // 2, 1), "term")
@@ -233,6 +237,7 @@ def build_checkpointed(
         agg = tf.agg(
             F.sum("freq").alias("sttf"), F.count("*").alias("tf_rows")
         ).collect()[0]
+        postings.unpersist()
         tf.unpersist()
         parted.unpersist()
         metrics = {
