@@ -1039,6 +1039,18 @@ _LANG_CHAIN_MAP = {
         ("ไทย", "ไทย"), ("แสดง", "แสดง"), ("งาน", "งาน"), ("ดี", "ดี"),
         ("ได้", None),
     ],
+    # Japanese dictionary tier (kuromoji lattice analog over the demo
+    # lexicon — kuromoji.py): 1:1 surfaces only (multi-token segmentation
+    # is pinned in tests/test_kuromoji.py); particles/aux-verbs are POS
+    # stoptag holes; コンピューター exercises unknown-katakana + KatakanaStem
+    "japanese": [
+        ("東京", "東京"), ("の", None), ("空港", "空港"),
+        ("日本語", "日本語"), ("です", None), ("関西", "関西"),
+        ("国際", "国際"), ("大阪", "大阪"), ("に", None),
+        ("学校", "学校"), ("スパーク", "スパーク"),
+        ("コンピューター", "コンピュータ"), ("行く", "行く"),
+        ("京都", "京都"), ("は", None), ("東", "東"),
+    ],
     # expected outputs from the reference's snowball/kp.zip vocabulary
     # (voc.txt/output.txt pairs) + the dutch_stop.txt stopset
     "dutch_kp": [
@@ -2976,6 +2988,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # BreakIterator-oracle parity) + digit fold + stopwords
             _lang_searcher(sp, d, "thai"), TermQuery(term="ภาษา"), 10
         ),
+        "q_term_ja": lambda sp, d: _topk_df(
+            # Japanese dictionary tier: Viterbi lattice (kuromoji analog)
+            # + POS stoptags + katakana stem, demo lexicon (kuromoji.py)
+            _lang_searcher(sp, d, "japanese"), TermQuery(term="東京"), 10
+        ),
+        "q_term_ja_katakana": lambda sp, d: _topk_df(
+            # unknown-katakana grouping + JapaneseKatakanaStemFilter path
+            _lang_searcher(sp, d, "japanese"),
+            TermQuery(term="コンピュータ"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -4282,6 +4304,8 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_nl_kp": _lang_term_sql("dutch_kp", "boom"),
         "q_term_sr": _lang_term_sql("serbian", "devojk"),
         "q_term_th": _lang_term_sql("thai", "ภาษา"),
+        "q_term_ja": _lang_term_sql("japanese", "東京"),
+        "q_term_ja_katakana": _lang_term_sql("japanese", "コンピュータ"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -84,3 +84,19 @@ from .search import (  # noqa: E402,F401
     Searcher,
     TooManyClauses,
 )
+from .compound import (  # noqa: E402,F401
+    DictionaryDecompounder,
+    HyphenationDecompounder,
+    HyphenationTree,
+)
+from .phonetic import (  # noqa: E402,F401
+    PhoneticConfig,
+    caverphone2,
+    cologne_phonetic,
+    daitch_mokotoff,
+    double_metaphone,
+    metaphone,
+    nysiis,
+    refined_soundex,
+    soundex,
+)

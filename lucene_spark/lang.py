@@ -2131,6 +2131,81 @@ CHAINS["cjk"] = ChainSpec(_CJK_SEG_PATTERN, cjk_token, raw_case=True,
 
 
 # ---------------------------------------------------------------------------
+# Japanese dictionary tier (analysis/kuromoji/JapaneseAnalyzer.java:
+# JapaneseTokenizer(search mode) -> PartOfSpeechStop -> CJKWidth -> Stop ->
+# KatakanaStem -> Lower). The Viterbi lattice machinery lives in
+# kuromoji.py; the bundled MeCab-IPADIC dictionary is NOT shipped — the
+# chain runs over kuromoji.demo_dictionary() by default and accepts any
+# dictionary through the same seam (see kuromoji.py module doc). The
+# bigram "cjk" chain remains the default CJK path.
+# ---------------------------------------------------------------------------
+
+from . import kuromoji as _kuro  # noqa: E402
+
+#: JapanesePartOfSpeechStopFilter analog: the particle / aux-verb / symbol
+#: POS classes from the reference's stoptags.txt that the demo lexicon tags
+JAPANESE_STOPTAGS = frozenset(["助詞", "助動詞", "記号"])
+
+_KATAKANA_MIN_LENGTH = 4  # JapaneseKatakanaStemFilter.DEFAULT_MINIMUM_LENGTH
+
+
+def japanese_katakana_stem(t: str) -> str:
+    """JapaneseKatakanaStemFilter.stem: all-katakana terms of length >= 4
+    drop a trailing prolonged sound mark (U+30FC)."""
+    if (
+        len(t) >= _KATAKANA_MIN_LENGTH
+        and t[-1] == "ー"
+        and all(0x30A1 <= ord(c) <= 0x30FE for c in t)
+    ):
+        return t[:-1]
+    return t
+
+
+_JA_RUN = (
+    "ぁ-ゟ゠-ヿㇰ-ㇿ"
+    "㐀-䶿一-鿿々〇"
+)
+_JA_SEG_PATTERN = re.compile(
+    "([" + _JA_RUN + "]+)" + r"|(" + _CJK_OTHER_RUN + r")"
+)
+
+_JA_DEMO_DIC = None
+
+
+def _ja_dictionary():
+    global _JA_DEMO_DIC
+    if _JA_DEMO_DIC is None:
+        _JA_DEMO_DIC = _kuro.demo_dictionary()
+    return _JA_DEMO_DIC
+
+
+def japanese_analyze(text: str) -> List[str]:
+    text = cjk_width_fold(text)
+    out: List[str] = []
+    for m in _JA_SEG_PATTERN.finditer(text):
+        run = m.group(1)
+        if run is not None:
+            for tok in _kuro.segment(run, _ja_dictionary(), mode="search"):
+                if tok.pos in JAPANESE_STOPTAGS:
+                    out.append(STOP_HOLE)  # position hole, like stopwords
+                else:
+                    out.append(japanese_katakana_stem(tok.surface))
+        else:
+            out.append(m.group(2).lower())
+    return out
+
+
+def japanese_token(tok: str) -> str:
+    """Single-token path: width-fold + katakana stem (segmentation happens
+    in :func:`japanese_analyze`)."""
+    return japanese_katakana_stem(cjk_width_fold(tok).lower())
+
+
+CHAINS["japanese"] = ChainSpec(_JA_SEG_PATTERN, japanese_token,
+                               raw_case=True, analyze=japanese_analyze)
+
+
+# ---------------------------------------------------------------------------
 # Light/minimal stemmer variants (analysis/{ru,sv,fr,de,fi,hu,no,pt,gl}/
 # *Light* / *Minimal* filters): same tokenizer + stopset as the parent
 # chain, alternative stemmer — selectable exactly like the reference's

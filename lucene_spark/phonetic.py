@@ -984,6 +984,9 @@ ENCODERS = {
     "caverphone": lambda t, n: caverphone2(t),
     "colognephonetic": lambda t, n: cologne_phonetic(t),
     "nysiis": lambda t, n: nysiis(t),
+    # multi-code branching encoder (DaitchMokotoffSoundexFilter.java);
+    # dispatched specially in PhoneticConfig.transform
+    "daitchmokotoff": None,
 }
 
 
@@ -1018,6 +1021,17 @@ class PhoneticConfig:
             return got
         extras: List[str] = []
         replacement = term
+        if self.encoder == "daitchmokotoff":
+            codes = [c for c in daitch_mokotoff(term) if c != term]
+            if codes:
+                if self.inject:
+                    extras.extend(codes)
+                else:
+                    replacement = codes[0]
+                    extras.extend(codes[1:])
+            out = (replacement, extras)
+            self._memo[term] = out
+            return out
         try:
             code = ENCODERS[self.encoder](term, self.max_code_len)
         except Exception:
@@ -1051,3 +1065,160 @@ class PhoneticConfig:
 
 def phonetic_from_json(d: Optional[dict]) -> Optional[PhoneticConfig]:
     return PhoneticConfig(**d) if d else None
+
+
+# ---------------------------------------------------------------------------
+# Daitch-Mokotoff Soundex (Daitch & Mokotoff 1985, Avotaynu; the published
+# coding chart commons-codec ships as dmrules.txt and
+# DaitchMokotoffSoundexFilter.java consumes). Ambiguous sounds branch:
+# a word yields a SET of 6-digit codes.
+# ---------------------------------------------------------------------------
+
+#: pattern -> (at_start, before_vowel, other); '|' separates branch
+#: alternatives, '' = not coded. Ordered longest-first per initial letter.
+_DM_SOUNDEX_RULES = {
+    "a": [("ai", "0", "1", ""), ("aj", "0", "1", ""), ("ay", "0", "1", ""),
+          ("au", "0", "7", ""), ("a", "0", "", "")],
+    "b": [("b", "7", "7", "7")],
+    "c": [("chs", "5", "54", "54"), ("csz", "4", "4", "4"),
+          ("czs", "4", "4", "4"), ("ch", "5|4", "5|4", "5|4"),
+          ("ck", "5|45", "5|45", "5|45"), ("cz", "4", "4", "4"),
+          ("cs", "4", "4", "4"), ("c", "5|4", "5|4", "5|4")],
+    "d": [("drz", "4", "4", "4"), ("drs", "4", "4", "4"),
+          ("dsh", "4", "4", "4"), ("dsz", "4", "4", "4"),
+          ("dzh", "4", "4", "4"), ("dzs", "4", "4", "4"),
+          ("ds", "4", "4", "4"), ("dz", "4", "4", "4"),
+          ("dt", "3", "3", "3"), ("d", "3", "3", "3")],
+    "e": [("ei", "0", "1", ""), ("ej", "0", "1", ""), ("ey", "0", "1", ""),
+          ("eu", "1", "1", ""), ("e", "0", "", "")],
+    "f": [("fb", "7", "7", "7"), ("f", "7", "7", "7")],
+    "g": [("g", "5", "5", "5")],
+    "h": [("h", "5", "5", "")],
+    "i": [("ia", "1", "", ""), ("ie", "1", "", ""), ("io", "1", "", ""),
+          ("iu", "1", "", ""), ("i", "0", "", "")],
+    "j": [("j", "1|4", "|4", "|4")],
+    "k": [("ks", "5", "54", "54"), ("k", "5", "5", "5")],
+    "l": [("l", "8", "8", "8")],
+    "m": [("mn", "66", "66", "66"), ("m", "6", "6", "6")],
+    "n": [("nm", "66", "66", "66"), ("n", "6", "6", "6")],
+    "o": [("oi", "0", "1", ""), ("oj", "0", "1", ""), ("oy", "0", "1", ""),
+          ("o", "0", "", "")],
+    "p": [("pf", "7", "7", "7"), ("ph", "7", "7", "7"), ("p", "7", "7", "7")],
+    "q": [("q", "5", "5", "5")],
+    "r": [("rz", "94|4", "94|4", "94|4"), ("rs", "94|4", "94|4", "94|4"),
+          ("r", "9", "9", "9")],
+    "s": [("schtsch", "2", "4", "4"), ("schtsh", "2", "4", "4"),
+          ("schtch", "2", "4", "4"), ("shtch", "2", "4", "4"),
+          ("shtsh", "2", "4", "4"), ("stsch", "2", "4", "4"),
+          ("shch", "2", "4", "4"), ("strz", "2", "4", "4"),
+          ("strs", "2", "4", "4"), ("stsh", "2", "4", "4"),
+          ("szcz", "2", "4", "4"), ("szcs", "2", "4", "4"),
+          ("scht", "2", "43", "43"), ("schd", "2", "43", "43"),
+          ("stch", "2", "4", "4"), ("sch", "4", "4", "4"),
+          ("sht", "2", "43", "43"), ("szt", "2", "43", "43"),
+          ("shd", "2", "43", "43"), ("szd", "2", "43", "43"),
+          ("sh", "4", "4", "4"), ("st", "2", "43", "43"),
+          ("sz", "4", "4", "4"), ("sc", "2", "4", "4"),
+          ("sd", "2", "43", "43"), ("s", "4", "4", "4")],
+    "t": [("ttsch", "4", "4", "4"), ("ttch", "4", "4", "4"),
+          ("tsch", "4", "4", "4"), ("ttsz", "4", "4", "4"),
+          ("tch", "4", "4", "4"), ("trz", "4", "4", "4"),
+          ("trs", "4", "4", "4"), ("tsh", "4", "4", "4"),
+          ("tts", "4", "4", "4"), ("ttz", "4", "4", "4"),
+          ("tzs", "4", "4", "4"), ("tsz", "4", "4", "4"),
+          ("th", "3", "3", "3"), ("ts", "4", "4", "4"),
+          ("tc", "4", "4", "4"), ("tz", "4", "4", "4"),
+          ("t", "3", "3", "3")],
+    "u": [("ui", "0", "1", ""), ("uj", "0", "1", ""), ("uy", "0", "1", ""),
+          ("ue", "0", "", ""), ("u", "0", "", "")],
+    "v": [("v", "7", "7", "7")],
+    "w": [("w", "7", "7", "7")],
+    "x": [("x", "5", "54", "54")],
+    "y": [("y", "1", "", "")],
+    "z": [("zhdzh", "2", "4", "4"), ("zdzh", "2", "4", "4"),
+          ("zsch", "2", "4", "4"), ("zdz", "2", "4", "4"),
+          ("zhd", "2", "43", "43"), ("zsh", "4", "4", "4"),
+          ("zd", "2", "43", "43"), ("zh", "4", "4", "4"),
+          ("zs", "4", "4", "4"), ("z", "4", "4", "4")],
+}
+
+_DM_SOUNDEX_LEN = 6
+_DM_SOUNDEX_VOWELS = "aeiou"
+
+_DM_SOUNDEX_FOLD = {
+    "ß": "s", "à": "a", "á": "a", "â": "a", "ã": "a", "ä": "a", "å": "a",
+    "æ": "a", "ç": "c", "è": "e", "é": "e", "ê": "e", "ë": "e", "ì": "i",
+    "í": "i", "î": "i", "ï": "i", "ð": "d", "ñ": "n", "ò": "o", "ó": "o",
+    "ô": "o", "õ": "o", "ö": "o", "ø": "o", "ù": "u", "ú": "u", "û": "u",
+    "ý": "y", "ÿ": "y",
+}
+
+
+def daitch_mokotoff(text: str) -> List[str]:
+    """All Daitch-Mokotoff codes for `text` (branching on ambiguous
+    sounds), each 6 digits zero-padded, in branch-creation order. Adjacent
+    identical codes collapse unless the letters are an m/n pair."""
+    s = "".join(
+        _DM_SOUNDEX_FOLD.get(c, c)
+        for c in text.lower()
+        if _DM_SOUNDEX_FOLD.get(c, c).isalpha() or c.isspace()
+    )
+    s = "".join(c for c in s if not c.isspace())
+    if not s:
+        return []
+    # branches: list of (code_so_far, last_replacement); order preserved
+    branches: List[Tuple[str, Optional[str]]] = [("", None)]
+    index = 0
+    last_char = ""
+    n = len(s)
+    while index < n:
+        ch = s[index]
+        rules = _DM_SOUNDEX_RULES.get(ch)
+        if rules is None:
+            index += 1
+            last_char = ch
+            continue
+        context = s[index:]
+        for pat, at_start, before_vowel, other in rules:
+            if context.startswith(pat):
+                if index == 0:
+                    repl = at_start
+                elif (
+                    index + len(pat) < n
+                    and s[index + len(pat)] in _DM_SOUNDEX_VOWELS
+                ):
+                    repl = before_vowel
+                else:
+                    repl = other
+                alternatives = repl.split("|")
+                # mn / nm pairs force the duplicate append (coded 66)
+                force = (last_char == "m" and ch == "n") or (
+                    last_char == "n" and ch == "m"
+                )
+                nxt: List[Tuple[str, str]] = []
+                seen = set()
+                for code, last_repl in branches:
+                    for alt in alternatives:
+                        # duplicate rule: skip when the running code already
+                        # ends with this replacement — UNLESS an m/n pair
+                        # forces it, or a not-coded letter (last_repl "")
+                        # sat between (a vowel resets the suppression)
+                        if force or last_repl is None or not last_repl.endswith(alt):
+                            new_code = (code + alt)[:_DM_SOUNDEX_LEN]
+                        else:
+                            new_code = code
+                        if new_code not in seen:
+                            seen.add(new_code)
+                            nxt.append((new_code, alt))
+                branches = nxt
+                index += len(pat)
+                break
+        else:
+            index += 1
+        last_char = ch
+    out: List[str] = []
+    for code, _ in branches:
+        padded = (code + "000000")[:_DM_SOUNDEX_LEN]
+        if padded not in out:
+            out.append(padded)
+    return out

@@ -229,3 +229,40 @@ def test_entry_phonetic_map_consistency():
     p = PhoneticConfig("doublemetaphone", inject=True)
     for word, codes in e._PHONETIC_MAP:
         assert p.transform(word) == (word, codes), word
+
+
+# -- Daitch-Mokotoff Soundex ------------------------------------------------
+
+
+def test_dm_soundex_filter_vectors():
+    """TestDaitchMokotoffSoundexFilter.testAlgorithms (set-compare: branch
+    emission order is a documented envelope)."""
+    from lucene_spark.phonetic import daitch_mokotoff as dms
+
+    assert dms("aaa") == ["000000"]
+    assert dms("bbb") == ["700000"]
+    assert set(dms("ccc")) == {
+        "400000", "450000", "454000", "540000", "545000", "500000"
+    }
+    assert dms("easgasg") == ["045450"]
+
+
+def test_dm_soundex_published_examples():
+    """Canonical examples from the published D-M coding chart."""
+    from lucene_spark.phonetic import daitch_mokotoff as dms
+
+    assert dms("GOLDEN") == ["583600"]
+    assert dms("Moskowitz") == ["645740"]
+    assert set(dms("Auerbach")) == {"097400", "097500"}
+    assert set(dms("Peters")) == {"739400", "734000"}
+    assert dms("Mintz") == ["664000"]  # -ntz collapses, mn would force 66
+    assert dms("12345") == []
+
+
+def test_dm_soundex_transform_modes():
+    p = PhoneticConfig("daitchmokotoff", inject=True)
+    repl, extras = p.transform("ccc")
+    assert repl == "ccc" and len(extras) == 6
+    r = PhoneticConfig("daitchmokotoff", inject=False)
+    repl, extras = r.transform("bbb")
+    assert repl == "700000" and extras == []
