@@ -685,9 +685,18 @@ def build_index(
 
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # ONE wide shuffle: group whole segments for the block writer
-    postings = tf.groupBy("segment_id").applyInPandas(
-        _segment_writer_fn(config), schema=POSTINGS_SCHEMA
+    # ONE wide shuffle: group whole segments for the block writer. Range-
+    # partition the exchange instead of the default hash clustering: range
+    # placement balances partitions by ROWS (whole segments, contiguous
+    # ids), where hash placement throws segment ids into buckets
+    # balls-in-bins style and the straggler bucket sets the stage's wall
+    # time (measured ~11% of the dominant phase at 2 segments/partition;
+    # worse at higher core counts). RangePartitioning satisfies the
+    # groupBy's clustering requirement, so no second exchange appears.
+    postings = (
+        tf.repartitionByRange(num_partitions, "segment_id")
+        .groupBy("segment_id")
+        .applyInPandas(_segment_writer_fn(config), schema=POSTINGS_SCHEMA)
     )
     if eager:
         # term-major layout for the query path: range-partitioned + sorted by

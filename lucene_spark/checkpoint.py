@@ -204,9 +204,12 @@ def build_checkpointed(
         # materialize the block encode before repartitionByRange: the range
         # exchange's sampling job would otherwise re-execute the whole
         # segment write (see build_index eager path)
-        postings = tf.groupBy("segment_id").applyInPandas(
-            _segment_writer_fn(config), schema=POSTINGS_SCHEMA
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        postings = (
+            tf.repartitionByRange(inner_partitions, "segment_id")
+            .groupBy("segment_id")
+            .applyInPandas(_segment_writer_fn(config), schema=POSTINGS_SCHEMA)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         postings.count()
         tmp = sdir + ".tmp"
         (
