@@ -1051,6 +1051,18 @@ _LANG_CHAIN_MAP = {
         ("コンピューター", "コンピュータ"), ("行く", "行く"),
         ("京都", "京都"), ("は", None), ("東", "東"),
     ],
+    # demo-lexicon expectations (korean.py nori analog): COMPOUND surfaces
+    # decompound into multiple tokens (DISCARD mode, list outputs), J/E POS
+    # tags stop to holes, Hanja surfaces re-term to their Hangul reading
+    "korean": [
+        ("한국", "한국"), ("서울", "서울"), ("학교", "학교"),
+        ("전자", "전자"), ("언어", "언어"), ("사람", "사람"),
+        ("은", None), ("는", None), ("를", None), ("에서", None),
+        ("삼성전자", ["삼성", "전자"]),
+        ("서울대학교", ["서울", "대학교"]),
+        ("검색엔진", ["검색", "엔진"]),
+        ("漢字", "한자"), ("하는", "하"), ("검색", "검색"),
+    ],
     # expected outputs from the reference's snowball/kp.zip vocabulary
     # (voc.txt/output.txt pairs) + the dutch_stop.txt stopset
     "dutch_kp": [
@@ -1112,12 +1124,21 @@ def _lang_term_sql(lang_name: str, term: str, k: int = 10) -> str:
     the standard float64 BM25 tail."""
     pairs = _LANG_CHAIN_MAP[lang_name]
     n_w = len(pairs)
-    vals = ", ".join(
-        "({}, {})".format(
-            i, "NULL" if out is None else "'" + out.replace("'", "''") + "'"
+    # an output may be None (stop hole), a string, or a list of strings
+    # (a decompounding chain emits several tokens for one surface word —
+    # repeated i rows make the join yield one tok row per emitted token)
+    rows = []
+    for i, (_w, out) in enumerate(pairs):
+        outs = [None] if out is None else (
+            [out] if isinstance(out, str) else list(out)
         )
-        for i, (_w, out) in enumerate(pairs)
-    )
+        for o in outs:
+            rows.append(
+                "({}, {})".format(
+                    i, "NULL" if o is None else "'" + o.replace("'", "''") + "'"
+                )
+            )
+    vals = ", ".join(rows)
     prelude = f"""
 WITH w(i, term) AS (VALUES {vals}),
 gen AS (
@@ -2998,6 +3019,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lang_searcher(sp, d, "japanese"),
             TermQuery(term="コンピュータ"), 10
         ),
+        "q_term_ko": lambda sp, d: _topk_df(
+            # Korean dictionary tier (nori analog): Viterbi lattice +
+            # DISCARD decompound (삼성전자 -> 삼성+전자) + POS stoptags
+            _lang_searcher(sp, d, "korean"), TermQuery(term="전자"), 10
+        ),
+        "q_term_ko_reading": lambda sp, d: _topk_df(
+            # KoreanReadingFormFilter path: 漢字 indexes as its Hangul
+            # transcription 한자
+            _lang_searcher(sp, d, "korean"), TermQuery(term="한자"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -4306,6 +4337,8 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_th": _lang_term_sql("thai", "ภาษา"),
         "q_term_ja": _lang_term_sql("japanese", "東京"),
         "q_term_ja_katakana": _lang_term_sql("japanese", "コンピュータ"),
+        "q_term_ko": _lang_term_sql("korean", "전자"),
+        "q_term_ko_reading": _lang_term_sql("korean", "한자"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -170,11 +170,20 @@ def _lattice_arcs(text: str, dic: JaDictionary, mode: str):
     n = len(text)
     arcs: List[Tuple[int, int, JaEntry, bool]] = []
     unknown_word_end = -1
+    # positions with no arriving arc spawn nothing (JapaneseTokenizer.java:
+    # 940 `if (posData.count == 0) continue`) — otherwise a grouped unknown
+    # span spawned from an unreachable position would consume the
+    # unknownWordEndIndex dedupe and dead-end the lattice
+    reachable = [False] * (n + 1)
+    reachable[0] = True
     for pos in range(n):
+        if not reachable[pos]:
+            continue
         matched = dic.prefix_lookup(text, pos)
         any_match = bool(matched)
         for e in matched:
             arcs.append((pos, pos + len(e.surface), e, False))
+            reachable[pos + len(e.surface)] = True
         c = text[pos]
         klass = char_class(c)
         invoke, group = _CHAR_FLAGS[klass]
@@ -201,6 +210,7 @@ def _lattice_arcs(text: str, dic: JaDictionary, mode: str):
                     True,
                 )
             )
+            reachable[pos + length] = True
             unknown_word_end = pos + length
     return arcs
 

@@ -2206,6 +2206,60 @@ CHAINS["japanese"] = ChainSpec(_JA_SEG_PATTERN, japanese_token,
 
 
 # ---------------------------------------------------------------------------
+# Korean dictionary tier (analysis/nori/KoreanAnalyzer.java:72-79:
+# KoreanTokenizer(decompound=DISCARD) -> KoreanPartOfSpeechStopFilter ->
+# KoreanReadingFormFilter -> Lower). The Viterbi lattice + space-penalty
+# + decompound machinery lives in korean.py; the bundled mecab-ko-dic
+# dictionary is NOT shipped — the chain runs over
+# korean.demo_dictionary() by default and accepts any dictionary through
+# the same seam (see korean.py module doc). The bigram "cjk" chain
+# remains the default CJK path.
+# ---------------------------------------------------------------------------
+
+from . import korean as _nori  # noqa: E402
+
+#: Hangul + Hanja runs; spaces INSIDE a Korean run stay in the segment so
+#: the lattice can apply the reference's space penalty.
+_KO_RUN = "가-힣ᄀ-ᇿ㄰-ㆎ㐀-䶿一-鿿豈-﫿"
+_KO_SEG_PATTERN = re.compile(
+    "([" + _KO_RUN + "](?:[ ]*[" + _KO_RUN + "])*)"
+    + r"|(" + _CJK_OTHER_RUN + r")"
+)
+
+_KO_DEMO_DIC = None
+
+
+def _ko_dictionary():
+    global _KO_DEMO_DIC
+    if _KO_DEMO_DIC is None:
+        _KO_DEMO_DIC = _nori.demo_dictionary()
+    return _KO_DEMO_DIC
+
+
+def korean_analyze(text: str) -> List[str]:
+    text = cjk_width_fold(text)
+    out: List[str] = []
+    for m in _KO_SEG_PATTERN.finditer(text):
+        run = m.group(1)
+        if run is not None:
+            for tok in _nori.korean_analyze_tokens(run, _ko_dictionary()):
+                out.append(STOP_HOLE if tok is None else tok)
+        else:
+            out.append(m.group(2).lower())
+    return out
+
+
+def korean_token(tok: str) -> str:
+    """Single-token path: width-fold + lower (segmentation, POS stop and
+    reading substitution happen in :func:`korean_analyze`)."""
+    return cjk_width_fold(tok).lower()
+
+
+CHAINS["korean"] = ChainSpec(_KO_SEG_PATTERN, korean_token,
+                             raw_case=True, analyze=korean_analyze)
+
+
+# ---------------------------------------------------------------------------
 # Light/minimal stemmer variants (analysis/{ru,sv,fr,de,fi,hu,no,pt,gl}/
 # *Light* / *Minimal* filters): same tokenizer + stopset as the parent
 # chain, alternative stemmer — selectable exactly like the reference's
