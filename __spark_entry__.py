@@ -1063,6 +1063,17 @@ _LANG_CHAIN_MAP = {
         ("검색엔진", ["검색", "엔진"]),
         ("漢字", "한자"), ("하는", "하"), ("검색", "검색"),
     ],
+    # demo-lexicon expectations (smartcn.py HHMM analog): the bigram
+    # lattice segments multi-word runs (list outputs), whole dictionary
+    # words survive, non-CJK tokens porter-stem
+    "chinese": [
+        ("北京大学", "北京大学"), ("搜索引擎", "搜索引擎"),
+        ("中华人民共和国", "中华人民共和国"), ("中国", "中国"),
+        ("人民", "人民"), ("语言", "语言"), ("我", "我"), ("是", "是"),
+        ("的", "的"), ("研究生", "研究生"),
+        ("研究生命起源", ["研究", "生命", "起源"]),
+        ("running", "run"), ("123", "123"), ("起源", "起源"),
+    ],
     # expected outputs from the reference's snowball/kp.zip vocabulary
     # (voc.txt/output.txt pairs) + the dutch_stop.txt stopset
     "dutch_kp": [
@@ -3029,6 +3040,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # transcription 한자
             _lang_searcher(sp, d, "korean"), TermQuery(term="한자"), 10
         ),
+        "q_term_zh": lambda sp, d: _topk_df(
+            # Chinese HMM tier (smartcn analog): bigram-lattice shortest
+            # path segments 研究生命起源 -> 研究/生命/起源
+            _lang_searcher(sp, d, "chinese"), TermQuery(term="生命"), 10
+        ),
+        "q_term_zh_word": lambda sp, d: _topk_df(
+            # whole dictionary word survives the lattice (北京大学)
+            _lang_searcher(sp, d, "chinese"), TermQuery(term="北京大学"), 10
+        ),
         "q_index_sorted_topk": lambda sp, d: _sorted_topk(sp, d, 10, True),
         "q_index_sorted_topk_desc": lambda sp, d: _sorted_topk(sp, d, 10, False),
         "q_search_after": lambda sp, d: (
@@ -4339,6 +4359,8 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_term_ja_katakana": _lang_term_sql("japanese", "コンピュータ"),
         "q_term_ko": _lang_term_sql("korean", "전자"),
         "q_term_ko_reading": _lang_term_sql("korean", "한자"),
+        "q_term_zh": _lang_term_sql("chinese", "生命"),
+        "q_term_zh_word": _lang_term_sql("chinese", "北京大学"),
         "q_synonym_index_term": _syn_prelude([("fast", ["quick"])])
         + _scored_cte(["quick"])
         + _rank_tail("score", "FROM sc", 10),

@@ -6,8 +6,10 @@ windowing ported literally (margin 6, minFragCharSize = 3*margin,
 acceptPhrase, the two-step spanStart/spanEnd recentering,
 BaseFragListBuilder.java:36-75) and SimpleFieldFragList scoring
 (fragment score = Σ matched-phrase boosts). Queries: TermQuery and
-slop-0 PhraseQuery (FVH's exact-phrase path); snippets wrap matches in
-``tag_pre``/``tag_post`` like BaseFragmentsBuilder.makeFragment.
+PhraseQuery — slop validated per adjacent pair (isValidTermOrPhrase,
+FieldQuery.java:459-476) and overlapping same-slop phrases expanded to
+their merged span (FieldQuery.expand, :176-260); snippets wrap matches
+in ``tag_pre``/``tag_post`` like BaseFragmentsBuilder.makeFragment.
 
 Typically applied to the TOP-K docs (join the hits first) — the kernel
 is one Arrow-batched pass over (doc_id, text); offsets come from
@@ -26,6 +28,45 @@ from ..query import PhraseQuery, Query, TermQuery
 
 MARGIN_DEFAULT = 6
 MIN_FRAG_CHAR_SIZE_FACTOR = 3
+
+
+def _expand_queries(queries: Sequence[Query]) -> List[Query]:
+    """FieldQuery.expand (FieldQuery.java:176-260): same-slop PhraseQuery
+    pairs whose terms overlap suffix-to-prefix also register their merged
+    phrase, so e.g. {"b c", "c d"} highlights a contiguous "b c d" as one
+    span. Mirrors checkOverlap exactly: for every split point i >= 1 of
+    src, the tail src[i:] must equal the head of dest and dest must
+    extend past it (src.length - i < dest.length); the merged phrase
+    keeps the pair's slop and — a reference quirk worth preserving —
+    always carries boost 1 (FieldQuery.java:255-257 wraps in
+    BoostQuery(pq, 1f))."""
+    out: List[Query] = list(queries)
+    phrases = [q for q in queries if isinstance(q, PhraseQuery)]
+    seen = {(tuple(q.terms), int(q.slop)) for q in phrases}
+
+    def check_overlap(src, dest, slop):
+        for i in range(1, len(src)):
+            overlap = True
+            for j in range(i, len(src)):
+                if (j - i) < len(dest) and src[j] != dest[j - i]:
+                    overlap = False
+                    break
+            if overlap and len(src) - i < len(dest):
+                merged = tuple(src) + tuple(dest[len(src) - i:])
+                key = (merged, slop)
+                if key not in seen:
+                    seen.add(key)
+                    out.append(
+                        PhraseQuery(terms=merged, slop=slop, boost=1.0)
+                    )
+
+    for ai, a in enumerate(phrases):
+        for b in phrases[ai + 1:]:
+            if int(a.slop) != int(b.slop):
+                continue
+            check_overlap(list(a.terms), list(b.terms), int(a.slop))
+            check_overlap(list(b.terms), list(a.terms), int(b.slop))
+    return out
 
 
 def _build_trie(queries: Sequence[Query]) -> dict:
@@ -190,7 +231,7 @@ def fvh_highlight(
     ``top_n`` best fragments per matching doc — best = highest total
     boost then earliest (ScoreOrderFragmentsBuilder), or positional
     order when ``sort_by_score`` is False (SimpleFragmentsBuilder)."""
-    trie = _build_trie(queries)
+    trie = _build_trie(_expand_queries(queries))
     qterms = set()
 
     def walk(node, path):

@@ -2260,6 +2260,61 @@ CHAINS["korean"] = ChainSpec(_KO_SEG_PATTERN, korean_token,
 
 
 # ---------------------------------------------------------------------------
+# Chinese HMM tier (analysis/smartcn/SmartChineseAnalyzer.java:
+# HMMChineseTokenizer -> StopFilter(own list) -> PorterStemFilter — the
+# porter step only ever sees non-CJK tokens). The hidden-Markov bigram
+# lattice lives in smartcn.py; the bundled GB2312 coredict/bigramdict is
+# NOT shipped — the chain runs over smartcn.demo_dictionary() by default
+# and accepts any dictionary through the same seam (see smartcn.py
+# module doc). The bigram "cjk" chain remains the default CJK path.
+# ---------------------------------------------------------------------------
+
+from . import smartcn as _smartcn  # noqa: E402
+from .stem import porter_stem as _zh_porter  # noqa: E402
+
+_ZH_RUN = "一-鿥"
+_ZH_SEG_PATTERN = re.compile(
+    "([" + _ZH_RUN + "]+)" + r"|(" + _CJK_OTHER_RUN + r")"
+)
+
+_ZH_DEMO_DIC = None
+
+
+def _zh_dictionary():
+    global _ZH_DEMO_DIC
+    if _ZH_DEMO_DIC is None:
+        _ZH_DEMO_DIC = _smartcn.demo_dictionary()
+    return _ZH_DEMO_DIC
+
+
+def chinese_analyze(text: str) -> List[str]:
+    text = cjk_width_fold(text)
+    out: List[str] = []
+    for m in _ZH_SEG_PATTERN.finditer(text):
+        run = m.group(1)
+        if run is not None:
+            out.extend(
+                _smartcn.chinese_analyze_tokens(run, _zh_dictionary())
+            )
+        else:
+            out.append(_zh_porter(m.group(2).lower()))
+    return out
+
+
+def chinese_token(tok: str) -> str:
+    """Single-token path: width-fold + lower; non-CJK terms porter-stem
+    (SmartChineseAnalyzer's PorterStemFilter reaches only those)."""
+    t = cjk_width_fold(tok).lower()
+    if _ZH_SEG_PATTERN.match(t) and t and "一" <= t[0] <= "龥":
+        return t
+    return _zh_porter(t)
+
+
+CHAINS["chinese"] = ChainSpec(_ZH_SEG_PATTERN, chinese_token,
+                              raw_case=True, analyze=chinese_analyze)
+
+
+# ---------------------------------------------------------------------------
 # Light/minimal stemmer variants (analysis/{ru,sv,fr,de,fi,hu,no,pt,gl}/
 # *Light* / *Minimal* filters): same tokenizer + stopset as the parent
 # chain, alternative stemmer — selectable exactly like the reference's

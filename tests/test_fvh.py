@@ -116,3 +116,85 @@ def test_sloppy_phrase_gap_validation():
     # after; 'fox' precedes so no in-order chain exists)
     assert infos_for("quick fox", [PhraseQuery(terms=("quick", "fox"),
                                                slop=2)]) == [(0, 9, 1.0, 2)]
+
+
+# -- FieldQuery.expand (FieldQuery.java:176-260) ------------------------------
+
+
+def _expanded_keys(queries):
+    from lucene_spark.functions.fvh import _expand_queries
+
+    out = []
+    for q in _expand_queries(queries):
+        if isinstance(q, PhraseQuery):
+            out.append((tuple(q.terms), int(q.slop)))
+        else:
+            out.append((q.term,))
+    return out
+
+
+def test_expand_no_phrases_is_identity():
+    # ex1) flatQueries={a,b,c} => expandQueries={a,b,c}
+    qs = [TermQuery(term=t) for t in "abc"]
+    assert _expanded_keys(qs) == [("a",), ("b",), ("c",)]
+
+
+def test_expand_overlapping_pair():
+    # ex2) {a,"b c","c d"} => {a,"b c","c d","b c d"}
+    qs = [
+        TermQuery(term="a"),
+        PhraseQuery(terms=("b", "c")),
+        PhraseQuery(terms=("c", "d")),
+    ]
+    assert _expanded_keys(qs) == [
+        ("a",), (("b", "c"), 0), (("c", "d"), 0), (("b", "c", "d"), 0),
+    ]
+
+
+def test_expand_either_direction():
+    # ex2 of checkOverlap) A="b c", B="a b" => {"a b c"}
+    qs = [PhraseQuery(terms=("b", "c")), PhraseQuery(terms=("a", "b"))]
+    assert (("a", "b", "c"), 0) in _expanded_keys(qs)
+
+
+def test_expand_no_overlap_cases():
+    # ex3) "a b" / "c d"; ex2/5/6/8 of checkOverlap: containment or
+    # interior overlap must NOT expand
+    for a, b in [
+        (("a", "b"), ("c", "d")),
+        (("a", "b"), ("a", "b", "c")),
+        (("a", "b", "c"), ("b", "c")),
+        (("a", "b", "c"), ("b",)),
+        (("a", "b", "c", "d"), ("b", "c")),
+    ]:
+        got = _expanded_keys([PhraseQuery(terms=a), PhraseQuery(terms=b)])
+        assert got == [(a, 0), (b, 0)], (a, b, got)
+
+
+def test_expand_repeated_terms():
+    # ex7) src="a a a a", dest="a a a" => {"a a a a a","a a a a a a"}
+    qs = [PhraseQuery(terms=("a",) * 4), PhraseQuery(terms=("a",) * 3)]
+    got = set(_expanded_keys(qs))
+    assert (("a",) * 5, 0) in got and (("a",) * 6, 0) in got
+    assert len(got) == 4
+
+
+def test_expand_requires_equal_slop():
+    qs = [
+        PhraseQuery(terms=("b", "c"), slop=1),
+        PhraseQuery(terms=("c", "d"), slop=0),
+    ]
+    assert _expanded_keys(qs) == [(("b", "c"), 1), (("c", "d"), 0)]
+
+
+def test_expand_merged_phrase_highlights_whole_span():
+    """End-to-end FieldPhraseList behavior: {"quick brown","brown fox"}
+    marks 'quick brown fox' as ONE merged span (boost 1, 3 terms)."""
+    from lucene_spark.functions.fvh import _expand_queries
+
+    qs = [
+        PhraseQuery(terms=("quick", "brown")),
+        PhraseQuery(terms=("brown", "fox")),
+    ]
+    infos = infos_for(TEXT, _expand_queries(qs))
+    assert infos == [(4, 19, 1.0, 3)]
