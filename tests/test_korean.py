@@ -25,20 +25,6 @@ from lucene_spark.korean import (
 DIC = demo_dictionary()
 
 
-def _path_cost(path, dic):
-    """Re-derive the cost of a viterbi() path (its entries are the actual
-    arcs taken, so this is exact, space penalty included)."""
-    from lucene_spark.korean import _space_penalty
-
-    total, rid = 0.0, 0
-    for e, start, end, _unk in path:
-        preceded = start > 0
-        # only count a space penalty when the previous char is whitespace
-        total += dic.connection_cost(rid, e.left_id) + e.word_cost
-        rid = e.right_id
-    return total
-
-
 # -- Viterbi == exhaustive enumeration --------------------------------------
 
 
