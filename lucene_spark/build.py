@@ -647,6 +647,19 @@ def build_index(
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 4)
 
+    # phase-timing hook for scaling diagnostics (Amdahl audit: which build
+    # phase stops scaling with cores); no-op unless the env flag is set
+    _timing = os.environ.get("SPARK_GRAFT_BUILD_TIMING") == "1"
+    _marks: List[Tuple[str, float]] = []
+    _t_prev = time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t_prev
+        if _timing:
+            now = time.time()
+            _marks.append((label, round(now - _t_prev, 3)))
+            _t_prev = now
+
     parted = None
     if doc_id_col is not None:
         df = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
@@ -657,6 +670,7 @@ def build_index(
             corpus, order_cols, num_partitions
         )
         df = None  # only materialized if store_cols need it (below)
+    _mark("doc_id_assign")
 
     if auto_seg_size:
         # enough segments to keep every core busy in the segment writer
@@ -711,6 +725,7 @@ def build_index(
         # the cached blocks (~0.5 s instead of a second 10 s encode).
         raw_blocks = postings.persist(StorageLevel.MEMORY_AND_DISK)
         raw_blocks.count()
+        _mark("invert_segment_write")
         postings = (
             raw_blocks.repartitionByRange(num_partitions, "term")
             .sortWithinPartitions("term", "segment_id", "block_id")
@@ -718,6 +733,7 @@ def build_index(
         )
         postings.count()
         raw_blocks.unpersist()
+        _mark("term_major_exchange")
 
     # term stats derived from the (much smaller) postings blocks — no second
     # pass over tf. doc_freq = Σ block counts; total_term_freq = Σ block
@@ -797,15 +813,18 @@ def build_index(
 
         terms = terms.persist(StorageLevel.MEMORY_AND_DISK)
         docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        # the sttf aggregate reads every terms partition, so it doubles as
+        # the cache-materializing action — one job instead of count + agg
         with ThreadPoolExecutor(max_workers=2) as ex:
-            ft, fd = ex.submit(terms.count), ex.submit(docs.count)
-            ft.result(), fd.result()
-        sttf = int(
-            terms.agg(F.sum("total_term_freq").alias("sttf")).collect()[0][
-                "sttf"
-            ]
-            or 0
-        )
+            ft = ex.submit(
+                lambda: terms.agg(
+                    F.sum("total_term_freq").alias("sttf")
+                ).collect()[0]["sttf"]
+            )
+            fd = ex.submit(docs.count)
+            sttf = int(ft.result() or 0)
+            fd.result()
+        _mark("terms_docs_materialize")
     else:
         sttf = int(
             tf.agg(F.sum("freq").alias("sttf")).collect()[0]["sttf"] or 0
@@ -822,6 +841,8 @@ def build_index(
         tf.unpersist()
         if parted is not None:
             parted.unpersist()
+    if _timing:
+        print(json.dumps({"build_phases": dict(_marks)}), flush=True)
     return idx
 
 
