@@ -57,6 +57,37 @@ def calibrate(procs: int) -> float:
     return (procs * 2) / (time.time() - t0)
 
 
+_MEM_ARR = None
+
+
+def _burn_mem(_):
+    """DRAM-streaming work unit: 4 full passes over a 256 MB array (1 GB
+    of reads — far past LLC, so throughput is memory-bandwidth bound)."""
+    global _MEM_ARR
+    import numpy as np
+
+    if _MEM_ARR is None:
+        _MEM_ARR = np.ones(32 * 1024 * 1024, dtype=np.float64)
+    s = 0.0
+    for _ in range(4):
+        s += float(_MEM_ARR.sum())
+    return s
+
+
+def calibrate_mem(procs: int) -> float:
+    """Aggregate memory-bandwidth throughput (work-units/sec) at `procs`
+    processes. The index build moves Arrow batches + token arrays through
+    DRAM constantly, so this ceiling — not the ALU one — bounds what a
+    bandwidth-heavy job can scale to when all vCPUs share one memory
+    system (on a real N-vs-4N-executor cluster each node brings its own
+    memory channels and this wall does not exist)."""
+    with mp.Pool(procs) as p:  # warm: allocate per-worker arrays
+        p.map(_burn_mem, range(procs))
+        t0 = time.time()
+        p.map(_burn_mem, range(procs * 2))
+    return (procs * 2) / (time.time() - t0)
+
+
 def serve(cores: int, n_docs: int) -> None:
     """Interactive child for --paired mode: warm up once, then run one
     measured build per 'build' command on stdin. Keeping the JVM alive
@@ -270,6 +301,8 @@ def paired(lo: int, hi: int, n_docs: int) -> None:
         # end-of-run calibration mis-normalizes early pairs)
         cal = {c: calibrate(c) for c in (lo, hi)}
         ceiling_i = (cal[hi] / cal[lo]) / ratio
+        cal_mem = {c: calibrate_mem(c) for c in (lo, hi)}
+        ceiling_mem_i = (cal_mem[hi] / cal_mem[lo]) / ratio
         eff = (b["docs_per_sec"] / a["docs_per_sec"]) / ratio
         pairs.append({"rep": i, f"build_sec_{lo}": a["build_sec"],
                       f"build_sec_{hi}": b["build_sec"],
@@ -277,7 +310,10 @@ def paired(lo: int, hi: int, n_docs: int) -> None:
                       f"docs_per_sec_{hi}": b["docs_per_sec"],
                       "efficiency_raw": round(eff, 3),
                       "hardware_ceiling": round(ceiling_i, 3),
-                      "efficiency_vs_ceiling": round(eff / ceiling_i, 3)})
+                      "efficiency_vs_ceiling": round(eff / ceiling_i, 3),
+                      "mem_bandwidth_ceiling": round(ceiling_mem_i, 3),
+                      "efficiency_vs_mem_ceiling": round(
+                          eff / ceiling_mem_i, 3)})
         print(json.dumps(pairs[-1]), flush=True)
     for cores in (lo, hi):
         try:
@@ -310,6 +346,10 @@ def paired(lo: int, hi: int, n_docs: int) -> None:
             [p["efficiency_vs_ceiling"] for p in pairs]),
         "efficiency_vs_ceiling_best": max(
             p["efficiency_vs_ceiling"] for p in pairs),
+        "mem_bandwidth_ceiling_median": _median(
+            [p["mem_bandwidth_ceiling"] for p in pairs]),
+        "efficiency_vs_mem_ceiling_median": _median(
+            [p["efficiency_vs_mem_ceiling"] for p in pairs]),
     }
     print(json.dumps(report, indent=2))
     for p in procs.values():
