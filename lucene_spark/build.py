@@ -464,6 +464,107 @@ def _segment_writer_fn(config: IndexConfig):
     return write_segment
 
 
+DOCLEN_TERM = "\x00doclen"  # sentinel rows carrying per-doc length/norm stats
+
+_DOC_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("length", LongType()),
+        StructField("_tf_norm", IntegerType()),
+        StructField("_tf_dlen", IntegerType()),
+    ]
+)
+
+
+def _fused_invert_encode_fn(config: IndexConfig, content_col: str, offsets: dict):
+    """Fused doc_id assignment + invert + LOCAL segment encode: the whole
+    indexing chain runs inside one mapInPandas pass over the pinned
+    range-partitioned corpus — the DocumentsWriterPerThread analog
+    (index/DocumentsWriterPerThread.java:209-260: each writer thread builds
+    whole segments locally; no cross-thread exchange).
+
+    Doc_ids ascend within a partition, so segment_ids (doc_id // seg_size)
+    cross boundaries monotonically: tf batches buffer per segment and flush
+    through the segment writer as each boundary passes — bounded memory of
+    one segment's tf. This removes BOTH the per-(doc,term) tf cache and the
+    segment-grouping shuffle of the unfused path; the only rows that cross
+    back over Arrow are the encoded block rows (~30x fewer, pre-compressed).
+    A segment that straddles a partition boundary is encoded independently
+    on each side, producing distinct block rows for the same (term,
+    segment_id, block_id) key — the same benign collision the sharded
+    checkpoint build documents (checkpoint.py module docstring): every
+    decoder treats block rows independently.
+
+    Per-doc stats (length / norm / discounted length) ride along as ONE
+    sentinel row per flushed segment (term=DOCLEN_TERM, block_id=-1,
+    vbyte-packed columns), so the docs table derives from the same single
+    pass with no second scan of anything."""
+    invert = _assign_invert_fn(config, content_col, offsets)
+    write_segment = _segment_writer_fn(config)
+    cols = [f.name for f in POSTINGS_SCHEMA.fields]
+
+    def _flush(seg: int, frames: List[pd.DataFrame]) -> pd.DataFrame:
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        out = write_segment(pdf)
+        d = pdf["doc_id"].to_numpy(dtype=np.int64)
+        starts = np.concatenate(([0], np.nonzero(np.diff(d))[0] + 1))
+        doc_ids = d[starts]
+        lengths = np.add.reduceat(pdf["freq"].to_numpy(np.int64), starts)
+        norms = pdf["norm"].to_numpy(np.int64)[starts]
+        dlens = pdf["dlen"].to_numpy(np.int64)[starts]
+        sent = pd.DataFrame(
+            [(
+                DOCLEN_TERM, seg, -1, -1, len(doc_ids), 0, int(doc_ids[-1]),
+                codec.vbyte_encode(np.diff(doc_ids, prepend=0).astype(np.uint64)),
+                codec.vbyte_encode(lengths.astype(np.uint64)),
+                norms.astype(np.uint8).tobytes(),
+                None, None,
+                codec.vbyte_encode(dlens.astype(np.uint64)),
+            )],
+            columns=cols,
+        )
+        return pd.concat([out, sent], ignore_index=True)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur = None
+        frames: List[pd.DataFrame] = []
+        for tfb in invert(batches):
+            segs = tfb["segment_id"].to_numpy()
+            b = np.concatenate(
+                ([0], np.nonzero(np.diff(segs))[0] + 1, [len(segs)])
+            )
+            for i in range(len(b) - 1):
+                seg = int(segs[b[i]])
+                part = tfb.iloc[b[i]: b[i + 1]]
+                if cur is None:
+                    cur = seg
+                elif seg != cur:
+                    yield _flush(cur, frames)
+                    frames, cur = [], seg
+                frames.append(part)
+        if frames:
+            yield _flush(cur, frames)
+
+    return fn
+
+
+def _decode_doc_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Sentinel doc-stat rows -> (doc_id, length, _tf_norm, _tf_dlen)."""
+    for pdf in batches:
+        outs = []
+        for row in pdf.itertuples(index=False):
+            n = int(row.count)
+            doc_ids = np.cumsum(codec.vbyte_decode(row.docs_enc, n).astype(np.int64))
+            outs.append(pd.DataFrame({
+                "doc_id": doc_ids,
+                "length": codec.vbyte_decode(row.freqs_enc, n).astype(np.int64),
+                "_tf_norm": np.frombuffer(row.norms_enc, dtype=np.uint8).astype(np.int32),
+                "_tf_dlen": codec.vbyte_decode(row.pos_enc, n).astype(np.int32),
+            }))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+
 def term_vectors(
     corpus: DataFrame,
     config: IndexConfig = IndexConfig(),
@@ -681,58 +782,76 @@ def build_index(
 
             config = dataclasses.replace(config, seg_size=eff)
 
+    from pyspark import StorageLevel
+
+    raw = None
     if parted is not None:
-        # fused doc_id assignment + invert: corpus crosses Arrow once
-        tf = parted.withColumn("_pid", F.spark_partition_id()).mapInPandas(
-            _assign_invert_fn(config, content_col, offsets), schema=TF_SCHEMA
+        # fused doc_id assignment + invert + LOCAL segment encode (the DWPT
+        # analog — see _fused_invert_encode_fn): the corpus crosses Arrow
+        # once and nothing shuffles between invert and block encode; only
+        # the ~30x-smaller encoded block rows are cached. Per-doc stats
+        # ride along as sentinel rows (block_id = -1).
+        raw = (
+            parted.withColumn("_pid", F.spark_partition_id())
+            .mapInPandas(
+                _fused_invert_encode_fn(config, content_col, offsets),
+                schema=POSTINGS_SCHEMA,
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        tf = None
+        postings = raw.filter(F.col("block_id") >= 0)
+        lengths = raw.filter(F.col("block_id") == -1).mapInPandas(
+            _decode_doc_stats, schema=_DOC_STATS_SCHEMA
+        )
+        if eager:
+            raw.count()
+            _mark("invert_segment_write")
     else:
+        # arbitrary pre-assigned doc_ids: partitions are not doc-contiguous,
+        # so segments group across partitions via ONE wide shuffle. The tf
+        # cache is the analog of Lucene's in-memory DWPT postings buffer
+        # before flush (DocumentsWriterPerThread.java:209-260): invert runs
+        # exactly once, feeding both the segment writer and the doc lengths.
         tf = df.select("doc_id", content_col).mapInPandas(
             _invert_fn(config, content_col), schema=TF_SCHEMA
         )
-    # Tokenization is the expensive pass; it feeds BOTH the segment writer and
-    # the per-doc lengths. Persist it once (the analog of Lucene's in-memory
-    # DWPT postings buffer before flush, DocumentsWriterPerThread.java:209-260)
-    # so invert runs exactly once. Disk-backed: at 100 TB this is the same
-    # order of I/O the segment-grouping shuffle writes anyway.
-    from pyspark import StorageLevel
-
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # ONE wide shuffle: group whole segments for the block writer. Range-
-    # partition the exchange instead of the default hash clustering: range
-    # placement balances partitions by ROWS (whole segments, contiguous
-    # ids), where hash placement throws segment ids into buckets
-    # balls-in-bins style and the straggler bucket sets the stage's wall
-    # time (measured ~11% of the dominant phase at 2 segments/partition;
-    # worse at higher core counts). RangePartitioning satisfies the
-    # groupBy's clustering requirement, so no second exchange appears.
-    postings = (
-        tf.repartitionByRange(num_partitions, "segment_id")
-        .groupBy("segment_id")
-        .applyInPandas(_segment_writer_fn(config), schema=POSTINGS_SCHEMA)
-    )
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        # Range-partition the exchange instead of the default hash
+        # clustering: range placement balances partitions by ROWS (whole
+        # segments, contiguous ids), where hash placement throws segment ids
+        # into buckets balls-in-bins style and the straggler bucket sets the
+        # stage's wall time. RangePartitioning satisfies the groupBy's
+        # clustering requirement, so no second exchange appears.
+        postings = (
+            tf.repartitionByRange(num_partitions, "segment_id")
+            .groupBy("segment_id")
+            .applyInPandas(_segment_writer_fn(config), schema=POSTINGS_SCHEMA)
+        )
+        lengths = tf.groupBy("doc_id").agg(
+            F.sum("freq").alias("length"),
+            F.max("norm").alias("_tf_norm"),
+            F.max("dlen").alias("_tf_dlen"),
+        )
+        if eager:
+            # materialize the segment writer's output before the range
+            # exchange samples it, or the sampling job re-executes the whole
+            # block-encode pass (measured 2x the build's dominant phase)
+            raw = postings.persist(StorageLevel.MEMORY_AND_DISK)
+            raw.count()
+            postings = raw
+            _mark("invert_segment_write")
     if eager:
         # term-major layout for the query path: range-partitioned + sorted by
         # term, so per-batch min/max stats prune term lookups against the
         # in-memory cache (the role of the term dictionary's block index;
         # write_index gets the same effect from Parquet row-group stats).
-        # Materialize the segment writer's output FIRST: repartitionByRange
-        # samples its input to pick range bounds, and on an unpersisted
-        # lineage that sampling job re-executes the whole block-encode pass
-        # (measured 2x the build's dominant phase). One transient persist
-        # makes the writer run exactly once; the range exchange then reads
-        # the cached blocks (~0.5 s instead of a second 10 s encode).
-        raw_blocks = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        raw_blocks.count()
-        _mark("invert_segment_write")
         postings = (
-            raw_blocks.repartitionByRange(num_partitions, "term")
+            postings.repartitionByRange(num_partitions, "term")
             .sortWithinPartitions("term", "segment_id", "block_id")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         postings.count()
-        raw_blocks.unpersist()
         _mark("term_major_exchange")
 
     # term stats derived from the (much smaller) postings blocks — no second
@@ -748,17 +867,13 @@ def build_index(
         F.max(F.array_max("imp_norms")).cast("int").alias("singleton_norm"),
     )
 
-    # docs / norms: derive length from the persisted tf (sum of freqs);
-    # docs with zero tokens keep norm 0. doc_ids are dense 0..n-1, so with no
-    # stored columns the doc table needs NO pass over the corpus at all.
-    # length = Σ freq (FieldInvertState.length semantics: overlaps count);
-    # the norm byte was computed at invert from the DISCOUNTED length
-    # (length - numOverlap) and rides along on every tf row
-    lengths = tf.groupBy("doc_id").agg(
-        F.sum("freq").alias("length"),
-        F.max("norm").alias("_tf_norm"),
-        F.max("dlen").alias("_tf_dlen"),
-    )
+    # docs / norms: `lengths` was derived per-branch above (decoded sentinel
+    # rows on the fused path; a tf aggregate on the pre-assigned-id path).
+    # Docs with zero tokens keep norm 0 via the left join. doc_ids are dense
+    # 0..n-1, so with no stored columns the doc table needs NO pass over the
+    # corpus at all. length = Σ freq (FieldInvertState.length semantics:
+    # overlaps count); the norm byte was computed at invert from the
+    # DISCOUNTED length (length - numOverlap).
     if parted is not None and not config.store_cols:
         id_side = spark.range(0, n).withColumnRenamed("id", "doc_id")
     elif parted is not None:
@@ -825,20 +940,29 @@ def build_index(
             sttf = int(ft.result() or 0)
             fd.result()
         _mark("terms_docs_materialize")
+    elif parted is not None:
+        # Σ block sum_freq over the cached raw blocks == Σ tf freq
+        sttf = int(
+            postings.agg(F.sum("sum_freq").alias("sttf")).collect()[0]["sttf"]
+            or 0
+        )
     else:
         sttf = int(
             tf.agg(F.sum("freq").alias("sttf")).collect()[0]["sttf"] or 0
         )
     stats = CollectionStats(doc_count=int(n), sum_total_term_freq=sttf)
-    if parted is not None:
-        tf._doc_id_parted = parted  # released via Index.unpersist / eager below
+    cached = raw if parted is not None else tf
+    if parted is not None and cached is not None:
+        cached._doc_id_parted = parted  # released via Index.unpersist / eager
     idx = Index(
         docs=docs, terms=terms, postings=postings, stats=stats, config=config,
-        tf=None if eager else tf,
+        tf=None if eager else cached,
         index_sort=tuple(order_cols) if order_cols else None,
     )
     if eager:
-        tf.unpersist()
+        for handle in (raw, tf):  # fused: raw; pre-assigned ids: tf + blocks
+            if handle is not None:
+                handle.unpersist()
         if parted is not None:
             parted.unpersist()
     if _timing:
