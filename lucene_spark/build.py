@@ -4,20 +4,28 @@ Spark-first re-expression of the reference's indexing chain
 (index/IndexingChain.java PerField.invert + FreqProxTermsWriter flush +
 Lucene90PostingsWriter block encode — see SURVEY.md §3.1):
 
-  corpus --mapInPandas (invert: per-doc tf + positions + norm)-->
-         --ONE shuffle: groupBy(segment_id).applyInPandas (segment writer:
-           sort terms, 128-posting blocks, delta/FOR/PFOR encode, impacts)-->
-         postings blocks    (+ separate cheap aggs for terms stats / docs)
+  corpus --range exchange (doc_id assignment)-->
+         --ONE fused mapInPandas pass (invert: per-doc tf + positions +
+           norm, then DWPT-local segment encode: sort terms, 128-posting
+           blocks, delta/FOR/PFOR encode, impacts — segments flush as
+           doc_id // seg_size boundaries pass)-->
+         postings blocks + per-segment doc-stat sentinel rows
+         (+ cheap aggs for terms stats; docs decode from the sentinels)
 
 Scale design notes (100 TB / 1000 executors):
 - doc_id assignment is the only global coordination: a two-pass
   range-partition + per-partition offset scheme (no single-partition window,
   no monotonically_increasing_id nondeterminism).
-- the invert step does per-doc aggregation inside the Arrow batch (map-side
-  combine), so the only full shuffle is the segment grouping; its key
-  (segment_id) is uniform by construction — segments are fixed-size doc_id
-  ranges, which is also the hot-term salting story: a term with docFreq 10^9
-  lands in ~10^9/seg_size independently-encoded groups.
+- invert and segment encode run fused inside one Arrow pass (the
+  DocumentsWriterPerThread analog): NOTHING shuffles between tokenization
+  and block encode — only encoded block rows (~30x smaller than tf rows)
+  leave the task. Partition-boundary segments encode independently per
+  side (benign duplicate block keys, same as sharded checkpoint builds).
+  Hot terms still salt naturally: a term with docFreq 10^9 lands in
+  ~10^9/seg_size independently-encoded block groups.
+- pre-assigned doc_id ingest (partitions not doc-contiguous) falls back to
+  one segment-grouping shuffle whose key (segment_id) is uniform by
+  construction — segments are fixed-size doc_id ranges.
 - term statistics use partial aggregation (groupBy(term).agg) — Catalyst
   map-side combines; no skew because values are tiny counters.
 - postings are written sorted by term so Parquet row-group min/max prune
