@@ -114,8 +114,13 @@ def serve(cores: int, n_docs: int) -> None:
                           num_partitions=cores * 2, eager=True)
         return time.time() - t0, idx
 
-    _, idx = one_build()  # warm-up (JVM codegen + worker spin-up), excluded
-    idx.unpersist()
+    # TWO warm-up builds, excluded: the first pays codegen + worker
+    # spin-up, the second lets the JVM heap / Arrow allocators / shuffle
+    # page cache reach steady state (measured: at >=240k docs one warm-up
+    # still leaves the next build ~1.7x slow)
+    for _ in range(2):
+        _, idx = one_build()
+        idx.unpersist()
     print(json.dumps({"ready": cores}), flush=True)
     for line in sys.stdin:
         cmd = line.strip()
