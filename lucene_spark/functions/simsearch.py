@@ -456,31 +456,6 @@ def sq8_bounds(emb: DataFrame, vec_col: str = "embedding"):
     return mn, mx
 
 
-def _sq8_dequant_col(vec_col, mn: np.ndarray, mx: np.ndarray):
-    """Quantize-then-dequantize as one Column transform: code =
-    clamp(round((x - mn_d) / scale_d), 0, 255) with scale_d =
-    (mx_d - mn_d)/255; value' = mn_d + code * scale_d. The ratio is
-    pre-rounded to 6 decimals before the integer round so both engines
-    land on identical codes (kills ulp-level .5 boundary flips); a
-    degenerate dimension (mx == mn) encodes to its constant."""
-    scale = (mx - mn) / 255.0
-    mn_arr = F.array(*[F.lit(float(v)) for v in mn])
-    sc_arr = F.array(*[F.lit(float(v)) for v in scale])
-
-    def dq(x, i):
-        m = F.element_at(mn_arr, i + F.lit(1))
-        s = F.element_at(sc_arr, i + F.lit(1))
-        code = F.least(
-            F.greatest(
-                F.round(F.round((x.cast("double") - m) / s, 6)), F.lit(0.0)
-            ),
-            F.lit(255.0),
-        )
-        return F.when(s != 0.0, m + code * s).otherwise(m)
-
-    return F.transform(F.col(vec_col), dq)
-
-
 def sq8_encode(
     emb: DataFrame,
     bounds=None,
@@ -519,33 +494,65 @@ def sq8_topk(
     bounds=None,
 ) -> DataFrame:
     """Asymmetric SQ8 search: cosine(original query, dequantized
-    candidate), same broadcast-query / no-candidate-shuffle plan as
-    cosine_topk. Quantization error per dim is <= scale/2, so top-k
-    recall vs exact cosine stays near 1 at 8 bits (recall-tested)."""
+    candidate). Codes are produced by the exact JVM-side quantizer
+    expression (code = clamp(round(round((x-mn)/scale, 6)), 0, 255),
+    scale = (mx-mn)/255 — the 6-dp pre-round kills ulp-level .5 boundary
+    flips so both engines land on identical codes); scoring is one numpy
+    GEMM per Arrow batch with per-partition top-k, the same
+    no-candidate-shuffle plan as cosine_topk_fast. Quantization error per
+    dim is <= scale/2, so top-k recall vs exact cosine stays near 1 at
+    8 bits (recall-tested)."""
     mn, mx = bounds if bounds is not None else sq8_bounds(emb, vec_col)
-    q = emb.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).cast("long").alias("query_id"),
-        F.col(vec_col).alias("qv"),
+    scale = (mx - mn) / 255.0
+    qids = [int(x) for x in query_ids]
+    qrows = (
+        emb.filter(F.col(id_col).isin(qids))
+        .select(F.col(id_col).cast("long").alias("qid"), F.col(vec_col).alias("qv"))
+        .collect()
     )
-    c = emb.filter(~F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        _sq8_dequant_col(vec_col, mn, mx).alias("cv"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .withColumn(
-            "sim",
-            F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-                6,
-            ),
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rank int, vec_id long, sim double"
         )
-        .select("query_id", "vec_id", "sim")
+    qid_arr = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    # codes come from the exact JVM-side quantizer expression (shared with
+    # the oracle); dequant in the batch is mn + code*scale — the identical
+    # float64 ops, so values match the Column-transform path bit-for-bit
+    codes_df = sq8_encode(
+        emb.filter(~F.col(id_col).isin(qids)),
+        bounds=(mn, mx), id_col=id_col, vec_col=vec_col,
     )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.float64)
+            dq = mn + codes * scale  # degenerate dims: code==0 -> mn
+            sims = (dq @ qmat.T) / (
+                np.sqrt((dq * dq).sum(axis=1, keepdims=True)) * qnorm
+            )
+            # HALF_UP to 6 dp, matching F.round(sim, 6); the 6-dp grid is
+            # what absorbs summation-order ulp drift between engines
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            outs = []
+            for qi in range(len(qid_arr)):
+                s = sims[:, qi]
+                top = np.lexsort((ids, -s))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qid_arr[qi], "vec_id": ids[top], "sim": s[top]}
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    partial = codes_df.mapInPandas(run, schema="query_id long, vec_id long, sim double")
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        partial.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "sim")
         .orderBy("query_id", "rank")

@@ -237,10 +237,12 @@ def test_payload_parse_is_jvm_only(spark):
         assert op not in plan, plan[:2000]
 
 
-def test_sq8_dequant_is_jvm_and_broadcast(spark):
-    """SQ8 search: quantize/dequantize are Catalyst transforms (no
-    Python) and the query side joins as a broadcast — candidates never
-    shuffle."""
+def test_sq8_scoring_is_arrow_gemm_no_candidate_shuffle(spark):
+    """SQ8 search: quantization is a Catalyst transform (JVM-exact codes,
+    shared with the oracle), scoring is one Arrow-batched numpy GEMM
+    (MapInPandas — never row-at-a-time Python), and the candidate side
+    reaches the scorer without a shuffle (no Exchange below the
+    MapInPandas; only the tiny per-query top-k partials shuffle)."""
     import numpy as np
     import pandas as pd
     import lucene_spark.functions.simsearch as fsim
@@ -255,8 +257,13 @@ def test_sq8_dequant_is_jvm_and_broadcast(spark):
     )
     mn, mx = fsim.sq8_bounds(emb)
     plan = _plan(fsim.sq8_topk(emb, [0, 1], k=3, bounds=(mn, mx)))
-    assert "Python" not in plan, plan[:2000]
-    assert "Broadcast" in plan
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]  # no row-at-a-time UDF
+    # the candidate scan feeds the GEMM directly: no Exchange between the
+    # MapInPandas scorer and its scan input (the only shuffle is the
+    # k-bounded per-query partial top-k going into the final window)
+    below_scorer = plan[plan.index("MapInPandas"):].split("Scan")[0]
+    assert "Exchange" not in below_scorer, plan[:2000]
 
 
 def test_blockjoin_parent_map_window_is_partitioned(spark):
