@@ -1497,6 +1497,28 @@ SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf t WHERE {term_pred} ORDER BY do
 # --------------------------------------------------------------------------
 
 
+def _q_filter_cached(sp: SparkSession, d: str) -> DataFrame:
+    """q_filter with the filter doc-set served through the LRUQueryCache
+    analog (querycache.py): a dedicated Searcher (so the shared memoized
+    one stays cache-free), three uses of the same costly PrefixQuery
+    filter — the policy caches it at use 2, use 3 reads the persisted
+    doc-set. Results must be hash-identical to the uncached SQL twin."""
+    from lucene_spark.querycache import LRUQueryCache
+
+    base = _searcher(sp, d)
+    s = Searcher(
+        base.index,
+        dtype=np.float64,
+        query_cache=LRUQueryCache(min_docs_to_cache=0),
+    )
+    q = bool_query(
+        must=[TermQuery(term="table")], filter=[PrefixQuery(prefix="sp")]
+    )
+    _topk_df(s, q, 10).collect()  # use 1: policy records the filter
+    _topk_df(s, q, 10).collect()  # use 2: doc-set cached (costly => 2)
+    return _topk_df(s, q, 10)  # served from the cached persisted set
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-term BM25 disjunction top-10 on sf0.001."""
     s = _searcher(spark, "/root/testdata/sf0.001")
@@ -1534,6 +1556,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_req_excl": booln(must=("query",), must_not=("spark",)),
         "q_msm": booln(should=("spark", "merge", "vector"), msm=2),
         "q_filter": booln(must=("table",), filters=("spark",)),
+        # same result through the LRUQueryCache analog: the costly prefix
+        # filter's doc-set is cached on its 2nd use (UsageTracking policy)
+        # and the returned frame is served from the cached persisted set —
+        # caching must be invisible in the results (querycache.py)
+        "q_filter_cached": _q_filter_cached,
         "q_and3_hot": booln(must=("a", "the", "table")),
         # ---- phrase / positional (positions) ----
         "q_phrase": lambda sp, d: _topk_df(
@@ -3321,6 +3348,20 @@ def oracle_sql() -> dict[str, str]:
         "q_req_excl": _bool_topk_sql(must=["query"], must_not=["spark"]),
         "q_msm": _bool_topk_sql(should=["spark", "merge", "vector"], msm=2),
         "q_filter": _bool_topk_sql(must=["table"], filters=["spark"]),
+        # cached-filter twin: caching must be invisible — same algebra as
+        # q_filter but the non-scoring filter is the prefix sp% doc-set
+        "q_filter_cached": _PRELUDE
+        + _scored_cte(["table"])
+        + """
+, agg AS (
+  SELECT doc_id, sum(score) AS score FROM sc GROUP BY doc_id
+),
+matched AS (
+  SELECT g.doc_id, g.score FROM agg g
+  WHERE EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = g.doc_id AND x.term LIKE 'sp%')
+)
+"""
+        + _rank_tail("score", "FROM matched", 10),
         "q_and3_hot": _bool_topk_sql(must=["a", "the", "table"]),
         "q_phrase": _phrase_sql(["fast", "table"]),
         "q_covering": _covering_sql(),

@@ -321,6 +321,8 @@ class Searcher:
         dtype=np.float32,
         similarity=None,
         preload_stats: bool = False,
+        query_cache=None,
+        query_caching_policy=None,
     ):
         from .similarities import BM25
 
@@ -369,6 +371,16 @@ class Searcher:
         # block-join parent maps: parents-filter repr -> persisted
         # (doc_id, parent_id) frame (the cached BitSetProducer role)
         self._blockjoin_maps: Dict[str, DataFrame] = {}
+        # FILTER-context doc-set cache (the LRUQueryCache/
+        # UsageTrackingQueryCachingPolicy analog — querycache.py). Off by
+        # default, exactly like passing a null cache to
+        # IndexSearcher.setQueryCache.
+        self._query_cache = query_cache
+        self._query_caching_policy = query_caching_policy
+        if query_cache is not None and query_caching_policy is None:
+            from .querycache import UsageTrackingQueryCachingPolicy
+
+            self._query_caching_policy = UsageTrackingQueryCachingPolicy()
         # q-gram terms index for fuzzy candidate pruning
         # (enable_fuzzy_ngram_index) — the automaton-intersection analog.
         # Auto-built on the first fuzzy query when the vocabulary exceeds
@@ -971,6 +983,53 @@ class Searcher:
             self._eval(rewrite(q), needs_scores=False)
         ).count()
 
+    def set_query_cache(self, cache, policy=None) -> None:
+        """IndexSearcher.setQueryCache / setQueryCachingPolicy analog;
+        pass cache=None to disable caching."""
+        self._query_cache = cache
+        if cache is not None and policy is None and (
+            self._query_caching_policy is None
+        ):
+            from .querycache import UsageTrackingQueryCachingPolicy
+
+            policy = UsageTrackingQueryCachingPolicy()
+        if policy is not None:
+            self._query_caching_policy = policy
+
+    def _driver_cost(self, q: Query) -> Optional[int]:
+        """Driver-side cost estimate (DocIdSetIterator.cost analog) from
+        the preloaded term stats — zero Spark jobs; None when unknown."""
+        if self._stats_cache is None:
+            return None
+        if isinstance(q, TermQuery):
+            st = self._stats_cache.get(q.term)
+            return st.doc_freq if st is not None else 0
+        if isinstance(q, SynonymQuery):
+            costs = [self._driver_cost(TermQuery(term=t)) for t in q.terms]
+            return None if any(c is None for c in costs) else sum(costs)
+        if isinstance(q, BooleanQuery):
+            costs = [self._driver_cost(c.query) for c in q.clauses]
+            return None if any(c is None for c in costs) else sum(costs)
+        return None
+
+    def _docset(self, sq: Query, lead_cost: Optional[int] = None) -> DataFrame:
+        """Non-scoring doc-id set for a FILTER/MUST_NOT clause, routed
+        through the query cache when one is configured."""
+        def build() -> DataFrame:
+            return self._eval(sq, False).select("doc_id").distinct()
+
+        if self._query_cache is None:
+            return build()
+        df, _hit = self._query_cache.doc_set(
+            sq,
+            build,
+            self._query_caching_policy,
+            max_doc=int(self.index.stats.doc_count),
+            lead_cost=lead_cost,
+            est_cost=self._driver_cost(sq),
+        )
+        return df
+
     def _topk(self, matches: DataFrame, k: int) -> DataFrame:
         return matches.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -1442,20 +1501,26 @@ class Searcher:
                 cond = cond & (n_should >= max(msm, 1))
             base = agg.filter(cond).select("doc_id", "score")
         elif filters:
-            base = self._eval(filters[0], False).select("doc_id").distinct().withColumn(
-                "score", F.lit(1.0)
-            )
+            base = self._docset(filters[0]).withColumn("score", F.lit(1.0))
             filters = filters[1:]
         else:
             return self._empty()
 
+        # lead cost for the cache's skip factor = the scoring side's
+        # cheapest iterator (ScorerSupplier.get's leadCost role)
+        lead_costs = [self._driver_cost(sq) for sq in must + should]
+        lead_cost = (
+            min(c for c in lead_costs if c is not None)
+            if any(c is not None for c in lead_costs)
+            else None
+        )
         for sq in filters:
             base = base.join(
-                self._eval(sq, False).select("doc_id").distinct(), "doc_id", "left_semi"
+                self._docset(sq, lead_cost=lead_cost), "doc_id", "left_semi"
             )
         for nq in must_not:
             base = base.join(
-                self._eval(nq, False).select("doc_id").distinct(), "doc_id", "left_anti"
+                self._docset(nq, lead_cost=lead_cost), "doc_id", "left_anti"
             )
         if q.boost != 1.0:
             base = base.withColumn("score", F.col("score") * F.lit(float(q.boost)))
