@@ -132,6 +132,37 @@ def main() -> None:
             dsearcher.top_docs(dq, 10)
             times.append(time.time() - t0)
         queries["bm25_or3_distributed"] = round(statistics.median(times), 4)
+
+        # filter-bearing boolean on the same tier, with and without the
+        # LRUQueryCache analog (querycache.py): the cached run serves the
+        # costly prefix filter's doc-set from a persisted frame
+        from lucene_spark.query import PrefixQuery
+        from lucene_spark.querycache import LRUQueryCache
+
+        fq = bool_query(
+            must=[TermQuery(term="table")],
+            filter=[PrefixQuery(prefix="sp")],
+        )
+        dsearcher.top_docs(fq, 10)  # warm
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            dsearcher.top_docs(fq, 10)
+            times.append(time.time() - t0)
+        queries["bm25_filter_distributed"] = round(statistics.median(times), 4)
+
+        csearcher = Searcher(
+            idx, dtype=np.float32, preload_stats=True,
+            query_cache=LRUQueryCache(min_docs_to_cache=0),
+        )
+        csearcher.top_docs(fq, 10)  # policy use 1
+        csearcher.top_docs(fq, 10)  # use 2: filter doc-set cached
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            csearcher.top_docs(fq, 10)
+            times.append(time.time() - t0)
+        queries["bm25_filter_cached"] = round(statistics.median(times), 4)
     finally:
         if prev_hot is None:
             del os.environ["LUCENE_SPARK_HOT_CACHE_POSTINGS"]
