@@ -15,6 +15,17 @@ level (segments are physical layout underneath), so the per-leaf map
 collapses to one entry and the MinSegmentSizePredicate becomes a
 min-doc-count gate on the whole index.
 
+Sharing one cache across several Searchers is supported exactly like the
+reference (the javadoc example stores cache + policy in statics): entries
+key on (index core key, unwrapped query) — the per-leaf CacheKey role —
+so two indexes never cross-serve doc-sets, and ``clear_core`` is the
+clearCoreCacheKey analog for dropping one index's entries when it is
+released. Deletes stay correct without invalidation: the Searcher applies
+live-docs filtering ON TOP of every boolean result (``_apply_deletes``),
+so a doc-set cached before a delete still serves, minus the deleted docs
+— the same contract as the reference, where the query cache stores
+match-all-including-deleted sets and LeafReader.getLiveDocs intersects.
+
 Semantics ported exactly:
 - the 256-slot frequency-tracking ring of query hashes;
 - never-cache classes (TermQuery, MatchAll/MatchNoDocs, empty bool/dismax
@@ -230,7 +241,11 @@ class LRUQueryCache:
         # the whole index, so only the absolute floor applies
         self.min_docs_to_cache = min_docs_to_cache
         self.skip_cache_factor = skip_cache_factor
-        self._entries: "OrderedDict[Query, _Entry]" = OrderedDict()
+        # (core_key, query) -> entry; core_key = the owning index's cache
+        # key (the IndexReader.CacheKey / per-leaf map role,
+        # LRUQueryCache.java:269-317) so a shared cache never cross-serves
+        # doc-sets between indexes
+        self._entries: "OrderedDict[Tuple[object, Query], _Entry]" = OrderedDict()
         self.hit_count = 0
         self.miss_count = 0
         self.cache_count = 0  # total ever cached
@@ -251,12 +266,12 @@ class LRUQueryCache:
 
     def cached_queries(self) -> List[Query]:
         """LRU order, least-recently-used first (cachedQueries:459-467)."""
-        return list(self._entries)
+        return [q for _core, q in self._entries]
 
     # ---------------- core ----------------
 
-    def get(self, query: Query) -> Optional[DataFrame]:
-        key = cache_key(query)
+    def get(self, query: Query, core_key: object = None) -> Optional[DataFrame]:
+        key = (core_key, cache_key(query))
         entry = self._entries.get(key)
         if entry is None:
             self.miss_count += 1
@@ -266,8 +281,10 @@ class LRUQueryCache:
         self.hit_count += 1
         return entry.df
 
-    def put_if_absent(self, query: Query, df: DataFrame, doc_count: int) -> None:
-        key = cache_key(query)
+    def put_if_absent(
+        self, query: Query, df: DataFrame, doc_count: int, core_key: object = None
+    ) -> None:
+        key = (core_key, cache_key(query))
         if key in self._entries:
             return
         entry = _Entry(df=df, doc_count=doc_count)
@@ -298,8 +315,7 @@ class LRUQueryCache:
             )
             entry.df.unpersist()
 
-    def clear_query(self, query: Query) -> None:
-        key = cache_key(query)
+    def _drop(self, key: Tuple[object, Query]) -> None:
         entry = self._entries.pop(key, None)
         if entry is not None:
             self._ram_bytes_used -= (
@@ -308,6 +324,19 @@ class LRUQueryCache:
                 + entry.ram_bytes
             )
             entry.df.unpersist()
+
+    def clear_query(self, query: Query) -> None:
+        """clearQuery (LRUQueryCache.java:371-380): drop the query's
+        entries on every core."""
+        q = cache_key(query)
+        for key in [k for k in self._entries if k[1] == q]:
+            self._drop(key)
+
+    def clear_core(self, core_key: object) -> None:
+        """clearCoreCacheKey (LRUQueryCache.java:351-369): drop every
+        entry of one index — call when the index is released."""
+        for key in [k for k in self._entries if k[0] == core_key]:
+            self._drop(key)
 
     def clear(self) -> None:
         for entry in self._entries.values():
@@ -350,6 +379,7 @@ class LRUQueryCache:
         max_doc: int,
         lead_cost: Optional[int] = None,
         est_cost: Optional[int] = None,
+        core_key: object = None,
     ) -> Tuple[DataFrame, bool]:
         """Resolve a FILTER-context doc-id set through the cache.
 
@@ -366,7 +396,7 @@ class LRUQueryCache:
         ):
             return build(), False
 
-        cached = self.get(key)
+        cached = self.get(key, core_key=core_key)
         if cached is not None:
             return cached, True
 
@@ -384,5 +414,5 @@ class LRUQueryCache:
 
         df = build().persist(StorageLevel.MEMORY_AND_DISK)
         doc_count = df.count()  # materialize + exact RAM accounting
-        self.put_if_absent(key, df, doc_count)
+        self.put_if_absent(key, df, doc_count, core_key=core_key)
         return df, False

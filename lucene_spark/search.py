@@ -1020,6 +1020,15 @@ class Searcher:
 
         if self._query_cache is None:
             return build()
+        # the IndexReader.CacheKey role: a stable token stamped on the
+        # POSTINGS frame — the immutable segment core. Tombstone deletes
+        # share it (delete_docs keeps the same postings object, liveDocs
+        # layered separately — exactly Lucene's core-vs-liveDocs split),
+        # while merges/rebuilds produce new postings and so a new core.
+        core = getattr(self.index.postings, "_qc_core_key", None)
+        if core is None:
+            core = object()
+            self.index.postings._qc_core_key = core
         df, _hit = self._query_cache.doc_set(
             sq,
             build,
@@ -1027,6 +1036,7 @@ class Searcher:
             max_doc=int(self.index.stats.doc_count),
             lead_cost=lead_cost,
             est_cost=self._driver_cost(sq),
+            core_key=core,
         )
         return df
 

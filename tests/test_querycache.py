@@ -365,6 +365,63 @@ def test_skip_cache_factor_blocks_expensive_filter(built):
     assert cache2.cache_size == 1
 
 
+def test_shared_cache_never_cross_serves_indexes(built, spark):
+    """The per-leaf CacheKey role: one cache shared by Searchers over two
+    DIFFERENT indexes must keep their doc-sets apart (the javadoc example
+    shares cache+policy across searchers/readers)."""
+    docs2 = make_corpus(150, VOCAB, seed=99, min_len=2, max_len=30)
+    cfg = IndexConfig(seg_size=64, block_size=16, with_positions=False)
+    df2 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs2)], "doc_id long, content string"
+    )
+    built2 = build_index(df2, cfg, doc_id_col="doc_id").persist()
+    try:
+        cache = LRUQueryCache(min_docs_to_cache=0)
+        s1 = Searcher(built, dtype=np.float32, preload_stats=True, query_cache=cache)
+        s2 = Searcher(built2, dtype=np.float32, preload_stats=True, query_cache=cache)
+        q = bool_query(must=[TermQuery(term="def")], filter=[PrefixQuery(prefix="ind")])
+        exp1 = _rows(Searcher(built, dtype=np.float32).matches(q))
+        exp2 = _rows(Searcher(built2, dtype=np.float32).matches(q))
+        for _ in range(3):  # both filters cached (costly => 2nd use)
+            assert _rows(s1.matches(q)) == exp1
+            assert _rows(s2.matches(q)) == exp2
+        assert cache.cache_size == 2  # one entry per index core
+        # clear_core drops exactly one index's entries
+        cache.clear_core(built2.postings._qc_core_key)
+        assert cache.cache_size == 1
+        assert _rows(s1.matches(q)) == exp1 and _rows(s2.matches(q)) == exp2
+        cache.assert_consistent()
+    finally:
+        built2.unpersist()
+
+
+def test_cached_filter_respects_later_deletes(built, spark):
+    """Deletes applied AFTER a filter doc-set was cached must still drop
+    the deleted docs: live-docs filtering layers on top of the boolean
+    result (the reference caches match-all-including-deleted sets and
+    intersects liveDocs at collection time)."""
+    import dataclasses as _dc
+
+    idx = _dc.replace(built)  # shallow copy so `built` keeps no tombstones
+    cache = LRUQueryCache(min_docs_to_cache=0)
+    s = Searcher(idx, dtype=np.float32, preload_stats=True, query_cache=cache)
+    q = bool_query(must=[TermQuery(term="def")], filter=[PrefixQuery(prefix="ind")])
+    before = _rows(s.matches(q))
+    for _ in range(2):
+        s.matches(q).collect()  # cache the filter doc-set
+    assert cache.cache_size == 1
+    victims = [d for d, _ in before][:2]
+    assert victims
+    idx2 = idx.delete_docs(victims)
+    s2 = Searcher(idx2, dtype=np.float32, preload_stats=True, query_cache=cache)
+    hits_before = cache.hit_count
+    got = _rows(s2.matches(q))
+    # deletes share the postings core, so the STALE cached doc-set served
+    # (hit) and live-docs filtering still removed the victims on top
+    assert cache.hit_count > hits_before
+    assert got == [(d, sc) for d, sc in before if d not in victims]
+
+
 def test_set_query_cache_toggle(built):
     cache = LRUQueryCache(min_docs_to_cache=0)
     s = Searcher(built, dtype=np.float32, preload_stats=True)
