@@ -78,6 +78,10 @@ from .complexphrase import complex_phrase, complex_phrase_parse  # noqa: E402,F4
 from .surround import surround_parse  # noqa: E402,F401
 from .xmlparser import XmlQueryParser, xml_parse  # noqa: E402,F401
 from .strdist import jaro_winkler, lucene_levenshtein, ngram_distance  # noqa: E402,F401
+from .querycache import (  # noqa: E402,F401
+    LRUQueryCache,
+    UsageTrackingQueryCachingPolicy,
+)
 from .search import (  # noqa: E402,F401
     Explanation,
     MultiFieldSearcher,
