@@ -209,6 +209,48 @@ def _invert_core(config: IndexConfig, pairs):
                 if total == 0:
                     continue
             base_counts = counts
+            if config.hunspell is not None:
+                # HunspellStemFilter right after the stop filter: map each
+                # DISTINCT token once (factorize dedup — the stemmer is
+                # O(vocab per batch)). longest_only replaces 1:1; dedup
+                # mode keeps the first stem in place and injects the rest
+                # at the SAME position (posIncr=0, HunspellStemFilter
+                # incrementToken:93-101)
+                hsp = config.hunspell
+                codes_h, uniq_h = pd.factorize(pd.Series(flat), sort=False)
+                if hsp.longest_only:
+                    mapped = np.array(
+                        [hsp.map_token(u) for u in uniq_h], dtype=object
+                    )
+                    flat = mapped[codes_h]
+                else:
+                    expansions = [hsp.expand_token(u) for u in uniq_h]
+                    heads = np.array(
+                        [e[0] if e else u for e, u in zip(expansions, uniq_h)],
+                        dtype=object,
+                    )
+                    extra_n = np.fromiter(
+                        (max(len(e) - 1, 0) for e in expansions),
+                        np.int64, len(expansions),
+                    )
+                    flat = heads[codes_h]
+                    per_tok = extra_n[codes_h]
+                    if per_tok.any():
+                        src = np.nonzero(per_tok)[0]
+                        add_t = np.array(
+                            [w for i in src for w in expansions[codes_h[i]][1:]],
+                            dtype=object,
+                        )
+                        rep = per_tok[src]
+                        flat = np.concatenate([flat, add_t])
+                        row_idx = np.concatenate(
+                            [row_idx, np.repeat(row_idx[src], rep)]
+                        )
+                        pos = np.concatenate([pos, np.repeat(pos[src], rep)])
+                        counts = np.bincount(
+                            row_idx, minlength=len(batch_docs)
+                        ).astype(np.int64)
+                        total = len(flat)
             if config.decompound is not None:
                 # CompoundWordTokenFilterBase: each token's dictionary /
                 # hyphenation subwords join at the SAME position (posIncr=0
@@ -290,6 +332,7 @@ def _invert_core(config: IndexConfig, pairs):
                 syn_map
                 or config.decompound is not None
                 or config.phonetic is not None
+                or config.hunspell is not None
             ):
                 # injected tokens break the pre-sorted pos invariant
                 order = np.lexsort((pos, key))
@@ -997,6 +1040,9 @@ def config_to_dict(config: IndexConfig) -> dict:
         "phonetic": (
             config.phonetic.to_json() if config.phonetic is not None else None
         ),
+        "hunspell": (
+            config.hunspell.to_json() if config.hunspell is not None else None
+        ),
     }
 
 
@@ -1010,6 +1056,9 @@ def config_from_dict(mc: dict) -> IndexConfig:
 
     mc["decompound"] = decompounder_from_json(mc.get("decompound"))
     mc["phonetic"] = phonetic_from_json(mc.get("phonetic"))
+    from .hunspell import hunspell_from_json
+
+    mc["hunspell"] = hunspell_from_json(mc.get("hunspell"))
     return IndexConfig(**mc)
 
 

@@ -49,3 +49,8 @@ class IndexConfig:
     # decompound / synonyms), encoded forms replace (inject=False) or
     # overlap (inject=True, posIncr=0) their source token.
     phonetic: Optional[object] = None
+    # hunspell dictionary stemming (HunspellStemFilter): a
+    # hunspell.HunspellFilter; applied right after the stop filter
+    # (longest_only replaces 1:1; otherwise first stem in place + the
+    # remaining unique stems as posIncr=0 overlaps, norm-discounted).
+    hunspell: Optional[object] = None
