@@ -313,6 +313,62 @@ def _graph_syn_query(kind: str) -> Query:
 #: dictionary for the compound-decompounding entries: 'customer' ->
 #: custom+mer, 'merge' -> mer (DictionaryCompoundWordTokenFilter brute-force
 #: substring scan, reference analysis/compound/DictionaryCompoundWordTokenFilter.java:68-94)
+#: inline hunspell dictionary for the oracle: "tabl/S" + SFX S strips "e",
+#: so the corpus token "table" stems to "tabl" (longest-only replace).
+#: The SQL twin applies the same 1:1 rename; the stemmer itself is pinned
+#: by the reference's own .aff/.dic fixtures in tests/test_hunspell.py,
+#: and tests assert this map row equals the live stemmer output.
+_HUNSPELL_AFF = "SET UTF-8\nSFX S Y 1\nSFX S 0 e .\n"
+_HUNSPELL_DIC = "1\ntabl/S\n"
+_HUNSPELL_MAP = [("table", "tabl")]
+
+
+def _hunspell_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with HunspellStemFilter (longest-only): each token maps to
+    its longest hunspell stem, unknown words unchanged."""
+    from lucene_spark.hunspell import (
+        HunspellDictionary, HunspellFilter, Stemmer as HStemmer,
+    )
+
+    key = f"{sf_dir}::hunspell"
+    if key not in _CACHE:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).repartition(spark.sparkContext.defaultParallelism)
+        filt = HunspellFilter(
+            stemmer=HStemmer(HunspellDictionary(_HUNSPELL_AFF, [_HUNSPELL_DIC]))
+        )
+        cfg = IndexConfig(
+            chain="standard",
+            seg_size=1 << 10,
+            block_size=128,
+            with_positions=True,
+            hunspell=filt,
+        )
+        idx = build_index(
+            docs, cfg, content_col="text", doc_id_col="doc_id"
+        ).persist()
+        _CACHE[key] = Searcher(idx, dtype=np.float64)
+    return _CACHE[key]
+
+
+def _hunspell_prelude(mapping: list) -> str:
+    """_PRELUDE with a 1:1 term rename (HunspellStemFilter longest-only
+    replace): lengths/sttf unchanged, df/tf move to the stem."""
+    case = " ".join(f"WHEN term = '{a}' THEN '{b}'" for a, b in mapping)
+    out = _PRELUDE.replace(
+        "tok AS (\n  SELECT doc_id, unnest(toks) AS term FROM tokarr\n)",
+        "tok0 AS (\n  SELECT doc_id, unnest(toks) AS term FROM tokarr\n),\n"
+        f"tok AS (\n  SELECT doc_id, CASE {case} ELSE term END AS term FROM tok0\n)",
+    )
+    out = out.replace(
+        "tokp AS (\n  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos\n  FROM tokarr\n)",
+        "tokp0 AS (\n  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos\n  FROM tokarr\n),\n"
+        f"tokp AS (\n  SELECT doc_id, CASE {case} ELSE term END AS term, pos FROM tokp0\n)",
+    )
+    return out
+
+
 _COMPOUND_WORDS = ("custom", "mer")
 
 
@@ -2779,6 +2835,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # 'custom'+'mer' at its position; the subword is searchable
             _compound_searcher(sp, d), TermQuery(term="custom"), 10
         ),
+        "q_term_hunspell": lambda sp, d: _topk_df(
+            # HunspellStemFilter (longest-only): 'table' -> 'tabl' via the
+            # inline .aff/.dic; the stem term is what's indexed
+            _hunspell_searcher(sp, d), TermQuery(term="tabl"), 10
+        ),
+        "q_phrase_hunspell": lambda sp, d: _topk_df(
+            # the stem sits at the original position: phrase through it
+            _hunspell_searcher(sp, d), PhraseQuery(terms=("fast", "tabl")), 10
+        ),
         "q_compound_phrase": lambda sp, d: _topk_df(
             # subword sits AT the compound's position: phrase through it
             _compound_searcher(sp, d), PhraseQuery(terms=("custom", "query")), 10
@@ -4411,6 +4476,12 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         "q_compound_term": _compound_prelude(_COMPOUND_WORDS)
         + _scored_cte(["custom"])
         + _rank_tail("score", "FROM sc", 10),
+        "q_term_hunspell": _hunspell_prelude(_HUNSPELL_MAP)
+        + _scored_cte(["tabl"])
+        + _rank_tail("score", "FROM sc", 10),
+        "q_phrase_hunspell": _phrase_sql(
+            ["fast", "tabl"], prelude=_hunspell_prelude(_HUNSPELL_MAP)
+        ),
         "q_compound_phrase": _phrase_sql(
             ["custom", "query"], prelude=_compound_prelude(_COMPOUND_WORDS)
         ),

@@ -510,3 +510,21 @@ def test_filter_overlap_mode_and_manifest_roundtrip(spark, tmp_path):
     s2 = Searcher(reopened)
     assert [r["doc_id"] for r in s2.search(TermQuery(term="lucen"), 10).collect()] == [0]
     idx.unpersist()
+
+
+def test_oracle_map_consistency():
+    # the q_term_hunspell oracle's rename map must equal the live stemmer
+    # (the consistency rule the language-chain oracle maps follow)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    s = Stemmer(HunspellDictionary(m._HUNSPELL_AFF, [m._HUNSPELL_DIC]))
+    for surface, stem in m._HUNSPELL_MAP:
+        assert s.filter_token(surface) == stem, surface
+    # and nothing else in the corpus's fixed vocabulary stems
+    for w in ("fast", "customer", "query", "vector", "spark", "merge"):
+        assert s.filter_token(w) == w, w
