@@ -290,6 +290,33 @@ class _Entry:
     morph: Optional[str] = None
 
 
+def _index_of_space_or_tab(text: str, start: int) -> int:
+    p1, p2 = text.find("\t", start), text.find(" ", start)
+    if p1 >= 0 and p2 >= 0:
+        return min(p1, p2)
+    return max(p1, p2)
+
+
+def _morph_boundary(line: str) -> int:
+    """morphBoundary (Dictionary.java:945-975): the entry/morph split."""
+    end = _index_of_space_or_tab(line, 0)
+    if end == -1:
+        return len(line)
+    while 0 <= end < len(line):
+        if line[end] == "\t" or (
+            end > 0
+            and end + 3 < len(line)
+            and line[end + 1].isalpha()
+            and line[end + 2].isalpha()
+            and line[end + 3] == ":"
+        ):
+            break
+        end = _index_of_space_or_tab(line, end + 1)
+    if end == -1:
+        return len(line)
+    return end
+
+
 class HunspellDictionary:
     """Parsed .aff + .dic files (Dictionary.java), stemming subset."""
 
@@ -487,10 +514,12 @@ class HunspellDictionary:
             line = raw.rstrip("\r")
             if not line.strip() or line.startswith("#"):
                 continue
-            # morph data after first space/tab (morphBoundary)
-            m = re.search(r"[ \t]", line)
-            entry_part = line[: m.start()] if m else line
-            morph_part = line[m.start() :].strip() if m else ""
+            # morph data boundary (morphBoundary, Dictionary.java:945-975):
+            # a space splits the entry only before a tab or an `xx:` morph
+            # field — dictionary words may themselves contain spaces
+            end = _morph_boundary(line)
+            entry_part = line[:end]
+            morph_part = line[end:].strip()
             word, flag_part = self._unescape(entry_part)
             if not word:
                 continue

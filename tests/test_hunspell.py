@@ -528,3 +528,99 @@ def test_oracle_map_consistency():
     # and nothing else in the corpus's fixed vocabulary stems
     for w in ("fast", "customer", "query", "vector", "spark", "merge"):
         assert s.filter_token(w) == w, w
+
+
+# ---------------- additional reference suites ----------------
+
+
+def test_all_caps():
+    # TestAllCaps: apostrophe capitalization + hidden twins for UPPER/MIXED
+    s = make("allcaps.aff", "allcaps.dic")
+    assert_stems(s, "OpenOffice.org", "OpenOffice.org")
+    assert_stems(s, "UNICEF's", "UNICEF")
+    assert_stems(s, "L'Afrique", "Afrique")
+    assert_stems(s, "L'AFRIQUE", "Afrique")
+    assert_stems(s, "OPENOFFICE.ORG", "Openoffice.org")
+    assert_stems(s, "UNICEF'S", "Unicef")
+    assert_stems(s, "Openoffice.org", "Openoffice.org")
+    assert_stems(s, "Unicef", "Unicef")
+    assert_stems(s, "Unicef's", "Unicef")
+
+
+def test_dependencies():
+    # TestDependencies: twofold suffixes + prefix flags carried by the
+    # inner suffix's continuation classes
+    s = make("dependencies.aff", "dependencies.dic")
+    assert_stems(s, "drink", "drink", "drink")
+    assert_stems(s, "drinks", "drink", "drink")
+    assert_stems(s, "drinkable", "drink")
+    assert_stems(s, "drinkables", "drink")
+    assert_stems(s, "undrinkable", "drink")
+    assert_stems(s, "undrinkables", "drink")
+    assert_stems(s, "undrink")
+    assert_stems(s, "undrinks")
+    assert_stems(s, "hydration", "hydrate")
+    assert_stems(s, "dehydrate", "hydrate")
+    assert_stems(s, "dehydration", "hydrate")
+    assert_stems(s, "calorie", "calorie", "calorie")
+    assert_stems(s, "calories", "calorie")
+
+
+def test_base_utf():
+    # TestBaseUtf: the dotted-I case-change guard for non-tr dictionaries
+    s = make("base_utf.aff", "base_utf.dic")
+    assert_stems(s, "imply", "imply")
+    assert_stems(s, "Imply", "imply")
+    assert_stems(s, "IMPLY", "imply")
+    assert_stems(s, "İZMİR", "İzmir")
+    assert_stems(s, "İmply")
+    assert_stems(s, "İMPLY")
+
+
+def test_two_suffixes():
+    s = make("twosuffixes.aff", "twosuffixes.dic")
+    assert_stems(s, "drink", "drink")
+    assert_stems(s, "drinkable", "drink")
+    assert_stems(s, "drinks", "drink")
+    assert_stems(s, "drinkableable")
+    assert_stems(s, "drinkss")
+
+
+def test_two_fold():
+    # twofold suffix: plural strips only through the able/Y continuation
+    s = make("twofold.aff", "morph.dic")
+    assert_stems(s, "drink", "drink")
+    assert_stems(s, "drinkable", "drink")
+    assert_stems(s, "drinkables", "drink")
+    assert_stems(s, "drinksable")
+    assert_stems(s, "drinkableable")
+    assert_stems(s, "drinks")
+
+
+def test_only_in_compound():
+    # ONLYINCOMPOUND roots/affixes never match as simple words
+    s = make("onlyincompound.aff", "onlyincompound.dic")
+    assert_stems(s, "drink", "drink")
+    assert_stems(s, "drinks", "drink")
+    assert_stems(s, "drinked")
+    assert_stems(s, "predrink")
+    assert_stems(s, "predrinked")
+    assert_stems(s, "walk")
+
+
+def test_spaces():
+    # TestSpaces: dictionary words containing spaces (morphBoundary only
+    # splits before tabs or xx: morph fields) + st: exceptions
+    s = make("spaces.aff", "spaces.dic")
+    assert_stems(s, "four", "four")
+    assert_stems(s, "fours", "four")
+    assert_stems(s, "five", "five")
+    assert_stems(s, "forty four", "forty four")
+    assert_stems(s, "forty fours", "forty four")
+    assert_stems(s, "forty five", "forty five")
+    assert_stems(s, "fifty", "50")
+    assert_stems(s, "fiftys", "50")
+    assert_stems(s, "sixty", "60")
+    assert_stems(s, "sixty four", "64")
+    assert_stems(s, "fifty four", "54")
+    assert_stems(s, "fifty fours", "54")
